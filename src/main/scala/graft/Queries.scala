@@ -1,0 +1,348 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.CosineTopK
+
+/** Driver-facing query catalog. Each entry re-expresses one operator from
+  * SURVEY.md §2 (or a scale-pipeline extension) over the shared testdata
+  * tables, with a DuckDB oracle in `Oracles`. Conventions for oracle hash
+  * parity: all derived floats rounded to 6 decimals and computed in
+  * double on both sides; rank/count columns cast to BIGINT; ties broken
+  * by id so ordering is deterministic.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Batch top-k cosine over the embeddings store (O9+O15+O18). */
+  def topkBatch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    CosineTopK.declarative(emb, "vec_id", "embedding", q, "qid", "qvec", k = 10)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** Top-k with score threshold — `better_than` (O10). */
+  def topkThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    CosineTopK.declarative(emb, "vec_id", "embedding", q, "qid", "qvec",
+        k = 20, betterThan = Some(0.2))
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** Metadata equality prefilter — `where {k: v}` (O11). */
+  def topkWhereEq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    CosineTopK.declarative(emb.filter(col("label") === 3), "vec_id", "embedding",
+        q, "qid", "qvec", k = 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** Metadata `$in` prefilter (O12). */
+  def topkWhereIn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    CosineTopK.declarative(emb.filter(col("label").isin(1, 2, 3)), "vec_id",
+        "embedding", q, "qid", "qvec", k = 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** Candidate id-list restriction (O14): ids = multiples of 7. */
+  def topkIds(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    CosineTopK.declarative(emb.filter(col("vec_id") % 7 === 0), "vec_id",
+        "embedding", q, "qid", "qvec", k = 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** Point lookup with vector materialization (O19): the vector itself is
+    * surfaced as its rounded L2 norm so the check stays hashable.
+    */
+  def pointLookup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    emb.filter(col("vec_id").isin(1, 5, 9, 13, 21, 34))
+      .select(col("vec_id"), col("label"),
+        round(sqrt(graft.functions.l2_norm_sq(col("embedding"))), 6).as("vec_norm"))
+  }
+
+  /** Count/stats introspection (O21/O22) as a per-label breakdown. */
+  def countByLabel(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings").groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Upsert MERGE semantics (O4): batch rows win over existing rows. */
+  def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+    val batch = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id"), (col("label") + 100).as("label"))
+    emb.join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(batch)
+  }
+
+  /** Upsert update-vs-insert report (O4): semi/anti split of the batch. */
+  def upsertReport(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id")
+    val batch = emb.filter(col("vec_id") < 100)
+      .unionByName(emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000).as("vec_id")))
+    val upd = batch.join(emb, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("update").as("kind"), col("n"))
+    val ins = batch.join(emb, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("insert").as("kind"), col("n"))
+    upd.unionByName(ins)
+  }
+
+  /** Delete-by-predicate as anti-join (O5), then visible counts (O21). */
+  def deleteAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val doomed = emb.filter(col("label") === 5).select("vec_id")
+    emb.join(doomed, Seq("vec_id"), "left_anti")
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (pipeline op): sampled left
+    * side vs full store, threshold + ordered pair dedup.
+    */
+  def embNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val left = emb.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = emb.crossJoin(broadcast(left))
+      .filter(col("qid") < col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.cosine_sim(col("qvec"), col("embedding")).as("score"))
+      .filter(col("score") >= 0.38)
+    scored.select(col("qid"), col("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** Exact dedup by content hash (pipeline op; reuses O7's md5 idea). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Token-count text analysis per language (pipeline op). */
+  def textTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+    docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      round(avg(col("n_tokens")), 4).as("avg_tokens"),
+      max(col("n_tokens")).as("max_tokens"))
+  }
+
+  /** Quality score (pipeline op): length score + stopword ratio. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    docs.select(col("doc_id"),
+      round(
+        least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.5 +
+          (expr("size(filter(split(trim(text), '\\\\s+'), x -> x IN ('the','a','and','of','to')))").cast("double") /
+            size(split(trim(col("text")), "\\s+")).cast("double")) * 0.5,
+        6).as("quality"))
+  }
+
+  /** Language-ID heuristic (pipeline op): marker-token vote. */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    docs.select(col("doc_id"),
+        expr("size(filter(split(trim(text), '\\\\s+'), x -> x IN ('the','a')))")
+          .cast("long").as("en_hits"),
+        expr("size(filter(split(trim(text), '\\\\s+'), x -> x IN ('scan','join','merge')))")
+          .cast("long").as("dsl_hits"))
+      .withColumn("detected",
+        when(col("en_hits") > col("dsl_hits"), "en")
+          .when(col("dsl_hits") > col("en_hits"), "dsl")
+          .otherwise("und"))
+  }
+
+  /** Document fingerprint (pipeline op): hash of the leading 8-token
+    * prefix — a cheap shift-resistant signature.
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    docs.select(col("doc_id"),
+      md5(concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 8)).cast("binary"))
+        .as("fp"))
+  }
+
+  /** Fingerprint-cluster dedup (pipeline op): group by a low-entropy
+    * 4-token-prefix hash; emit only clusters with real duplicates.
+    */
+  def dedupFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 4))
+        .cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** General aggregation sanity on lineitem (TPC-H Q1 shape). */
+  def aggPricing(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** Ordered top-N customers by spend (sort+limit surface). */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"), count(lit(1)).as("n"))
+      .orderBy(col("spend").desc, col("o_custkey"))
+      .limit(10)
+
+  /** Latest event per user (window-function surface). */
+  def latestEvent(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("value"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_topk_batch" -> (topkBatch _),
+    "q02_topk_threshold" -> (topkThreshold _),
+    "q03_topk_where_eq" -> (topkWhereEq _),
+    "q04_topk_where_in" -> (topkWhereIn _),
+    "q05_topk_ids" -> (topkIds _),
+    "q06_point_lookup" -> (pointLookup _),
+    "q07_count_by_label" -> (countByLabel _),
+    "q08_upsert_merge" -> (upsertMerge _),
+    "q09_upsert_report" -> (upsertReport _),
+    "q10_delete_anti" -> (deleteAntiJoin _),
+    "q11_emb_near_dup" -> (embNearDup _),
+    "q12_dedup_exact" -> (dedupExact _),
+    "q13_text_tokens" -> (textTokens _),
+    "q14_text_quality" -> (textQuality _),
+    "q15_text_lang_id" -> (textLangId _),
+    "q16_text_fingerprint" -> (textFingerprint _),
+    "q20_dedup_fingerprint" -> (dedupFingerprint _),
+    "q17_agg_pricing" -> (aggPricing _),
+    "q18_top_customers" -> (topCustomers _),
+    "q19_latest_event" -> (latestEvent _),
+  )
+}
+
+/** DuckDB oracle SQL for every entry in [[Queries.all]]. Table names are
+  * bare (the driver exposes the parquet files as views with those names).
+  */
+object Oracles {
+
+  private def topkOracle(qFilter: String, storeFilter: String, k: Int,
+                         threshold: Option[Double]): String = {
+    val thr = threshold.map(t => s"AND score >= $t").getOrElse("")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE $qFilter),
+       |s AS (SELECT q.qid, e.vec_id,
+       |        list_cosine_similarity(CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score
+       |      FROM q CROSS JOIN (SELECT * FROM embeddings WHERE $storeFilter) e),
+       |r AS (SELECT qid, vec_id, score,
+       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM s WHERE true $thr)
+       |SELECT qid, rank, vec_id, round(score, 6) AS score FROM r WHERE rank <= $k""".stripMargin
+  }
+
+  val all: Map[String, String] = Map(
+    "q01_topk_batch" -> topkOracle("vec_id < 20", "true", 10, None),
+    "q02_topk_threshold" -> topkOracle("vec_id >= 20 AND vec_id < 40", "true", 20, Some(0.2)),
+    "q03_topk_where_eq" -> topkOracle("vec_id < 10", "label = 3", 5, None),
+    "q04_topk_where_in" -> topkOracle("vec_id >= 10 AND vec_id < 20", "label IN (1,2,3)", 5, None),
+    "q05_topk_ids" -> topkOracle("vec_id < 10", "vec_id % 7 = 0", 5, None),
+    "q06_point_lookup" ->
+      """SELECT vec_id, label,
+        |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS vec_norm
+        |FROM embeddings WHERE vec_id IN (1,5,9,13,21,34)""".stripMargin,
+    "q07_count_by_label" ->
+      "SELECT label, count(*) AS n FROM embeddings GROUP BY label",
+    "q08_upsert_merge" ->
+      """SELECT vec_id, label + 100 AS label FROM embeddings WHERE vec_id < 100
+        |UNION ALL
+        |SELECT vec_id, label FROM embeddings WHERE vec_id >= 100""".stripMargin,
+    "q09_upsert_report" ->
+      """WITH batch AS (
+        |  SELECT vec_id FROM embeddings WHERE vec_id < 100
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 FROM embeddings WHERE vec_id < 50)
+        |SELECT 'update' AS kind, count(*) AS n FROM batch
+        |  WHERE vec_id IN (SELECT vec_id FROM embeddings)
+        |UNION ALL
+        |SELECT 'insert' AS kind, count(*) AS n FROM batch
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM embeddings)""".stripMargin,
+    "q10_delete_anti" ->
+      """SELECT label, count(*) AS n FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM embeddings WHERE label = 5)
+        |GROUP BY label""".stripMargin,
+    "q11_emb_near_dup" ->
+      """SELECT l.vec_id AS qid, e.vec_id,
+        |  round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS score
+        |FROM (SELECT * FROM embeddings WHERE vec_id < 200) l
+        |JOIN embeddings e ON l.vec_id < e.vec_id
+        |WHERE list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) >= 0.38""".stripMargin,
+    "q12_dedup_exact" ->
+      "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY 1",
+    "q13_text_tokens" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
+        |  max(len(string_split_regex(trim(text), '\s+'))) AS max_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q14_text_quality" ->
+      """SELECT doc_id,
+        |  round(least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.5 +
+        |    (CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                          x -> x IN ('the','a','and','of','to'))) AS DOUBLE) /
+        |     CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)) * 0.5,
+        |  6) AS quality
+        |FROM documents""".stripMargin,
+    "q15_text_lang_id" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('the','a'))) AS BIGINT) AS en_hits,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('scan','join','merge'))) AS BIGINT) AS dsl_hits,
+        |  CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('the','a')))
+        |          > len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('scan','join','merge'))) THEN 'en'
+        |       WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('scan','join','merge')))
+        |          > len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ('the','a'))) THEN 'dsl'
+        |       ELSE 'und' END AS detected
+        |FROM documents""".stripMargin,
+    "q16_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(string_split_regex(trim(text), '\s+')[1:8], ' ')) AS fp
+        |FROM documents""".stripMargin,
+    "q20_dedup_fingerprint" ->
+      """SELECT md5(array_to_string(string_split_regex(trim(text), '\s+')[1:4], ' ')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "q17_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q18_top_customers" ->
+      """SELECT o_custkey, round(sum(o_totalprice), 2) AS spend, count(*) AS n
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY spend DESC, o_custkey LIMIT 10""".stripMargin,
+    "q19_latest_event" ->
+      """SELECT user_id, event_type, value FROM (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+  )
+}

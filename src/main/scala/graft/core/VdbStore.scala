@@ -1,0 +1,293 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{content_id, dot_product, normalize_l2}
+import graft.operators.CosineTopK
+
+/** One query hit: the record's metadata plus the cosine score, mirroring
+  * the reference's result dicts with the `_metrics_` key
+  * (pico_vdb.py:747, 771).
+  */
+final case class VdbHit(id: String, metrics: Double, metaJson: Option[String],
+                        vector: Option[Array[Float]])
+
+final case class UpsertReport(update: Seq[String], insert: Seq[String])
+
+final case class VdbStats(active: Long, deleted: Long, total: Long, dim: Int)
+
+/** Spark-native re-expression of the reference store
+  * (/root/reference/picovdb/pico_vdb.py).
+  *
+  * The reference keeps three row-aligned structures behind a RW lock; here
+  * the whole store is ONE immutable DataFrame swapped behind a @volatile
+  * pointer — Spark's immutability gives the reference's snapshot-read
+  * semantics (pico_vdb.py:593-679) with no locks. Deletes keep tombstone
+  * rows (meta null, deleted=true) so `capacity`/`get_all(include_deleted)`
+  * reproduce the reference's slot model (pico_vdb.py:514-537); `vacuum`
+  * drops them (pico_vdb.py:831-853). Vectors are L2-normalized at write
+  * time with the zero->e0 rule (pico_vdb.py:422, 58-68), so cosine
+  * similarity is a plain inner product everywhere.
+  *
+  * Schema: _id_ STRING, _vector_ ARRAY<FLOAT> (unit norm), meta STRING
+  * (JSON; null == tombstone), deleted BOOLEAN.
+  */
+final class VdbStore private (
+    val spark: SparkSession,
+    val dim: Int,
+    @volatile private var current: DataFrame,
+    @volatile private var additionalData: Map[String, String]) {
+
+  import VdbStore._
+
+  /** Snapshot of the current store DataFrame (immutable). */
+  def df: DataFrame = current
+
+  def active: DataFrame = current.filter(!col("deleted"))
+
+  // ---------------------------------------------------------------- upsert
+
+  /** Merge a batch. Known active id -> update; else insert (consuming a
+    * tombstone slot if any, mirroring free-slot reuse pico_vdb.py:434-439).
+    * Missing/null id -> md5 of the normalized vector's float32-LE bytes
+    * (pico_vdb.py:424-427). Within a batch, the LAST record for an id wins
+    * (the reference processes items sequentially).
+    */
+  def upsert(records: Seq[VdbRecord]): UpsertReport = {
+    records.foreach { r =>
+      require(r.vector.length == dim,
+        s"Vector dimension mismatch: expected $dim, got ${r.vector.length}")
+    }
+    import spark.implicits._
+    val raw = spark.createDataFrame(records.map(r =>
+      RawRecord(Option(r.id).filter(_ != null), r.vector, r.metaJson)))
+    val prepared = raw
+      .withColumn("_vector_", normalize_l2(col("vector")))
+      .withColumn("_id_", coalesce(col("id"), content_id(col("vector"))))
+      .withColumn("meta", col("metaJson"))
+      .withColumn("deleted", lit(false))
+      .withColumn("_seq_", monotonically_increasing_id())
+    // last-wins dedup within the batch
+    val lastWins = prepared
+      .withColumn("_mx_", max(col("_seq_")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_id_"))))
+      .filter(col("_seq_") === col("_mx_"))
+      .select(col("_id_"), col("_vector_"), col("meta"), col("deleted"))
+
+    val batchIds = lastWins.select("_id_").as[String].collect().toSet
+    val activeIds = active.select("_id_").as[String].collect().toSet
+    val updates = batchIds.intersect(activeIds)
+    val inserts = batchIds.diff(activeIds)
+
+    // inserts consume tombstone slots (free-list reuse analog)
+    val tombstones = current.filter(col("deleted"))
+    val nTomb = tombstones.count()
+    val reuse = math.min(nTomb, inserts.size.toLong)
+    val keptTombstones =
+      if (reuse == 0) tombstones
+      else tombstones.orderBy(col("_id_")).limit((nTomb - reuse).toInt)
+
+    val next = active
+      .join(lastWins.select("_id_"), Seq("_id_"), "left_anti")
+      .unionByName(lastWins)
+      .unionByName(keptTombstones)
+    swap(next)
+    UpsertReport(updates.toSeq.sorted, inserts.toSeq.sorted)
+  }
+
+  /** DataFrame-shaped upsert for large batches: no driver-side id
+    * collection; the report comes back as counts.
+    * `batch` needs columns (_id_ nullable string, vector array<float>,
+    * meta string).
+    */
+  def upsertDF(batch: DataFrame): (Long, Long) = {
+    val prepared = batch
+      .withColumn("_vector_", normalize_l2(col("vector").cast(ArrayType(FloatType))))
+      .withColumn("_id_", coalesce(col("_id_"), content_id(col("vector"))))
+      .select(col("_id_"), col("_vector_"), col("meta"), lit(false).as("deleted"))
+    val nUpd = prepared.join(active.select("_id_"), Seq("_id_"), "left_semi").count()
+    val nIns = prepared.count() - nUpd
+    val next = active
+      .join(prepared.select("_id_"), Seq("_id_"), "left_anti")
+      .unionByName(prepared)
+      .unionByName(current.filter(col("deleted")))
+    swap(next)
+    (nUpd, nIns)
+  }
+
+  // ----------------------------------------------------------------- query
+
+  /** Exact batch top-k cosine query (the reference's NumPy path,
+    * pico_vdb.py:670-775). `where` is a Column predicate over the store
+    * columns (the fast, pushdown-friendly path, mirroring dict-where);
+    * arbitrary Scala predicates can be passed pre-applied via `where`
+    * using a UDF, costing a full scan in both systems.
+    */
+  def query(
+      vectors: Seq[Array[Float]],
+      topK: Int = 10,
+      betterThan: Option[Double] = None,
+      where: Option[Column] = None,
+      ids: Option[Seq[String]] = None): Seq[Seq[VdbHit]] = {
+    vectors.foreach { v =>
+      require(v.length == dim,
+        s"Query dimension mismatch: expected $dim, got ${v.length}")
+    }
+    if (vectors.isEmpty) return Seq.empty
+    import spark.implicits._
+
+    var cand = active
+    ids.foreach { list =>
+      cand = cand.filter(col("_id_").isin(list: _*))
+    }
+    where.foreach { p => cand = cand.filter(p) }
+
+    val queries = vectors.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val qdf = spark.createDataFrame(queries.map { case (i, v) => QueryRow(i, v) })
+      .withColumn("qvec", normalize_l2(col("vector")))
+      .select(col("qid"), col("qvec"))
+
+    val ranked = CosineTopK.declarative(
+      cand, "_id_", "_vector_", qdf, "qid", "qvec",
+      topK, betterThan, normalized = true)
+
+    val hits = ranked
+      .join(active.select(col("_id_").as("id"), col("meta"), col("_vector_")), Seq("id"))
+      .select(col("qid"), col("rank"), col("id"), col("score"), col("meta"), col("_vector_"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map { r =>
+        VdbHit(r.getString(2), r.getDouble(3), Option(r.getString(4)),
+          Some(r.getSeq[Float](5).toArray))
+      }.toSeq).toMap
+    vectors.indices.map(i => hits.getOrElse(i.toLong, Seq.empty))
+  }
+
+  def queryOne(vector: Array[Float], topK: Int = 10,
+               betterThan: Option[Double] = None,
+               where: Option[Column] = None,
+               ids: Option[Seq[String]] = None): Seq[VdbHit] =
+    query(Seq(vector), topK, betterThan, where, ids).head
+
+  // ---------------------------------------------------------------- delete
+
+  /** Tombstone the given ids; returns the ids actually removed. */
+  def delete(ids: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    val removed = active.filter(col("_id_").isin(ids: _*))
+      .select("_id_").as[String].collect().toSeq
+    if (removed.nonEmpty) {
+      val next = current.withColumn("deleted",
+          when(col("_id_").isin(removed: _*) && !col("deleted"), lit(true))
+            .otherwise(col("deleted")))
+        .withColumn("meta",
+          when(col("_id_").isin(removed: _*), lit(null: String)).otherwise(col("meta")))
+      swap(next)
+    }
+    removed.sorted
+  }
+
+  // ------------------------------------------------------------------- get
+
+  def get(ids: Seq[String], includeVector: Boolean = false): Seq[VdbHit] = {
+    val rows = active.filter(col("_id_").isin(ids: _*))
+      .select(col("_id_"), col("meta"), col("_vector_"))
+      .collect()
+    val byId = rows.map(r => r.getString(0) -> r).toMap
+    ids.flatMap(byId.get).map { r =>
+      VdbHit(r.getString(0), Double.NaN, Option(r.getString(1)),
+        if (includeVector) Some(r.getSeq[Float](2).toArray) else None)
+    }
+  }
+
+  def getAll(includeVector: Boolean = false, includeDeleted: Boolean = false): Seq[VdbHit] = {
+    val src = if (includeDeleted) current else active
+    src.select(col("_id_"), col("meta"), col("_vector_"), col("deleted"))
+      .collect()
+      .map { r =>
+        VdbHit(r.getString(0), Double.NaN, Option(r.getString(1)),
+          if (includeVector && !r.getBoolean(3)) Some(r.getSeq[Float](2).toArray) else None)
+      }.toSeq
+  }
+
+  // ---------------------------------------------------------------- counts
+
+  def count(): Long = active.count()
+  def capacity(): Long = current.count()
+
+  def stats(): VdbStats = {
+    val total = current.count()
+    val act = count()
+    VdbStats(act, total - act, total, dim)
+  }
+
+  // ---------------------------------------------------------------- vacuum
+
+  /** Drop tombstones and compact partitions (pico_vdb.py:831-853). */
+  def vacuum(): Unit = swap(active)
+
+  // ------------------------------------------------------------- side data
+
+  def storeAdditionalData(kv: (String, String)*): Unit =
+    additionalData = additionalData ++ kv
+  def getAdditionalData: Map[String, String] = additionalData
+
+  // --------------------------------------------------------------- save
+
+  /** Atomic save: write parquet + meta JSON into a tmp dir, then rename
+    * over the target (the reference's tmp-file + os.replace,
+    * pico_vdb.py:343-393).
+    */
+  def save(path: String): Unit = StoreIO.save(this, path)
+
+  private[core] def metaJson: String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val kv = additionalData.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }.mkString(",")
+    s"""{"embedding_dim": $dim, "additional_data": {$kv}}"""
+  }
+
+  private def swap(next: DataFrame): Unit = {
+    // Cache the new snapshot; long upsert chains get their lineage cut by
+    // a local checkpoint so plans don't grow unboundedly.
+    mutations += 1
+    val pinned =
+      if (mutations % 16 == 0) next.localCheckpoint(true)
+      else next.cache()
+    pinned.count() // materialize before unpinning the old snapshot
+    val old = current
+    current = pinned
+    old.unpersist(false)
+  }
+  private var mutations: Int = 0
+}
+
+final case class VdbRecord(id: String, vector: Array[Float], metaJson: String)
+private final case class RawRecord(id: Option[String], vector: Array[Float],
+                                   metaJson: String)
+private final case class QueryRow(qid: Long, vector: Array[Float])
+
+object VdbStore {
+
+  val schema: StructType = StructType(Seq(
+    StructField("_id_", StringType, nullable = false),
+    StructField("_vector_", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("meta", StringType, nullable = true),
+    StructField("deleted", BooleanType, nullable = false)))
+
+  def empty(spark: SparkSession, dim: Int): VdbStore = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    new VdbStore(spark, dim, df, Map.empty)
+  }
+
+  def fromDF(spark: SparkSession, dim: Int, df: DataFrame,
+             additional: Map[String, String] = Map.empty): VdbStore =
+    new VdbStore(spark, dim, df, additional)
+
+  def load(spark: SparkSession, path: String): VdbStore = StoreIO.load(spark, path)
+}

@@ -1,0 +1,219 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector hot path.
+  *
+  * The reference engine (see /root/reference/picovdb/pico_vdb.py) scores
+  * cosine similarity as a plain inner product over L2-normalized float32
+  * vectors (`pico_vdb.py:686-689`), normalizes at write time
+  * (`pico_vdb.py:422`) with a deterministic zero-vector -> e0 rule
+  * (`pico_vdb.py:58-68`), and derives default ids as md5 over the
+  * little-endian float32 bytes of the normalized vector
+  * (`pico_vdb.py:54-55`). These expressions reproduce those semantics as
+  * whole-stage-codegen-friendly Catalyst nodes so the scoring loop stays
+  * inside Tungsten-generated Java (no UDF boxing).
+  */
+
+/** Inner product of two numeric arrays, accumulated in double.
+  * Inputs must both be array<float> or both array<double>.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  private lazy val isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"dot_product expects two array<float> or two array<double>, got $l and $r")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    if (isFloat) {
+      while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    } else {
+      while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val get = if (isFloat) "getFloat" else "getDouble"
+      s"""
+         |final int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.$get($i) * (double) $b.$get($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2-normalize an array<float>; the all-zero vector maps deterministically
+  * to the first basis vector e0 (mirrors pico_vdb.py:58-68).
+  */
+case class NormalizeL2(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "normalize_l2"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"normalize_l2 expects array<float>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData].toFloatArray()
+    UnsafeArrayData.fromPrimitiveArray(NormalizeL2.normalize(arr))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.NormalizeL2.normalize($a.toFloatArray()));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object NormalizeL2 {
+  /** In-place-free normalize; zero vector -> e0. Shared by eval and codegen. */
+  def normalize(arr: Array[Float]): Array[Float] = {
+    var s = 0.0
+    var i = 0
+    while (i < arr.length) { s += arr(i).toDouble * arr(i).toDouble; i += 1 }
+    val out = new Array[Float](arr.length)
+    if (s == 0.0) {
+      if (out.length > 0) out(0) = 1.0f
+    } else {
+      val inv = 1.0 / math.sqrt(s)
+      i = 0
+      while (i < arr.length) { out(i) = (arr(i) * inv).toFloat; i += 1 }
+    }
+    out
+  }
+}
+
+/** Pack an array<float> into little-endian float32 bytes — the layout of
+  * `np.ndarray.tobytes()` — so `md5(float32_le_bytes(v))` reproduces the
+  * reference's content-hash ids bit-for-bit (pico_vdb.py:54-55).
+  */
+case class Float32LEBytes(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "float32_le_bytes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"float32_le_bytes expects array<float>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    Float32LEBytes.pack(v.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = graft.functions.Float32LEBytes.pack($a.toFloatArray());"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Float32LEBytes {
+  def pack(arr: Array[Float]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(arr.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asFloatBuffer().put(arr)
+    bb.array()
+  }
+}
+
+/** Squared L2 norm (double) of an array<float> / array<double>. */
+case class L2NormSq(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_norm_sq"
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"l2_norm_sq expects array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    if (isFloat) while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    else while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      val get = if (isFloat) "getFloat" else "getDouble"
+      s"""
+         |final int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $x = (double) $a.$get($i);
+         |  $s += $x * $x;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

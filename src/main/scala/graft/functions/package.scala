@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** Column-level API over the custom Catalyst expressions, plus derived
+  * vector helpers. Everything here stays inside whole-stage codegen.
+  */
+package object functions {
+
+  private def expr(c: Column) = GraftSqlBridge.expression(c)
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftSqlBridge.column(e)
+
+  /** Inner product accumulated in double. Both sides array<float> or both
+    * array<double>.
+    */
+  def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
+
+  /** L2-normalize an array<float>; zero vector -> e0 (reference semantics). */
+  def normalize_l2(v: Column): Column = col(NormalizeL2(expr(v)))
+
+  /** Little-endian float32 packing (numpy tobytes layout). */
+  def float32_le_bytes(v: Column): Column = col(Float32LEBytes(expr(v)))
+
+  /** Squared L2 norm, in double. */
+  def l2_norm_sq(v: Column): Column = col(L2NormSq(expr(v)))
+
+  /** Reference content-hash id: md5 hex of the normalized vector's
+    * little-endian float32 bytes (pico_vdb.py:54-55, 424-427).
+    */
+  def content_id(v: Column): Column = F.md5(float32_le_bytes(normalize_l2(v)))
+
+  /** Cosine similarity of two raw (not necessarily normalized) vectors,
+    * computed fully in double: dot / (|a| * |b|). Zero-norm guarded to 0.
+    */
+  def cosine_sim(a: Column, b: Column): Column = {
+    val d  = dot_product(a, b)
+    val na = F.sqrt(l2_norm_sq(a))
+    val nb = F.sqrt(l2_norm_sq(b))
+    F.when(na === 0.0 || nb === 0.0, F.lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /** Register SQL names for the custom expressions on a session. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("normalize_l2", es => NormalizeL2(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("float32_le_bytes", es => Float32LEBytes(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("l2_norm_sq", es => L2NormSq(es.head), "scala_udf")
+  }
+}

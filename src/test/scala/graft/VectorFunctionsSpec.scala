@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+import org.scalatestplus.scalacheck.Checkers
+import graft.functions._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class VectorFunctionsSpec extends AnyFunSuite with Checkers {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def normalizeOf(v: Array[Float]): Array[Float] =
+    Seq(Tuple1(v)).toDF("v")
+      .select(normalize_l2(col("v")).as("n"))
+      .collect()(0).getSeq[Float](0).toArray
+
+  test("normalize_l2 produces unit vectors") {
+    val n = normalizeOf(Array(3f, 4f))
+    assert(math.abs(n(0) - 0.6f) < 1e-6 && math.abs(n(1) - 0.8f) < 1e-6)
+  }
+
+  test("normalize_l2 zero vector maps to e0 (reference pico_vdb.py:58-68)") {
+    val n = normalizeOf(Array(0f, 0f, 0f))
+    assert(n.toSeq == Seq(1f, 0f, 0f))
+  }
+
+  test("normalize_l2 is idempotent and unit-norm (property)") {
+    val genVec = Gen.nonEmptyListOf(Gen.chooseNum(-100f, 100f)).map(_.toArray)
+    check(Prop.forAll(genVec) { v =>
+      val n1 = normalizeOf(v)
+      val norm = math.sqrt(n1.map(x => x.toDouble * x).sum)
+      val n2 = normalizeOf(n1)
+      math.abs(norm - 1.0) < 1e-5 &&
+        n1.zip(n2).forall { case (a, b) => math.abs(a - b) < 1e-5 }
+    })
+  }
+
+  test("dot_product matches a local loop, double accumulation") {
+    val a = Array(0.1f, -2.5f, 3f, 4f)
+    val b = Array(1.5f, 0.5f, -1f, 2f)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(dot_product(col("a"), col("b"))).collect()(0).getDouble(0)
+    val want = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("cosine_sim of identical vectors is 1") {
+    val v = Array(0.3f, -0.7f, 2f)
+    val got = Seq((v, v)).toDF("a", "b")
+      .select(cosine_sim(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(math.abs(got - 1.0) < 1e-9)
+  }
+
+  test("content_id = md5 of normalized float32 LE bytes (numpy parity)") {
+    // e0 normalized is itself; bytes = 00 00 80 3f + zeros
+    val got = Seq(Tuple1(Array(1f, 0f))).toDF("v")
+      .select(content_id(col("v"))).collect()(0).getString(0)
+    val bytes = Array[Byte](0, 0, -128, 63, 0, 0, 0, 0)
+    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val want = md.map(b => f"${b & 0xff}%02x").mkString
+    assert(got == want)
+  }
+
+  test("expressions survive codegen in a realistic plan") {
+    val df = (0 until 100).map(i => (i.toLong, Array.fill(8)(i.toFloat + 1)))
+      .toDF("id", "v")
+    val out = df.select(col("id"), dot_product(normalize_l2(col("v")),
+      normalize_l2(col("v"))).as("s")).collect()
+    assert(out.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-6))
+  }
+}
