@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, get_json_object}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{VdbRecord, VdbStore}
+
+/** Behavioral parity with the reference test suite
+  * (/root/reference/tests/): upsert merge laws, deleted-row visibility,
+  * counts/capacity, filter semantics, persistence round-trip.
+  */
+class VdbStoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def rec(id: String, v: Array[Float], meta: String = null) =
+    VdbRecord(id, v, meta)
+
+  private def freshStore(dim: Int = 3): VdbStore = VdbStore.empty(spark, dim)
+
+  test("upsert reports inserts, then updates on re-upsert (test_more.py:57-67)") {
+    val s = freshStore()
+    val r1 = s.upsert(Seq(rec("a", Array(1f, 0f, 0f)), rec("b", Array(0f, 1f, 0f))))
+    assert(r1.insert.sorted == Seq("a", "b") && r1.update.isEmpty)
+    val r2 = s.upsert(Seq(rec("a", Array(0f, 0f, 1f)), rec("c", Array(1f, 1f, 0f))))
+    assert(r2.update == Seq("a") && r2.insert == Seq("c"))
+    assert(s.count() == 3)
+  }
+
+  test("missing id derives md5 content id; same vector re-upsert is an update (test_pico_vdb.py:69-85)") {
+    val s = freshStore()
+    val v = Array(0.5f, 0.5f, 0.5f)
+    val r1 = s.upsert(Seq(rec(null, v)))
+    assert(r1.insert.size == 1 && r1.insert.head.length == 32)
+    val r2 = s.upsert(Seq(rec(null, v.clone())))
+    assert(r2.update == r1.insert && r2.insert.isEmpty)
+    assert(s.count() == 1)
+  }
+
+  test("dimension mismatch raises (test_task3_input_validation.py)") {
+    val s = freshStore(3)
+    intercept[IllegalArgumentException] {
+      s.upsert(Seq(rec("x", Array(1f, 2f))))
+    }
+    intercept[IllegalArgumentException] {
+      s.query(Seq(Array(1f, 2f)))
+    }
+  }
+
+  test("query returns top-k by cosine with scores (orthonormal fixture)") {
+    val s = freshStore(3)
+    s.upsert(Seq(
+      rec("e0", Array(1f, 0f, 0f)), rec("e1", Array(0f, 1f, 0f)),
+      rec("e2", Array(0f, 0f, 1f))))
+    val hits = s.queryOne(Array(0.9f, 0.1f, 0f), topK = 2)
+    assert(hits.map(_.id) == Seq("e0", "e1"))
+    assert(math.abs(hits.head.metrics - 0.9 / math.sqrt(0.82)) < 1e-5)
+  }
+
+  test("zero query vector maps to e0 deterministically (test_task5)") {
+    val s = freshStore(3)
+    s.upsert(Seq(rec("e0", Array(1f, 0f, 0f)), rec("e1", Array(0f, 1f, 0f))))
+    val hits = s.queryOne(Array(0f, 0f, 0f), topK = 1)
+    assert(hits.head.id == "e0" && math.abs(hits.head.metrics - 1.0) < 1e-6)
+  }
+
+  test("better_than keeps scores >= threshold (test_pico_vdb.py:59-64)") {
+    val s = freshStore(3)
+    s.upsert(Seq(rec("e0", Array(1f, 0f, 0f)), rec("e1", Array(0f, 1f, 0f))))
+    val hits = s.queryOne(Array(1f, 0f, 0f), topK = 10, betterThan = Some(0.5))
+    assert(hits.map(_.id) == Seq("e0"))
+  }
+
+  test("where Column predicate and ids restriction intersect (test_task34)") {
+    val s = freshStore(3)
+    s.upsert(Seq(
+      rec("a", Array(1f, 0f, 0f), """{"keep": true}"""),
+      rec("b", Array(0.9f, 0.1f, 0f), """{"keep": false}"""),
+      rec("c", Array(0.8f, 0.2f, 0f), """{"keep": true}""")))
+    val keep = get_json_object(col("meta"), "$.keep") === "true"
+    val hits = s.queryOne(Array(1f, 0f, 0f), topK = 10, where = Some(keep))
+    assert(hits.map(_.id) == Seq("a", "c"))
+    val both = s.queryOne(Array(1f, 0f, 0f), topK = 10, where = Some(keep),
+      ids = Some(Seq("b", "c")))
+    assert(both.map(_.id) == Seq("c"))
+  }
+
+  test("deleted ids never returned; count/capacity track tombstones (test_task2, test_task8)") {
+    val s = freshStore(3)
+    s.upsert(Seq(rec("a", Array(1f, 0f, 0f)), rec("b", Array(0f, 1f, 0f)),
+      rec("c", Array(0f, 0f, 1f))))
+    val removed = s.delete(Seq("b", "nope"))
+    assert(removed == Seq("b"))
+    assert(s.count() == 2 && s.capacity() == 3)
+    assert(s.queryOne(Array(0f, 1f, 0f), topK = 10).map(_.id).forall(_ != "b"))
+    assert(s.get(Seq("b")).isEmpty)
+    val st = s.stats()
+    assert(st.active == 2 && st.deleted == 1 && st.total == 3)
+  }
+
+  test("insert after delete reuses the tombstone slot (test_more.py:115-130)") {
+    val s = freshStore(3)
+    s.upsert(Seq(rec("a", Array(1f, 0f, 0f)), rec("b", Array(0f, 1f, 0f))))
+    s.delete(Seq("a"))
+    assert(s.capacity() == 2)
+    s.upsert(Seq(rec("d", Array(0f, 0f, 1f))))
+    assert(s.count() == 2 && s.capacity() == 2) // slot reused, no growth
+  }
+
+  test("vacuum drops tombstones (test_api_ergonomics.py)") {
+    val s = freshStore(3)
+    s.upsert(Seq(rec("a", Array(1f, 0f, 0f)), rec("b", Array(0f, 1f, 0f))))
+    s.delete(Seq("a"))
+    s.vacuum()
+    assert(s.count() == 1 && s.capacity() == 1)
+  }
+
+  test("get/getAll with and without vectors (test_task32)") {
+    val s = freshStore(3)
+    s.upsert(Seq(rec("a", Array(3f, 4f, 0f), """{"x": 1}""")))
+    val g = s.get(Seq("a"), includeVector = true)
+    assert(g.head.metaJson.contains("""{"x": 1}"""))
+    val v = g.head.vector.get
+    assert(math.abs(v(0) - 0.6f) < 1e-6 && math.abs(v(1) - 0.8f) < 1e-6)
+    assert(s.get(Seq("a")).head.vector.isEmpty)
+    assert(s.getAll().size == 1)
+  }
+
+  test("save/load round-trip preserves records + additional data (test_more.py:81-99)") {
+    val dir = java.nio.file.Files.createTempDirectory("vdb").toString + "/store"
+    val s = freshStore(3)
+    s.upsert(Seq(rec("a", Array(1f, 0f, 0f), """{"k": "v"}"""),
+      rec("b", Array(0f, 1f, 0f))))
+    s.delete(Seq("b"))
+    s.storeAdditionalData("note" -> "hello", "n" -> "42")
+    s.save(dir)
+    val loaded = VdbStore.load(spark, dir)
+    assert(loaded.dim == 3)
+    assert(loaded.count() == 1 && loaded.capacity() == 2)
+    assert(loaded.getAdditionalData == Map("note" -> "hello", "n" -> "42"))
+    assert(loaded.queryOne(Array(1f, 0f, 0f), topK = 1).head.id == "a")
+    // second save over the same path replaces atomically
+    loaded.save(dir)
+    assert(VdbStore.load(spark, dir).count() == 1)
+  }
+
+  test("batch query returns one hit list per query vector (test_more.py:151-155)") {
+    val s = freshStore(3)
+    s.upsert(Seq(rec("e0", Array(1f, 0f, 0f)), rec("e1", Array(0f, 1f, 0f))))
+    val res = s.query(Seq(Array(1f, 0f, 0f), Array(0f, 1f, 0f)), topK = 1)
+    assert(res.size == 2)
+    assert(res(0).head.id == "e0" && res(1).head.id == "e1")
+  }
+
+  test("top_k larger than active count returns all actives (test_task2:27-33)") {
+    val s = freshStore(3)
+    s.upsert(Seq(rec("a", Array(1f, 0f, 0f)), rec("b", Array(0f, 1f, 0f))))
+    assert(s.queryOne(Array(1f, 1f, 0f), topK = 50).size == 2)
+  }
+
+  test("within-batch duplicate ids: last record wins (sequential upsert law)") {
+    val s = freshStore(3)
+    s.upsert(Seq(rec("a", Array(1f, 0f, 0f), """{"v": 1}"""),
+      rec("a", Array(0f, 1f, 0f), """{"v": 2}""")))
+    assert(s.count() == 1)
+    val hit = s.queryOne(Array(0f, 1f, 0f), topK = 1).head
+    assert(hit.id == "a" && hit.metaJson.contains("""{"v": 2}"""))
+  }
+}

@@ -3,8 +3,6 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import org.scalacheck.{Gen, Prop}
-import org.scalatestplus.scalacheck.Checkers
 import graft.functions._
 
 object SparkTestSession {
@@ -18,7 +16,7 @@ object SparkTestSession {
     .getOrCreate()
 }
 
-class VectorFunctionsSpec extends AnyFunSuite with Checkers {
+class VectorFunctionsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
@@ -37,15 +35,16 @@ class VectorFunctionsSpec extends AnyFunSuite with Checkers {
     assert(n.toSeq == Seq(1f, 0f, 0f))
   }
 
-  test("normalize_l2 is idempotent and unit-norm (property)") {
-    val genVec = Gen.nonEmptyListOf(Gen.chooseNum(-100f, 100f)).map(_.toArray)
-    check(Prop.forAll(genVec) { v =>
+  test("normalize_l2 is idempotent and unit-norm (seeded property sweep)") {
+    val rng = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val v = Array.fill(1 + rng.nextInt(32))((rng.nextFloat() - 0.5f) * 200f)
       val n1 = normalizeOf(v)
       val norm = math.sqrt(n1.map(x => x.toDouble * x).sum)
       val n2 = normalizeOf(n1)
-      math.abs(norm - 1.0) < 1e-5 &&
-        n1.zip(n2).forall { case (a, b) => math.abs(a - b) < 1e-5 }
-    })
+      assert(math.abs(norm - 1.0) < 1e-5)
+      n1.zip(n2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-5) }
+    }
   }
 
   test("dot_product matches a local loop, double accumulation") {
