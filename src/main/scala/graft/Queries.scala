@@ -192,6 +192,34 @@ object Queries {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
+  /** n-gram Jaccard over prefix-blocked candidate pairs (pipeline op). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.ngramJaccardBlocked(t(spark, dir, "documents"), "doc_id", "text")
+
+  /** MinHash + LSH near-duplicate detection (pipeline op). */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.minhashLSH(t(spark, dir, "documents"), "doc_id", "text")
+
+  /** 64-bit SimHash signatures (pipeline op). */
+  def simhashSig(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text")
+
+  /** Tumbling-window event aggregation — the batch-equivalent of the
+    * Structured Streaming windowed agg (ts is raw nanos via nanosAsLong).
+    */
+  def eventWindows(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+
+  /** Multimodal feature extraction over an opaque binary payload column
+    * (stub decoder — see operators.Multimodal).
+    */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    operators.Multimodal.extractFeatures(
+      t(spark, dir, "documents").withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload")
+
   /** General aggregation sanity on lineitem (TPC-H Q1 shape). */
   def aggPricing(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -236,6 +264,11 @@ object Queries {
     "q15_text_lang_id" -> (textLangId _),
     "q16_text_fingerprint" -> (textFingerprint _),
     "q20_dedup_fingerprint" -> (dedupFingerprint _),
+    "q21_ngram_jaccard" -> (ngramJaccard _),
+    "q22_minhash_lsh" -> (minhashLsh _),
+    "q23_simhash" -> (simhashSig _),
+    "q24_event_windows" -> (eventWindows _),
+    "q25_multimodal_features" -> (multimodalFeatures _),
     "q17_agg_pricing" -> (aggPricing _),
     "q18_top_customers" -> (topCustomers _),
     "q19_latest_event" -> (latestEvent _),
@@ -329,6 +362,62 @@ object Oracles {
       """SELECT md5(array_to_string(string_split_regex(trim(text), '\s+')[1:4], ' ')) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "q21_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |fp AS (SELECT doc_id, md5(array_to_string(w[1:4], ' ')) AS fp FROM w),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM fp x JOIN fp y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+        |shl AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |        FROM w WHERE len(w) >= 3)
+        |SELECT cand.a, cand.b,
+        |  round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+        |FROM cand JOIN shl sa ON sa.doc_id = cand.a JOIN shl sb ON sb.doc_id = cand.b""".stripMargin,
+    "q22_minhash_lsh" ->
+      """WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle FROM words),
+        |mh AS (SELECT doc_id, h.seed,
+        |         min(md5(CAST(h.seed AS VARCHAR) || ':' || shingle)) AS sig
+        |       FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) h
+        |       GROUP BY doc_id, h.seed),
+        |bands AS (SELECT doc_id, CAST(seed // 3 AS INTEGER) AS band,
+        |            md5(string_agg(sig, '|' ORDER BY seed)) AS bkey
+        |          FROM mh GROUP BY doc_id, seed // 3),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |shl AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |        FROM words WHERE len(w) >= 3)
+        |SELECT cand.a, cand.b,
+        |  round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+        |FROM cand JOIN shl sa ON sa.doc_id = cand.a JOIN shl sb ON sb.doc_id = cand.b
+        |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5""".stripMargin,
+    "q23_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+        |votes AS (SELECT doc_id, j,
+        |    sum(2 * (((strpos('0123456789abcdef', substr(h, 1 + CAST(j // 4 AS INT), 1)) - 1)
+        |              >> CAST(3 - j % 4 AS INT)) % 2) - 1) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+        |  GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin,
+    "q24_event_windows" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q25_multimodal_features" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  32 + ascii(substr(md5(text), 1, 1)) AS width,
+        |  32 + ascii(substr(md5(text), 2, 1)) AS height,
+        |  1 + ascii(substr(md5(text), 3, 1)) % 8 AS n_frames
+        |FROM documents""".stripMargin,
     "q17_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for training-data pipelines.
+  *
+  * All hash families are md5-based so every stage is reproducible in any
+  * engine (the driver's DuckDB oracle re-runs the exact pipeline): a
+  * minhash here is the lexicographic MIN of seeded md5 hex digests over
+  * the shingle set — md5 acts as the random permutation, and hex-string
+  * order is a uniform order on digests.
+  *
+  * Scale notes (100 TB): every stage is a narrow map + one hash-partition
+  * shuffle on (doc, seed) or (band, key); candidate verification touches
+  * only LSH-bucket collisions, never the full pair space. No driver-side
+  * state anywhere.
+  */
+object Dedup {
+
+  /** Word tokens of `textCol`, trimmed, split on whitespace runs. */
+  private def wordsOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("w"))
+
+  /** Distinct word n-gram shingle set per doc (docs with < n words drop out,
+    * matching `range()` semantics in the oracle).
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val parts = (0 until n).map(o => s"element_at(w, i + $o)").mkString(", ")
+    wordsOf(df, idCol, textCol)
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), array_distinct(
+        expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $parts))"))
+        .as("shingles"))
+  }
+
+  /** Exact dedup: group identical content by md5; keep the smallest id. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** MinHash + LSH near-dup pairs.
+    *
+    * numHashes seeded minhashes -> bands of `bandSize` rows -> bucket-join
+    * on (band, band key) -> verify candidates with true Jaccard >= t.
+    * Returns (a, b, jaccard) with a < b, jaccard rounded to 6dp.
+    */
+  def minhashLSH(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 12, bandSize: Int = 3, shingleN: Int = 3,
+                 threshold: Double = 0.5): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, shingleN).cache()
+    val shingles = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+
+    val mh = shingles
+      .select(col("doc_id"), explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"),
+        col("shingle"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle"))
+        .cast("binary"))).as("sig"))
+
+    val bands = mh
+      .groupBy(col("doc_id"), floor(col("seed") / bandSize).cast("int").as("band"))
+      .agg(md5(concat_ws("|",
+        expr("transform(array_sort(collect_list(struct(seed, sig))), x -> x.sig)"))
+        .cast("binary")).as("bkey"))
+
+    val x = bands.select(col("doc_id").as("a"), col("band"), col("bkey"))
+    val y = bands.select(col("doc_id").as("b"), col("band"), col("bkey"))
+    val cand = x.join(y, Seq("band", "bkey")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+
+    val sa = sets.select(col("doc_id").as("a"), col("shingles").as("sa"))
+    val sb = sets.select(col("doc_id").as("b"), col("shingles").as("sb"))
+    cand.join(sa, Seq("a")).join(sb, Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash signature per document, as a '0'/'1' string (msb
+    * first), from md5-derived token hashes: bit j of a token = bit
+    * (3 - j%4) of hex digit j/4; signature bit = sign of the +/-1 vote sum
+    * (ties -> 0).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = wordsOf(df, idCol, textCol)
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val votes = toks
+      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 63)")).as("j"))
+      .withColumn("c",
+        expr("instr('0123456789abcdef', substr(h, 1 + CAST(floor(j / 4) AS INT), 1)) - 1"))
+      .withColumn("vote", expr("2 * (CAST(shiftright(c, 3 - j % 4) AS INT) % 2) - 1"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("vote")).as("s"))
+      .withColumn("bit", when(col("s") > 0, lit("1")).otherwise(lit("0")))
+    votes.groupBy(col("doc_id"))
+      .agg(concat_ws("",
+        expr("transform(array_sort(collect_list(struct(j, bit))), x -> x.bit)"))
+        .as("simhash"))
+  }
+
+  /** True n-gram Jaccard for candidate pairs blocked by a shared prefix
+    * fingerprint (cheap deterministic blocking).
+    */
+  def ngramJaccardBlocked(df: DataFrame, idCol: String, textCol: String,
+                          prefixTokens: Int = 4, shingleN: Int = 3): DataFrame = {
+    val fp = wordsOf(df, idCol, textCol)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("w"), 1, prefixTokens)).cast("binary")).as("fp"))
+    val cand = fp.as("x").join(fp.as("y"), Seq("fp"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val sets = shingleSets(df, idCol, textCol, shingleN)
+    val sa = sets.select(col("doc_id").as("a"), col("shingles").as("sa"))
+    val sb = sets.select(col("doc_id").as("b"), col("shingles").as("sb"))
+    cand.join(sa, Seq("a")).join(sb, Seq("b"))
+      .select(col("a"), col("b"),
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double"), 6).as("jaccard"))
+  }
+}
