@@ -220,6 +220,21 @@ object Queries {
       t(spark, dir, "documents").withColumn("payload", col("text").cast("binary")),
       "doc_id", "payload")
 
+  /** IVF approximate-nearest-neighbor search (O25-O27 analog). No DuckDB
+    * oracle — ANN is approximate; exact-parity is asserted in
+    * IvfIndexSpec on separated data (test_task14 analog).
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val idx = operators.IvfIndex.build(emb, "vec_id", "embedding", nList = 16, normalized = false)
+    idx.search(queries, k = 10, nProbe = 4, normalized = false)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
   /** General aggregation sanity on lineitem (TPC-H Q1 shape). */
   def aggPricing(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -269,6 +284,7 @@ object Queries {
     "q23_simhash" -> (simhashSig _),
     "q24_event_windows" -> (eventWindows _),
     "q25_multimodal_features" -> (multimodalFeatures _),
+    "q26_ann_ivf" -> (annIvf _),
     "q17_agg_pricing" -> (aggPricing _),
     "q18_top_customers" -> (topCustomers _),
     "q19_latest_event" -> (latestEvent _),

@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.functions.{content_id, dot_product, normalize_l2}
+import graft.functions.{content_id, dot_product, normalize_l2, NormalizeL2}
 import graft.operators.CosineTopK
 
 /** One query hit: the record's metadata plus the cosine score, mirroring
@@ -43,6 +43,30 @@ final class VdbStore private (
 
   /** Snapshot of the current store DataFrame (immutable). */
   def df: DataFrame = current
+
+  // --- ANN (IVF) accelerator state: lazy + dirty-flagged like the
+  // reference's FAISS maintenance (pico_vdb.py:195-204, 497, 536).
+  @volatile private var annNList: Option[Int] = None
+  @volatile private var annIndex: Option[graft.operators.IvfIndex] = None
+  @volatile private var annVersion: Long = -1L
+  @volatile private var storeVersion: Long = 0L
+
+  /** Enable the IVF accelerator; the index itself is built lazily on the
+    * next unfiltered query (and rebuilt when the store has mutated).
+    */
+  def enableAnn(nList: Int): Unit = { annNList = Some(nList) }
+
+  private def annUpToDate: Option[graft.operators.IvfIndex] =
+    annIndex.filter(_ => annVersion == storeVersion)
+
+  private def refreshAnn(): Option[graft.operators.IvfIndex] = annNList.map { n =>
+    annUpToDate.getOrElse {
+      val idx = graft.operators.IvfIndex.build(active, "_id_", "_vector_", n)
+      annIndex = Some(idx)
+      annVersion = storeVersion
+      idx
+    }
+  }
 
   def active: DataFrame = current.filter(!col("deleted"))
 
@@ -129,7 +153,8 @@ final class VdbStore private (
       topK: Int = 10,
       betterThan: Option[Double] = None,
       where: Option[Column] = None,
-      ids: Option[Seq[String]] = None): Seq[Seq[VdbHit]] = {
+      ids: Option[Seq[String]] = None,
+      nProbe: Int = 4): Seq[Seq[VdbHit]] = {
     vectors.foreach { v =>
       require(v.length == dim,
         s"Query dimension mismatch: expected $dim, got ${v.length}")
@@ -143,14 +168,27 @@ final class VdbStore private (
     }
     where.foreach { p => cand = cand.filter(p) }
 
-    val queries = vectors.zipWithIndex.map { case (v, i) => (i.toLong, v) }
-    val qdf = spark.createDataFrame(queries.map { case (i, v) => QueryRow(i, v) })
-      .withColumn("qvec", normalize_l2(col("vector")))
-      .select(col("qid"), col("qvec"))
+    // O28 bypass rule (pico_vdb.py:667-668): any ids/where restriction
+    // forces the exact path; the ANN accelerator only serves unfiltered
+    // queries, and is (re)built lazily here when dirty (O26).
+    val unfiltered = ids.isEmpty && where.isEmpty
+    val ann = if (unfiltered && betterThan.isEmpty) refreshAnn() else None
 
-    val ranked = CosineTopK.declarative(
-      cand, "_id_", "_vector_", qdf, "qid", "qvec",
-      topK, betterThan, normalized = true)
+    val queries = vectors.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val ranked = ann match {
+      case Some(idx) =>
+        val normQ = queries.map { case (i, v) =>
+          (i, NormalizeL2.normalize(v))
+        }
+        idx.search(normQ.toArray, topK, nProbe)
+      case None =>
+        val qdf = spark.createDataFrame(queries.map { case (i, v) => QueryRow(i, v) })
+          .withColumn("qvec", normalize_l2(col("vector")))
+          .select(col("qid"), col("qvec"))
+        CosineTopK.declarative(
+          cand, "_id_", "_vector_", qdf, "qid", "qvec",
+          topK, betterThan, normalized = true)
+    }
 
     val hits = ranked
       .join(active.select(col("_id_").as("id"), col("meta"), col("_vector_")), Seq("id"))
@@ -255,6 +293,7 @@ final class VdbStore private (
     // Cache the new snapshot; long upsert chains get their lineage cut by
     // a local checkpoint so plans don't grow unboundedly.
     mutations += 1
+    storeVersion += 1
     val pinned =
       if (mutations % 16 == 0) next.localCheckpoint(true)
       else next.cache()

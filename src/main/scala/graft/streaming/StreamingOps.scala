@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+import graft.core.VdbStore
+
+/** Structured Streaming extensions (SURVEY §7.2 step 8 — extension, not
+  * core reference surface): continuous vector upsert and watermarked
+  * event-window aggregation.
+  */
+object StreamingOps {
+
+  /** Continuous upsert: every micro-batch merges into the store with the
+    * same semantics as the batch `upsertDF` (batch rows win). The store
+    * pointer swap is atomic, so concurrent readers keep snapshot
+    * semantics mid-stream.
+    *
+    * `stream` needs columns (_id_ nullable string, vector array<float>,
+    * meta string).
+    */
+  def upsertSink(stream: DataFrame, store: VdbStore): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { store.upsertDF(batch); () }
+      }
+
+  /** Watermarked tumbling-window aggregation over an event stream —
+    * the streaming twin of Queries.eventWindows. `ts` must be a
+    * TimestampType column.
+    */
+  def windowedEventAgg(stream: DataFrame,
+                       window_ : String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+}

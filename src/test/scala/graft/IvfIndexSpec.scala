@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{VdbRecord, VdbStore}
+import graft.operators.IvfIndex
+
+/** ANN-vs-exact parity on easy (well-separated) data — the Spark analog
+  * of the reference's FAISS/NumPy parity test
+  * (tests/test_task14_faiss_vs_numpy_results.py).
+  */
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** 4 well-separated unit clusters in 8-dim: base direction e_{2c} with
+    * small deterministic jitter, normalized.
+    */
+  private def clusteredData(perCluster: Int = 40): Seq[(Long, Array[Float])] = {
+    val rng = new scala.util.Random(123)
+    for {
+      c <- 0 until 4
+      i <- 0 until perCluster
+    } yield {
+      val v = new Array[Float](8)
+      v(2 * c) = 1f
+      (0 until 8).foreach(j => v(j) = v(j) + (rng.nextFloat() - 0.5f) * 0.1f)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      ((c * perCluster + i).toLong, v.map(x => (x / n).toFloat))
+    }
+  }
+
+  test("IVF top-k equals exact top-k on separated clusters (test_task14 analog)") {
+    val data = clusteredData()
+    val df = data.toDF("vec_id", "vec")
+    val idx = IvfIndex.build(df, "vec_id", "vec", nList = 4)
+    assert(idx.nList == 4)
+
+    val queries = data.filter(_._1 % 17 == 0).toArray
+    val ann = idx.search(queries, k = 5, nProbe = 1)
+      .select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(3 - 2)))
+
+    // exact oracle via local loop
+    val all = data.toMap
+    val exact = queries.flatMap { case (qid, q) =>
+      data.map { case (id, v) =>
+        val s = q.zip(v).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        (qid, id, s)
+      }.sortBy { case (_, id, s) => (-s, id) }.take(5).zipWithIndex
+        .map { case ((_, id, _), r) => (qid, r + 1, id) }
+    }
+    val annSet = idx.search(queries, k = 5, nProbe = 1)
+      .select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(annSet == exact.toSet)
+  }
+
+  test("nProbe = nList degenerates to exact search on random data") {
+    val rng = new scala.util.Random(9)
+    val data = (0 until 200).map { i =>
+      val v = Array.fill(8)((rng.nextFloat() - 0.5f))
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      (i.toLong, v.map(x => (x / n).toFloat))
+    }
+    val df = data.toDF("vec_id", "vec")
+    val idx = IvfIndex.build(df, "vec_id", "vec", nList = 8)
+    val queries = data.take(5).toArray
+    val ann = idx.search(queries, k = 10, nProbe = 8)
+      .select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = queries.flatMap { case (qid, q) =>
+      data.map { case (id, v) =>
+        val s = q.zip(v).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        (qid, id, s)
+      }.sortBy { case (_, id, s) => (-s, id) }.take(10).zipWithIndex
+        .map { case ((_, id, _), r) => (qid, r + 1, id) }
+    }.toSet
+    assert(ann == exact)
+  }
+
+  test("VdbStore lazy ANN: unfiltered queries use it, filtered bypass (O28), mutation dirties it (O26)") {
+    val s = VdbStore.empty(spark, 4)
+    val recs = (0 until 60).map { i =>
+      val v = new Array[Float](4); v(i % 4) = 1f; v((i + 1) % 4) = 0.1f * (i % 3)
+      VdbRecord(s"r$i", v, s"""{"g": ${i % 4}}""")
+    }
+    s.upsert(recs)
+    s.enableAnn(nList = 4)
+    val hits = s.queryOne(Array(1f, 0f, 0f, 0f), topK = 3)
+    assert(hits.size == 3 && hits.head.metrics > 0.9)
+    // filtered query still correct (exact path)
+    val f = s.queryOne(Array(1f, 0f, 0f, 0f), topK = 3,
+      where = Some(org.apache.spark.sql.functions.get_json_object(
+        col("meta"), "$.g") === "1"))
+    assert(f.nonEmpty)
+    // mutation invalidates; next unfiltered query rebuilds and still answers
+    s.delete(Seq("r0"))
+    val again = s.queryOne(Array(1f, 0f, 0f, 0f), topK = 3)
+    assert(again.nonEmpty && again.map(_.id).forall(_ != "r0"))
+  }
+}

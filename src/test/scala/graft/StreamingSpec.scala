@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{VdbRecord, VdbStore}
+import graft.streaming.StreamingOps
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("streaming upsert sink merges micro-batches into the store") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Array[Float], String)]
+    val stream = mem.toDF().toDF("_id_", "vector", "meta")
+    val store = VdbStore.empty(spark, 3)
+    store.upsert(Seq(VdbRecord("seed", Array(0f, 0f, 1f), null)))
+
+    mem.addData(("a", Array(1f, 0f, 0f), """{"s": 1}"""),
+      ("b", Array(0f, 1f, 0f), null))
+    val q = StreamingOps.upsertSink(stream, store)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    assert(store.count() == 3)
+    assert(store.queryOne(Array(1f, 0f, 0f), topK = 1).head.id == "a")
+  }
+
+  test("watermarked windowed aggregation over an event stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingOps.windowedEventAgg(stream, "1 hour", "2 hours")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:15:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:45:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-01-01 11:05:00")
+    mem.addData((t0, "click", 1.0), (t1, "click", 2.0), (t2, "view", 5.0))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("winagg")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val rows = spark.table("winagg")
+      .select(col("event_type"), col("n"), col("sum_value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+}
