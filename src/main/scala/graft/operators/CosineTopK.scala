@@ -85,6 +85,11 @@ object CosineTopK {
     val bcQ = spark.sparkContext.broadcast((qids, qvecs))
     val threshold = betterThan.getOrElse(Double.NegativeInfinity)
 
+    // Tile the store rows so the (potentially multi-MB) query matrix is
+    // streamed once per TILE, not once per row: loop order is
+    // query-outer / tile-row-inner, keeping one query row (~8 KB at
+    // dim 1024) hot while it sweeps a ~0.5 MB tile resident in L2.
+    val tileSize = 128
     val candidates = store
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
@@ -92,26 +97,47 @@ object CosineTopK {
         val (ids, qs) = bcQ.value
         val nq = qs.length
         val heaps = Array.fill(nq)(new BoundedTopK(k))
-        it.foreach { case (rid, vecF) =>
-          val n = vecF.length
-          // normalize store vector in double unless already unit
-          var norm = 1.0
-          if (!normalized) {
-            var s = 0.0; var i = 0
-            while (i < n) { val x = vecF(i).toDouble; s += x * x; i += 1 }
-            norm = math.sqrt(s)
-          }
+        val tileIds = new Array[Long](tileSize)
+        val tileVecs = new Array[Array[Float]](tileSize)
+        val tileNorms = new Array[Double](tileSize)
+
+        def flushTile(rows: Int): Unit = {
           var qi = 0
           while (qi < nq) {
             val q = qs(qi)
-            var s = 0.0
-            var i = 0
-            while (i < n) { s += q(i) * vecF(i).toDouble; i += 1 }
-            if (!normalized) s = if (norm == 0.0) q(0) else s / norm
-            if (s >= threshold) heaps(qi).offer(s, rid)
+            val heap = heaps(qi)
+            var r = 0
+            while (r < rows) {
+              val v = tileVecs(r)
+              val n = v.length
+              var s = 0.0
+              var i = 0
+              while (i < n) { s += q(i) * v(i); i += 1 }
+              if (!normalized) {
+                val nm = tileNorms(r)
+                s = if (nm == 0.0) q(0) else s / nm
+              }
+              if (s >= threshold) heap.offer(s, tileIds(r))
+              r += 1
+            }
             qi += 1
           }
         }
+
+        var fill = 0
+        it.foreach { case (rid, vecF) =>
+          tileIds(fill) = rid
+          tileVecs(fill) = vecF
+          if (!normalized) {
+            var s = 0.0; var i = 0
+            while (i < vecF.length) { val x = vecF(i).toDouble; s += x * x; i += 1 }
+            tileNorms(fill) = math.sqrt(s)
+          }
+          fill += 1
+          if (fill == tileSize) { flushTile(fill); fill = 0 }
+        }
+        if (fill > 0) flushTile(fill)
+
         heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
           h.drain().map { case (s, rid) => (ids(qi), rid, s) }
         }
