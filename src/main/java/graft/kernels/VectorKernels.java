@@ -1,0 +1,81 @@
+package graft.kernels;
+
+import jdk.incubator.vector.FloatVector;
+import jdk.incubator.vector.VectorOperators;
+import jdk.incubator.vector.VectorSpecies;
+
+/**
+ * SIMD dot-product kernels (JDK Vector API, jdk.incubator.vector).
+ *
+ * Mirrors the reference's single BLAS GEMM for query scoring
+ * (pico_vdb.py:686-689): on the JVM the same job is a float32 dot
+ * product in the innermost loop of the per-partition top-k pass.
+ * Loaded reflectively via {@link graft.operators.Kernels} so the
+ * engine still runs (scalar fallback) when the JVM was started
+ * without {@code --add-modules jdk.incubator.vector}.
+ */
+public final class VectorKernels {
+    private static final VectorSpecies<Float> S = FloatVector.SPECIES_PREFERRED;
+
+    private VectorKernels() {}
+
+    /** Dot product of two equal-length float vectors, float accumulation. */
+    public static float dot(float[] q, float[] v) {
+        int n = v.length;
+        int upper = S.loopBound(n);
+        FloatVector acc0 = FloatVector.zero(S);
+        FloatVector acc1 = FloatVector.zero(S);
+        int step = S.length() * 2;
+        int i = 0;
+        int upper2 = n - (n % step);
+        for (; i < upper2; i += step) {
+            acc0 = FloatVector.fromArray(S, q, i).fma(FloatVector.fromArray(S, v, i), acc0);
+            acc1 = FloatVector.fromArray(S, q, i + S.length())
+                    .fma(FloatVector.fromArray(S, v, i + S.length()), acc1);
+        }
+        for (; i < upper; i += S.length()) {
+            acc0 = FloatVector.fromArray(S, q, i).fma(FloatVector.fromArray(S, v, i), acc0);
+        }
+        float s = acc0.add(acc1).reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) s += q[i] * v[i];
+        return s;
+    }
+
+    /** Sum of squares (for L2 norms), float accumulation. */
+    public static float normSq(float[] v) {
+        return dot(v, v);
+    }
+
+    /**
+     * Four dot products against one shared store vector: v is loaded
+     * once per lane-step and reused across the 4 query rows, cutting
+     * the streamed-side bandwidth 4x (the binding constraint once the
+     * FMA chain is vectorized). out[0..3] receive the results.
+     */
+    public static void dot4(float[] q0, float[] q1, float[] q2, float[] q3,
+                            float[] v, float[] out) {
+        int n = v.length;
+        int upper = S.loopBound(n);
+        FloatVector a0 = FloatVector.zero(S);
+        FloatVector a1 = FloatVector.zero(S);
+        FloatVector a2 = FloatVector.zero(S);
+        FloatVector a3 = FloatVector.zero(S);
+        int i = 0;
+        for (; i < upper; i += S.length()) {
+            FloatVector vv = FloatVector.fromArray(S, v, i);
+            a0 = FloatVector.fromArray(S, q0, i).fma(vv, a0);
+            a1 = FloatVector.fromArray(S, q1, i).fma(vv, a1);
+            a2 = FloatVector.fromArray(S, q2, i).fma(vv, a2);
+            a3 = FloatVector.fromArray(S, q3, i).fma(vv, a3);
+        }
+        float s0 = a0.reduceLanes(VectorOperators.ADD);
+        float s1 = a1.reduceLanes(VectorOperators.ADD);
+        float s2 = a2.reduceLanes(VectorOperators.ADD);
+        float s3 = a3.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            float x = v[i];
+            s0 += q0[i] * x; s1 += q1[i] * x; s2 += q2[i] * x; s3 += q3[i] * x;
+        }
+        out[0] = s0; out[1] = s1; out[2] = s2; out[3] = s3;
+    }
+}

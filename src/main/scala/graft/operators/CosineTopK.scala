@@ -71,24 +71,27 @@ object CosineTopK {
     val spark = store.sparkSession
     import spark.implicits._
 
-    // Pre-normalize query side once on the driver (double math).
+    // Pre-normalize query side once on the driver (double math, then cast
+    // to float32 — mirrors the reference's float32 query matrix,
+    // pico_vdb.py:26, 583-591).
     val qids = queries.map(_._1)
-    val qvecs: Array[Array[Double]] = queries.map { case (_, v) =>
-      val d = v.map(_.toDouble)
-      if (normalized) d
+    val qvecs: Array[Array[Float]] = queries.map { case (_, v) =>
+      if (normalized) v
       else {
+        val d = v.map(_.toDouble)
         val n = math.sqrt(d.map(x => x * x).sum)
-        if (n == 0.0) { val e = new Array[Double](d.length); if (e.length > 0) e(0) = 1.0; e }
-        else d.map(_ / n)
+        if (n == 0.0) { val e = new Array[Float](v.length); if (e.length > 0) e(0) = 1f; e }
+        else d.map(x => (x / n).toFloat)
       }
     }
     val bcQ = spark.sparkContext.broadcast((qids, qvecs))
     val threshold = betterThan.getOrElse(Double.NegativeInfinity)
 
     // Tile the store rows so the (potentially multi-MB) query matrix is
-    // streamed once per TILE, not once per row: loop order is
-    // query-outer / tile-row-inner, keeping one query row (~8 KB at
-    // dim 1024) hot while it sweeps a ~0.5 MB tile resident in L2.
+    // streamed once per TILE, not once per row; inside a tile, queries go
+    // 4-at-a-time through the SIMD dot4 kernel so each ~0.5 MB tile row
+    // is loaded once per 4 queries (bandwidth, not FLOPs, is the binding
+    // constraint once the FMA chain is vectorized).
     val tileSize = 128
     val candidates = store
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
@@ -100,24 +103,38 @@ object CosineTopK {
         val tileIds = new Array[Long](tileSize)
         val tileVecs = new Array[Array[Float]](tileSize)
         val tileNorms = new Array[Double](tileSize)
+        val out = new Array[Float](4)
+
+        def finish(qi: Int, raw: Double, r: Int): Unit = {
+          var s = raw
+          if (!normalized) {
+            val nm = tileNorms(r)
+            s = if (nm == 0.0) qs(qi)(0).toDouble else s / nm
+          }
+          if (s >= threshold) heaps(qi).offer(s, tileIds(r))
+        }
 
         def flushTile(rows: Int): Unit = {
           var qi = 0
-          while (qi < nq) {
-            val q = qs(qi)
-            val heap = heaps(qi)
+          val nq4 = nq - 3
+          while (qi < nq4) {
+            val q0 = qs(qi); val q1 = qs(qi + 1); val q2 = qs(qi + 2); val q3 = qs(qi + 3)
             var r = 0
             while (r < rows) {
-              val v = tileVecs(r)
-              val n = v.length
-              var s = 0.0
-              var i = 0
-              while (i < n) { s += q(i) * v(i); i += 1 }
-              if (!normalized) {
-                val nm = tileNorms(r)
-                s = if (nm == 0.0) q(0) else s / nm
-              }
-              if (s >= threshold) heap.offer(s, tileIds(r))
+              Kernels.dot4F(q0, q1, q2, q3, tileVecs(r), out)
+              finish(qi, out(0).toDouble, r)
+              finish(qi + 1, out(1).toDouble, r)
+              finish(qi + 2, out(2).toDouble, r)
+              finish(qi + 3, out(3).toDouble, r)
+              r += 1
+            }
+            qi += 4
+          }
+          while (qi < nq) {
+            val q = qs(qi)
+            var r = 0
+            while (r < rows) {
+              finish(qi, Kernels.dotF(q, tileVecs(r)).toDouble, r)
               r += 1
             }
             qi += 1
@@ -129,9 +146,7 @@ object CosineTopK {
           tileIds(fill) = rid
           tileVecs(fill) = vecF
           if (!normalized) {
-            var s = 0.0; var i = 0
-            while (i < vecF.length) { val x = vecF(i).toDouble; s += x * x; i += 1 }
-            tileNorms(fill) = math.sqrt(s)
+            tileNorms(fill) = math.sqrt(Kernels.normSqF(vecF).toDouble)
           }
           fill += 1
           if (fill == tileSize) { flushTile(fill); fill = 0 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+/** Dispatch for the hot float32 kernels: SIMD (JDK Vector API) when the
+  * JVM was started with `--add-modules jdk.incubator.vector` (build.sbt
+  * adds it for forked run/test), scalar multi-accumulator otherwise.
+  *
+  * Float accumulation matches the reference's float32 GEMM
+  * (pico_vdb.py:26, 686-689); exact/oracled paths use the codegen'd
+  * double-precision expressions instead, so this kernel only serves the
+  * throughput path where scores are rounded before comparison.
+  */
+object Kernels {
+
+  val simdAvailable: Boolean =
+    try {
+      Class.forName("jdk.incubator.vector.FloatVector")
+      // link + warm the kernel class; throws if the module is absent
+      graft.kernels.VectorKernels.dot(Array(1f, 2f), Array(3f, 4f)) == 11f
+    } catch { case _: Throwable => false }
+
+  /** Dot product, float accumulation. */
+  def dotF(q: Array[Float], v: Array[Float]): Float =
+    if (simdAvailable) graft.kernels.VectorKernels.dot(q, v)
+    else dotScalar(q, v)
+
+  /** Scalar fallback: 4 independent accumulators break the FP add
+    * dependency chain (~4x over a single-accumulator loop).
+    */
+  def dotScalar(q: Array[Float], v: Array[Float]): Float = {
+    val n = v.length
+    var s0 = 0f; var s1 = 0f; var s2 = 0f; var s3 = 0f
+    var i = 0
+    val n4 = n - 3
+    while (i < n4) {
+      s0 += q(i) * v(i)
+      s1 += q(i + 1) * v(i + 1)
+      s2 += q(i + 2) * v(i + 2)
+      s3 += q(i + 3) * v(i + 3)
+      i += 4
+    }
+    while (i < n) { s0 += q(i) * v(i); i += 1 }
+    (s0 + s1) + (s2 + s3)
+  }
+
+  /** Sum of squares (L2 norm squared), float accumulation. */
+  def normSqF(v: Array[Float]): Float =
+    if (simdAvailable) graft.kernels.VectorKernels.normSq(v)
+    else dotScalar(v, v)
+
+  /** Four dot products sharing one store vector — the bandwidth-optimal
+    * shape for batch scoring (store vector loaded once per 4 queries).
+    */
+  def dot4F(q0: Array[Float], q1: Array[Float], q2: Array[Float],
+            q3: Array[Float], v: Array[Float], out: Array[Float]): Unit =
+    if (simdAvailable) graft.kernels.VectorKernels.dot4(q0, q1, q2, q3, v, out)
+    else {
+      out(0) = dotScalar(q0, v); out(1) = dotScalar(q1, v)
+      out(2) = dotScalar(q2, v); out(3) = dotScalar(q3, v)
+    }
+}
