@@ -51,18 +51,24 @@ object Dedup {
     val sets = shingleSets(df, idCol, textCol, shingleN).cache()
     val shingles = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
-    val mh = shingles
-      .select(col("doc_id"), explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"),
-        col("shingle"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle"))
-        .cast("binary"))).as("sig"))
+    // All minhashes in ONE groupBy: numHashes independent min-aggregates,
+    // so the map side computes the per-partition minima and the shuffle
+    // carries one (numHashes+1)-column row per doc — no seed explosion,
+    // no second aggregation for the bands.
+    val sigCols = (0 until numHashes).map { s =>
+      min(md5(concat(lit(s + ":"), col("shingle")).cast("binary"))).as(s"sig$s")
+    }
+    val mh = shingles.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
 
+    val nBands = numHashes / bandSize
+    val bandCols = (0 until nBands).map { b =>
+      val sigs = (0 until bandSize).map(o => col(s"sig${b * bandSize + o}"))
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", sigs: _*).cast("binary")).as("bkey"))
+    }
     val bands = mh
-      .groupBy(col("doc_id"), floor(col("seed") / bandSize).cast("int").as("band"))
-      .agg(md5(concat_ws("|",
-        expr("transform(array_sort(collect_list(struct(seed, sig))), x -> x.sig)"))
-        .cast("binary")).as("bkey"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
 
     val x = bands.select(col("doc_id").as("a"), col("band"), col("bkey"))
     val y = bands.select(col("doc_id").as("b"), col("band"), col("bkey"))

@@ -87,7 +87,7 @@ object IvfIndex {
     */
   def build(store: DataFrame, idCol: String, vecCol: String,
             nList: Int, seed: Long = 42L, sampleFraction: Double = 1.0,
-            normalized: Boolean = true): IvfIndex = {
+            normalized: Boolean = true, maxIter: Int = 8): IvfIndex = {
     val spark = store.sparkSession
     import spark.implicits._
     val featureSrc =
@@ -96,8 +96,11 @@ object IvfIndex {
     val feats = store.select(col(idCol), col(vecCol))
       .withColumn("features", arrayToVecUdf(featureSrc))
     val trainSrc = if (sampleFraction < 1.0) feats.sample(sampleFraction, seed) else feats
+    // Partition quality, not convergence, is what IVF needs: a handful of
+    // Lloyd iterations yields the same recall at nProbe/nList pruning, and
+    // each iteration is a full Spark job at build time.
     val model = new KMeans()
-      .setK(nList).setSeed(seed).setMaxIter(20).setFeaturesCol("features")
+      .setK(nList).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
       .fit(trainSrc)
     val assigned = model.transform(feats)
       .withColumnRenamed(model.getPredictionCol, "centroid_id")
