@@ -23,6 +23,7 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+javaOptions ++= sys.env.get("EXTRA_JVM_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "--add-modules=jdk.incubator.vector", // SIMD kernels (graft.kernels); scalar fallback if absent
   "-Dspark.ui.enabled=false",

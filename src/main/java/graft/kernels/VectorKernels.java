@@ -46,6 +46,61 @@ public final class VectorKernels {
         return dot(v, v);
     }
 
+    /** Dot product of q against a row embedded in a packed row-major
+     *  matrix at offset {@code off} (row length = q.length). */
+    public static float dotPacked(float[] q, float[] m, int off) {
+        int n = q.length;
+        int upper = S.loopBound(n);
+        FloatVector acc0 = FloatVector.zero(S);
+        FloatVector acc1 = FloatVector.zero(S);
+        int step = S.length() * 2;
+        int i = 0;
+        int upper2 = n - (n % step);
+        for (; i < upper2; i += step) {
+            acc0 = FloatVector.fromArray(S, q, i).fma(FloatVector.fromArray(S, m, off + i), acc0);
+            acc1 = FloatVector.fromArray(S, q, i + S.length())
+                    .fma(FloatVector.fromArray(S, m, off + i + S.length()), acc1);
+        }
+        for (; i < upper; i += S.length()) {
+            acc0 = FloatVector.fromArray(S, q, i).fma(FloatVector.fromArray(S, m, off + i), acc0);
+        }
+        float s = acc0.add(acc1).reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) s += q[i] * m[off + i];
+        return s;
+    }
+
+    /**
+     * Four dot products against one shared packed matrix row: the row is
+     * loaded once per lane-step and reused across the 4 query rows,
+     * cutting the streamed-side bandwidth 4x. out[0..3] receive results.
+     */
+    public static void dot4Packed(float[] q0, float[] q1, float[] q2, float[] q3,
+                                  float[] m, int off, float[] out) {
+        int n = q0.length;
+        int upper = S.loopBound(n);
+        FloatVector a0 = FloatVector.zero(S);
+        FloatVector a1 = FloatVector.zero(S);
+        FloatVector a2 = FloatVector.zero(S);
+        FloatVector a3 = FloatVector.zero(S);
+        int i = 0;
+        for (; i < upper; i += S.length()) {
+            FloatVector vv = FloatVector.fromArray(S, m, off + i);
+            a0 = FloatVector.fromArray(S, q0, i).fma(vv, a0);
+            a1 = FloatVector.fromArray(S, q1, i).fma(vv, a1);
+            a2 = FloatVector.fromArray(S, q2, i).fma(vv, a2);
+            a3 = FloatVector.fromArray(S, q3, i).fma(vv, a3);
+        }
+        float s0 = a0.reduceLanes(VectorOperators.ADD);
+        float s1 = a1.reduceLanes(VectorOperators.ADD);
+        float s2 = a2.reduceLanes(VectorOperators.ADD);
+        float s3 = a3.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            float x = m[off + i];
+            s0 += q0[i] * x; s1 += q1[i] * x; s2 += q2[i] * x; s3 += q3[i] * x;
+        }
+        out[0] = s0; out[1] = s1; out[2] = s2; out[3] = s3;
+    }
+
     /**
      * Four dot products against one shared store vector: v is loaded
      * once per lane-step and reused across the 4 query rows, cutting

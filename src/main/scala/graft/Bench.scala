@@ -1,18 +1,29 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+import graft.core.BlockStore
 import graft.operators.CosineTopK
 
 /** Per-round benchmark. Two parts:
   *
   *  1. every driver-catalog query at SPARK_GRAFT_SF_DIR (sf0.1 by
-  *     default), timed individually after a warmup action;
+  *     default), timed individually after a warmup action; failures are
+  *     recorded as -1 plus an entry in `errors` (never silently as a
+  *     fast time);
   *  2. a picovdb-mirror workload at the reference's published scale
   *     (BASELINE.md: dim=1024, N=100,000, top_k=10, 1000-query batch) —
   *     `picovdb_insert_100k` = ingest-to-queryable seconds,
   *     `picovdb_batch_1000q` = batch query seconds (÷1000 = ms/query,
   *     baseline 1 ms/q, budget 2 ms/q).
+  *
+  * Methodology mirror of the reference bench (bench/upserts.py,
+  * bench/batch_queries.py): the random matrix is generated UNTIMED (the
+  * reference pre-builds its numpy array before the timed region; our
+  * analog also absorbs JVM JIT warmup there, the counterpart of numpy's
+  * precompiled kernels); the timed insert is normalize+pack into the
+  * queryable store; the timed batch query runs cold on the freshly built
+  * store.
   *
   * Prints ONE JSON line: {"metric","value","unit","queries",...,"sf"}.
   */
@@ -25,18 +36,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // random float32 vectors don't compress; skip the attempt when
-      // building the in-memory columnar store cache
-      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
     // Warmup: absorb session/codegen startup so per-query times are real.
-    spark.range(1000000).select(sum("id")).collect()
+    spark.range(1000000).select(org.apache.spark.sql.functions.sum("id")).collect()
     SparkEntry.entry(spark).count()
 
     def timed(f: => Unit): Double = {
@@ -44,10 +51,15 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val picovdbOnly = sys.env.contains("SPARK_GRAFT_PICOVDB_ONLY")
     if (!picovdbOnly) SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = timed {
-        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      try {
+        results(name) = timed { fn(spark, sfDir).count(); () }
+      } catch {
+        case e: Throwable =>
+          results(name) = -1.0
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
 
@@ -56,58 +68,83 @@ object Bench {
     val n = 100000
     val nQueries = 1000
     val topK = 10
-
-    // Raw batch is generated and materialized UNTIMED — the reference
-    // also builds its random matrix before the timed upsert
-    // (bench/upserts.py:8-9); its timed region is copy+normalize into
-    // the store. Ours is the same: normalize (write-time invariant) ->
-    // materialized columnar cache = ingest-to-queryable.
     val parts = cpus.toInt
-    val raw = spark.range(0, n, 1, parts)
-      .mapPartitions { it =>
-        it.map { i =>
-          val rng = new java.util.Random(i * 2654435761L)
-          val v = Array.fill(dim)(rng.nextFloat())
-          (i, v)
-        }
-      }
-      .toDF("id", "raw")
-      .cache()
-    raw.count()
+    val sc = spark.sparkContext
 
-    var store: DataFrame = null
-    results("picovdb_insert_100k") = timed {
-      store = raw
-        .select(col("id"), graft.functions.normalize_l2(col("raw")).as("vec"))
-        .cache()
-      store.count()
-      ()
-    }
+    // Pre-built random matrix, pinned as deserialized JVM arrays (the
+    // analog of the reference's pre-generated numpy array) — UNTIMED.
+    val raw = sc.range(0, n, 1, parts)
+      .map { i =>
+        val rng = new java.util.Random(i * 2654435761L)
+        (i, Array.fill(dim)(rng.nextFloat()))
+      }
+      .persist(StorageLevel.MEMORY_ONLY)
+    raw.count()
 
     val qrng = new java.util.Random(42)
     val queries = Array.tabulate(nQueries) { i =>
       (i.toLong, Array.fill(dim)(qrng.nextFloat()))
     }
 
-    // batch query: one GEMM-style pass, per-partition heaps, tiny final rank
-    results("picovdb_batch_1000q") = timed {
-      CosineTopK.gemm(store, "id", "vec", queries, topK,
-        betterThan = Some(0.1), normalized = true).count()
+    // JIT warmup on a small disposable store: exercises pack, the SIMD
+    // dot4/heap kernels, and the final window rank — the same code paths
+    // the timed region runs (reference analog: numpy's C kernels are
+    // compiled ahead of time; the JVM compiles on observed hot paths).
+    {
+      val tinyRaw = sc.range(0, 8192, 1, parts).map { i =>
+        val rng = new java.util.Random(i * 40503L + 7)
+        (i, Array.fill(dim)(rng.nextFloat()))
+      }
+      val tiny = BlockStore.fromRDD(tinyRaw, normalize = true).persist()
+      tiny.materialize()
+      CosineTopK.gemmBlocks(tiny, queries, topK, betterThan = Some(0.1)).count()
+      CosineTopK.gemmBlocks(tiny, queries, topK, betterThan = Some(0.1)).count()
+      tiny.unpersist()
+    }
+
+    // Timed insert: normalize (write-time invariant, zero->e0) + pack
+    // into the queryable BlockStore = ingest-to-queryable.
+    var store: BlockStore[Long] = null
+    results("picovdb_insert_100k") = timed {
+      store = BlockStore.fromRDD(raw, normalize = true).persist()
+      store.materialize()
       ()
     }
-    // steady-state number: best of 3 warm runs (JIT-hot loops)
+
+    if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")) {
+      // sub-phase timing: raw candidate pass (RDD only) vs full (DF+rank)
+      results("dbg_scan_only") = timed {
+        store.topK(queries, topK, Some(0.1)).count(); ()
+      }
+      results("dbg_scan_only2") = timed {
+        store.topK(queries, topK, Some(0.1)).count(); ()
+      }
+    }
+
+    // Cold batch query: one pass over the store, per-partition heaps,
+    // tiny final rank.
+    results("picovdb_batch_1000q") = timed {
+      CosineTopK.gemmBlocks(store, queries, topK, betterThan = Some(0.1)).count()
+      ()
+    }
+    // steady-state number: best of 3 warm runs
     results("picovdb_batch_1000q_warm") = (1 to 3).map { _ =>
       timed {
-        CosineTopK.gemm(store, "id", "vec", queries, topK,
-          betterThan = Some(0.1), normalized = true).count()
+        CosineTopK.gemmBlocks(store, queries, topK, betterThan = Some(0.1)).count()
         ()
       }
     }.min
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -57,4 +57,67 @@ object Kernels {
       out(0) = dotScalar(q0, v); out(1) = dotScalar(q1, v)
       out(2) = dotScalar(q2, v); out(3) = dotScalar(q3, v)
     }
+
+  // ---- packed row-major matrix kernels (graft.core.VecBlock layout) ----
+
+  /** Dot of q against row at `off` in a packed matrix, float accumulation. */
+  def dotPackedF(q: Array[Float], m: Array[Float], off: Int): Float =
+    if (simdAvailable) graft.kernels.VectorKernels.dotPacked(q, m, off)
+    else dotPackedScalar(q, m, off)
+
+  private def dotPackedScalar(q: Array[Float], m: Array[Float], off: Int): Float = {
+    val n = q.length
+    var s0 = 0f; var s1 = 0f; var s2 = 0f; var s3 = 0f
+    var i = 0
+    val n4 = n - 3
+    while (i < n4) {
+      s0 += q(i) * m(off + i)
+      s1 += q(i + 1) * m(off + i + 1)
+      s2 += q(i + 2) * m(off + i + 2)
+      s3 += q(i + 3) * m(off + i + 3)
+      i += 4
+    }
+    while (i < n) { s0 += q(i) * m(off + i); i += 1 }
+    (s0 + s1) + (s2 + s3)
+  }
+
+  /** Four dots sharing one packed matrix row. */
+  def dot4PackedF(q0: Array[Float], q1: Array[Float], q2: Array[Float],
+                  q3: Array[Float], m: Array[Float], off: Int,
+                  out: Array[Float]): Unit =
+    if (simdAvailable) graft.kernels.VectorKernels.dot4Packed(q0, q1, q2, q3, m, off, out)
+    else {
+      out(0) = dotPackedScalar(q0, m, off); out(1) = dotPackedScalar(q1, m, off)
+      out(2) = dotPackedScalar(q2, m, off); out(3) = dotPackedScalar(q3, m, off)
+    }
+
+  /** Sequential double-accumulated dot against a packed row — bit-identical
+    * to the codegen'd DotProduct expression (same accumulation order), so
+    * results can hash-match the declarative/oracle path.
+    */
+  def dotPackedD(q: Array[Float], m: Array[Float], off: Int): Double = {
+    val n = q.length
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += q(i).toDouble * m(off + i).toDouble; i += 1 }
+    s
+  }
+
+  /** Sequential double sum of squares over a packed row — matches the
+    * L2NormSq expression's accumulation order.
+    */
+  def normSqPackedD(m: Array[Float], off: Int, n: Int): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = m(off + i).toDouble; s += x * x; i += 1 }
+    s
+  }
+
+  /** Sequential double sum of squares of a float vector (L2NormSq parity). */
+  def normSqD(v: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
+    s
+  }
 }
