@@ -15,7 +15,18 @@ import jdk.incubator.vector.VectorSpecies;
  * without {@code --add-modules jdk.incubator.vector}.
  */
 public final class VectorKernels {
-    private static final VectorSpecies<Float> S = FloatVector.SPECIES_PREFERRED;
+    // Lane width is tunable (-Dgraft.simd.bits=256|512): on some Xeons,
+    // sustained all-core 512-bit FMA trips the AVX-512 frequency license
+    // and 256-bit ends up faster in wall-clock.
+    private static final VectorSpecies<Float> S = pickSpecies();
+
+    private static VectorSpecies<Float> pickSpecies() {
+        String bits = System.getProperty("graft.simd.bits", "");
+        if ("256".equals(bits)) return FloatVector.SPECIES_256;
+        if ("512".equals(bits)) return FloatVector.SPECIES_512;
+        if ("128".equals(bits)) return FloatVector.SPECIES_128;
+        return FloatVector.SPECIES_PREFERRED;
+    }
 
     private VectorKernels() {}
 

@@ -66,6 +66,61 @@ final class BlockStore[K](
       betterThan: Option[Double] = None,
       normalizeQueries: Boolean = true,
       exact: Boolean = false): RDD[(Long, K, Double)] = {
+    val (bc, threshold) = prepare(queries, betterThan, normalizeQueries)
+    val kk = k
+    val ex = exact
+    val localOrd = ord // don't capture `this` in the task closure
+    blocks.mapPartitions { it =>
+      val (ids, qs, qn) = bc.value
+      BlockStore.scorePartition(it, ids, qs, qn, kk, threshold, ex)(localOrd)
+    }
+  }
+
+  /** Batch top-k as one shuffle-free job: per-partition bounded heaps are
+    * merged up a treeAggregate (partitions×Q×k candidate tuples move over
+    * the tree, never through a shuffle), and the fully-ranked result
+    * lands on the driver — Q×k rows. This is the scale path: at
+    * 1000 executors the reduction is logarithmic, and no Exchange/Window
+    * ever materializes the candidate set.
+    *
+    * Returns per input query (in input order): ranked (id, score) hits.
+    */
+  def topKMerged(
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      betterThan: Option[Double] = None,
+      normalizeQueries: Boolean = true,
+      exact: Boolean = false): Array[Array[(K, Double)]] = {
+    val (bc, threshold) = prepare(queries, betterThan, normalizeQueries)
+    val kk = k
+    val ex = exact
+    val localOrd = ord
+    val nq = queries.length
+    val merged = blocks.treeAggregate(null: Array[BoundedTopKG[K]])(
+      seqOp = (acc, block) => {
+        val (_, qs, qn) = bc.value
+        val heaps = if (acc != null) acc
+                    else Array.fill(qs.length)(new BoundedTopKG[K](kk)(localOrd))
+        BlockStore.scoreBlock(heaps, block, qs, qn, threshold, ex)
+        heaps
+      },
+      combOp = (a, b) =>
+        if (a == null) b
+        else if (b == null) a
+        else {
+          var i = 0
+          while (i < a.length) { a(i).absorb(b(i)); i += 1 }
+          a
+        },
+      depth = 2)
+    if (merged == null) Array.fill(nq)(Array.empty[(K, Double)])
+    else merged.map(_.sortedHits())
+  }
+
+  private def prepare(
+      queries: Array[(Long, Array[Float])],
+      betterThan: Option[Double],
+      normalizeQueries: Boolean) = {
     val qids = queries.map(_._1)
     val cosineMode = !normalized
     val qvecs: Array[Array[Float]] =
@@ -74,16 +129,8 @@ final class BlockStore[K](
     // raw-query norms for cosine mode (double, L2NormSq accumulation order)
     val qnorms: Array[Double] =
       if (cosineMode) qvecs.map(v => math.sqrt(Kernels.normSqD(v))) else null
-    val sc = blocks.sparkContext
-    val bc = sc.broadcast((qids, qvecs, qnorms))
-    val threshold = betterThan.getOrElse(Double.NegativeInfinity)
-    val kk = k
-    val ex = exact
-    val localOrd = ord // don't capture `this` in the task closure
-    blocks.mapPartitions { it =>
-      val (ids, qs, qn) = bc.value
-      BlockStore.scorePartition(it, ids, qs, qn, kk, threshold, ex)(localOrd)
-    }
+    val bc = blocks.sparkContext.broadcast((qids, qvecs, qnorms))
+    (bc, betterThan.getOrElse(Double.NegativeInfinity))
   }
 }
 
@@ -179,15 +226,29 @@ object BlockStore {
       exact: Boolean)(implicit ord: Ordering[K]): Iterator[(Long, K, Double)] = {
     val nq = qs.length
     val heaps = Array.fill(nq)(new BoundedTopKG[K](k))
+    while (blocks.hasNext)
+      scoreBlock(heaps, blocks.next(), qs, qnorms, threshold, exact)
+    heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+      h.drain().map { case (s, id) => (qids(qi), id, s) }
+    }
+  }
+
+  /** Score one block into the per-query heaps. */
+  private[core] def scoreBlock[K](
+      heaps: Array[BoundedTopKG[K]],
+      b: VecBlock[K],
+      qs: Array[Array[Float]],
+      qnorms: Array[Double],
+      threshold: Double,
+      exact: Boolean): Unit = {
+    val nq = qs.length
     val cosine = qnorms != null
-    while (blocks.hasNext) {
-      val b = blocks.next()
-      val data = b.data
-      val ids = b.ids
-      val dim = b.dim
-      val rows = b.rows
-      val vnorms = b.norms
-      if (exact) {
+    val data = b.data
+    val ids = b.ids
+    val dim = b.dim
+    val rows = b.rows
+    val vnorms = b.norms
+    if (exact) {
         var qi = 0
         while (qi < nq) {
           val q = qs(qi)
@@ -262,10 +323,6 @@ object BlockStore {
           t0 = tEnd
         }
       }
-    }
-    heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-      h.drain().map { case (s, id) => (qids(qi), id, s) }
-    }
   }
 }
 
@@ -274,7 +331,7 @@ object BlockStore {
   * (matches the Window orderBy in the declarative path). offer() only
   * pays O(log k) when the candidate beats the current floor.
   */
-final class BoundedTopKG[K](k: Int)(implicit ord: Ordering[K]) {
+final class BoundedTopKG[K](k: Int)(implicit ord: Ordering[K]) extends Serializable {
   private val scores = new Array[Double](k)
   private val ids = new Array[AnyRef](k)
   private var size = 0
@@ -323,4 +380,23 @@ final class BoundedTopKG[K](k: Int)(implicit ord: Ordering[K]) {
 
   def drain(): Iterator[(Double, K)] =
     (0 until size).iterator.map(i => (scores(i), ids(i).asInstanceOf[K]))
+
+  /** Fold another heap's contents into this one (treeAggregate combOp). */
+  def absorb(other: BoundedTopKG[K]): Unit = {
+    var i = 0
+    while (i < other.size) {
+      offer(other.scores(i), other.ids(i).asInstanceOf[K])
+      i += 1
+    }
+  }
+
+  /** Final ranked hits: (id, score) ordered score desc, id asc. */
+  def sortedHits(): Array[(K, Double)] = {
+    val arr = new Array[(K, Double)](size)
+    var i = 0
+    while (i < size) { arr(i) = (ids(i).asInstanceOf[K], scores(i)); i += 1 }
+    scala.util.Sorting.stableSort(arr, (a: (K, Double), b: (K, Double)) =>
+      a._2 > b._2 || (a._2 == b._2 && ord.lt(a._1, b._1)))
+    arr
+  }
 }

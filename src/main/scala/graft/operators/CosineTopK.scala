@@ -67,7 +67,9 @@ object CosineTopK {
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Top-k over a long-keyed BlockStore (throughput path). */
+  /** Top-k over a long-keyed BlockStore (throughput path): one
+    * shuffle-free treeAggregate job; rank assigned on the merged result.
+    */
   def gemmBlocks(
       store: BlockStore[Long],
       queries: Array[(Long, Array[Float])],
@@ -76,8 +78,12 @@ object CosineTopK {
       exact: Boolean = false): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
-    rank(store.topK(queries, k, betterThan, normalizeQueries = true, exact = exact)
-      .toDF("qid", "id", "score"), k)
+    val merged = store.topKMerged(queries, k, betterThan, normalizeQueries = true, exact = exact)
+    merged.iterator.zipWithIndex.flatMap { case (hits, qi) =>
+      hits.iterator.zipWithIndex.map { case ((id, s), r) =>
+        (queries(qi)._1, id, s, r + 1)
+      }
+    }.toSeq.toDF("qid", "id", "score", "rank")
   }
 
   /** Top-k over a string-keyed BlockStore (VdbStore's md5 ids). */
@@ -89,8 +95,12 @@ object CosineTopK {
       exact: Boolean = false): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
-    rank(store.topK(queries, k, betterThan, normalizeQueries = true, exact = exact)
-      .toDF("qid", "id", "score"), k)
+    val merged = store.topKMerged(queries, k, betterThan, normalizeQueries = true, exact = exact)
+    merged.iterator.zipWithIndex.flatMap { case (hits, qi) =>
+      hits.iterator.zipWithIndex.map { case ((id, s), r) =>
+        (queries(qi)._1, id, s, r + 1)
+      }
+    }.toSeq.toDF("qid", "id", "score", "rank")
   }
 
   /** One-shot convenience: pack a DataFrame store transiently and run the
