@@ -44,21 +44,33 @@ object Dedup {
     * numHashes seeded minhashes -> bands of `bandSize` rows -> bucket-join
     * on (band, band key) -> verify candidates with true Jaccard >= t.
     * Returns (a, b, jaccard) with a < b, jaccard rounded to 6dp.
+    *
+    * Shape at scale: all numHashes digests are computed once per exploded
+    * (doc, shingle) row inside the codegen'd partial aggregate of ONE
+    * groupBy — the shuffle carries one (numHashes+1)-column row per doc.
+    * (A no-shuffle `array_min(transform(...))` variant was measured 10x
+    * slower: Spark evaluates higher-order-function lambdas interpreted,
+    * outside whole-stage codegen.) The remaining shuffles are the
+    * (band, bkey) bucket self-join, the candidate distinct, and the two
+    * verify joins. `maxBucket` guards hot band keys: buckets larger than
+    * the cap are dropped before the self-join (a B-doc bucket otherwise
+    * yields B^2 candidate pairs — with the cap the join cost is bounded
+    * by maxBucket x rows; recall loss is confined to degenerate keys,
+    * the standard LSH guard).
     */
   def minhashLSH(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 12, bandSize: Int = 3, shingleN: Int = 3,
-                 threshold: Double = 0.5): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, shingleN).cache()
-    val shingles = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-
-    // All minhashes in ONE groupBy: numHashes independent min-aggregates,
-    // so the map side computes the per-partition minima and the shuffle
-    // carries one (numHashes+1)-column row per doc — no seed explosion,
-    // no second aggregation for the bands.
+                 threshold: Double = 0.5, maxBucket: Option[Int] = None): DataFrame = {
+    // Small inputs arrive as one parquet partition; spread the (expensive,
+    // interpreted-HOF) shingle projection across the cluster before
+    // caching. Explicit numPartitions so AQE doesn't coalesce it away.
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val sets = shingleSets(spread, idCol, textCol, shingleN).cache()
+    val shingleRows = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val sigCols = (0 until numHashes).map { s =>
       min(md5(concat(lit(s + ":"), col("shingle")).cast("binary"))).as(s"sig$s")
     }
-    val mh = shingles.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val mh = shingleRows.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
 
     val nBands = numHashes / bandSize
     val bandCols = (0 until nBands).map { b =>
@@ -66,9 +78,16 @@ object Dedup {
       struct(lit(b).as("band"),
         md5(concat_ws("|", sigs: _*).cast("binary")).as("bkey"))
     }
-    val bands = mh
+    val bandsAll = mh
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val bands = maxBucket match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bkey"))
+        bandsAll.withColumn("_bsz_", count(lit(1)).over(w))
+          .filter(col("_bsz_") <= cap).drop("_bsz_")
+      case None => bandsAll
+    }
 
     val x = bands.select(col("doc_id").as("a"), col("band"), col("bkey"))
     val y = bands.select(col("doc_id").as("b"), col("band"), col("bkey"))
@@ -89,24 +108,25 @@ object Dedup {
     * first), from md5-derived token hashes: bit j of a token = bit
     * (3 - j%4) of hex digit j/4; signature bit = sign of the +/-1 vote sum
     * (ties -> 0).
+    *
+    * Single narrow projection: md5 once per token, the 64-vote array
+    * folded per document with aggregate/zip_with — zero shuffle, output
+    * rows == document rows (the round-1 version exploded every token x64
+    * through a groupBy).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = wordsOf(df, idCol, textCol)
-      .select(col("doc_id"), explode(col("w")).as("tok"))
-      .withColumn("h", md5(col("tok").cast("binary")))
-    val votes = toks
-      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 63)")).as("j"))
-      .withColumn("c",
-        expr("instr('0123456789abcdef', substr(h, 1 + CAST(floor(j / 4) AS INT), 1)) - 1"))
-      .withColumn("vote", expr("2 * (CAST(shiftright(c, 3 - j % 4) AS INT) % 2) - 1"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("vote")).as("s"))
-      .withColumn("bit", when(col("s") > 0, lit("1")).otherwise(lit("0")))
-    votes.groupBy(col("doc_id"))
-      .agg(concat_ws("",
-        expr("transform(array_sort(collect_list(struct(j, bit))), x -> x.bit)"))
-        .as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    wordsOf(df, idCol, textCol).select(col("doc_id"),
+      expr("""concat_ws('', transform(
+          aggregate(
+            transform(w, t -> md5(cast(t as binary))),
+            array_repeat(cast(0 as bigint), 64),
+            (acc, h) -> zip_with(acc,
+              transform(sequence(0, 63), j ->
+                cast(2 * (cast(shiftright(
+                  instr('0123456789abcdef', substr(h, 1 + cast(floor(j / 4) as int), 1)) - 1,
+                  3 - cast(j % 4 as int)) as int) % 2) - 1 as bigint)),
+              (a, b) -> a + b)),
+          s -> case when s > 0 then '1' else '0' end))""").as("simhash"))
 
   /** True n-gram Jaccard for candidate pairs blocked by a shared prefix
     * fingerprint (cheap deterministic blocking).

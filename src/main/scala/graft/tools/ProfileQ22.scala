@@ -23,6 +23,23 @@ object ProfileQ22 {
     }
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_ONLY_FULL")) {
+      timed("full cold (fresh session)")(
+        graft.operators.Dedup.minhashLSH(docs, "doc_id", "text").count())
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          System.err.println(
+            s"Q22STAGE id=${s.stageInfo.stageId} tasks=${s.stageInfo.numTasks} " +
+            s"run=${s.stageInfo.taskMetrics.executorRunTime}ms " +
+            s"wall=${s.stageInfo.completionTime.getOrElse(0L) - s.stageInfo.submissionTime.getOrElse(0L)}ms " +
+            s"name=${s.stageInfo.name.take(60)}")
+      })
+      timed("full warm")(
+        graft.operators.Dedup.minhashLSH(docs, "doc_id", "text").count())
+      spark.stop()
+      return
+    }
     timed("docs.count")(docs.count())
     timed("docs stats") {
       docs.select(avg(size(split(trim(col("text")), "\\s+")))).show(); 1L
@@ -40,7 +57,36 @@ object ProfileQ22 {
     val mh = shingles.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     timed("minhash sigs (12x md5/row)")(mh.count())
 
+    val mhc = mh.cache(); mhc.count()
+    val nBands = 4
+    val bandCols = (0 until nBands).map { b =>
+      val sigs = (0 until 3).map(o => col(s"sig${b * 3 + o}"))
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", sigs: _*).cast("binary")).as("bkey"))
+    }
+    val bands = mhc
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    timed("bands")(bands.count())
+    val bc = bands.cache(); bc.count()
+    val x = bc.select(col("doc_id").as("a"), col("band"), col("bkey"))
+    val y = bc.select(col("doc_id").as("b"), col("band"), col("bkey"))
+    val cand = x.join(y, Seq("band", "bkey")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    timed("cand join")(cand.count())
+    val cc = cand.cache(); cc.count()
+    val sa = sets.select(col("doc_id").as("a"), col("shingles").as("sa"))
+    val sb = sets.select(col("doc_id").as("b"), col("shingles").as("sb"))
+    val ver = cc.join(sa, Seq("a")).join(sb, Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+    timed("verify")(ver.count())
+
     timed("full minhashLSH")(
+      graft.operators.Dedup.minhashLSH(docs, "doc_id", "text").count())
+    timed("full again")(
       graft.operators.Dedup.minhashLSH(docs, "doc_id", "text").count())
     spark.stop()
   }
