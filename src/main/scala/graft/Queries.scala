@@ -17,59 +17,48 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Batch top-k cosine over the embeddings store (O9+O15+O18). */
-  def topkBatch(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared top-k runner on the gemm path (packed BlockStore, one
+    * shuffle-free treeAggregate pass, exact double scoring — bit-parity
+    * with the declarative Window plan and the DuckDB oracle). The query
+    * side is a driver-side collect by design: queries are the small side
+    * (pico_vdb batches), the store side streams distributed.
+    */
+  private def topkGemm(spark: SparkSession, dir: String,
+                       qFilter: org.apache.spark.sql.Column,
+                       storeFilter: Option[org.apache.spark.sql.Column],
+                       k: Int, betterThan: Option[Double] = None): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val q = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    CosineTopK.declarative(emb, "vec_id", "embedding", q, "qid", "qvec", k = 10)
+    val queries = emb.filter(qFilter)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val store = storeFilter.map(emb.filter).getOrElse(emb)
+    CosineTopK.gemm(store, "vec_id", "embedding", queries, k, betterThan,
+        normalized = false, exact = true)
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
+
+  /** Batch top-k cosine over the embeddings store (O9+O15+O18). */
+  def topkBatch(spark: SparkSession, dir: String): DataFrame =
+    topkGemm(spark, dir, col("vec_id") < 20, None, k = 10)
 
   /** Top-k with score threshold — `better_than` (O10). */
-  def topkThreshold(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val q = emb.filter(col("vec_id") >= 20 && col("vec_id") < 40)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    CosineTopK.declarative(emb, "vec_id", "embedding", q, "qid", "qvec",
-        k = 20, betterThan = Some(0.2))
-      .select(col("qid"), col("rank").cast("long").as("rank"),
-        col("id").as("vec_id"), round(col("score"), 6).as("score"))
-  }
+  def topkThreshold(spark: SparkSession, dir: String): DataFrame =
+    topkGemm(spark, dir, col("vec_id") >= 20 && col("vec_id") < 40, None,
+      k = 20, betterThan = Some(0.2))
 
   /** Metadata equality prefilter — `where {k: v}` (O11). */
-  def topkWhereEq(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    CosineTopK.declarative(emb.filter(col("label") === 3), "vec_id", "embedding",
-        q, "qid", "qvec", k = 5)
-      .select(col("qid"), col("rank").cast("long").as("rank"),
-        col("id").as("vec_id"), round(col("score"), 6).as("score"))
-  }
+  def topkWhereEq(spark: SparkSession, dir: String): DataFrame =
+    topkGemm(spark, dir, col("vec_id") < 10, Some(col("label") === 3), k = 5)
 
   /** Metadata `$in` prefilter (O12). */
-  def topkWhereIn(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val q = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    CosineTopK.declarative(emb.filter(col("label").isin(1, 2, 3)), "vec_id",
-        "embedding", q, "qid", "qvec", k = 5)
-      .select(col("qid"), col("rank").cast("long").as("rank"),
-        col("id").as("vec_id"), round(col("score"), 6).as("score"))
-  }
+  def topkWhereIn(spark: SparkSession, dir: String): DataFrame =
+    topkGemm(spark, dir, col("vec_id") >= 10 && col("vec_id") < 20,
+      Some(col("label").isin(1, 2, 3)), k = 5)
 
   /** Candidate id-list restriction (O14): ids = multiples of 7. */
-  def topkIds(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    CosineTopK.declarative(emb.filter(col("vec_id") % 7 === 0), "vec_id",
-        "embedding", q, "qid", "qvec", k = 5)
-      .select(col("qid"), col("rank").cast("long").as("rank"),
-        col("id").as("vec_id"), round(col("score"), 6).as("score"))
-  }
+  def topkIds(spark: SparkSession, dir: String): DataFrame =
+    topkGemm(spark, dir, col("vec_id") < 10, Some(col("vec_id") % 7 === 0), k = 5)
 
   /** Point lookup with vector materialization (O19): the vector itself is
     * surfaced as its rounded L2 norm so the check stays hashable.

@@ -144,24 +144,33 @@ object BlockStore {
     * otherwise raw rows are kept and per-row double norms are stored for
     * cosine scoring.
     */
+  /** `normalize=true` applies the write-time L2 invariant while packing;
+    * `assumeNormalized=true` skips both normalization and norm
+    * bookkeeping for rows already known unit-length (e.g. a VdbStore's
+    * `_vector_` column).
+    */
   def fromDataset[K: ClassTag: Ordering](
       ds: Dataset[(K, Array[Float])],
       normalize: Boolean,
+      assumeNormalized: Boolean = false,
       maxBlockFloats: Int = MaxBlockFloats): BlockStore[K] =
-    fromRDD(ds.rdd, normalize, maxBlockFloats)
+    fromRDD(ds.rdd, normalize, assumeNormalized, maxBlockFloats)
 
   def fromRDD[K: ClassTag: Ordering](
       rdd: RDD[(K, Array[Float])],
       normalize: Boolean,
+      assumeNormalized: Boolean = false,
       maxBlockFloats: Int = MaxBlockFloats): BlockStore[K] =
     new BlockStore[K](
-      rdd.mapPartitions(it => packPartition(it, normalize, maxBlockFloats)),
-      normalize)
+      rdd.mapPartitions(it =>
+        packPartition(it, normalize, assumeNormalized, maxBlockFloats)),
+      normalize || assumeNormalized)
 
   private[core] def packPartition[K: ClassTag](
       it: Iterator[(K, Array[Float])],
       normalize: Boolean,
-      maxBlockFloats: Int): Iterator[VecBlock[K]] = {
+      assumeNormalized: Boolean = false,
+      maxBlockFloats: Int = MaxBlockFloats): Iterator[VecBlock[K]] = {
     if (!it.hasNext) return Iterator.empty
     new Iterator[VecBlock[K]] {
       override def hasNext: Boolean = it.hasNext
@@ -195,7 +204,7 @@ object BlockStore {
             }
           } else {
             System.arraycopy(row, 0, data, off, dim)
-            norms += math.sqrt(Kernels.normSqD(row))
+            if (!assumeNormalized) norms += math.sqrt(Kernels.normSqD(row))
           }
           ids += id
           rows += 1
@@ -207,7 +216,7 @@ object BlockStore {
         val packed = if (rows * dim == data.length) data
                      else java.util.Arrays.copyOf(data, rows * dim)
         new VecBlock[K](ids.result(), packed, dim,
-          if (normalize) null else norms.result())
+          if (normalize || assumeNormalized) null else norms.result())
       }
     }
   }

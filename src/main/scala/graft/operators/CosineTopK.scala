@@ -120,10 +120,7 @@ object CosineTopK {
     import spark.implicits._
     val ds = store.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-    val bs = BlockStore.fromDataset(ds, normalize = false)
-    // normalized=true means rows already unit-norm: plain-dot scoring via
-    // a normalized-store view (norms are all 1 anyway; skip cosine divide)
-    val blocks = new BlockStore[Long](bs.blocks, normalized)
-    gemmBlocks(blocks, queries, k, betterThan, exact)
+    val bs = BlockStore.fromDataset(ds, normalize = false, assumeNormalized = normalized)
+    gemmBlocks(bs, queries, k, betterThan, exact)
   }
 }

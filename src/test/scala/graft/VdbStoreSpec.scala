@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, get_json_object}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.{VdbRecord, VdbStore}
 
@@ -154,6 +154,38 @@ class VdbStoreSpec extends AnyFunSuite {
     val s = freshStore(3)
     s.upsert(Seq(rec("a", Array(1f, 0f, 0f)), rec("b", Array(0f, 1f, 0f))))
     assert(s.queryOne(Array(1f, 1f, 0f), topK = 50).size == 2)
+  }
+
+  test("large store: upsert report + delete via joins, no store-sized driver collect") {
+    import spark.implicits._
+    val dim = 8
+    val n = 20000
+    val s = freshStore(dim)
+    // bulk-load via the DataFrame path
+    val bulk = spark.range(n).select(
+      concat(lit("doc"), lpad(col("id").cast("string"), 6, "0")).as("_id_"),
+      org.apache.spark.sql.functions.transform(
+        sequence(lit(1), lit(dim)),
+        i => (col("id") % 97 + i).cast("float")).as("vector"),
+      lit("""{"bulk": true}""").as("meta"))
+    val (u0, i0) = s.upsertDF(bulk)
+    assert(u0 == 0 && i0 == n && s.count() == n)
+
+    // record-batch upsert: 500 known ids + 500 new ones
+    val batch = (0 until 500).map(i => rec(f"doc${i}%06d", Array.fill(dim)(1f))) ++
+      (0 until 500).map(i => rec(f"new$i%06d", Array.fill(dim)(2f)))
+    val rep = s.upsert(batch)
+    assert(rep.update.size == 500 && rep.insert.size == 500)
+    assert(s.count() == n + 500)
+
+    // delete > InListMax ids so the broadcast-join branch is exercised
+    val doomed = (0 until 1500).map(i => f"doc${i}%06d") :+ "missing"
+    val removed = s.delete(doomed)
+    assert(removed.size == 1500)
+    assert(s.count() == n + 500 - 1500)
+    // get with a large id list takes the join branch too
+    val got = s.get((0 until 1200).map(i => f"new$i%06d"))
+    assert(got.size == 500)
   }
 
   test("within-batch duplicate ids: last record wins (sequential upsert law)") {
