@@ -218,7 +218,11 @@ object Queries {
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val idx = operators.IvfIndex.build(emb, "vec_id", "embedding", nList = 16, normalized = false)
+    // Build amortized per dataset: sampled local k-means fit + one
+    // assignment pass, cached across calls (VERDICT r1 next-round #6).
+    val idx = operators.IvfIndex.cached(s"$dir/embeddings#16")(
+      operators.IvfIndex.build(emb, "vec_id", "embedding", nList = 16,
+        normalized = false))
     idx.search(queries, k = 10, nProbe = 4, normalized = false)
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("id").as("vec_id"), round(col("score"), 6).as("score"))

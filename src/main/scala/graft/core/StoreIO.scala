@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
 object StoreIO {
 
   private val MetaFile = "_store_meta.json"
+  private val AnnDir = "_ann_centroids"
 
   def save(store: VdbStore, path: String): Unit = {
     val spark = store.spark
@@ -24,6 +25,18 @@ object StoreIO {
     val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
     try {
       store.df.write.mode("overwrite").parquet(tmp.toString)
+      // IVF index state rides along: centroids in an underscore-prefixed
+      // subdir (invisible to the main parquet reader), nList in the meta
+      // (reference persists its FAISS file next to the store the same
+      // way, pico_vdb.py:261, 347, 362).
+      store.annStateForSave.foreach { case (_, centroids) =>
+        import store.spark.implicits._
+        centroids.toSeq.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }
+          .toDF("cid", "c")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(new Path(tmp, AnnDir).toString)
+      }
       val out = fs.create(new Path(tmp, MetaFile), true)
       try out.write(store.metaJson.getBytes(StandardCharsets.UTF_8))
       finally out.close()
@@ -51,23 +64,36 @@ object StoreIO {
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
     }
-    val (dim, additional) = parseMeta(metaStr)
+    val (dim, annNList, additional) = parseMeta(metaStr)
     val df = spark.read.schema(VdbStore.schema).parquet(path)
-    VdbStore.fromDF(spark, dim, df, additional)
+    val store = VdbStore.fromDF(spark, dim, df, additional)
+    annNList.foreach { n =>
+      val annPath = new Path(target, AnnDir)
+      val centroids =
+        if (fs.exists(annPath))
+          spark.read.parquet(annPath.toString)
+            .orderBy("cid").collect()
+            .map(_.getSeq[Double](1).toArray)
+        else Array.empty[Array[Double]]
+      store.restoreAnn(n, centroids)
+    }
+    store
   }
 
   /** Minimal JSON parse for our own flat meta format. */
-  private[core] def parseMeta(s: String): (Int, Map[String, String]) = {
+  private[core] def parseMeta(s: String): (Int, Option[Int], Map[String, String]) = {
     val dim = """"embedding_dim"\s*:\s*(\d+)""".r
       .findFirstMatchIn(s).map(_.group(1).toInt)
       .getOrElse(throw new IllegalArgumentException(s"no embedding_dim in $s"))
+    val ann = """"ann_nlist"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(s).map(_.group(1).toInt)
     val inner = """"additional_data"\s*:\s*\{(.*)\}\s*\}\s*$""".r
       .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
     val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
     val kv = pair.findAllMatchIn(inner).map { m =>
       unescape(m.group(1)) -> unescape(m.group(2))
     }.toMap
-    (dim, kv)
+    (dim, ann, kv)
   }
 
   private def unescape(s: String): String = {

@@ -15,6 +15,9 @@ final case class VdbHit(id: String, metrics: Double, metaJson: Option[String],
 
 final case class UpsertReport(update: Seq[String], insert: Seq[String])
 
+final case class AnnInfo(enabled: Boolean, nList: Int,
+                         lastRebuildMode: String, upToDate: Boolean)
+
 final case class VdbStats(active: Long, deleted: Long, total: Long, dim: Int)
 
 /** Spark-native re-expression of the reference store
@@ -50,21 +53,69 @@ final class VdbStore private (
   @volatile private var annIndex: Option[graft.operators.IvfIndex] = None
   @volatile private var annVersion: Long = -1L
   @volatile private var storeVersion: Long = 0L
+  @volatile private var annMutationsSinceFit: Long = 0L
+  @volatile private var annLastRebuildMode: String = "none"
 
   /** Enable the IVF accelerator; the index itself is built lazily on the
-    * next unfiltered query (and rebuilt when the store has mutated).
+    * next unfiltered query (and refreshed when the store has mutated).
     */
   def enableAnn(nList: Int): Unit = { annNList = Some(nList) }
+
+  /** Introspection: (enabled, nList, lastRebuildMode, upToDate) — the
+    * reference records `_last_faiss_rebuild_mode` the same way
+    * (pico_vdb.py:884-921).
+    */
+  def annInfo: AnnInfo = AnnInfo(
+    enabled = annNList.isDefined,
+    nList = annNList.getOrElse(0),
+    lastRebuildMode = annLastRebuildMode,
+    upToDate = annIndex.isDefined && annVersion == storeVersion)
 
   private def annUpToDate: Option[graft.operators.IvfIndex] =
     annIndex.filter(_ => annVersion == storeVersion)
 
+  /** Lazy maintenance with the reference's incremental rule
+    * (pico_vdb.py:866-921): if the mutation volume since the last FULL
+    * fit stays within AnnIncrRatio of the store, re-bucket rows under
+    * the existing centroids (one narrow pass, no k-means); past the
+    * ratio, refit from scratch.
+    */
   private def refreshAnn(): Option[graft.operators.IvfIndex] = annNList.map { n =>
     annUpToDate.getOrElse {
-      val idx = graft.operators.IvfIndex.build(active, "_id_", "_vector_", n)
+      val act = active
+      val idx = annIndex match {
+        case Some(prev)
+            if prev.dim == dim && prev.nList == n &&
+               annMutationsSinceFit.toDouble <=
+                 VdbStore.AnnIncrRatio * math.max(1L, act.count()) =>
+          annLastRebuildMode = "incremental"
+          graft.operators.IvfIndex.assign(act, prev.centroids, "_id_", "_vector_")
+        case _ =>
+          annLastRebuildMode = "full"
+          annMutationsSinceFit = 0L
+          graft.operators.IvfIndex.build(act, "_id_", "_vector_", n)
+      }
+      annIndex.foreach(_.unpersistAssigned())
       annIndex = Some(idx)
       annVersion = storeVersion
       idx
+    }
+  }
+
+  private[core] def annStateForSave: Option[(Int, Array[Array[Double]])] =
+    for { n <- annNList; idx <- annIndex } yield (n, idx.centroids)
+
+  /** Restore a persisted index: re-enable ANN and re-bucket lazily under
+    * the saved centroids; a dim mismatch drops the centroids and forces
+    * a rebuild on next use (pico_vdb.py:260-283 analog).
+    */
+  private[core] def restoreAnn(nList: Int, centroids: Array[Array[Double]]): Unit = {
+    annNList = Some(nList)
+    if (centroids.nonEmpty && centroids(0).length == dim) {
+      annIndex = Some(
+        graft.operators.IvfIndex.assign(active, centroids, "_id_", "_vector_"))
+      annVersion = storeVersion
+      annLastRebuildMode = "restored"
     }
   }
 
@@ -128,6 +179,7 @@ final class VdbStore private (
       .unionByName(lastWins)
       .unionByName(keptTombstones)
     swap(next)
+    annMutationsSinceFit += batchIds.size
     UpsertReport(updates.toSeq.sorted, inserts.sorted)
   }
 
@@ -148,6 +200,7 @@ final class VdbStore private (
       .unionByName(prepared)
       .unionByName(current.filter(col("deleted")))
     swap(next)
+    annMutationsSinceFit += nUpd + nIns
     (nUpd, nIns)
   }
 
@@ -277,6 +330,7 @@ final class VdbStore private (
         .withColumn("deleted", col("deleted") || coalesce(col("_hit_"), lit(false)))
         .drop("_hit_")
       swap(next)
+      annMutationsSinceFit += removed.size
     }
     removed.sorted
   }
@@ -345,7 +399,8 @@ final class VdbStore private (
     }
     val kv = additionalData.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }.mkString(",")
-    s"""{"embedding_dim": $dim, "additional_data": {$kv}}"""
+    val ann = annNList.map(n => s""""ann_nlist": $n, """).getOrElse("")
+    s"""{"embedding_dim": $dim, $ann"additional_data": {$kv}}"""
   }
 
   private def swap(next: DataFrame): Unit = {
@@ -374,6 +429,11 @@ object VdbStore {
     * shipped as broadcast DataFrame joins (no giant expression trees).
     */
   val InListMax: Int = 1000
+
+  /** Incremental-vs-full ANN refresh threshold: mutations since the last
+    * full fit / active rows (reference default 0.2, pico_vdb.py:152-159).
+    */
+  val AnnIncrRatio: Double = 0.2
 
   /** Driver-side twin of the `content_id` expression: md5 hex over the
     * normalized vector's little-endian float32 bytes (pico_vdb.py:54-55).

@@ -79,6 +79,51 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(ann == exact)
   }
 
+  test("small upsert refreshes incrementally (no refit); large churn refits (test_task36 analog)") {
+    val s = VdbStore.empty(spark, 4)
+    val recs = (0 until 100).map { i =>
+      val v = new Array[Float](4); v(i % 4) = 1f
+      VdbRecord(s"r$i", v, null)
+    }
+    s.upsert(recs)
+    s.enableAnn(nList = 4)
+    s.queryOne(Array(1f, 0f, 0f, 0f), topK = 3)
+    assert(s.annInfo.lastRebuildMode == "full" && s.annInfo.upToDate)
+
+    // 5/100 mutated = 5% <= 20% ratio -> incremental (centroids kept)
+    s.upsert((0 until 5).map { i =>
+      val v = new Array[Float](4); v(i % 4) = 1f; v((i + 1) % 4) = 0.2f
+      VdbRecord(s"x$i", v, null)
+    })
+    s.queryOne(Array(1f, 0f, 0f, 0f), topK = 3)
+    assert(s.annInfo.lastRebuildMode == "incremental" && s.annInfo.upToDate)
+
+    // 40 more mutations -> 45/105 > 20% -> full refit
+    s.upsert((0 until 40).map { i =>
+      val v = new Array[Float](4); v((i + 2) % 4) = 1f
+      VdbRecord(s"y$i", v, null)
+    })
+    s.queryOne(Array(1f, 0f, 0f, 0f), topK = 3)
+    assert(s.annInfo.lastRebuildMode == "full")
+  }
+
+  test("ANN state survives save/load; reload answers without refit (test_task15 analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("vdbann").toString + "/store"
+    val s = VdbStore.empty(spark, 4)
+    s.upsert((0 until 80).map { i =>
+      val v = new Array[Float](4); v(i % 4) = 1f
+      VdbRecord(s"r$i", v, null)
+    })
+    s.enableAnn(nList = 4)
+    val before = s.queryOne(Array(0f, 1f, 0f, 0f), topK = 5).map(_.id)
+    s.save(dir)
+    val loaded = VdbStore.load(spark, dir)
+    assert(loaded.annInfo.enabled && loaded.annInfo.lastRebuildMode == "restored")
+    val after = loaded.queryOne(Array(0f, 1f, 0f, 0f), topK = 5).map(_.id)
+    assert(after == before)
+    assert(loaded.annInfo.lastRebuildMode == "restored") // no refit happened
+  }
+
   test("VdbStore lazy ANN: unfiltered queries use it, filtered bypass (O28), mutation dirties it (O26)") {
     val s = VdbStore.empty(spark, 4)
     val recs = (0 until 60).map { i =>
