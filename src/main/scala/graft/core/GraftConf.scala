@@ -1,0 +1,34 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuning knobs (O31): resolved from `spark.conf` (`graft.*` keys) with
+  * environment-variable fallback, mirroring the reference's ctor+env
+  * scheme (pico_vdb.py:110-164, PICOVDB_* vars;
+  * tests/test_task48_tuning_knobs.py). Most reference knobs vanish on
+  * Spark (Catalyst owns the physical plan); what remains are the ones
+  * our own operators consult.
+  */
+final class GraftConf(spark: SparkSession) extends Serializable {
+
+  private def opt(key: String, env: String): Option[String] =
+    spark.conf.getOption(s"graft.$key").orElse(sys.env.get(env))
+
+  /** Id lists above this size ship as broadcast joins, not `isin`. */
+  def inListMax: Int =
+    opt("inlist.max", "GRAFT_INLIST_MAX").map(_.toInt)
+      .getOrElse(VdbStore.InListMax)
+
+  /** Incremental-vs-full ANN refresh ratio (reference default 0.2). */
+  def annIncrRatio: Double =
+    opt("ann.incr.ratio", "GRAFT_ANN_INCR_RATIO").map(_.toDouble)
+      .getOrElse(VdbStore.AnnIncrRatio)
+
+  /** Default probe count for IVF search (the efSearch analog). */
+  def annNProbe: Int =
+    opt("ann.nprobe", "GRAFT_ANN_NPROBE").map(_.toInt).getOrElse(4)
+
+  /** Driver-side sample cap for the k-means fit. */
+  def annSampleCap: Int =
+    opt("ann.sample.cap", "GRAFT_ANN_SAMPLE_CAP").map(_.toInt).getOrElse(20000)
+}

@@ -72,11 +72,12 @@ object StoreIO {
       val centroids =
         if (fs.exists(annPath))
           spark.read.parquet(annPath.toString)
-            .orderBy("cid").collect()
+            .select("cid", "c").orderBy("cid").collect()
             .map(_.getSeq[Double](1).toArray)
         else Array.empty[Array[Double]]
       store.restoreAnn(n, centroids)
     }
+    store.storagePath = Some(path)
     store
   }
 

@@ -18,7 +18,9 @@ final case class UpsertReport(update: Seq[String], insert: Seq[String])
 final case class AnnInfo(enabled: Boolean, nList: Int,
                          lastRebuildMode: String, upToDate: Boolean)
 
-final case class VdbStats(active: Long, deleted: Long, total: Long, dim: Int)
+final case class VdbStats(active: Long, deleted: Long, total: Long, dim: Int,
+                          fileSizeBytes: Option[Long] = None,
+                          ann: AnnInfo = AnnInfo(false, 0, "none", false))
 
 /** Spark-native re-expression of the reference store
   * (/root/reference/picovdb/pico_vdb.py).
@@ -44,8 +46,33 @@ final class VdbStore private (
 
   import VdbStore._
 
+  private val conf = new GraftConf(spark)
+
   /** Snapshot of the current store DataFrame (immutable). */
   def df: DataFrame = current
+
+  // --- O30 timing/telemetry: the reference's `_timed` DEBUG decorator
+  // (pico_vdb.py:81-94). Each public op records its wall time and tags
+  // the Spark jobs it launches with a descriptive job description.
+  @volatile private var timings: Map[String, Double] = Map.empty
+
+  /** Seconds spent by the most recent invocation of each operation. */
+  def lastTimings: Map[String, Double] = timings
+
+  private def timed[T](op: String)(f: => T): T = {
+    spark.sparkContext.setJobDescription(s"graft.vdb.$op")
+    val t0 = System.nanoTime()
+    try f
+    finally {
+      val dt = (System.nanoTime() - t0) / 1e9
+      timings += (op -> dt)
+      VdbStore.log.debug("{} took {} s", op, dt)
+      spark.sparkContext.setJobDescription(null)
+    }
+  }
+
+  // Where this store was last saved to / loaded from (for stats file sizes).
+  @volatile private[core] var storagePath: Option[String] = None
 
   // --- ANN (IVF) accelerator state: lazy + dirty-flagged like the
   // reference's FAISS maintenance (pico_vdb.py:195-204, 497, 536).
@@ -82,23 +109,26 @@ final class VdbStore private (
     */
   private def refreshAnn(): Option[graft.operators.IvfIndex] = annNList.map { n =>
     annUpToDate.getOrElse {
-      val act = active
-      val idx = annIndex match {
-        case Some(prev)
-            if prev.dim == dim && prev.nList == n &&
-               annMutationsSinceFit.toDouble <=
-                 VdbStore.AnnIncrRatio * math.max(1L, act.count()) =>
-          annLastRebuildMode = "incremental"
-          graft.operators.IvfIndex.assign(act, prev.centroids, "_id_", "_vector_")
-        case _ =>
-          annLastRebuildMode = "full"
-          annMutationsSinceFit = 0L
-          graft.operators.IvfIndex.build(act, "_id_", "_vector_", n)
+      timed("ann_refresh") {
+        val act = active
+        val idx = annIndex match {
+          case Some(prev)
+              if prev.dim == dim && prev.nList == n &&
+                 annMutationsSinceFit.toDouble <=
+                   conf.annIncrRatio * math.max(1L, act.count()) =>
+            annLastRebuildMode = "incremental"
+            graft.operators.IvfIndex.assign(act, prev.centroids, "_id_", "_vector_")
+          case _ =>
+            annLastRebuildMode = "full"
+            annMutationsSinceFit = 0L
+            graft.operators.IvfIndex.build(act, "_id_", "_vector_", n,
+              sampleCap = conf.annSampleCap)
+        }
+        annIndex.foreach(_.unpersistAssigned())
+        annIndex = Some(idx)
+        annVersion = storeVersion
+        idx
       }
-      annIndex.foreach(_.unpersistAssigned())
-      annIndex = Some(idx)
-      annVersion = storeVersion
-      idx
     }
   }
 
@@ -129,7 +159,7 @@ final class VdbStore private (
     * (pico_vdb.py:424-427). Within a batch, the LAST record for an id wins
     * (the reference processes items sequentially).
     */
-  def upsert(records: Seq[VdbRecord]): UpsertReport = {
+  def upsert(records: Seq[VdbRecord]): UpsertReport = timed("upsert") {
     records.foreach { r =>
       require(r.vector.length == dim,
         s"Vector dimension mismatch: expected $dim, got ${r.vector.length}")
@@ -220,13 +250,21 @@ final class VdbStore private (
     * transiently (the reference also runs filtered queries on a sliced
     * matrix, pico_vdb.py:683-689).
     */
+  /** `whereFn` is the reference's arbitrary-callable predicate
+    * (pico_vdb.py:643-654): an opaque function over the raw meta JSON
+    * (null for records without metadata). It cannot be pushed down — it
+    * costs a full scan in both systems — and is re-checked post-score on
+    * the assembled hits exactly like the reference re-validates after
+    * releasing its lock (pico_vdb.py:768-770).
+    */
   def query(
       vectors: Seq[Array[Float]],
       topK: Int = 10,
       betterThan: Option[Double] = None,
       where: Option[Column] = None,
       ids: Option[Seq[String]] = None,
-      nProbe: Int = 4): Seq[Seq[VdbHit]] = {
+      whereFn: Option[String => Boolean] = None,
+      nProbe: Int = 0): Seq[Seq[VdbHit]] = timed("query") {
     vectors.foreach { v =>
       require(v.length == dim,
         s"Query dimension mismatch: expected $dim, got ${v.length}")
@@ -237,23 +275,28 @@ final class VdbStore private (
     var cand = active
     ids.foreach { list =>
       cand =
-        if (list.size <= VdbStore.InListMax) cand.filter(col("_id_").isin(list: _*))
+        if (list.size <= conf.inListMax) cand.filter(col("_id_").isin(list: _*))
         else cand.join(broadcast(list.distinct.toDF("_id_")), Seq("_id_"), "left_semi")
     }
     where.foreach { p => cand = cand.filter(p) }
+    whereFn.foreach { f =>
+      val u = udf((m: String) => f(m))
+      cand = cand.filter(u(col("meta")))
+    }
 
     // O28 bypass rule (pico_vdb.py:667-668): any ids/where restriction
     // forces the exact path; the ANN accelerator only serves unfiltered
     // queries, and is (re)built lazily here when dirty (O26).
-    val unfiltered = ids.isEmpty && where.isEmpty
+    val unfiltered = ids.isEmpty && where.isEmpty && whereFn.isEmpty
     val ann = if (unfiltered && betterThan.isEmpty) refreshAnn() else None
+    val probes = if (nProbe > 0) nProbe else conf.annNProbe
 
     val queries = vectors.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toArray
     // (qid, id, score, rank) on the driver — Q x k rows either way
     val ranked: Seq[(Long, String, Double, Int)] = ann match {
       case Some(idx) =>
         val normQ = queries.map { case (i, v) => (i, NormalizeL2.normalize(v)) }
-        idx.search(normQ, topK, nProbe)
+        idx.search(normQ, topK, probes)
           .select(col("qid"), col("id"), col("score"), col("rank"))
           .collect()
           .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
@@ -277,7 +320,7 @@ final class VdbStore private (
       grouped.getOrElse(i.toLong, Seq.empty).sortBy(_._4).flatMap {
         case (_, id, score, _) =>
           byId.get(id).map(h => VdbHit(id, score, h.metaJson, h.vector))
-      }
+      }.filter(h => whereFn.forall(f => f(h.metaJson.orNull))) // post-score recheck
     }
   }
 
@@ -304,8 +347,9 @@ final class VdbStore private (
   def queryOne(vector: Array[Float], topK: Int = 10,
                betterThan: Option[Double] = None,
                where: Option[Column] = None,
-               ids: Option[Seq[String]] = None): Seq[VdbHit] =
-    query(Seq(vector), topK, betterThan, where, ids).head
+               ids: Option[Seq[String]] = None,
+               whereFn: Option[String => Boolean] = None): Seq[VdbHit] =
+    query(Seq(vector), topK, betterThan, where, ids, whereFn).head
 
   // ---------------------------------------------------------------- delete
 
@@ -315,7 +359,7 @@ final class VdbStore private (
     * `isin` expression tree — a 1M-id delete stays a hash join, not a
     * megabyte-scale plan (VERDICT r1 "what's wrong" #2).
     */
-  def delete(ids: Seq[String]): Seq[String] = {
+  def delete(ids: Seq[String]): Seq[String] = timed("delete") {
     import spark.implicits._
     val idsDf = ids.distinct.toDF("_id_")
     val removed = active
@@ -340,7 +384,7 @@ final class VdbStore private (
   def get(ids: Seq[String], includeVector: Boolean = false): Seq[VdbHit] = {
     import spark.implicits._
     val src =
-      if (ids.size <= VdbStore.InListMax) active.filter(col("_id_").isin(ids: _*))
+      if (ids.size <= conf.inListMax) active.filter(col("_id_").isin(ids: _*))
       else active.join(broadcast(ids.distinct.toDF("_id_")), Seq("_id_"), "left_semi")
     val rows = src
       .select(col("_id_"), col("meta"), col("_vector_"))
@@ -367,10 +411,22 @@ final class VdbStore private (
   def count(): Long = active.count()
   def capacity(): Long = current.count()
 
+  /** O22: active/deleted/total/dim plus on-disk footprint (when the
+    * store has been saved/loaded) and index state — the reference's
+    * stats dict reports file sizes and FAISS/memmap state the same way
+    * (pico_vdb.py:798-829).
+    */
   def stats(): VdbStats = {
     val total = current.count()
     val act = count()
-    VdbStats(act, total - act, total, dim)
+    val size = storagePath.flatMap { p =>
+      try {
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(path)) Some(fs.getContentSummary(path).getLength) else None
+      } catch { case _: java.io.IOException => None }
+    }
+    VdbStats(act, total - act, total, dim, size, annInfo)
   }
 
   // ---------------------------------------------------------------- vacuum
@@ -390,7 +446,10 @@ final class VdbStore private (
     * over the target (the reference's tmp-file + os.replace,
     * pico_vdb.py:343-393).
     */
-  def save(path: String): Unit = StoreIO.save(this, path)
+  def save(path: String): Unit = timed("save") {
+    StoreIO.save(this, path)
+    storagePath = Some(path)
+  }
 
   private[core] def metaJson: String = {
     def esc(s: String) = s.flatMap {
@@ -434,6 +493,8 @@ object VdbStore {
     * full fit / active rows (reference default 0.2, pico_vdb.py:152-159).
     */
   val AnnIncrRatio: Double = 0.2
+
+  private[core] val log = org.slf4j.LoggerFactory.getLogger("graft.vdb")
 
   /** Driver-side twin of the `content_id` expression: md5 hex over the
     * normalized vector's little-endian float32 bytes (pico_vdb.py:54-55).

@@ -188,6 +188,42 @@ class VdbStoreSpec extends AnyFunSuite {
     assert(got.size == 500)
   }
 
+  test("callable where == dict where; post-score recheck applies (test_task34 analog)") {
+    val s = freshStore(3)
+    s.upsert(Seq(
+      rec("a", Array(1f, 0f, 0f), """{"g": "x"}"""),
+      rec("b", Array(0.9f, 0.1f, 0f), """{"g": "y"}"""),
+      rec("c", Array(0.8f, 0.2f, 0f), """{"g": "x"}"""),
+      rec("d", Array(0.7f, 0.3f, 0f), null)))
+    val q = Array(1f, 0f, 0f)
+    val dictWhere = s.queryOne(q, topK = 10,
+      where = Some(get_json_object(col("meta"), "$.g") === "x")).map(_.id)
+    val lambdaWhere = s.queryOne(q, topK = 10,
+      whereFn = Some((m: String) => m != null && m.contains(""""g": "x""""))).map(_.id)
+    assert(dictWhere == Seq("a", "c"))
+    assert(lambdaWhere == dictWhere)
+    // null-meta records reach the callable as null and can be selected
+    val nullOnly = s.queryOne(q, topK = 10, whereFn = Some((m: String) => m == null))
+    assert(nullOnly.map(_.id) == Seq("d"))
+  }
+
+  test("stats reports file sizes + ann state; ops record timings (O22/O30)") {
+    val dir = java.nio.file.Files.createTempDirectory("vdbstats").toString + "/store"
+    val s = freshStore(3)
+    s.upsert(Seq(rec("a", Array(1f, 0f, 0f)), rec("b", Array(0f, 1f, 0f))))
+    assert(s.stats().fileSizeBytes.isEmpty) // never saved
+    s.save(dir)
+    val st = s.stats()
+    assert(st.fileSizeBytes.exists(_ > 0))
+    assert(!st.ann.enabled)
+    s.queryOne(Array(1f, 0f, 0f))
+    val t = s.lastTimings
+    assert(t.contains("upsert") && t.contains("save") && t.contains("query"))
+    assert(t.values.forall(_ >= 0.0))
+    val loaded = VdbStore.load(spark, dir)
+    assert(loaded.stats().fileSizeBytes.exists(_ > 0))
+  }
+
   test("within-batch duplicate ids: last record wins (sequential upsert law)") {
     val s = freshStore(3)
     s.upsert(Seq(rec("a", Array(1f, 0f, 0f), """{"v": 1}"""),
