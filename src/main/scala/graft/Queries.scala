@@ -136,6 +136,16 @@ object Queries {
       max(col("n_tokens")).as("max_tokens"))
   }
 
+  /** BPE-ish token counting (pipeline op): alpha runs, digit runs, and
+    * single punctuation marks as separate tokens — the regex family BPE
+    * pre-tokenizers use — alongside the whitespace count.
+    */
+  def tokensBpeish(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"),
+      expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))")
+        .cast("long").as("n_bpe"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws"))
+
   /** Quality score (pipeline op): length score + stopword ratio. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
@@ -281,6 +291,7 @@ object Queries {
     "q17_agg_pricing" -> (aggPricing _),
     "q18_top_customers" -> (topCustomers _),
     "q19_latest_event" -> (latestEvent _),
+    "q27_tokens_bpeish" -> (tokensBpeish _),
   )
 }
 
@@ -442,5 +453,10 @@ object Oracles {
         |  SELECT user_id, event_type, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+    "q27_tokens_bpeish" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws
+        |FROM documents""".stripMargin,
   )
 }

@@ -128,6 +128,36 @@ object Dedup {
               (a, b) -> a + b)),
           s -> case when s > 0 then '1' else '0' end))""").as("simhash"))
 
+  /** Full-corpus embedding near-duplicate pairs, IVF-blocked: cluster
+    * the embedding column (sampled local k-means fit + one assignment
+    * pass), then compare pairs ONLY within each centroid bucket — the
+    * scale path the sampled crossJoin variant (Queries.embNearDup) is a
+    * demo of. Pair space shrinks from N^2 to sum(bucket^2); near-dups
+    * land in the same bucket because near-identical vectors share a
+    * nearest centroid (recall loss only at bucket boundaries, the
+    * standard IVF trade — raise nList for smaller buckets, or probe
+    * neighboring buckets for higher recall).
+    *
+    * Returns (a, b, score) with a < b and cosine >= threshold.
+    */
+  def embNearDupBlocked(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, nList: Int = 64,
+                        normalized: Boolean = false): DataFrame = {
+    val idx = IvfIndex.build(df, idCol, vecCol, nList, normalized = normalized)
+    val buckets = idx.assigned.select(
+      col("centroid_id"), col(idCol).as("bid"), col(vecCol).as("bvec"))
+    val x = buckets.select(col("centroid_id"), col("bid").as("a"), col("bvec").as("va"))
+    val y = buckets.select(col("centroid_id"), col("bid").as("b"), col("bvec").as("vb"))
+    val score =
+      if (normalized) graft.functions.dot_product(col("va"), col("vb"))
+      else graft.functions.cosine_sim(col("va"), col("vb"))
+    x.join(y, Seq("centroid_id"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), score.as("score"))
+      .filter(col("score") >= threshold)
+      .select(col("a"), col("b"), round(col("score"), 6).as("score"))
+  }
+
   /** True n-gram Jaccard for candidate pairs blocked by a shared prefix
     * fingerprint (cheap deterministic blocking).
     */
