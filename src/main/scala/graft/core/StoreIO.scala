@@ -4,27 +4,39 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
-/** Atomic persistence for a VdbStore: one parquet dataset + a tiny
-  * `_store_meta.json` ({embedding_dim, additional_data}), the Spark
-  * re-expression of the reference's 3-file format + atomic
-  * tmp-write-then-replace (pico_vdb.py:42-51, 343-393). Atomicity comes
-  * from writing everything under `<path>.tmp-<nonce>` and renaming the
-  * directory over the target; a crash mid-write leaves the old dataset
-  * untouched and at most a stale tmp dir.
+/** Atomic persistence for a VdbStore — the Spark re-expression of the
+  * reference's tmp-file + os.replace protocol (pico_vdb.py:343-393).
+  *
+  * Layout: `<path>/` is a root holding immutable versioned snapshots
+  * plus one pointer file:
+  * {{{
+  *   <path>/_current          # tiny file naming the live snapshot dir
+  *   <path>/v-<nonce>/        # parquet dataset + _store_meta.json
+  *                            #   (+ _ann_centroids parquet)
+  * }}}
+  * Save writes a brand-new snapshot dir, then atomically replaces the
+  * pointer FILE (single-file rename-with-overwrite — the os.replace
+  * analog; directory renames are not atomic-replace on HDFS-like
+  * filesystems). A crash at ANY point leaves `_current` naming a
+  * complete snapshot; stale snapshots are swept on the next save.
   */
 object StoreIO {
 
   private val MetaFile = "_store_meta.json"
   private val AnnDir = "_ann_centroids"
+  private val Pointer = "_current"
 
-  def save(store: VdbStore, path: String): Unit = {
+  /** Returns the written snapshot directory. */
+  def save(store: VdbStore, path: String): String = {
     val spark = store.spark
     val conf = spark.sparkContext.hadoopConfiguration
-    val target = new Path(path)
-    val fs = target.getFileSystem(conf)
-    val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val version = "v-" + java.util.UUID.randomUUID().toString.take(12)
+    val snap = new Path(root, version)
     try {
-      store.df.write.mode("overwrite").parquet(tmp.toString)
+      store.df.write.mode("overwrite").parquet(snap.toString)
       // IVF index state rides along: centroids in an underscore-prefixed
       // subdir (invisible to the main parquet reader), nList in the meta
       // (reference persists its FAISS file next to the store the same
@@ -35,40 +47,60 @@ object StoreIO {
           .map { case (c, i) => (i, c.toSeq) }
           .toDF("cid", "c")
           .coalesce(1)
-          .write.mode("overwrite").parquet(new Path(tmp, AnnDir).toString)
+          .write.mode("overwrite").parquet(new Path(snap, AnnDir).toString)
       }
-      val out = fs.create(new Path(tmp, MetaFile), true)
+      val out = fs.create(new Path(snap, MetaFile), true)
       try out.write(store.metaJson.getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      val backup = new Path(path + ".old-" + java.util.UUID.randomUUID().toString.take(8))
-      val hadOld = fs.exists(target)
-      if (hadOld && !fs.rename(target, backup))
-        throw new java.io.IOException(s"could not stage old store at $target")
-      if (!fs.rename(tmp, target)) {
-        if (hadOld) fs.rename(backup, target) // roll back
-        throw new java.io.IOException(s"could not move new store to $target")
-      }
-      if (hadOld) fs.delete(backup, true)
-    } finally {
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+
+      // Atomic pointer flip: write _current.tmp, rename over _current.
+      val tmpPtr = new Path(root, Pointer + ".tmp-" + version)
+      val po = fs.create(tmpPtr, true)
+      try po.write(version.getBytes(StandardCharsets.UTF_8))
+      finally po.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+      fc.rename(tmpPtr, new Path(root, Pointer),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case e: Throwable =>
+        if (fs.exists(snap)) fs.delete(snap, true)
+        throw e
     }
+    // Best-effort sweep of superseded snapshots and stale tmp pointers.
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      val stale = (name.startsWith("v-") && name != version) ||
+        name.startsWith(Pointer + ".tmp-")
+      if (stale) try fs.delete(st.getPath, true)
+      catch { case _: java.io.IOException => () }
+    }
+    snap.toString
   }
 
   def load(spark: SparkSession, path: String): VdbStore = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val target = new Path(path)
-    val fs = target.getFileSystem(conf)
-    val metaPath = new Path(target, MetaFile)
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val ptr = new Path(root, Pointer)
+    // Legacy layout (round-1 saves): dataset directly under <path>.
+    val dataDir =
+      if (fs.exists(ptr)) {
+        val in = fs.open(ptr)
+        val version =
+          try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
+          finally in.close()
+        new Path(root, version)
+      } else root
     val metaStr = {
-      val in = fs.open(metaPath)
+      val in = fs.open(new Path(dataDir, MetaFile))
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
     }
     val (dim, annNList, additional) = parseMeta(metaStr)
-    val df = spark.read.schema(VdbStore.schema).parquet(path)
+    val df = spark.read.schema(VdbStore.schema).parquet(dataDir.toString)
     val store = VdbStore.fromDF(spark, dim, df, additional)
     annNList.foreach { n =>
-      val annPath = new Path(target, AnnDir)
+      val annPath = new Path(dataDir, AnnDir)
       val centroids =
         if (fs.exists(annPath))
           spark.read.parquet(annPath.toString)

@@ -447,8 +447,17 @@ final class VdbStore private (
     * pico_vdb.py:343-393).
     */
   def save(path: String): Unit = timed("save") {
-    StoreIO.save(this, path)
+    val snapDir = StoreIO.save(this, path)
     storagePath = Some(path)
+    // Re-point the store's lineage at the fresh snapshot: the save swept
+    // superseded snapshot dirs, and a lazily-loaded lineage (or an
+    // evicted cache partition) must never recompute from deleted files.
+    // Bumping the version also re-buckets the ANN/pack caches from the
+    // new lineage on next use (incremental, no refit).
+    val old = current
+    current = spark.read.schema(VdbStore.schema).parquet(snapDir).cache()
+    storeVersion += 1
+    old.unpersist(false)
   }
 
   private[core] def metaJson: String = {

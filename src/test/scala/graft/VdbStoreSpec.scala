@@ -142,6 +142,21 @@ class VdbStoreSpec extends AnyFunSuite {
     assert(VdbStore.load(spark, dir).count() == 1)
   }
 
+  test("versioned save keeps one live snapshot + atomic pointer; saver stays usable") {
+    val dir = java.nio.file.Files.createTempDirectory("vdbver").toString + "/store"
+    val s = freshStore(3)
+    s.upsert(Seq(rec("a", Array(1f, 0f, 0f))))
+    s.save(dir)
+    s.upsert(Seq(rec("b", Array(0f, 1f, 0f))))
+    s.save(dir)
+    val names = new java.io.File(dir).listFiles.map(_.getName)
+    assert(names.count(_.startsWith("v-")) == 1) // superseded snapshot swept
+    assert(names.contains("_current"))
+    // the saving store still answers (lineage re-pointed at the new snapshot)
+    assert(s.count() == 2 && s.queryOne(Array(0f, 1f, 0f), 1).head.id == "b")
+    assert(VdbStore.load(spark, dir).count() == 2)
+  }
+
   test("batch query returns one hit list per query vector (test_more.py:151-155)") {
     val s = freshStore(3)
     s.upsert(Seq(rec("e0", Array(1f, 0f, 0f)), rec("e1", Array(0f, 1f, 0f))))
