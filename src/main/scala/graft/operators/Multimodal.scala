@@ -61,4 +61,55 @@ object Multimodal {
       }
     }
   }
+
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("src_width", IntegerType, nullable = false),
+    StructField("src_height", IntegerType, nullable = false),
+    StructField("out_width", IntegerType, nullable = false),
+    StructField("out_height", IntegerType, nullable = false)))
+
+  /** Aspect-preserving resize planning: decode source dims (stubbed codec,
+    * real batch shape) and emit the target box fit. The pixel transform
+    * itself would run here in the same partition pass with a real codec;
+    * the geometry — the part an engine owns — is exact.
+    */
+  def resizePlan(df: DataFrame, idCol: String, payloadCol: String,
+                 maxW: Int, maxH: Int,
+                 decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val src = df.select(col(idCol).cast("long").as("doc_id"),
+      col(payloadCol).cast("binary").as("payload"))
+    implicit val enc = RowEncoder.encoderFor(resizeSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, _) = decoder.decode(r.getAs[Array[Byte]](1))
+        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        Row(r.getLong(0), w, h,
+          math.max(1, math.round(w * scale).toInt),
+          math.max(1, math.round(h * scale).toInt))
+      }
+    }
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("sampled", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  /** Frame sampling for video-shaped payloads: every `stride`-th frame
+    * index (always including frame 0), one partition pass.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+                   stride: Int, decoder: MediaDecoder = StubDecoder): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    val src = df.select(col(idCol).cast("long").as("doc_id"),
+      col(payloadCol).cast("binary").as("payload"))
+    implicit val enc = RowEncoder.encoderFor(frameSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val (_, _, n) = decoder.decode(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), n, (0 until n by stride).toArray)
+      }
+    }
+  }
 }
