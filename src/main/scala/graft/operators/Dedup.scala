@@ -66,6 +66,11 @@ object Dedup {
     // caching. Explicit numPartitions so AQE doesn't coalesce it away.
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     val sets = shingleSets(spread, idCol, textCol, shingleN).cache()
+    // Materialize the cache once, eagerly: the signature branch and the
+    // two verify branches otherwise race to build the same InMemoryRelation
+    // concurrently under AQE, each paying the full (HOF-interpreted)
+    // shingle projection.
+    sets.count()
     val shingleRows = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val sigCols = (0 until numHashes).map { s =>
       min(md5(concat(lit(s + ":"), col("shingle")).cast("binary"))).as(s"sig$s")

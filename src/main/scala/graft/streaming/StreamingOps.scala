@@ -38,4 +38,37 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Streaming exact dedup with CUSTOM STATE: keyed by content hash,
+    * `flatMapGroupsWithState` keeps one boolean of state per key and
+    * emits only the FIRST occurrence of each distinct content across
+    * the whole stream (the continuous twin of `Dedup.exact`). State is
+    * per-key-partitioned, so it scales horizontally; at 100 TB the
+    * state store holds one bit + key per distinct document.
+    *
+    * Input columns: (doc_id string, text string).
+    * Output: (doc_id, text) of first-seen documents.
+    */
+  def dedupStream(stream: DataFrame): org.apache.spark.sql.Dataset[(String, String)] = {
+    import stream.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val keyed = stream
+      .select(col("doc_id").cast("string"), col("text").cast("string"))
+      .as[(String, String)]
+      .groupByKey { case (_, text) =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      }
+    keyed.flatMapGroupsWithState[Boolean, (String, String)](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      case (_, rows, state: GroupState[Boolean]) =>
+        if (state.exists) Iterator.empty
+        else {
+          state.update(true)
+          // within one micro-batch, the smallest doc_id wins (deterministic)
+          val first = rows.minBy(_._1)
+          Iterator.single(first)
+        }
+    }
+  }
 }

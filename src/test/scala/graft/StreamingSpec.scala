@@ -28,6 +28,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.queryOne(Array(1f, 0f, 0f), topK = 1).head.id == "a")
   }
 
+  test("stateful streaming dedup emits only first-seen content across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val dedup = graft.streaming.StreamingOps.dedupStream(stream)
+
+    mem.addData(("d1", "alpha beta"), ("d2", "gamma"), ("d3", "alpha beta"))
+    val q = dedup.toDF("doc_id", "text").writeStream.outputMode("append")
+      .format("memory").queryName("dedup1")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val batch1 = spark.table("dedup1").as[(String, String)].collect().toSet
+    assert(batch1 == Set(("d1", "alpha beta"), ("d2", "gamma"))) // d3 is a dup
+
+    // later micro-batch: duplicate of earlier content is suppressed by state
+    mem.addData(("d4", "gamma"), ("d5", "delta"))
+    val q2 = dedup.toDF("doc_id", "text").writeStream.outputMode("append")
+      .format("memory").queryName("dedup2")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    val all = spark.table("dedup2").as[(String, String)].collect().toSet
+    // fresh checkpoint replays everything: d1/d2 first-seen, then d5; d3/d4 dups
+    assert(all == Set(("d1", "alpha beta"), ("d2", "gamma"), ("d5", "delta")))
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
