@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the physical plans the engine relies on
+  * for scale (pushdown to the parquet scan, column pruning, broadcast
+  * joins for id lists) must stay that way.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString("UTF-8")
+  }
+
+  test("point lookup pushes the id filter into the parquet scan") {
+    val plan = formatted(Queries.pointLookup(spark, dir))
+    assert(plan.contains("PushedFilters: [In(vec_id"))
+  }
+
+  test("count-by-label prunes to the single needed column") {
+    val plan = formatted(Queries.countByLabel(spark, dir))
+    assert(plan.contains("ReadSchema: struct<label:int>"))
+    assert(plan.contains("partial_count")) // map-side combine before the exchange
+  }
+
+  test("agg pricing reads only the referenced lineitem columns") {
+    val plan = formatted(Queries.aggPricing(spark, dir))
+    assert(!plan.contains("l_orderkey")) // untouched columns pruned from the scan
+    assert(plan.contains("partial_sum"))
+  }
+
+  test("GraftExtensions injects the vector functions without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // builders are the same ones
+                                     // registerAll wires (SQL covered in
+                                     // VectorFunctionsSpec)
+  }
+
+  test("large-id-list delete plans a broadcast join, not an isin tree") {
+    import org.apache.spark.sql.functions._
+    val s = graft.core.VdbStore.empty(spark, 3)
+    s.upsert((0 until 50).map(i =>
+      graft.core.VdbRecord(f"id$i%05d", Array(1f, 0f, 0f), null)))
+    val ids = (0 until 2000).map(i => f"id$i%05d") // > InListMax
+    import spark.implicits._
+    val plan = formatted(
+      s.active.join(broadcast(ids.toDF("_id_")), Seq("_id_"), "left_semi"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+}
