@@ -411,6 +411,31 @@ final class VdbStore private (
   def count(): Long = active.count()
   def capacity(): Long = current.count()
 
+  /** Deprecated alias of [[capacity]] (total slots incl. tombstones) —
+    * kept for API parity with the reference (pico_vdb.py:304-316).
+    */
+  @deprecated("use count() for active items or capacity() for total slots", "0.1.0")
+  def size(): Long = capacity()
+
+  /** Memmap flush is a no-op on Spark (no dirty in-place pages; O3
+    * documented drop, pico_vdb.py:395-401). Kept for API parity.
+    */
+  def flush(): Unit = ()
+
+  /** Force an immediate FULL index rebuild if ANN is enabled, clearing
+    * the dirty state (pico_vdb.py:959 `rebuild_index`).
+    */
+  def rebuildIndex(): Unit = if (annNList.isDefined) {
+    annIndex = None // drop centroids so refresh takes the full-fit branch
+    refreshAnn()
+    ()
+  }
+
+  /** Deprecated single-id getter (pico_vdb.py:959-975 `get_by_id`). */
+  @deprecated("use get(Seq(id))", "0.1.0")
+  def getById(id: String, includeVector: Boolean = false): Option[VdbHit] =
+    get(Seq(id), includeVector).headOption
+
   /** O22: active/deleted/total/dim plus on-disk footprint (when the
     * store has been saved/loaded) and index state — the reference's
     * stats dict reports file sizes and FAISS/memmap state the same way

@@ -124,6 +124,21 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(loaded.annInfo.lastRebuildMode == "restored") // no refit happened
   }
 
+  test("rebuildIndex forces an immediate full refit (pico rebuild_index)") {
+    val s = VdbStore.empty(spark, 4)
+    s.upsert((0 until 60).map { i =>
+      val v = new Array[Float](4); v(i % 4) = 1f
+      VdbRecord(s"r$i", v, null)
+    })
+    s.enableAnn(nList = 4)
+    s.queryOne(Array(1f, 0f, 0f, 0f), topK = 3)
+    s.upsert(Seq(VdbRecord("extra", Array(0f, 0f, 0f, 1f), null)))
+    s.queryOne(Array(1f, 0f, 0f, 0f), topK = 3)
+    assert(s.annInfo.lastRebuildMode == "incremental")
+    s.rebuildIndex()
+    assert(s.annInfo.lastRebuildMode == "full" && s.annInfo.upToDate)
+  }
+
   test("VdbStore lazy ANN: unfiltered queries use it, filtered bypass (O28), mutation dirties it (O26)") {
     val s = VdbStore.empty(spark, 4)
     val recs = (0 until 60).map { i =>
