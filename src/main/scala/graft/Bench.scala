@@ -143,6 +143,22 @@ object Bench {
         ()
       }
     }.min
+
+    // Filtered-scenario matrix (bench/numpy_query_profiler.py analog):
+    // candidate restriction happens BEFORE packing, like the reference
+    // slices its matrix to candidate rows (pico_vdb.py:683-689); the
+    // timed region includes that slice+pack, which is the honest cost of
+    // a filtered query on this architecture.
+    results("picovdb_batch_1000q_ids10") = timed {
+      val sub = BlockStore.fromRDD(raw.filter(_._1 % 10 == 0), normalize = true)
+      CosineTopK.gemmBlocks(sub, queries, topK, betterThan = Some(0.1)).count()
+      ()
+    }
+    results("picovdb_batch_1000q_where50") = timed {
+      val sub = BlockStore.fromRDD(raw.filter(_._1 % 2 == 0), normalize = true)
+      CosineTopK.gemmBlocks(sub, queries, topK, betterThan = Some(0.1)).count()
+      ()
+    }
     store.unpersist()
     raw.unpersist()
 

@@ -220,8 +220,9 @@ final class VdbStore private (
     */
   def upsertDF(batch: DataFrame): (Long, Long) = {
     val prepared = batch
-      .withColumn("_vector_", normalize_l2(col("vector").cast(ArrayType(FloatType))))
-      .withColumn("_id_", coalesce(col("_id_"), content_id(col("vector"))))
+      .withColumn("_vecf_", col("vector").cast(ArrayType(FloatType)))
+      .withColumn("_vector_", normalize_l2(col("_vecf_")))
+      .withColumn("_id_", coalesce(col("_id_"), content_id(col("_vecf_"))))
       .select(col("_id_"), col("_vector_"), col("meta"), lit(false).as("deleted"))
     val nUpd = prepared.join(active.select("_id_"), Seq("_id_"), "left_semi").count()
     val nIns = prepared.count() - nUpd

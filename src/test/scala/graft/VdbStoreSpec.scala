@@ -239,6 +239,17 @@ class VdbStoreSpec extends AnyFunSuite {
     assert(loaded.stats().fileSizeBytes.exists(_ > 0))
   }
 
+  test("upsertDF coerces any numeric array dtype to float32 (test_task17 analog)") {
+    import spark.implicits._
+    val s = freshStore(3)
+    val batch = Seq(("d1", Seq(3.0, 4.0, 0.0), null: String))
+      .toDF("_id_", "vector", "meta") // array<double> in, float32 store
+    val (u, i) = s.upsertDF(batch)
+    assert(u == 0 && i == 1)
+    val v = s.get(Seq("d1"), includeVector = true).head.vector.get
+    assert(math.abs(v(0) - 0.6f) < 1e-6 && math.abs(v(1) - 0.8f) < 1e-6)
+  }
+
   test("within-batch duplicate ids: last record wins (sequential upsert law)") {
     val s = freshStore(3)
     s.upsert(Seq(rec("a", Array(1f, 0f, 0f), """{"v": 1}"""),
