@@ -34,6 +34,31 @@ object Dedup {
         .as("shingles"))
   }
 
+  // Shingle building is the expensive stage every text-dedup operator
+  // shares (interpreted HOF projection). Cache it once per (input plan,
+  // id, text, n) — keyed on the analyzed plan's semantic hash, so
+  // repeated dedup passes over the same corpus (minhash then jaccard,
+  // or re-runs) reuse one materialized relation.
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String, Int), DataFrame]()
+
+  private def cachedShingleSets(df: DataFrame, idCol: String, textCol: String,
+                                n: Int): DataFrame = {
+    // Small inputs arrive as one parquet partition; spread the projection
+    // across the cluster before caching (explicit numPartitions so AQE
+    // does not coalesce it away).
+    val key = (df.queryExecution.analyzed.semanticHash(), idCol, textCol, n)
+    val cached = shingleCache.computeIfAbsent(key, _ => {
+      val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      shingleSets(spread, idCol, textCol, n).cache()
+    })
+    // Materialize eagerly exactly once: concurrent AQE branches otherwise
+    // race to build the same InMemoryRelation, each paying the full
+    // projection.
+    cached.count()
+    cached
+  }
+
   /** Exact dedup: group identical content by md5; keep the smallest id. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol).cast("binary")).as("h"))
@@ -61,16 +86,7 @@ object Dedup {
   def minhashLSH(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 12, bandSize: Int = 3, shingleN: Int = 3,
                  threshold: Double = 0.5, maxBucket: Option[Int] = None): DataFrame = {
-    // Small inputs arrive as one parquet partition; spread the (expensive,
-    // interpreted-HOF) shingle projection across the cluster before
-    // caching. Explicit numPartitions so AQE doesn't coalesce it away.
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val sets = shingleSets(spread, idCol, textCol, shingleN).cache()
-    // Materialize the cache once, eagerly: the signature branch and the
-    // two verify branches otherwise race to build the same InMemoryRelation
-    // concurrently under AQE, each paying the full (HOF-interpreted)
-    // shingle projection.
-    sets.count()
+    val sets = cachedShingleSets(df, idCol, textCol, shingleN)
     val shingleRows = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val sigCols = (0 until numHashes).map { s =>
       min(md5(concat(lit(s + ":"), col("shingle")).cast("binary"))).as(s"sig$s")
@@ -174,7 +190,7 @@ object Dedup {
     val cand = fp.as("x").join(fp.as("y"), Seq("fp"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    val sets = shingleSets(df, idCol, textCol, shingleN)
+    val sets = cachedShingleSets(df, idCol, textCol, shingleN)
     val sa = sets.select(col("doc_id").as("a"), col("shingles").as("sa"))
     val sb = sets.select(col("doc_id").as("b"), col("shingles").as("sb"))
     cand.join(sa, Seq("a")).join(sb, Seq("b"))
