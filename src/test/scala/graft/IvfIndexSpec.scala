@@ -124,6 +124,36 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(loaded.annInfo.lastRebuildMode == "restored") // no refit happened
   }
 
+  test("ANN search never returns deleted ids; index tracks actives only (test_task13 analog)") {
+    val s = VdbStore.empty(spark, 8)
+    val rng = new scala.util.Random(77)
+    s.upsert((0 until 10).map { i =>
+      val v = Array.fill(8)(rng.nextFloat())
+      VdbRecord(s"id$i", v, null)
+    })
+    s.enableAnn(nList = 2)
+    s.queryOne(Array.fill(8)(rng.nextFloat()), topK = 10) // build
+    s.delete((0 until 5).map(i => s"id$i"))
+    val hits = s.queryOne(Array.fill(8)(rng.nextFloat()), topK = 10)
+    assert(hits.nonEmpty)
+    assert(hits.map(_.id).forall(id => id.drop(2).toInt >= 5))
+    assert(s.annInfo.upToDate) // refreshed over actives only
+  }
+
+  test("GraftConf resolves spark.conf overrides with defaults (test_task48 analog)") {
+    val conf = new graft.core.GraftConf(spark)
+    assert(conf.inListMax == 1000 && conf.annNProbe == 4 &&
+      conf.annIncrRatio == 0.2 && conf.annSampleCap == 20000)
+    spark.conf.set("graft.ann.nprobe", "9")
+    spark.conf.set("graft.inlist.max", "7")
+    try {
+      assert(conf.annNProbe == 9 && conf.inListMax == 7)
+    } finally {
+      spark.conf.unset("graft.ann.nprobe")
+      spark.conf.unset("graft.inlist.max")
+    }
+  }
+
   test("rebuildIndex forces an immediate full refit (pico rebuild_index)") {
     val s = VdbStore.empty(spark, 4)
     s.upsert((0 until 60).map { i =>

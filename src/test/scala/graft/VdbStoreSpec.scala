@@ -113,6 +113,20 @@ class VdbStoreSpec extends AnyFunSuite {
     assert(s.count() == 1 && s.capacity() == 1)
   }
 
+  test("getAll include_deleted shows id-only placeholders (test_task7)") {
+    val s = freshStore(3)
+    s.upsert(Seq(rec("0", Array(1f, 0f, 0f), """{"k": 0}"""),
+      rec("1", Array(0f, 1f, 0f), """{"k": 1}"""),
+      rec("2", Array(0f, 0f, 1f), """{"k": 2}""")))
+    s.delete(Seq("1"))
+    assert(s.getAll().map(_.id).toSet == Set("0", "2"))
+    val all = s.getAll(includeVector = true, includeDeleted = true)
+    assert(all.map(_.id).toSet == Set("0", "1", "2"))
+    val placeholder = all.find(_.id == "1").get
+    assert(placeholder.metaJson.isEmpty && placeholder.vector.isEmpty) // id-only
+    all.filter(_.id != "1").foreach(h => assert(h.vector.nonEmpty))
+  }
+
   test("get/getAll with and without vectors (test_task32)") {
     val s = freshStore(3)
     s.upsert(Seq(rec("a", Array(3f, 4f, 0f), """{"x": 1}""")))
