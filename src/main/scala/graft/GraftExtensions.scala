@@ -18,26 +18,38 @@ import graft.functions.{DotProduct, Float32LEBytes, L2NormSq, NormalizeL2}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name,
+            "expectedNum" -> n.toString,
+            "actualNum" -> es.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(es)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(es(0), es(1))))
+      arity("dot_product", 2)(es => DotProduct(es(0), es(1)))))
     ext.injectFunction((
       FunctionIdentifier("normalize_l2"),
       new ExpressionInfo(classOf[NormalizeL2].getName, "normalize_l2"),
-      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        NormalizeL2(es.head)))
+      arity("normalize_l2", 1)(es => NormalizeL2(es.head))))
     ext.injectFunction((
       FunctionIdentifier("float32_le_bytes"),
       new ExpressionInfo(classOf[Float32LEBytes].getName, "float32_le_bytes"),
-      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Float32LEBytes(es.head)))
+      arity("float32_le_bytes", 1)(es => Float32LEBytes(es.head))))
     ext.injectFunction((
       FunctionIdentifier("l2_norm_sq"),
       new ExpressionInfo(classOf[L2NormSq].getName, "l2_norm_sq"),
-      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        L2NormSq(es.head)))
+      arity("l2_norm_sq", 1)(es => L2NormSq(es.head))))
   }
 }

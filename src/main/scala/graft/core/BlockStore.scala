@@ -126,7 +126,11 @@ final class BlockStore[K](
     val qvecs: Array[Array[Float]] =
       if (cosineMode || !normalizeQueries) queries.map(_._2)
       else queries.map(q => NormalizeL2.normalize(q._2))
-    // raw-query norms for cosine mode (double, L2NormSq accumulation order)
+    // Query-side norms for cosine mode (double, L2NormSq accumulation
+    // order): the score divides by BOTH norms — dot / (|q| * |v|) — so
+    // raw, un-normalized queries still yield true cosine. When the
+    // caller declares queries pre-normalized (normalizeQueries=false on
+    // unit queries), the norms are ~1 and the division is a no-op.
     val qnorms: Array[Double] =
       if (cosineMode) qvecs.map(v => math.sqrt(Kernels.normSqD(v))) else null
     val bc = blocks.sparkContext.broadcast((qids, qvecs, qnorms))
@@ -279,6 +283,9 @@ object BlockStore {
         }
       } else {
         val out = new Array[Float](4)
+        // per-query inverse norms for cosine (0 when |q| == 0 -> score 0)
+        val invQ: Array[Double] =
+          if (cosine) qnorms.map(qn => if (qn == 0.0) 0.0 else 1.0 / qn) else null
         val tileRows = math.max(1, 524288 / math.max(1, dim * 4)) // ~512 KB tile
         var t0 = 0
         while (t0 < rows) {
@@ -295,8 +302,10 @@ object BlockStore {
               if (cosine) {
                 val vn = vnorms(r)
                 val inv = if (vn == 0.0) 0.0 else 1.0 / vn
-                val s0 = out(0) * inv; val s1 = out(1) * inv
-                val s2 = out(2) * inv; val s3 = out(3) * inv
+                val s0 = out(0) * inv * invQ(qi)
+                val s1 = out(1) * inv * invQ(qi + 1)
+                val s2 = out(2) * inv * invQ(qi + 2)
+                val s3 = out(3) * inv * invQ(qi + 3)
                 if (s0 >= threshold) h0.offer(s0, ids(r))
                 if (s1 >= threshold) h1.offer(s1, ids(r))
                 if (s2 >= threshold) h2.offer(s2, ids(r))
@@ -321,7 +330,7 @@ object BlockStore {
               var s = Kernels.dotPackedF(q, data, off).toDouble
               if (cosine) {
                 val vn = vnorms(r)
-                s = if (vn == 0.0) 0.0 else s / vn
+                s = if (vn == 0.0) 0.0 else s * invQ(qi) / vn
               }
               if (s >= threshold) h.offer(s, ids(r))
               r += 1

@@ -66,10 +66,19 @@ object StoreIO {
         if (fs.exists(snap)) fs.delete(snap, true)
         throw e
     }
-    // Best-effort sweep of superseded snapshots and stale tmp pointers.
-    fs.listStatus(root).foreach { st =>
+    // Best-effort sweep: keep the new snapshot plus the most recent
+    // previous one (a grace window so a reader that resolved the old
+    // pointer moments ago can still finish — single-writer semantics,
+    // like the reference); everything older and stale tmp pointers go.
+    val entries = fs.listStatus(root)
+    val keepPrev = entries
+      .filter(st => st.getPath.getName.startsWith("v-") && st.getPath.getName != version)
+      .sortBy(-_.getModificationTime)
+      .headOption.map(_.getPath.getName).toSet
+    entries.foreach { st =>
       val name = st.getPath.getName
-      val stale = (name.startsWith("v-") && name != version) ||
+      val stale =
+        (name.startsWith("v-") && name != version && !keepPrev(name)) ||
         name.startsWith(Pointer + ".tmp-")
       if (stale) try fs.delete(st.getPath, true)
       catch { case _: java.io.IOException => () }

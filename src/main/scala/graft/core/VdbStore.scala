@@ -194,15 +194,20 @@ final class VdbStore private (
       .select("_id_").as[String].collect().toSet
     val inserts = batchIds.filterNot(updates)
 
-    // inserts consume tombstone slots (free-list reuse analog); the
-    // smallest-id tombstones are kept, via sort+limit = TakeOrdered over
-    // tombstones only (bounded by deletes, not store size)
+    // inserts consume tombstone slots (free-list reuse analog). Batch ids
+    // are excluded from the kept set FIRST — a re-inserted id's own
+    // tombstone must never survive next to its new active row — then the
+    // smallest-id tombstones are kept via sort+limit (TakeOrdered over
+    // tombstones only, bounded by deletes, not store size). The kept
+    // count nTomb-reuse never exceeds the non-batch tombstones because
+    // every tombstoned batch id is an insert (reuse >= their count).
     val tombstones = current.filter(col("deleted"))
-    val nTomb = tombstones.count()
-    val reuse = math.min(nTomb, inserts.size.toLong)
+      .join(broadcast(batchIds.toDF("_id_")), Seq("_id_"), "left_anti")
+    val nTombTotal = current.filter(col("deleted")).count()
+    val reuse = math.min(nTombTotal, inserts.size.toLong)
     val keptTombstones =
       if (reuse == 0) tombstones
-      else tombstones.orderBy(col("_id_")).limit((nTomb - reuse).toInt)
+      else tombstones.orderBy(col("_id_")).limit((nTombTotal - reuse).toInt)
 
     val next = active
       .join(broadcast(lastWins.select("_id_")), Seq("_id_"), "left_anti")
@@ -427,8 +432,10 @@ final class VdbStore private (
     * the dirty state (pico_vdb.py:959 `rebuild_index`).
     */
   def rebuildIndex(): Unit = if (annNList.isDefined) {
+    val old = annIndex
     annIndex = None // drop centroids so refresh takes the full-fit branch
     refreshAnn()
+    old.foreach(_.unpersistAssigned()) // refresh saw None, release it here
     ()
   }
 

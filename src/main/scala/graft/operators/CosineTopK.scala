@@ -67,6 +67,22 @@ object CosineTopK {
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Shared body of the gemm entry points: merged hits -> ranked rows. */
+  private def mergedRows[K](
+      store: BlockStore[K],
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      betterThan: Option[Double],
+      exact: Boolean): Seq[(Long, K, Double, Int)] = {
+    val merged = store.topKMerged(queries, k, betterThan,
+      normalizeQueries = true, exact = exact)
+    merged.iterator.zipWithIndex.flatMap { case (hits, qi) =>
+      hits.iterator.zipWithIndex.map { case ((id, s), r) =>
+        (queries(qi)._1, id, s, r + 1)
+      }
+    }.toSeq
+  }
+
   /** Top-k over a long-keyed BlockStore (throughput path): one
     * shuffle-free treeAggregate job; rank assigned on the merged result.
     */
@@ -78,12 +94,8 @@ object CosineTopK {
       exact: Boolean = false): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
-    val merged = store.topKMerged(queries, k, betterThan, normalizeQueries = true, exact = exact)
-    merged.iterator.zipWithIndex.flatMap { case (hits, qi) =>
-      hits.iterator.zipWithIndex.map { case ((id, s), r) =>
-        (queries(qi)._1, id, s, r + 1)
-      }
-    }.toSeq.toDF("qid", "id", "score", "rank")
+    mergedRows(store, queries, k, betterThan, exact)
+      .toDF("qid", "id", "score", "rank")
   }
 
   /** Top-k over a string-keyed BlockStore (VdbStore's md5 ids). */
@@ -95,12 +107,8 @@ object CosineTopK {
       exact: Boolean = false): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
-    val merged = store.topKMerged(queries, k, betterThan, normalizeQueries = true, exact = exact)
-    merged.iterator.zipWithIndex.flatMap { case (hits, qi) =>
-      hits.iterator.zipWithIndex.map { case ((id, s), r) =>
-        (queries(qi)._1, id, s, r + 1)
-      }
-    }.toSeq.toDF("qid", "id", "score", "rank")
+    mergedRows(store, queries, k, betterThan, exact)
+      .toDF("qid", "id", "score", "rank")
   }
 
   /** One-shot convenience: pack a DataFrame store transiently and run the

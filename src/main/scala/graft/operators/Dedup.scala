@@ -38,20 +38,33 @@ object Dedup {
   // shares (interpreted HOF projection). Cache it once per (input plan,
   // id, text, n) — keyed on the analyzed plan's semantic hash, so
   // repeated dedup passes over the same corpus (minhash then jaccard,
-  // or re-runs) reuse one materialized relation.
+  // or re-runs) reuse one materialized relation. BOUNDED: eldest entries
+  // are unpersisted and dropped past MaxCachedCorpora; note the key is
+  // the PLAN, so rewriting files under the same path in one session
+  // must be followed by a fresh `spark.read` (new plan) to miss the
+  // cache.
+  private val MaxCachedCorpora = 4
   private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String, Int), DataFrame]()
+    new java.util.LinkedHashMap[(Int, String, String, Int), DataFrame]()
 
   private def cachedShingleSets(df: DataFrame, idCol: String, textCol: String,
                                 n: Int): DataFrame = {
-    // Small inputs arrive as one parquet partition; spread the projection
-    // across the cluster before caching (explicit numPartitions so AQE
-    // does not coalesce it away).
     val key = (df.queryExecution.analyzed.semanticHash(), idCol, textCol, n)
-    val cached = shingleCache.computeIfAbsent(key, _ => {
-      val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      shingleSets(spread, idCol, textCol, n).cache()
-    })
+    val cached = shingleCache.synchronized {
+      Option(shingleCache.get(key)).getOrElse {
+        // Small inputs arrive as one parquet partition; spread the
+        // projection across the cluster before caching (explicit
+        // numPartitions so AQE does not coalesce it away).
+        val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        val built = shingleSets(spread, idCol, textCol, n).cache()
+        shingleCache.put(key, built)
+        while (shingleCache.size() > MaxCachedCorpora) {
+          val eldest = shingleCache.keySet().iterator().next()
+          shingleCache.remove(eldest).unpersist(false)
+        }
+        built
+      }
+    }
     // Materialize eagerly exactly once: concurrent AQE branches otherwise
     // race to build the same InMemoryRelation, each paying the full
     // projection.
@@ -164,7 +177,11 @@ object Dedup {
   def embNearDupBlocked(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, nList: Int = 64,
                         normalized: Boolean = false): DataFrame = {
-    val idx = IvfIndex.build(df, idCol, vecCol, nList, normalized = normalized)
+    // transient index: don't pin the assignment (the self-join recomputes
+    // the cheap nearest-centroid pass twice instead of leaking a cached
+    // store-sized relation)
+    val idx = IvfIndex.build(df, idCol, vecCol, nList, normalized = normalized,
+      cacheAssigned = false)
     val buckets = idx.assigned.select(
       col("centroid_id"), col(idCol).as("bid"), col(vecCol).as("bvec"))
     val x = buckets.select(col("centroid_id"), col("bid").as("a"), col("bvec").as("va"))

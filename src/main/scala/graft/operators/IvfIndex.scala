@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -98,7 +97,8 @@ object IvfIndex {
     */
   def build(store: DataFrame, idCol: String, vecCol: String,
             nList: Int, seed: Long = 42L, sampleCap: Int = 20000,
-            normalized: Boolean = true, maxIter: Int = 8): IvfIndex = {
+            normalized: Boolean = true, maxIter: Int = 8,
+            cacheAssigned: Boolean = true): IvfIndex = {
     val total = store.count()
     val vecsDf = store.select(col(vecCol))
     val sampled =
@@ -117,16 +117,19 @@ object IvfIndex {
       d
     }
     val centroids = LocalKMeans.fit(sample, nList, maxIter, seed)
-    assign(store, centroids, idCol, vecCol)
+    assign(store, centroids, idCol, vecCol, cacheAssigned)
   }
 
   /** Assignment pass under FIXED centroids — the incremental-maintenance
     * primitive (reference `add_with_ids` analog). Argmax of the raw
     * inner product: per-row scale drops out, so un-normalized rows
-    * bucket identically to their normalized forms.
+    * bucket identically to their normalized forms. `cacheAssigned=false`
+    * skips pinning the assignment (transient single-use indexes —
+    * callers that keep the index should cache).
     */
   def assign(store: DataFrame, centroids: Array[Array[Double]],
-             idCol: String, vecCol: String): IvfIndex = {
+             idCol: String, vecCol: String,
+             cacheAssigned: Boolean = true): IvfIndex = {
     val spark = store.sparkSession
     val bc = spark.sparkContext.broadcast(centroids)
     val nearest = udf { (v: Seq[Float]) =>
@@ -145,15 +148,29 @@ object IvfIndex {
       }
       best
     }
-    val assigned = store.withColumn("centroid_id", nearest(col(vecCol))).cache()
+    val withCid = store.withColumn("centroid_id", nearest(col(vecCol)))
+    val assigned = if (cacheAssigned) withCid.cache() else withCid
     new IvfIndex(centroids, assigned, idCol, vecCol)
   }
 
-  // ---- per-dataset index cache (amortizes repeated catalog/bench runs)
-  private val cache = new ConcurrentHashMap[String, IvfIndex]()
+  // ---- per-dataset index cache (amortizes repeated catalog/bench runs);
+  // bounded: eldest entries are unpersisted + dropped past MaxCached.
+  // Keys are caller-chosen (path strings) — rewriting data under a key
+  // requires dropping it first.
+  private val MaxCached = 8
+  private val cache = new java.util.LinkedHashMap[String, IvfIndex]()
 
-  def cached(key: String)(mk: => IvfIndex): IvfIndex =
-    cache.computeIfAbsent(key, _ => mk)
+  def cached(key: String)(mk: => IvfIndex): IvfIndex = cache.synchronized {
+    Option(cache.get(key)).getOrElse {
+      val idx = mk
+      cache.put(key, idx)
+      while (cache.size() > MaxCached) {
+        val eldest = cache.keySet().iterator().next()
+        cache.remove(eldest).unpersistAssigned()
+      }
+      idx
+    }
+  }
 }
 
 /** Seeded kmeans++ init + Lloyd iterations on a driver-side sample.
@@ -227,19 +244,26 @@ object LocalKMeans {
         i += 1
       }
       var cc = 0
+      val reseeded = new java.util.HashSet[Integer]()
       while (cc < kk) {
         if (counts(cc) == 0) {
-          // reseed empty cluster to the point farthest from its center
-          var far = 0
+          // reseed empty cluster to the farthest unclaimed point — each
+          // empty cluster in this iteration takes a DIFFERENT point
+          var far = -1
           var farD = -1.0
           var x = 0
           while (x < n) {
-            val d = distSq(sample(x), centers(assign(x)))
-            if (d > farD) { farD = d; far = x }
+            if (!reseeded.contains(x)) {
+              val d = distSq(sample(x), centers(assign(x)))
+              if (d > farD) { farD = d; far = x }
+            }
             x += 1
           }
-          centers(cc) = sample(far).clone()
-          moved = true
+          if (far >= 0) {
+            reseeded.add(far)
+            centers(cc) = sample(far).clone()
+            moved = true
+          }
         } else {
           val s = sums(cc)
           var j = 0

@@ -76,6 +76,31 @@ class BlockStoreSpec extends AnyFunSuite {
     assert(gem == dec)
   }
 
+  test("fast (SIMD) cosine mode divides by BOTH norms: scores are true cosine") {
+    import spark.implicits._
+    val rng = new java.util.Random(3)
+    val dim = 10
+    val rows = (0 until 100).map(i => (i.toLong, randVec(rng, dim)))
+    val df = rows.toDF("id", "vec")
+    // non-unit queries: scale one up hard so a missing |q| division shows
+    val queries = Array.tabulate(4) { i =>
+      (i.toLong, randVec(rng, dim).map(_ * (if (i == 0) 50f else 1f)))
+    }
+    val fast = CosineTopK.gemm(df, "id", "vec", queries, k = 5,
+        betterThan = None, normalized = false, exact = false)
+      .select("qid", "id", "score").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = CosineTopK.gemm(df, "id", "vec", queries, k = 5,
+        betterThan = None, normalized = false, exact = true)
+      .select("qid", "id", "score").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(fast.keySet == exact.keySet)
+    fast.foreach { case (k0, s) =>
+      assert(math.abs(s - exact(k0)) < 1e-4, s"score mismatch at $k0")
+      assert(s <= 1.0 + 1e-4) // a cosine, not a scaled dot
+    }
+  }
+
   test("BoundedTopKG absorb merges with deterministic tie-break") {
     val a = new BoundedTopKG[String](3)
     val b = new BoundedTopKG[String](3)

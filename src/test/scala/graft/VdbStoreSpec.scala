@@ -105,6 +105,18 @@ class VdbStoreSpec extends AnyFunSuite {
     assert(s.count() == 2 && s.capacity() == 2) // slot reused, no growth
   }
 
+  test("re-inserting a deleted id leaves no duplicate rows (free-slot reuse edge)") {
+    val s = freshStore(3)
+    s.upsert(Seq(rec("a", Array(1f, 0f, 0f)), rec("z", Array(0f, 1f, 0f))))
+    s.delete(Seq("a", "z"))
+    val rep = s.upsert(Seq(rec("a", Array(0f, 0f, 1f))))
+    assert(rep.insert == Seq("a") && rep.update.isEmpty)
+    assert(s.count() == 1 && s.capacity() == 2) // one active 'a' + one free slot
+    val all = s.getAll(includeDeleted = true)
+    assert(all.map(_.id).sorted == Seq("a", "z")) // no duplicate 'a'
+    assert(s.queryOne(Array(0f, 0f, 1f), 1).head.id == "a")
+  }
+
   test("vacuum drops tombstones (test_api_ergonomics.py)") {
     val s = freshStore(3)
     s.upsert(Seq(rec("a", Array(1f, 0f, 0f)), rec("b", Array(0f, 1f, 0f))))
@@ -163,12 +175,15 @@ class VdbStoreSpec extends AnyFunSuite {
     s.save(dir)
     s.upsert(Seq(rec("b", Array(0f, 1f, 0f))))
     s.save(dir)
+    s.upsert(Seq(rec("c", Array(0f, 0f, 1f))))
+    s.save(dir)
     val names = new java.io.File(dir).listFiles.map(_.getName)
-    assert(names.count(_.startsWith("v-")) == 1) // superseded snapshot swept
+    // current + one grace snapshot survive; older ones are swept
+    assert(names.count(_.startsWith("v-")) == 2)
     assert(names.contains("_current"))
     // the saving store still answers (lineage re-pointed at the new snapshot)
-    assert(s.count() == 2 && s.queryOne(Array(0f, 1f, 0f), 1).head.id == "b")
-    assert(VdbStore.load(spark, dir).count() == 2)
+    assert(s.count() == 3 && s.queryOne(Array(0f, 0f, 1f), 1).head.id == "c")
+    assert(VdbStore.load(spark, dir).count() == 3)
   }
 
   test("batch query returns one hit list per query vector (test_more.py:151-155)") {
