@@ -203,6 +203,13 @@ object Queries {
   def simhashSig(spark: SparkSession, dir: String): DataFrame =
     operators.Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text")
 
+  /** SimHash near-duplicate pairs: banded signature blocking + Hamming
+    * verification (pipeline op; completes the simhash family over q23's
+    * signatures).
+    */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.simhashNearDup(t(spark, dir, "documents"), "doc_id", "text")
+
   /** Tumbling-window event aggregation — the batch-equivalent of the
     * Structured Streaming windowed agg (ts is raw nanos via nanosAsLong).
     */
@@ -292,6 +299,7 @@ object Queries {
     "q18_top_customers" -> (topCustomers _),
     "q19_latest_event" -> (latestEvent _),
     "q27_tokens_bpeish" -> (tokensBpeish _),
+    "q28_simhash_neardup" -> (simhashNearDup _),
   )
 }
 
@@ -458,5 +466,27 @@ object Oracles {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws
         |FROM documents""".stripMargin,
+    "q28_simhash_neardup" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+        |votes AS (SELECT doc_id, j,
+        |    sum(2 * (((strpos('0123456789abcdef', substr(h, 1 + CAST(j // 4 AS INT), 1)) - 1)
+        |              >> CAST(3 - j % 4 AS INT)) % 2) - 1) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+        |  GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id,
+        |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
+        |  FROM votes GROUP BY doc_id),
+        |bands AS (SELECT doc_id, sig, b, substr(sig, CAST(b * 16 + 1 AS INT), 16) AS chunk
+        |          FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS sa, y.sig AS sb
+        |         FROM bands x JOIN bands y
+        |           ON x.b = y.b AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+        |SELECT a, b,
+        |  CAST(len(list_filter(range(1, 65),
+        |    i -> substr(sa, CAST(i AS INT), 1) != substr(sb, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE len(list_filter(range(1, 65),
+        |    i -> substr(sa, CAST(i AS INT), 1) != substr(sb, CAST(i AS INT), 1))) <= 4""".stripMargin,
   )
 }

@@ -162,6 +162,42 @@ object Dedup {
               (a, b) -> a + b)),
           s -> case when s > 0 then '1' else '0' end))""").as("simhash"))
 
+  /** SimHash near-duplicate pairs: band the 64-bit signature into
+    * `nBands` contiguous chunks (Hamming distance ≤ nBands-1 guarantees
+    * at least one identical band — standard simhash blocking), bucket
+    * docs by (band, chunk), and verify candidates by true Hamming
+    * distance ≤ maxHamming. Returns (a, b, hamming) with a < b.
+    *
+    * Scale shape: signature projection is the zero-shuffle [[simhash]];
+    * blocking is one self-join on the band key; verification touches
+    * only bucket collisions.
+    */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 4, nBands: Int = 4): DataFrame = {
+    require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
+    val width = 64 / nBands
+    val sigs = simhash(df, idCol, textCol)
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        substring(col("simhash"), b * width + 1, width).as("chunk"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"),
+        col("bb.chunk").as("chunk"))
+    val x = bands.select(col("doc_id").as("a"), col("simhash").as("sa"),
+      col("band"), col("chunk"))
+    val y = bands.select(col("doc_id").as("b"), col("simhash").as("sb"),
+      col("band"), col("chunk"))
+    x.join(y, Seq("band", "chunk")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sa"), col("sb")).distinct()
+      .withColumn("hamming",
+        expr("size(filter(sequence(1, 64), i -> substr(sa, i, 1) != substr(sb, i, 1)))")
+          .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
   /** Full-corpus embedding near-duplicate pairs, IVF-blocked: cluster
     * the embedding column (sampled local k-means fit + one assignment
     * pass), then compare pairs ONLY within each centroid bucket — the
