@@ -210,6 +210,12 @@ object Queries {
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
     operators.Dedup.simhashNearDup(t(spark, dir, "documents"), "doc_id", "text")
 
+  /** Winnowing fingerprints (pipeline op): rolling-hash minima over
+    * sliding windows — the shift-resistant document signature scheme.
+    */
+  def winnowFp(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.winnowFingerprints(t(spark, dir, "documents"), "doc_id", "text")
+
   /** Tumbling-window event aggregation — the batch-equivalent of the
     * Structured Streaming windowed agg (ts is raw nanos via nanosAsLong).
     */
@@ -300,6 +306,7 @@ object Queries {
     "q19_latest_event" -> (latestEvent _),
     "q27_tokens_bpeish" -> (tokensBpeish _),
     "q28_simhash_neardup" -> (simhashNearDup _),
+    "q29_winnow_fp" -> (winnowFp _),
   )
 }
 
@@ -488,5 +495,16 @@ object Oracles {
         |FROM cand
         |WHERE len(list_filter(range(1, 65),
         |    i -> substr(sa, CAST(i AS INT), 1) != substr(sb, CAST(i AS INT), 1))) <= 4""".stripMargin,
+    "q29_winnow_fp" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |h AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
+        |        i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS h
+        |      FROM w WHERE len(w) >= 6),
+        |fp AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |         range(1, len(h) - 2), i -> list_min(h[i:i+3])))) AS fps
+        |       FROM h)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+        |  md5(array_to_string(fps, '|')) AS fp_digest
+        |FROM fp""".stripMargin,
   )
 }

@@ -162,6 +162,34 @@ object Dedup {
               (a, b) -> a + b)),
           s -> case when s > 0 then '1' else '0' end))""").as("simhash"))
 
+  /** Winnowing document fingerprints (the MOSS scheme): hash every
+    * word n-gram IN ORDER, slide a window of `windowSize` consecutive
+    * hashes, keep each window's minimum — guaranteeing any sufficiently
+    * long shared substring between two documents shares a fingerprint —
+    * and emit the distinct selected hashes per document. One narrow
+    * projection, zero shuffle; md5 plays the rolling hash (reproducible
+    * in any engine).
+    *
+    * Output: (doc_id, n_fp, fp_digest) where fp_digest = md5 over the
+    * sorted fingerprint set (a stable whole-document signature).
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, windowSize: Int = 4): DataFrame = {
+    val parts = (0 until shingleN).map(o => s"element_at(w, i + $o)").mkString(", ")
+    wordsOf(df, idCol, textCol)
+      .filter(size(col("w")) >= shingleN + windowSize - 1)
+      .withColumn("h",
+        expr(s"""transform(sequence(1, size(w) - ${shingleN - 1}),
+                 i -> md5(cast(concat_ws(' ', $parts) as binary)))"""))
+      .withColumn("fps", expr(
+        s"""array_sort(array_distinct(transform(
+            sequence(1, size(h) - ${windowSize - 1}),
+            i -> array_min(slice(h, i, $windowSize)))))"""))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        md5(concat_ws("|", col("fps")).cast("binary")).as("fp_digest"))
+  }
+
   /** SimHash near-duplicate pairs: band the 64-bit signature into
     * `nBands` contiguous chunks (Hamming distance ≤ nBands-1 guarantees
     * at least one identical band — standard simhash blocking), bucket
