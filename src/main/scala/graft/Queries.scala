@@ -485,7 +485,8 @@ object Oracles {
         |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
         |  FROM votes GROUP BY doc_id),
         |bands AS (SELECT doc_id, sig, b, substr(sig, CAST(b * 16 + 1 AS INT), 16) AS chunk
-        |          FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+        |          FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bb
+        |          QUALIFY count(*) OVER (PARTITION BY b, substr(sig, CAST(b * 16 + 1 AS INT), 16)) <= 100),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS sa, y.sig AS sb
         |         FROM bands x JOIN bands y
         |           ON x.b = y.b AND x.chunk = y.chunk AND x.doc_id < y.doc_id)

@@ -201,27 +201,44 @@ object Dedup {
     * only bucket collisions.
     */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 4, nBands: Int = 4): DataFrame = {
+                     maxHamming: Int = 4, nBands: Int = 4,
+                     maxBucket: Int = 100): DataFrame = {
     require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
     val width = 64 / nBands
-    val sigs = simhash(df, idCol, textCol)
+    // The signature projection is interpreted-HOF work: spread small
+    // single-partition inputs across the cluster before computing it.
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val sigs = simhash(spread, idCol, textCol)
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         substring(col("simhash"), b * width + 1, width).as("chunk"))
     }
+    // Degenerate chunks are common for simhash (zero vote sums emit '0'
+    // runs shared by unrelated short docs) — cap bucket sizes before the
+    // self-join or those buckets go quadratic. Deterministic, mirrored
+    // in the oracle.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("chunk"))
     val bands = sigs
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"),
         col("bb.chunk").as("chunk"))
+      .withColumn("_bsz_", count(lit(1)).over(w))
+      .filter(col("_bsz_") <= maxBucket).drop("_bsz_")
     val x = bands.select(col("doc_id").as("a"), col("simhash").as("sa"),
       col("band"), col("chunk"))
     val y = bands.select(col("doc_id").as("b"), col("simhash").as("sb"),
       col("band"), col("chunk"))
+    // Hamming via per-chunk integer XOR popcount — stays inside codegen
+    // (a filter over 64 interpreted substr comparisons measured ~100x
+    // slower on 100k+ candidate pairs).
+    val hamming = (0 until nBands).map { b =>
+      val xa = expr(s"cast(conv(substr(sa, ${b * width + 1}, $width), 2, 10) as bigint)")
+      val xb = expr(s"cast(conv(substr(sb, ${b * width + 1}, $width), 2, 10) as bigint)")
+      bit_count(xa.bitwiseXOR(xb)).cast("long")
+    }.reduce(_ + _)
     x.join(y, Seq("band", "chunk")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), col("sa"), col("sb")).distinct()
-      .withColumn("hamming",
-        expr("size(filter(sequence(1, 64), i -> substr(sa, i, 1) != substr(sb, i, 1)))")
-          .cast("long"))
+      .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
   }

@@ -23,6 +23,16 @@ object ProfileQ22 {
     }
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_Q28")) {
+      val sigs = graft.operators.Dedup.simhash(docs, "doc_id", "text").cache()
+      timed("simhash sigs")(sigs.count())
+      timed("q28 full")(
+        graft.operators.Dedup.simhashNearDup(docs, "doc_id", "text").count())
+      timed("q28 again")(
+        graft.operators.Dedup.simhashNearDup(docs, "doc_id", "text").count())
+      spark.stop()
+      return
+    }
     if (sys.env.contains("SPARK_GRAFT_PROFILE_ONLY_FULL")) {
       timed("full cold (fresh session)")(
         graft.operators.Dedup.minhashLSH(docs, "doc_id", "text").count())
