@@ -495,7 +495,7 @@ object Oracles {
         |    i -> substr(sa, CAST(i AS INT), 1) != substr(sb, CAST(i AS INT), 1))) AS BIGINT) AS hamming
         |FROM cand
         |WHERE len(list_filter(range(1, 65),
-        |    i -> substr(sa, CAST(i AS INT), 1) != substr(sb, CAST(i AS INT), 1))) <= 4""".stripMargin,
+        |    i -> substr(sa, CAST(i AS INT), 1) != substr(sb, CAST(i AS INT), 1))) <= 3""".stripMargin,
     "q29_winnow_fp" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |h AS (SELECT doc_id, list_transform(range(1, len(w) - 1),

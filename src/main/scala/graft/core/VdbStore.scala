@@ -231,10 +231,13 @@ final class VdbStore private (
       .select(col("_id_"), col("_vector_"), col("meta"), lit(false).as("deleted"))
     val nUpd = prepared.join(active.select("_id_"), Seq("_id_"), "left_semi").count()
     val nIns = prepared.count() - nUpd
+    // tombstones of re-inserted ids must not survive next to the new
+    // active rows (same rule as upsert's free-slot reuse)
     val next = active
       .join(prepared.select("_id_"), Seq("_id_"), "left_anti")
       .unionByName(prepared)
-      .unionByName(current.filter(col("deleted")))
+      .unionByName(current.filter(col("deleted"))
+        .join(prepared.select("_id_"), Seq("_id_"), "left_anti"))
     swap(next)
     annMutationsSinceFit += nUpd + nIns
     (nUpd, nIns)

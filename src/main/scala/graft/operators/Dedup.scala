@@ -44,8 +44,8 @@ object Dedup {
   // must be followed by a fresh `spark.read` (new plan) to miss the
   // cache.
   private val MaxCachedCorpora = 4
-  private val shingleCache =
-    new java.util.LinkedHashMap[(Int, String, String, Int), DataFrame]()
+  private val shingleCache = // access-order: evictions hit the least-recently-USED corpus
+    new java.util.LinkedHashMap[(Int, String, String, Int), DataFrame](16, 0.75f, true)
 
   private def cachedShingleSets(df: DataFrame, idCol: String, textCol: String,
                                 n: Int): DataFrame = {
@@ -70,6 +70,16 @@ object Dedup {
     // projection.
     cached.count()
     cached
+  }
+
+  /** Drop LSH buckets larger than `cap` before a self-join (a B-row
+    * bucket yields B^2 candidate pairs; capping bounds the join by
+    * cap x rows, losing recall only on degenerate keys).
+    */
+  private def capBuckets(df: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
+    df.withColumn("_bsz_", count(lit(1)).over(w))
+      .filter(col("_bsz_") <= cap).drop("_bsz_")
   }
 
   /** Exact dedup: group identical content by md5; keep the smallest id. */
@@ -116,11 +126,8 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val bands = maxBucket match {
-      case Some(cap) =>
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bkey"))
-        bandsAll.withColumn("_bsz_", count(lit(1)).over(w))
-          .filter(col("_bsz_") <= cap).drop("_bsz_")
-      case None => bandsAll
+      case Some(cap) => capBuckets(bandsAll, Seq("band", "bkey"), cap)
+      case None      => bandsAll
     }
 
     val x = bands.select(col("doc_id").as("a"), col("band"), col("bkey"))
@@ -201,9 +208,12 @@ object Dedup {
     * only bucket collisions.
     */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 4, nBands: Int = 4,
+                     maxHamming: Int = 3, nBands: Int = 4,
                      maxBucket: Int = 100): DataFrame = {
-    require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
+    require(nBands >= 2 && 64 % nBands == 0,
+      s"nBands must be >= 2 and divide 64, got $nBands") // width <= 32 keeps conv() in bigint range
+    require(maxHamming < nBands,
+      s"banding guarantees recall only for Hamming < nBands ($nBands); got maxHamming=$maxHamming")
     val width = 64 / nBands
     // The signature projection is interpreted-HOF work: spread small
     // single-partition inputs across the cluster before computing it.
@@ -217,13 +227,12 @@ object Dedup {
     // runs shared by unrelated short docs) — cap bucket sizes before the
     // self-join or those buckets go quadratic. Deterministic, mirrored
     // in the oracle.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("chunk"))
-    val bands = sigs
-      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"),
-        col("bb.chunk").as("chunk"))
-      .withColumn("_bsz_", count(lit(1)).over(w))
-      .filter(col("_bsz_") <= maxBucket).drop("_bsz_")
+    val bands = capBuckets(
+      sigs
+        .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("simhash"), col("bb.band").as("band"),
+          col("bb.chunk").as("chunk")),
+      Seq("band", "chunk"), maxBucket)
     val x = bands.select(col("doc_id").as("a"), col("simhash").as("sa"),
       col("band"), col("chunk"))
     val y = bands.select(col("doc_id").as("b"), col("simhash").as("sb"),

@@ -154,21 +154,32 @@ object IvfIndex {
   }
 
   // ---- per-dataset index cache (amortizes repeated catalog/bench runs);
-  // bounded: eldest entries are unpersisted + dropped past MaxCached.
-  // Keys are caller-chosen (path strings) — rewriting data under a key
-  // requires dropping it first.
+  // bounded LRU (access-order): least-recently-USED entries are
+  // unpersisted + dropped past MaxCached. Keys are caller-chosen (path
+  // strings) — rewriting data under a key requires dropping it first.
   private val MaxCached = 8
-  private val cache = new java.util.LinkedHashMap[String, IvfIndex]()
+  private val cache =
+    new java.util.LinkedHashMap[String, IvfIndex](16, 0.75f, true)
 
-  def cached(key: String)(mk: => IvfIndex): IvfIndex = cache.synchronized {
-    Option(cache.get(key)).getOrElse {
-      val idx = mk
-      cache.put(key, idx)
-      while (cache.size() > MaxCached) {
-        val eldest = cache.keySet().iterator().next()
-        cache.remove(eldest).unpersistAssigned()
-      }
-      idx
+  def cached(key: String)(mk: => IvfIndex): IvfIndex = {
+    cache.synchronized { Option(cache.get(key)) } match {
+      case Some(idx) => idx
+      case None =>
+        val idx = mk // build OUTSIDE the lock — unrelated keys shouldn't serialize
+        cache.synchronized {
+          Option(cache.get(key)) match {
+            case Some(winner) => // lost a race; discard ours
+              idx.unpersistAssigned()
+              winner
+            case None =>
+              cache.put(key, idx)
+              while (cache.size() > MaxCached) {
+                val eldest = cache.keySet().iterator().next()
+                cache.remove(eldest).unpersistAssigned()
+              }
+              idx
+          }
+        }
     }
   }
 }

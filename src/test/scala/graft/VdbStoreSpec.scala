@@ -117,6 +117,18 @@ class VdbStoreSpec extends AnyFunSuite {
     assert(s.queryOne(Array(0f, 0f, 1f), 1).head.id == "a")
   }
 
+  test("upsertDF re-inserting a deleted id leaves no duplicate rows") {
+    import spark.implicits._
+    val s = freshStore(3)
+    s.upsert(Seq(rec("a", Array(1f, 0f, 0f)), rec("b", Array(0f, 1f, 0f))))
+    s.delete(Seq("a"))
+    val batch = Seq(("a", Array(0f, 0f, 1f), null: String)).toDF("_id_", "vector", "meta")
+    val (u, i) = s.upsertDF(batch)
+    assert(u == 0 && i == 1) // 'a' was tombstoned, so it's an insert
+    assert(s.getAll(includeDeleted = true).map(_.id).sorted == Seq("a", "b"))
+    assert(s.count() == 2 && s.capacity() == 2)
+  }
+
   test("vacuum drops tombstones (test_api_ergonomics.py)") {
     val s = freshStore(3)
     s.upsert(Seq(rec("a", Array(1f, 0f, 0f)), rec("b", Array(0f, 1f, 0f))))
