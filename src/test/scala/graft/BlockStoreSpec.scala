@@ -111,6 +111,24 @@ class BlockStoreSpec extends AnyFunSuite {
     assert(hits == Seq(("w", 1.0), ("x", 1.0), ("z", 0.9))) // ties: id asc
   }
 
+  test("partitions split into multiple bounded blocks; results unchanged") {
+    import spark.implicits._
+    val rng = new java.util.Random(21)
+    val dim = 8
+    val rows = (0 until 1000).map(i => (i.toLong, randVec(rng, dim)))
+    val ds = spark.createDataset(rows).repartition(2)
+    // maxBlockFloats forces ~16 rows per block -> ~30+ blocks per partition
+    val small = BlockStore.fromDataset(ds, normalize = true, maxBlockFloats = dim * 16)
+    val big = BlockStore.fromDataset(ds, normalize = true)
+    assert(small.materialize() == 1000 && big.materialize() == 1000)
+    assert(small.blocks.count() > big.blocks.count())
+    assert(small.blocks.collect().forall(_.rows <= 16))
+    val queries = Array.tabulate(3)(i => (i.toLong, randVec(rng, dim)))
+    val a = small.topKMerged(queries, k = 7).map(_.toSeq).toSeq
+    val b = big.topKMerged(queries, k = 7).map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("empty store yields empty hit lists") {
     import spark.implicits._
     val df = Seq.empty[(String, Array[Float])].toDS()
