@@ -210,6 +210,28 @@ object Queries {
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
     operators.Dedup.simhashNearDup(t(spark, dir, "documents"), "doc_id", "text")
 
+  /** Char-trigram language ID (pipeline op): score each document's
+    * character trigrams against tiny per-language profiles — the
+    * classic n-gram heuristic (q15 is its word-marker cousin).
+    */
+  def langIdChargram(spark: SparkSession, dir: String): DataFrame = {
+    val enProfile = Seq("the", "he ", " th", "ing", "nd ", "and", " an", "ed ")
+    val dslProfile = Seq("sca", "can", "joi", "oin", "mer", "erg", "rge", "an ")
+    def hits(profile: Seq[String]) = {
+      val inList = profile.map(g => s"'${g}'").mkString(", ")
+      // greatest(..., 1): sequence(1, 0) would generate DESCENDING [1, 0];
+      // a single out-of-range substr on short docs matches nothing instead
+      expr(s"""size(filter(transform(sequence(1, greatest(length(lower(text)) - 2, 1)),
+               i -> substr(lower(text), i, 3)), g -> g IN ($inList)))""").cast("long")
+    }
+    t(spark, dir, "documents").select(col("doc_id"),
+        hits(enProfile).as("en3"), hits(dslProfile).as("dsl3"))
+      .withColumn("detected",
+        when(col("en3") > col("dsl3"), "en")
+          .when(col("dsl3") > col("en3"), "dsl")
+          .otherwise("und"))
+  }
+
   /** Winnowing fingerprints (pipeline op): rolling-hash minima over
     * sliding windows — the shift-resistant document signature scheme.
     */
@@ -307,6 +329,7 @@ object Queries {
     "q27_tokens_bpeish" -> (tokensBpeish _),
     "q28_simhash_neardup" -> (simhashNearDup _),
     "q29_winnow_fp" -> (winnowFp _),
+    "q30_langid_chargram" -> (langIdChargram _),
   )
 }
 
@@ -507,5 +530,19 @@ object Oracles {
         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
         |  md5(array_to_string(fps, '|')) AS fp_digest
         |FROM fp""".stripMargin,
+    "q30_langid_chargram" ->
+      """WITH g AS (SELECT doc_id,
+        |    list_transform(range(1, greatest(len(lower(text)) - 1, 1)),
+        |      i -> substr(lower(text), CAST(i AS INT), 3)) AS grams
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(grams, x -> x IN ('the','he ',' th','ing','nd ','and',' an','ed '))) AS BIGINT) AS en3,
+        |  CAST(len(list_filter(grams, x -> x IN ('sca','can','joi','oin','mer','erg','rge','an '))) AS BIGINT) AS dsl3,
+        |  CASE WHEN len(list_filter(grams, x -> x IN ('the','he ',' th','ing','nd ','and',' an','ed ')))
+        |          > len(list_filter(grams, x -> x IN ('sca','can','joi','oin','mer','erg','rge','an '))) THEN 'en'
+        |       WHEN len(list_filter(grams, x -> x IN ('sca','can','joi','oin','mer','erg','rge','an ')))
+        |          > len(list_filter(grams, x -> x IN ('the','he ',' th','ing','nd ','and',' an','ed '))) THEN 'dsl'
+        |       ELSE 'und' END AS detected
+        |FROM g""".stripMargin,
   )
 }
