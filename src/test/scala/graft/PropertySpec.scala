@@ -1,0 +1,81 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.BoundedTopKG
+import graft.functions.{Float32LEBytes, NormalizeL2}
+import graft.operators.LocalKMeans
+
+/** ScalaCheck property sweeps (SURVEY §5): normalize invariants, heap
+  * vs sort-reference top-k, byte-packing round trip, k-means
+  * determinism. Pure-JVM properties — the distributed twins are covered
+  * by the behavioral specs.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.choose(1, 64).flatMap(n =>
+      Gen.containerOfN[Array, Float](n, Gen.chooseNum(-100f, 100f)))
+
+  test("normalize: unit norm, or e0 for the zero vector (test_task5 sweep)") {
+    check(Prop.forAll(vecGen) { v =>
+      val out = NormalizeL2.normalize(v)
+      val norm = math.sqrt(out.map(x => x.toDouble * x).sum)
+      val isZero = v.forall(_ == 0f)
+      if (isZero) out(0) == 1f && out.drop(1).forall(_ == 0f)
+      else math.abs(norm - 1.0) < 1e-5
+    })
+  }
+
+  test("normalize is idempotent within float tolerance") {
+    check(Prop.forAll(vecGen) { v =>
+      val once = NormalizeL2.normalize(v)
+      val twice = NormalizeL2.normalize(once)
+      once.zip(twice).forall { case (a, b) => math.abs(a - b) < 1e-6 }
+    })
+  }
+
+  test("BoundedTopKG equals sort-based top-k with the tie-break ordering") {
+    val entries = Gen.listOf(Gen.zip(Gen.chooseNum(-1.0, 1.0), Gen.chooseNum(0L, 50L)))
+    val kGen = Gen.choose(1, 12)
+    check(Prop.forAll(entries, kGen) { (es, k) =>
+      val heap = new BoundedTopKG[Long](k)
+      es.foreach { case (s, id) => heap.offer(s, id) }
+      val got = heap.sortedHits().toSeq
+      val want = es.map { case (s, id) => (id, s) }
+        .sortBy { case (id, s) => (-s, id) }.take(k)
+      got == want
+    })
+  }
+
+  test("float32 LE byte packing round-trips (numpy tobytes layout)") {
+    check(Prop.forAll(vecGen) { v =>
+      val bytes = Float32LEBytes.pack(v)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val back = Array.fill(v.length)(bb.getFloat())
+      bytes.length == v.length * 4 &&
+        back.zip(v).forall { case (a, b) => a == b || (a.isNaN && b.isNaN) }
+    })
+  }
+
+  test("LocalKMeans is deterministic for a fixed seed and returns k centers") {
+    val sampleGen = for {
+      n <- Gen.choose(5, 60)
+      dim <- Gen.choose(2, 8)
+      data <- Gen.containerOfN[Array, Array[Double]](n,
+        Gen.containerOfN[Array, Double](dim, Gen.chooseNum(-1.0, 1.0)))
+    } yield data
+    check(Prop.forAll(sampleGen, Gen.choose(1, 6)) { (sample, k) =>
+      val a = LocalKMeans.fit(sample, k, maxIter = 5, seed = 11L)
+      val b = LocalKMeans.fit(sample, k, maxIter = 5, seed = 11L)
+      a.length == math.min(k, sample.length) &&
+        a.zip(b).forall { case (x, y) => x.sameElements(y) }
+    })
+  }
+}
