@@ -296,6 +296,11 @@ final class VdbStore private (
     // O28 bypass rule (pico_vdb.py:667-668): any ids/where restriction
     // forces the exact path; the ANN accelerator only serves unfiltered
     // queries, and is (re)built lazily here when dirty (O26).
+    // Deliberate conservative deviation: better_than ALSO bypasses ANN.
+    // The reference applies the threshold on the FAISS path
+    // (pico_vdb.py:745) and may under-fill top_k when the index misses
+    // candidates; routing thresholded queries to the exact path keeps
+    // their results deterministic.
     val unfiltered = ids.isEmpty && where.isEmpty && whereFn.isEmpty
     val ann = if (unfiltered && betterThan.isEmpty) refreshAnn() else None
     val probes = if (nProbe > 0) nProbe else conf.annNProbe
