@@ -201,13 +201,18 @@ final class VdbStore private (
     // tombstones only, bounded by deletes, not store size). The kept
     // count nTomb-reuse never exceeds the non-batch tombstones because
     // every tombstoned batch id is an insert (reuse >= their count).
-    val tombstones = current.filter(col("deleted"))
-      .join(broadcast(batchIds.toDF("_id_")), Seq("_id_"), "left_anti")
-    val nTombTotal = current.filter(col("deleted")).count()
-    val reuse = math.min(nTombTotal, inserts.size.toLong)
+    // Update-only batches touch no slots: skip the tombstone count job
+    // entirely (no batch id can be tombstoned — it would be an insert).
     val keptTombstones =
-      if (reuse == 0) tombstones
-      else tombstones.orderBy(col("_id_")).limit((nTombTotal - reuse).toInt)
+      if (inserts.isEmpty) current.filter(col("deleted"))
+      else {
+        val tombstones = current.filter(col("deleted"))
+          .join(broadcast(batchIds.toDF("_id_")), Seq("_id_"), "left_anti")
+        val nTombTotal = current.filter(col("deleted")).count()
+        val reuse = math.min(nTombTotal, inserts.size.toLong)
+        if (reuse == 0) tombstones
+        else tombstones.orderBy(col("_id_")).limit((nTombTotal - reuse).toInt)
+      }
 
     val next = active
       .join(broadcast(lastWins.select("_id_")), Seq("_id_"), "left_anti")
