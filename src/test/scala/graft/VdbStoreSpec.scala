@@ -180,6 +180,24 @@ class VdbStoreSpec extends AnyFunSuite {
     assert(VdbStore.load(spark, dir).count() == 1)
   }
 
+  test("failed save leaves the previous snapshot loadable (test_more.py:271 atomic_save analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("vdbatomic").toString + "/store"
+    val good = freshStore(3)
+    good.upsert(Seq(rec("a", Array(1f, 0f, 0f))))
+    good.save(dir)
+    // a store whose data evaluation explodes mid-write (disk-full analog)
+    val boom = org.apache.spark.sql.functions.udf((_: String) => {
+      throw new RuntimeException("boom"); true
+    })
+    val bad = VdbStore.fromDF(spark, 3, good.df.filter(boom(col("_id_"))))
+    intercept[Exception] { bad.save(dir) }
+    // pointer still names the complete old snapshot; partial one cleaned up
+    val loaded = VdbStore.load(spark, dir)
+    assert(loaded.count() == 1 && loaded.get(Seq("a")).nonEmpty)
+    val names = new java.io.File(dir).listFiles.map(_.getName)
+    assert(names.count(_.startsWith("v-")) == 1)
+  }
+
   test("versioned save keeps one live snapshot + atomic pointer; saver stays usable") {
     val dir = java.nio.file.Files.createTempDirectory("vdbver").toString + "/store"
     val s = freshStore(3)
