@@ -199,9 +199,11 @@ object Queries {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     operators.Dedup.minhashLSH(t(spark, dir, "documents"), "doc_id", "text")
 
-  /** 64-bit SimHash signatures (pipeline op). */
+  /** 64-bit SimHash signatures (pipeline op). Served from the shared
+    * signature cache, so q28's near-dup pass reuses one projection.
+    */
   def simhashSig(spark: SparkSession, dir: String): DataFrame =
-    operators.Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text")
+    operators.Dedup.simhashSigs(t(spark, dir, "documents"), "doc_id", "text")
 
   /** SimHash near-duplicate pairs: banded signature blocking + Hamming
     * verification (pipeline op; completes the simhash family over q23's
@@ -217,13 +219,17 @@ object Queries {
   def langIdChargram(spark: SparkSession, dir: String): DataFrame = {
     val enProfile = Seq("the", "he ", " th", "ing", "nd ", "and", " an", "ed ")
     val dslProfile = Seq("sca", "can", "joi", "oin", "mer", "erg", "rge", "an ")
-    def hits(profile: Seq[String]) = {
-      val inList = profile.map(g => s"'${g}'").mkString(", ")
-      // greatest(..., 1): sequence(1, 0) would generate DESCENDING [1, 0];
-      // a single out-of-range substr on short docs matches nothing instead
-      expr(s"""size(filter(transform(sequence(1, greatest(length(lower(text)) - 2, 1)),
-               i -> substr(lower(text), i, 3)), g -> g IN ($inList)))""").cast("long")
-    }
+    // Occurrence count per gram via the codegen'd replace trick:
+    // (len(t) - len(replace(t, g))) / 3. Equal to the positional count
+    // the DuckDB oracle computes because none of the profile grams can
+    // overlap itself (no gram's 1- or 2-char prefix equals its suffix),
+    // so occurrences are always >= 3 chars apart. The previous
+    // interpreted-HOF scan (substr at every position + IN) cost 9.3 s at
+    // sf0.1; this is a handful of whole-stage-codegen string passes.
+    def hits(profile: Seq[String]) = profile.map { g =>
+      val lit = g.replace("'", "''")
+      expr(s"(length(lower(text)) - length(replace(lower(text), '$lit'))) DIV 3")
+    }.reduce(_ + _).cast("long")
     t(spark, dir, "documents").select(col("doc_id"),
         hits(enProfile).as("en3"), hits(dslProfile).as("dsl3"))
       .withColumn("detected",

@@ -47,7 +47,10 @@ final class BlockStore[K](
     blocks.map(_.rows.toLong).fold(0L)(_ + _)
 
   /** Batch top-k: (qid, id, score) candidate tuples, at most
-    * partitions×Q×k of them; callers rank the survivors.
+    * partitions×Q×k of them; callers rank the survivors. The query-matrix
+    * broadcast lives as long as the (lazy) returned RDD — prefer
+    * [[topKMerged]] (synchronous; destroys its broadcast) for repeated
+    * batches in long-lived sessions.
     *
     * `exact=true` scores with sequential double accumulation (bit-parity
     * with the DotProduct/L2NormSq expressions, so downstream rounding
@@ -96,6 +99,7 @@ final class BlockStore[K](
     val ex = exact
     val localOrd = ord
     val nq = queries.length
+    try {
     val merged = blocks.treeAggregate(null: Array[BoundedTopKG[K]])(
       seqOp = (acc, block) => {
         val (_, qs, qn) = bc.value
@@ -115,6 +119,12 @@ final class BlockStore[K](
       depth = 2)
     if (merged == null) Array.fill(nq)(Array.empty[(K, Double)])
     else merged.map(_.sortedHits())
+    } finally {
+      // the treeAggregate is synchronous — the query-matrix broadcast is
+      // consumed by the time it returns; don't let long-lived sessions
+      // accumulate broadcast blocks (one per batch) on driver+executors
+      bc.destroy()
+    }
   }
 
   private def prepare(

@@ -8,8 +8,12 @@ import org.apache.spark.sql.SparkSession
   * tests/test_task48_tuning_knobs.py). Most reference knobs vanish on
   * Spark (Catalyst owns the physical plan); what remains are the ones
   * our own operators consult.
+  *
+  * Driver-only (deliberately NOT Serializable: it holds a SparkSession,
+  * so capturing it in a task closure must fail at compile/serialization
+  * time, not ship a broken reference).
   */
-final class GraftConf(spark: SparkSession) extends Serializable {
+final class GraftConf(spark: SparkSession) {
 
   private def opt(key: String, env: String): Option[String] =
     spark.conf.getOption(s"graft.$key").orElse(sys.env.get(env))
@@ -31,4 +35,10 @@ final class GraftConf(spark: SparkSession) extends Serializable {
   /** Driver-side sample cap for the k-means fit. */
   def annSampleCap: Int =
     opt("ann.sample.cap", "GRAFT_ANN_SAMPLE_CAP").map(_.toInt).getOrElse(20000)
+
+  /** How many superseded snapshot dirs a save leaves behind as a reader
+    * grace window (see StoreIO.save).
+    */
+  def snapshotsKeep: Int =
+    opt("snapshots.keep", "GRAFT_SNAPSHOTS_KEEP").map(_.toInt).getOrElse(1)
 }

@@ -26,8 +26,16 @@ object StoreIO {
   private val AnnDir = "_ann_centroids"
   private val Pointer = "_current"
 
-  /** Returns the written snapshot directory. */
+  /** Returns the written snapshot directory.
+    *
+    * SINGLE-WRITER assumption (like the reference's in-process store):
+    * concurrent saves to the same path are not coordinated. Readers get a
+    * grace window of `graft.snapshots.keep` superseded snapshots
+    * (default 1) before the sweep deletes them — a long-running reader
+    * holding an older snapshot's lineage past that window must re-load.
+    */
   def save(store: VdbStore, path: String): String = {
+    val keepCount = math.max(0, new GraftConf(store.spark).snapshotsKeep)
     val spark = store.spark
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
@@ -67,14 +75,15 @@ object StoreIO {
         throw e
     }
     // Best-effort sweep: keep the new snapshot plus the most recent
-    // previous one (a grace window so a reader that resolved the old
-    // pointer moments ago can still finish — single-writer semantics,
-    // like the reference); everything older and stale tmp pointers go.
+    // `graft.snapshots.keep` previous ones (a grace window so a reader
+    // that resolved an old pointer moments ago can still finish —
+    // single-writer semantics, like the reference); everything older and
+    // stale tmp pointers go.
     val entries = fs.listStatus(root)
     val keepPrev = entries
       .filter(st => st.getPath.getName.startsWith("v-") && st.getPath.getName != version)
       .sortBy(-_.getModificationTime)
-      .headOption.map(_.getPath.getName).toSet
+      .take(keepCount).map(_.getPath.getName).toSet
     entries.foreach { st =>
       val name = st.getPath.getName
       val stale =

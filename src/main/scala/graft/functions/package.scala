@@ -26,10 +26,29 @@ package object functions {
   /** Squared L2 norm, in double. */
   def l2_norm_sq(v: Column): Column = col(L2NormSq(expr(v)))
 
+  /** Index of the max-inner-product centroid for each row vector;
+    * `centroids` is a (small) fixed matrix captured at plan time.
+    */
+  def nearest_centroid(v: Column, centroids: Array[Array[Double]]): Column = {
+    val dim = if (centroids.isEmpty) 0 else centroids(0).length
+    val flat = new Array[Double](centroids.length * dim)
+    var i = 0
+    while (i < centroids.length) {
+      System.arraycopy(centroids(i), 0, flat, i * dim, dim)
+      i += 1
+    }
+    col(NearestCentroid(expr(v), flat, dim))
+  }
+
   /** Reference content-hash id: md5 hex of the normalized vector's
     * little-endian float32 bytes (pico_vdb.py:54-55, 424-427).
     */
   def content_id(v: Column): Column = F.md5(float32_le_bytes(normalize_l2(v)))
+
+  /** 64-bit SimHash signature ('0'/'1' string, msb first) of a token
+    * array, from md5-derived token hashes.
+    */
+  def simhash64(tokens: Column): Column = col(SimHash64(expr(tokens)))
 
   /** Cosine similarity of two raw (not necessarily normalized) vectors,
     * computed fully in double: dot / (|a| * |b|). Zero-norm guarded to 0.
@@ -48,5 +67,6 @@ package object functions {
     reg.createOrReplaceTempFunction("normalize_l2", es => NormalizeL2(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("float32_le_bytes", es => Float32LEBytes(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("l2_norm_sq", es => L2NormSq(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
   }
 }

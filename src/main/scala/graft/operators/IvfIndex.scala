@@ -123,32 +123,18 @@ object IvfIndex {
   /** Assignment pass under FIXED centroids — the incremental-maintenance
     * primitive (reference `add_with_ids` analog). Argmax of the raw
     * inner product: per-row scale drops out, so un-normalized rows
-    * bucket identically to their normalized forms. `cacheAssigned=false`
+    * bucket identically to their normalized forms. The argmax is the
+    * codegen'd `nearest_centroid` expression — a store-sized pass with
+    * no per-row boxing (the round-2 version was a Scala UDF re-boxing
+    * every vector on every incremental refresh). `cacheAssigned=false`
     * skips pinning the assignment (transient single-use indexes —
     * callers that keep the index should cache).
     */
   def assign(store: DataFrame, centroids: Array[Array[Double]],
              idCol: String, vecCol: String,
              cacheAssigned: Boolean = true): IvfIndex = {
-    val spark = store.sparkSession
-    val bc = spark.sparkContext.broadcast(centroids)
-    val nearest = udf { (v: Seq[Float]) =>
-      val cs = bc.value
-      var best = 0
-      var bestS = Double.NegativeInfinity
-      var c = 0
-      while (c < cs.length) {
-        val cc = cs(c)
-        var s = 0.0
-        var j = 0
-        val n = math.min(cc.length, v.length)
-        while (j < n) { s += cc(j) * v(j); j += 1 }
-        if (s > bestS) { bestS = s; best = c }
-        c += 1
-      }
-      best
-    }
-    val withCid = store.withColumn("centroid_id", nearest(col(vecCol)))
+    val withCid = store.withColumn("centroid_id",
+      graft.functions.nearest_centroid(col(vecCol), centroids))
     val assigned = if (cacheAssigned) withCid.cache() else withCid
     new IvfIndex(centroids, assigned, idCol, vecCol)
   }
@@ -157,12 +143,19 @@ object IvfIndex {
   // bounded LRU (access-order): least-recently-USED entries are
   // unpersisted + dropped past MaxCached. Keys are caller-chosen (path
   // strings) — rewriting data under a key requires dropping it first.
+  // Entries whose owning SparkSession has stopped are swept on access
+  // (a dead session's cached DataFrame must never be served again).
   private val MaxCached = 8
   private val cache =
     new java.util.LinkedHashMap[String, IvfIndex](16, 0.75f, true)
 
   def cached(key: String)(mk: => IvfIndex): IvfIndex = {
-    cache.synchronized { Option(cache.get(key)) } match {
+    cache.synchronized {
+      val it = cache.values().iterator()
+      while (it.hasNext)
+        if (it.next().assigned.sparkSession.sparkContext.isStopped) it.remove()
+      Option(cache.get(key))
+    } match {
       case Some(idx) => idx
       case None =>
         val idx = mk // build OUTSIDE the lock — unrelated keys shouldn't serialize
