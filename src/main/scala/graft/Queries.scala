@@ -225,12 +225,16 @@ object Queries {
     // overlap itself (no gram's 1- or 2-char prefix equals its suffix),
     // so occurrences are always >= 3 chars apart. The previous
     // interpreted-HOF scan (substr at every position + IN) cost 9.3 s at
-    // sf0.1; this is a handful of whole-stage-codegen string passes.
+    // sf0.1; this is a handful of whole-stage-codegen string passes over
+    // a once-projected lowered column.
     def hits(profile: Seq[String]) = profile.map { g =>
       val lit = g.replace("'", "''")
-      expr(s"(length(lower(text)) - length(replace(lower(text), '$lit'))) DIV 3")
+      expr(s"(_ln_ - length(replace(_lt_, '$lit'))) DIV 3")
     }.reduce(_ + _).cast("long")
-    t(spark, dir, "documents").select(col("doc_id"),
+    t(spark, dir, "documents")
+      .withColumn("_lt_", lower(col("text")))
+      .withColumn("_ln_", length(col("_lt_")))
+      .select(col("doc_id"),
         hits(enProfile).as("en3"), hits(dslProfile).as("dsl3"))
       .withColumn("detected",
         when(col("en3") > col("dsl3"), "en")

@@ -131,23 +131,88 @@ object StoreIO {
     store
   }
 
-  /** Minimal JSON parse for our own flat meta format. */
+  /** Minimal JSON parse for our own meta format. `additional_data`
+    * values come back as RAW JSON text (nested objects/arrays/numbers
+    * round-trip verbatim, matching the reference's json.dump side bag —
+    * pico_vdb.py:364-371, 500-512).
+    */
   private[core] def parseMeta(s: String): (Int, Option[Int], Map[String, String]) = {
     val dim = """"embedding_dim"\s*:\s*(\d+)""".r
       .findFirstMatchIn(s).map(_.group(1).toInt)
       .getOrElse(throw new IllegalArgumentException(s"no embedding_dim in $s"))
     val ann = """"ann_nlist"\s*:\s*(\d+)""".r
       .findFirstMatchIn(s).map(_.group(1).toInt)
-    val inner = """"additional_data"\s*:\s*\{(.*)\}\s*\}\s*$""".r
-      .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
-    val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    val kv = pair.findAllMatchIn(inner).map { m =>
-      unescape(m.group(1)) -> unescape(m.group(2))
-    }.toMap
+    val kv = """"additional_data"\s*:""".r.findFirstMatchIn(s) match {
+      case None    => Map.empty[String, String]
+      case Some(m) => parseObject(s, skipWs(s, m.end))
+    }
     (dim, ann, kv)
   }
 
-  private def unescape(s: String): String = {
+  private def skipWs(s: String, i0: Int): Int = {
+    var i = i0
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    i
+  }
+
+  /** Parse the JSON object starting at `s(i0) == '{'`; values are kept
+    * as raw JSON text slices.
+    */
+  private def parseObject(s: String, i0: Int): Map[String, String] = {
+    require(i0 < s.length && s.charAt(i0) == '{', s"additional_data is not an object in $s")
+    val out = Map.newBuilder[String, String]
+    var i = skipWs(s, i0 + 1)
+    if (s.charAt(i) == '}') return out.result()
+    var done = false
+    while (!done) {
+      val keyEnd = scanString(s, i)
+      val key = unescapeJson(s.substring(i + 1, keyEnd - 1))
+      i = skipWs(s, keyEnd)
+      require(s.charAt(i) == ':', s"expected ':' at $i in meta")
+      i = skipWs(s, i + 1)
+      val vEnd = scanValue(s, i)
+      out += key -> s.substring(i, vEnd)
+      i = skipWs(s, vEnd)
+      s.charAt(i) match {
+        case ',' => i = skipWs(s, i + 1)
+        case '}' => done = true
+        case c   => throw new IllegalArgumentException(s"unexpected '$c' at $i in meta")
+      }
+    }
+    out.result()
+  }
+
+  /** End index (exclusive) of the JSON string starting at `s(i0) == '"'`. */
+  private def scanString(s: String, i0: Int): Int = {
+    var i = i0 + 1
+    while (s.charAt(i) != '"') i += (if (s.charAt(i) == '\\') 2 else 1)
+    i + 1
+  }
+
+  /** End index (exclusive) of the JSON value starting at `i0`. */
+  private def scanValue(s: String, i0: Int): Int = s.charAt(i0) match {
+    case '"' => scanString(s, i0)
+    case '{' | '[' =>
+      var depth = 0
+      var i = i0
+      var scanning = true
+      while (scanning) {
+        s.charAt(i) match {
+          case '"'       => i = scanString(s, i)
+          case '{' | '[' => depth += 1; i += 1
+          case '}' | ']' => depth -= 1; i += 1
+          case _         => i += 1
+        }
+        scanning = depth > 0
+      }
+      i
+    case _ => // number / true / false / null
+      var i = i0
+      while (i < s.length && !",}] \t\n\r".contains(s.charAt(i))) i += 1
+      i
+  }
+
+  private[core] def unescapeJson(s: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < s.length) {

@@ -210,8 +210,13 @@ final class VdbStore private (
           .join(broadcast(batchIds.toDF("_id_")), Seq("_id_"), "left_anti")
         val nTombTotal = current.filter(col("deleted")).count()
         val reuse = math.min(nTombTotal, inserts.size.toLong)
+        val keepN = nTombTotal - reuse
+        // limit() takes an Int; past 2^31 tombstones the cast would
+        // silently truncate — fail loudly instead (vacuum() reclaims).
+        require(keepN <= Int.MaxValue,
+          s"$keepN tombstones exceed limit() range; vacuum() before upserting")
         if (reuse == 0) tombstones
-        else tombstones.orderBy(col("_id_")).limit((nTombTotal - reuse).toInt)
+        else tombstones.orderBy(col("_id_")).limit(keepN.toInt)
       }
 
     val next = active
@@ -225,14 +230,16 @@ final class VdbStore private (
 
   /** DataFrame-shaped upsert for large batches: no driver-side id
     * collection; the report comes back as counts.
-    * `batch` needs columns (_id_ nullable string, vector array<float>,
-    * meta string).
+    * `batch` needs columns (_id_ nullable — any type castable to string
+    * (ints round-trip by value, see README "Deliberate deviations"),
+    * vector array<float>, meta string).
     */
   def upsertDF(batch: DataFrame): (Long, Long) = {
     val prepared = batch
       .withColumn("_vecf_", col("vector").cast(ArrayType(FloatType)))
       .withColumn("_vector_", normalize_l2(col("_vecf_")))
-      .withColumn("_id_", coalesce(col("_id_"), content_id(col("_vecf_"))))
+      .withColumn("_id_",
+        coalesce(col("_id_").cast(StringType), content_id(col("_vecf_"))))
       .select(col("_id_"), col("_vector_"), col("meta"), lit(false).as("deleted"))
     val nUpd = prepared.join(active.select("_id_"), Seq("_id_"), "left_semi").count()
     val nIns = prepared.count() - nUpd
@@ -481,10 +488,30 @@ final class VdbStore private (
   def vacuum(): Unit = swap(active)
 
   // ------------------------------------------------------------- side data
+  // `additionalData` holds the RAW JSON value text per key — the
+  // reference's side bag takes arbitrary JSON-serializable values
+  // (pico_vdb.py:500-512) persisted via json.dump (:364-371), so nested
+  // objects/arrays/numbers round-trip here too, not just strings.
 
+  /** Store plain-string values (JSON-encoded internally). */
   def storeAdditionalData(kv: (String, String)*): Unit =
+    additionalData = additionalData ++
+      kv.map { case (k, v) => k -> VdbStore.jsonQuote(v) }
+
+  /** Store raw JSON values (objects, arrays, numbers, booleans, null —
+    * caller supplies valid JSON text, e.g. `"{\"a\": [1, 2]}"`).
+    */
+  def storeAdditionalDataJson(kv: (String, String)*): Unit =
     additionalData = additionalData ++ kv
-  def getAdditionalData: Map[String, String] = additionalData
+
+  /** String view: JSON-string values come back unquoted (the historical
+    * String -> String surface); non-string values as their raw JSON text.
+    */
+  def getAdditionalData: Map[String, String] =
+    additionalData.map { case (k, v) => k -> VdbStore.jsonUnquoteIfString(v) }
+
+  /** Raw JSON value text per key (nested values verbatim). */
+  def getAdditionalDataJson: Map[String, String] = additionalData
 
   // --------------------------------------------------------------- save
 
@@ -507,12 +534,8 @@ final class VdbStore private (
   }
 
   private[core] def metaJson: String = {
-    def esc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    }
     val kv = additionalData.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }.mkString(",")
+      .map { case (k, v) => s""""${VdbStore.jsonEsc(k)}": $v""" }.mkString(",")
     val ann = annNList.map(n => s""""ann_nlist": $n, """).getOrElse("")
     s"""{"embedding_dim": $dim, $ann"additional_data": {$kv}}"""
   }
@@ -550,6 +573,18 @@ object VdbStore {
   val AnnIncrRatio: Double = 0.2
 
   private[core] val log = org.slf4j.LoggerFactory.getLogger("graft.vdb")
+
+  private[core] def jsonEsc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  }
+
+  private[core] def jsonQuote(s: String): String = "\"" + jsonEsc(s) + "\""
+
+  private[core] def jsonUnquoteIfString(v: String): String =
+    if (v.length >= 2 && v.charAt(0) == '"' && v.charAt(v.length - 1) == '"')
+      StoreIO.unescapeJson(v.substring(1, v.length - 1))
+    else v
 
   /** Driver-side twin of the `content_id` expression: md5 hex over the
     * normalized vector's little-endian float32 bytes (pico_vdb.py:54-55).

@@ -23,6 +23,23 @@ object ProfileQ22 {
     }
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_BENCHLIKE")) {
+      // Reproduce the bench's state when q22 runs: shingle cache warm,
+      // q21 executed, then q22 timed on its FIRST execution.
+      graft.operators.Dedup.prewarmShingles(docs, "doc_id", "text")
+      def force(df: org.apache.spark.sql.DataFrame): Long = {
+        df.select(xxhash64(df.columns.map(col): _*).as("_h_"))
+          .agg(expr("bit_xor(_h_)")).collect(); df.count()
+      }
+      timed("q21 (benchlike)")(force(
+        graft.operators.Dedup.ngramJaccardBlocked(docs, "doc_id", "text")))
+      timed("q22 first run")(force(
+        graft.operators.Dedup.minhashLSH(docs, "doc_id", "text")))
+      timed("q22 second run")(force(
+        graft.operators.Dedup.minhashLSH(docs, "doc_id", "text")))
+      spark.stop()
+      return
+    }
     if (sys.env.contains("SPARK_GRAFT_PROFILE_Q28")) {
       val sigs = graft.operators.Dedup.simhash(docs, "doc_id", "text").cache()
       timed("simhash sigs")(sigs.count())

@@ -5,13 +5,18 @@ import org.apache.spark.storage.StorageLevel
 import graft.core.BlockStore
 import graft.operators.CosineTopK
 
-/** 10x-bench scale smoke: 1M x 256-d vectors (~1 GB packed) through
-  * ingest + batch query, exercising multi-block partitions and the
-  * treeAggregate merge at a size the unit suite can't afford. Run by
-  * hand; prints one line per phase.
+/** Scale smoke: N x 256-d vectors through ingest + batch query,
+  * exercising multi-block partitions and the treeAggregate merge at a
+  * size the unit suite can't afford. Default 1M (~1 GB packed);
+  * SPARK_GRAFT_SMOKE_N=10000000 runs the 100x-sf0.1 evidence pass
+  * (~10 GB packed — converts SCALING.md's shuffle-volume claims into a
+  * measured number; VERDICT r2 next-round #9). Run by hand; prints one
+  * line per phase.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
+    // heap comes from the forked JVM (SPARK_DRIVER_MEM, build.sbt);
+    // the 10M pass needs ~25 GB live (raw + packed both pinned).
     val spark = SparkSession.builder().master("local[24]")
       .config("spark.sql.shuffle.partitions", "24")
       .config("spark.ui.enabled", "false")
@@ -20,8 +25,9 @@ object ScaleSmoke {
     val sc = spark.sparkContext
 
     val dim = 256
-    val n = 1000000
-    val raw = sc.range(0, n, 1, 24).map { i =>
+    val n = sys.env.get("SPARK_GRAFT_SMOKE_N").map(_.toInt).getOrElse(1000000)
+    val parts = 24 * math.max(1, n / 1000000) // ~42k rows x 1 KB / partition
+    val raw = sc.range(0, n, 1, parts).map { i =>
       val rng = new java.util.Random(i * 7919L)
       (i, Array.fill(dim)(rng.nextFloat()))
     }.persist(StorageLevel.MEMORY_ONLY)

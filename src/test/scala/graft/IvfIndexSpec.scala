@@ -79,6 +79,41 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(ann == exact)
   }
 
+  test("recall@10 floor on realistic (overlapping-cluster) data: >= 0.9 at nProbe=4/16") {
+    // NOT the separated-cluster layout: 16 basis-direction clusters with
+    // heavy jitter, so buckets genuinely overlap and nProbe matters —
+    // the recall measurement the reference's bench does against ground
+    // truth (bench/hf_query.py:22-51), as a seeded deterministic floor.
+    val rng = new scala.util.Random(2024)
+    val dim = 16
+    val data = (0 until 2000).map { i =>
+      val c = i % 16
+      val v = Array.fill(dim)((rng.nextFloat() - 0.5f) * 0.8f)
+      v(c) += 1f
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      (i.toLong, v.map(x => (x / n).toFloat))
+    }
+    val df = data.toDF("vec_id", "vec")
+    val idx = IvfIndex.build(df, "vec_id", "vec", nList = 16)
+    val queries = data.filter(_._1 % 40 == 0).toArray // 50 queries
+    val exact = queries.map { case (qid, q) =>
+      qid -> data.map { case (id, v) =>
+        (id, q.zip(v).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+      }.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    }.toMap
+    def recallAt(nProbe: Int): Double = {
+      val approx = idx.search(queries, k = 10, nProbe = nProbe)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      queries.map { case (qid, _) =>
+        approx.getOrElse(qid, Set.empty[Long]).count(exact(qid)).toDouble / 10.0
+      }.sum / queries.length
+    }
+    val r4 = recallAt(4)
+    assert(r4 >= 0.9, s"recall@10 at nProbe=4 was $r4")
+    assert(recallAt(16) == 1.0) // nProbe = nList degenerates to exact
+  }
+
   test("small upsert refreshes incrementally (no refit); large churn refits (test_task36 analog)") {
     val s = VdbStore.empty(spark, 4)
     val recs = (0 until 100).map { i =>

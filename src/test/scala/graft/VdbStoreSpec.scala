@@ -129,6 +129,24 @@ class VdbStoreSpec extends AnyFunSuite {
     assert(s.count() == 2 && s.capacity() == 2)
   }
 
+  test("upsertDF accepts integer ids; they round-trip by value as strings (documented deviation)") {
+    // Reference keeps ints as ints (tests/test_pico_vdb.py:128,134); a
+    // DataFrame key column has one type, so ids canonicalize to STRING —
+    // README "Deliberate deviations".
+    import spark.implicits._
+    val s = freshStore(3)
+    val batch = Seq((7, Array(1f, 0f, 0f), null: String),
+      (42, Array(0f, 1f, 0f), null: String)).toDF("_id_", "vector", "meta")
+    val (u, i) = s.upsertDF(batch)
+    assert(u == 0 && i == 2)
+    assert(s.get(Seq("7")).head.id == "7")
+    assert(s.queryOne(Array(0f, 1f, 0f), 1).head.id == "42")
+    // re-upserting id 42 with a new vector is an update, not a duplicate
+    val (u2, i2) = s.upsertDF(
+      Seq((42, Array(0f, 0f, 1f), null: String)).toDF("_id_", "vector", "meta"))
+    assert(u2 == 1 && i2 == 0 && s.count() == 2)
+  }
+
   test("vacuum drops tombstones (test_api_ergonomics.py)") {
     val s = freshStore(3)
     s.upsert(Seq(rec("a", Array(1f, 0f, 0f)), rec("b", Array(0f, 1f, 0f))))
@@ -178,6 +196,31 @@ class VdbStoreSpec extends AnyFunSuite {
     // second save over the same path replaces atomically
     loaded.save(dir)
     assert(VdbStore.load(spark, dir).count() == 1)
+  }
+
+  test("additional_data round-trips nested JSON values (pico_vdb.py:500-512, json.dump :364-371)") {
+    val dir = java.nio.file.Files.createTempDirectory("vdbjson").toString + "/store"
+    val s = freshStore(3)
+    s.upsert(Seq(rec("a", Array(1f, 0f, 0f))))
+    s.storeAdditionalData("plain" -> "with \"quotes\"\nand newline")
+    s.storeAdditionalDataJson(
+      "nested" -> """{"a": [1, 2, {"b": "c"}], "d": null}""",
+      "list" -> """[1.5, true, "x"]""",
+      "num" -> "7")
+    s.save(dir)
+    val loaded = VdbStore.load(spark, dir)
+    val raw = loaded.getAdditionalDataJson
+    assert(raw("nested") == """{"a": [1, 2, {"b": "c"}], "d": null}""")
+    assert(raw("list") == """[1.5, true, "x"]""")
+    assert(raw("num") == "7")
+    // the string view unquotes JSON strings and passes raw values through
+    val str = loaded.getAdditionalData
+    assert(str("plain") == "with \"quotes\"\nand newline")
+    assert(str("num") == "7")
+    // survives a second save/load (values re-serialized verbatim)
+    loaded.save(dir)
+    assert(VdbStore.load(spark, dir).getAdditionalDataJson("nested") ==
+      """{"a": [1, 2, {"b": "c"}], "d": null}""")
   }
 
   test("failed save leaves the previous snapshot loadable (test_more.py:271 atomic_save analog)") {
