@@ -193,6 +193,12 @@ object Bench {
     // work (q23 pays the build, q28's number is its banding+verify
     // marginal cost on top).
     if (!picovdbOnly) {
+      // The catalog sweep is sustained all-core load — exactly the
+      // pattern that triggers this host's sporadic hypervisor
+      // cycle-stealing (3-5x CPU-time inflation on random stages, the
+      // same reason the headline workload caps at 24 hot threads).
+      // Cap SQL parallelism for the sweep; a cluster sets its own conf.
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       // Untimed codegen/JIT warmup: run every catalog plan once at the
       // smallest SF. Janino-compiling a 6-stage plan costs ~1-1.5 s the
       // first time regardless of data size — the same compiler cost the

@@ -286,9 +286,10 @@ final class VdbStore private (
       ids: Option[Seq[String]] = None,
       whereFn: Option[String => Boolean] = None,
       nProbe: Int = 0): Seq[Seq[VdbHit]] = timed("query") {
+    // reference's batch-shape message (pico_vdb.py:572-575)
     vectors.foreach { v =>
       require(v.length == dim,
-        s"Query dimension mismatch: expected $dim, got ${v.length}")
+        s"query vectors dim mismatch: expected last dim $dim, got ${v.length}")
     }
     if (vectors.isEmpty) return Seq.empty
     import spark.implicits._
@@ -374,8 +375,13 @@ final class VdbStore private (
                betterThan: Option[Double] = None,
                where: Option[Column] = None,
                ids: Option[Seq[String]] = None,
-               whereFn: Option[String => Boolean] = None): Seq[VdbHit] =
+               whereFn: Option[String => Boolean] = None): Seq[VdbHit] = {
+    // reference's single-vector message (pico_vdb.py:566-569) — shapes
+    // are typed in Scala, so only the dim check remains
+    require(vector.length == dim,
+      s"query vector dim mismatch: expected $dim, got ${vector.length}")
     query(Seq(vector), topK, betterThan, where, ids, whereFn).head
+  }
 
   // ---------------------------------------------------------------- delete
 
@@ -422,6 +428,12 @@ final class VdbStore private (
     }
   }
 
+  /** Full driver-side materialization — API parity with the reference's
+    * `get_all` (pico_vdb.py:976-1011), which returns a list. Collecting
+    * a 100 TB store to the driver is user error by construction; the
+    * scale path is the public `df`/`active` DataFrames (all other
+    * driver traffic in this class is bounded by batch/hit size).
+    */
   def getAll(includeVector: Boolean = false, includeDeleted: Boolean = false): Seq[VdbHit] = {
     val src = if (includeDeleted) current else active
     src.select(col("_id_"), col("meta"), col("_vector_"), col("deleted"))

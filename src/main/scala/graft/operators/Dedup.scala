@@ -72,9 +72,14 @@ object Dedup {
         Option(m.get(key)).getOrElse {
           // Small inputs arrive as one parquet partition; spread the
           // projection across the cluster before caching (explicit
-          // numPartitions so AQE does not coalesce it away). Plan
+          // numPartitions so AQE does not coalesce it away). Width
+          // follows spark.sql.shuffle.partitions — the session's SQL
+          // parallelism knob — so callers can cap hot-thread count
+          // (this host's hypervisor steals cycles above 24 hot
+          // threads; a cluster sets the conf per deployment). Plan
           // construction only — no job runs under this lock.
-          val spread = df.repartition(spark.sparkContext.defaultParallelism)
+          val spread = df.repartition(
+            spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
           val e = new Entry(build(spread).cache(), spark)
           m.put(key, e)
           while (m.size() > maxEntries) {
@@ -239,6 +244,9 @@ object Dedup {
         size(col("fps")).cast("long").as("n_fp"),
         md5(concat_ws("|", col("fps")).cast("binary")).as("fp_digest"))
   }
+
+  // (simhashNearDup's signature relation comes from the same
+  // session-scoped cache, so it inherits the spread width above.)
 
   /** SimHash near-duplicate pairs: band the 64-bit signature into
     * `nBands` contiguous chunks (Hamming distance ≤ nBands-1 guarantees

@@ -40,6 +40,22 @@ class PlanShapeSpec extends AnyFunSuite {
                                      // VectorFunctionsSpec)
   }
 
+  test("LSH near-dup plans carry exactly the two verify joins (no bucket self-join)") {
+    // bucketPairs replaced the band-bucket self-join that recomputed the
+    // signature aggregation once per side — the plan must keep exactly
+    // two joins (candidate->sa, ->sb for minhash; ->chunks a/b for
+    // simhash), not three.
+    // count detail-section headers "(N) <Join>" — the formatted output
+    // prints each node once in the tree and once in the detail section
+    def joins(plan: String): Int =
+      """\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)""".r
+        .findAllMatchIn(plan).size
+    val q22 = formatted(Queries.minhashLsh(spark, dir))
+    assert(joins(q22) == 2, s"q22 expected 2 joins:\n$q22")
+    val q28 = formatted(Queries.simhashNearDup(spark, dir))
+    assert(joins(q28) == 2, s"q28 expected 2 joins:\n$q28")
+  }
+
   test("large-id-list delete plans a broadcast join, not an isin tree") {
     import org.apache.spark.sql.functions._
     val s = graft.core.VdbStore.empty(spark, 3)

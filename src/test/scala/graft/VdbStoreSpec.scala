@@ -35,14 +35,22 @@ class VdbStoreSpec extends AnyFunSuite {
     assert(s.count() == 1)
   }
 
-  test("dimension mismatch raises (test_task3_input_validation.py)") {
+  test("dimension mismatch raises with the reference's message shapes (test_task3_input_validation.py)") {
     val s = freshStore(3)
     intercept[IllegalArgumentException] {
       s.upsert(Seq(rec("x", Array(1f, 2f))))
     }
-    intercept[IllegalArgumentException] {
+    // batch vs single messages mirror pico_vdb.py:566-575
+    val batch = intercept[IllegalArgumentException] {
       s.query(Seq(Array(1f, 2f)))
     }
+    assert(batch.getMessage.contains(
+      "query vectors dim mismatch: expected last dim 3, got 2"))
+    val single = intercept[IllegalArgumentException] {
+      s.queryOne(Array(1f, 2f))
+    }
+    assert(single.getMessage.contains(
+      "query vector dim mismatch: expected 3, got 2"))
   }
 
   test("query returns top-k by cosine with scores (orthonormal fixture)") {
