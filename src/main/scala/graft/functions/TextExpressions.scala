@@ -41,6 +41,96 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Winnowing fingerprint set (the MOSS scheme) of a token array: hash
+  * every `n`-token shingle IN ORDER (md5 hex), slide a window of
+  * `windowSize` consecutive hashes keeping each window's minimum, and
+  * return the distinct selected hashes sorted ascending — any
+  * sufficiently long shared substring between two documents shares a
+  * fingerprint. Bit-identical to the interpreted
+  * transform/slice/array_min SQL the DuckDB oracle runs (hex strings
+  * compare byte-wise, so lexicographic min matches), as one codegen'd
+  * pass per document.
+  */
+case class WinnowFps(child: Expression, shingleN: Int, windowSize: Int)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"winnow_fps expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    WinnowFps.compute(v.asInstanceOf[ArrayData], shingleN, windowSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = graft.functions.WinnowFps.compute($a, $shingleN, $windowSize);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WinnowFps {
+  def compute(tokens: ArrayData, n: Int, window: Int): ArrayData = {
+    val nTok = tokens.numElements()
+    val nGrams = nTok - (n - 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = "0123456789abcdef".toCharArray
+    // ordered md5 hex digests of the n-token shingles
+    val hashes = new Array[String](math.max(0, nGrams))
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        if (!tokens.isNullAt(i + j)) sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val out = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        out(2 * b) = hex((d(b) >> 4) & 0xF)
+        out(2 * b + 1) = hex(d(b) & 0xF)
+        b += 1
+      }
+      hashes(i) = new String(out)
+      i += 1
+    }
+    // sliding-window minima, distinct, sorted ascending
+    val nWin = nGrams - (window - 1)
+    val selected = new java.util.TreeSet[String]()
+    var w = 0
+    while (w < nWin) {
+      var min = hashes(w)
+      var k = 1
+      while (k < window) {
+        val h = hashes(w + k)
+        if (h.compareTo(min) < 0) min = h
+        k += 1
+      }
+      selected.add(min)
+      w += 1
+    }
+    val arr = new Array[AnyRef](selected.size())
+    val it = selected.iterator()
+    var x = 0
+    while (it.hasNext) {
+      arr(x) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      x += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
 object SimHash64 {
   /** Shared by eval and codegen. Null tokens are skipped (a whitespace
     * split never produces them).

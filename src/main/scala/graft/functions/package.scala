@@ -50,6 +50,12 @@ package object functions {
     */
   def simhash64(tokens: Column): Column = col(SimHash64(expr(tokens)))
 
+  /** Sorted distinct winnowing fingerprints (md5 hex of n-token
+    * shingles, sliding-window minima) of a token array.
+    */
+  def winnow_fps(tokens: Column, shingleN: Int, windowSize: Int): Column =
+    col(WinnowFps(expr(tokens), shingleN, windowSize))
+
   /** Cosine similarity of two raw (not necessarily normalized) vectors,
     * computed fully in double: dot / (|a| * |b|). Zero-norm guarded to 0.
     */

@@ -222,28 +222,23 @@ object Dedup {
     * hashes, keep each window's minimum — guaranteeing any sufficiently
     * long shared substring between two documents shares a fingerprint —
     * and emit the distinct selected hashes per document. One narrow
-    * projection, zero shuffle; md5 plays the rolling hash (reproducible
-    * in any engine).
+    * zero-shuffle projection through the codegen'd
+    * [[graft.functions.WinnowFps]] expression; md5 plays the rolling
+    * hash (reproducible in any engine — the DuckDB oracle runs the same
+    * scheme in SQL).
     *
     * Output: (doc_id, n_fp, fp_digest) where fp_digest = md5 over the
     * sorted fingerprint set (a stable whole-document signature).
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-                         shingleN: Int = 3, windowSize: Int = 4): DataFrame = {
-    val parts = (0 until shingleN).map(o => s"element_at(w, i + $o)").mkString(", ")
+                         shingleN: Int = 3, windowSize: Int = 4): DataFrame =
     wordsOf(df, idCol, textCol)
       .filter(size(col("w")) >= shingleN + windowSize - 1)
-      .withColumn("h",
-        expr(s"""transform(sequence(1, size(w) - ${shingleN - 1}),
-                 i -> md5(cast(concat_ws(' ', $parts) as binary)))"""))
-      .withColumn("fps", expr(
-        s"""array_sort(array_distinct(transform(
-            sequence(1, size(h) - ${windowSize - 1}),
-            i -> array_min(slice(h, i, $windowSize)))))"""))
+      .withColumn("fps",
+        graft.functions.winnow_fps(col("w"), shingleN, windowSize))
       .select(col("doc_id"),
         size(col("fps")).cast("long").as("n_fp"),
         md5(concat_ws("|", col("fps")).cast("binary")).as("fp_digest"))
-  }
 
   // (simhashNearDup's signature relation comes from the same
   // session-scoped cache, so it inherits the spread width above.)
