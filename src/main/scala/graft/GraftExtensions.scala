@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, Float32LEBytes, L2NormSq, NormalizeL2}
+import graft.functions.{DotProduct, Float32LEBytes, L2NormSq, NormalizeL2, SimHash64}
 
 /** SparkSessionExtensions hook: makes the engine's codegen'd vector
   * expressions available to ANY session (including plain `spark.sql`)
@@ -51,5 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_norm_sq"),
       new ExpressionInfo(classOf[L2NormSq].getName, "l2_norm_sq"),
       arity("l2_norm_sq", 1)(es => L2NormSq(es.head))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      arity("simhash64", 1)(es => SimHash64(es.head))))
   }
 }

@@ -64,6 +64,69 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("NearestCentroid.nearest equals the plain argmax of inner products") {
+    val caseGen = for {
+      dim <- Gen.choose(1, 16)
+      k <- Gen.choose(1, 8)
+      cents <- Gen.containerOfN[Array, Array[Double]](k,
+        Gen.containerOfN[Array, Double](dim, Gen.chooseNum(-1.0, 1.0)))
+      v <- Gen.containerOfN[Array, Float](dim, Gen.chooseNum(-1f, 1f))
+    } yield (dim, cents, v)
+    check(Prop.forAll(caseGen) { case (dim, cents, v) =>
+      val flat = cents.flatten
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v)
+      val got = graft.functions.NearestCentroid.nearest(arr, flat, dim, isFloat = true)
+      val scores = cents.map(c => c.zip(v).map { case (a, b) => a * b.toDouble }.sum)
+      // first index achieving the max (ties break to the lower index)
+      val want = scores.zipWithIndex.foldLeft((Double.NegativeInfinity, 0)) {
+        case ((bs, bi), (s, i)) => if (s > bs) (s, i) else (bs, bi)
+      }._2
+      got == want
+    })
+  }
+
+  test("SimHash64 matches a direct md5 bit-vote reimplementation") {
+    val tokensGen = Gen.listOf(Gen.alphaNumStr.map(_.take(12)))
+    check(Prop.forAll(tokensGen) { tokens =>
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        tokens.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+      val got = graft.functions.SimHash64.compute(arr).toString
+      // reference formulation: hex-digit nibble walk over the md5 hex string
+      val votes = new Array[Int](64)
+      tokens.foreach { t =>
+        val hexStr = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        (0 until 64).foreach { j =>
+          val nib = Integer.parseInt(hexStr.charAt(j / 4).toString, 16)
+          votes(j) += 2 * ((nib >> (3 - j % 4)) & 1) - 1
+        }
+      }
+      got == votes.map(s => if (s > 0) '1' else '0').mkString
+    })
+  }
+
+  test("WinnowFps matches a direct sliding-min reimplementation") {
+    val caseGen = for {
+      tokens <- Gen.listOfN(20, Gen.oneOf("alpha", "beta", "gamma", "delta", "x"))
+      n <- Gen.choose(1, 3)
+      w <- Gen.choose(1, 4)
+    } yield (tokens, n, w)
+    check(Prop.forAll(caseGen) { case (tokens, n, w) =>
+      if (tokens.size < n + w - 1) true
+      else {
+        val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          tokens.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+        val got = graft.functions.WinnowFps.compute(arr, n, w)
+          .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+        def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        val hashes = tokens.sliding(n).map(g => md5hex(g.mkString(" "))).toSeq
+        val want = hashes.sliding(w).map(_.min).toSeq.distinct.sorted
+        got == want
+      }
+    })
+  }
+
   test("LocalKMeans is deterministic for a fixed seed and returns k centers") {
     val sampleGen = for {
       n <- Gen.choose(5, 60)
