@@ -29,6 +29,22 @@ import graft.operators.CosineTopK
   */
 object Bench {
 
+  /** Projection-preserving sink: count() lets Catalyst prune
+    * unreferenced projection columns, so projection-only queries would
+    * time little more than the parquet scan (VERDICT r2 "what's wrong"
+    * #1). Hashing every output column forces full evaluation while
+    * still reducing to one driver-side row. bit_xor, not sum: ANSI mode
+    * (Spark 4 default) makes a long-sum of hashes overflow. Shared with
+    * tools.ProfileQ22 so the profiler reproduces the bench's
+    * evaluation shape exactly.
+    */
+  private[graft] def forceSink(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, expr, xxhash64}
+    df.select(xxhash64(df.columns.map(col): _*).as("_h_"))
+      .agg(expr("bit_xor(_h_)")).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -50,19 +66,7 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    // Projection-preserving sink: count() lets Catalyst prune unreferenced
-    // projection columns, so projection-only queries timed little more
-    // than the parquet scan (VERDICT r2 "what's wrong" #1). Hashing every
-    // output column forces full evaluation while still reducing to one
-    // driver-side row.
-    def force(df: org.apache.spark.sql.DataFrame): Unit = {
-      import org.apache.spark.sql.functions.{col, expr, xxhash64}
-      // bit_xor, not sum: ANSI mode (Spark 4 default) makes a long-sum of
-      // hashes overflow.
-      df.select(xxhash64(df.columns.map(col): _*).as("_h_"))
-        .agg(expr("bit_xor(_h_)")).collect()
-      ()
-    }
+    def force(df: org.apache.spark.sql.DataFrame): Unit = Bench.forceSink(df)
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -207,7 +211,13 @@ object Bench {
       // below then measure each query's data work at SPARK_GRAFT_SF_DIR,
       // the steady-state production scenario.
       val warmDir = "/root/testdata/sf0.001"
-      if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      // canonical-path compare: a trailing slash or symlink alias of the
+      // timed dataset must not warm the timed data itself
+      val sameAsTimed =
+        try new java.io.File(warmDir).getCanonicalPath ==
+          new java.io.File(sfDir).getCanonicalPath
+        catch { case _: java.io.IOException => true }
+      if (new java.io.File(warmDir).isDirectory && !sameAsTimed) {
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
           try force(fn(spark, warmDir))
           catch { case _: Throwable => () } // real failures surface timed below
@@ -266,11 +276,15 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }
+    // Locale.ROOT: a comma-decimal default locale must not break the
+    // one-line-JSON driver contract.
+    def jnum(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val rc = recalls.map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }
+    val rc = recalls.map { case (k, v) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann_recall10":$rc,"errors":$es,"sf":"$sfDir"}""")

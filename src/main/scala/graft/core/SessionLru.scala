@@ -1,0 +1,54 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Bounded access-order LRU for session-owned cached values (pinned
+  * DataFrames, IVF indexes), shared by the operator-level caches so the
+  * lifetime policy exists exactly once:
+  *
+  *  - entries whose owning SparkSession has stopped are swept on every
+  *    access — a dead session's cached relation must never be served
+  *    again (and cannot be unpersisted);
+  *  - past `maxEntries`, the least-recently-USED entry is evicted and
+  *    `onEvict` releases its resources (skipped for stopped sessions);
+  *  - `mk` runs OUTSIDE the lock (it may launch Spark jobs — unrelated
+  *    keys must not serialize behind it); a losing racer's value is
+  *    released via `onEvict` and the winner returned.
+  */
+final class SessionLru[K, V](maxEntries: Int,
+                             sessionOf: V => SparkSession,
+                             onEvict: V => Unit) {
+
+  private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true)
+
+  private def sweepDead(): Unit = {
+    val it = m.values().iterator()
+    while (it.hasNext) if (sessionOf(it.next()).sparkContext.isStopped) it.remove()
+  }
+
+  def getOrBuild(key: K)(mk: => V): V = {
+    m.synchronized {
+      sweepDead()
+      Option(m.get(key))
+    } match {
+      case Some(v) => v
+      case None =>
+        val built = mk
+        m.synchronized {
+          Option(m.get(key)) match {
+            case Some(winner) => // lost a race; release ours
+              onEvict(built)
+              winner
+            case None =>
+              m.put(key, built)
+              while (m.size() > maxEntries) {
+                val eldest = m.keySet().iterator().next()
+                val ev = m.remove(eldest)
+                if (!sessionOf(ev).sparkContext.isStopped) onEvict(ev)
+              }
+              built
+          }
+        }
+    }
+  }
+}

@@ -136,17 +136,38 @@ object StoreIO {
     * round-trip verbatim, matching the reference's json.dump side bag —
     * pico_vdb.py:364-371, 500-512).
     */
-  private[core] def parseMeta(s: String): (Int, Option[Int], Map[String, String]) = {
+  private[graft] def parseMeta(s: String): (Int, Option[Int], Map[String, String]) = {
+    // The writer always emits embedding_dim (and ann_nlist, if any)
+    // BEFORE additional_data — match the scalar keys only in that
+    // prefix, or a user value like {"cfg": {"ann_nlist": 8}} inside the
+    // raw-JSON side bag would spuriously enable ANN on load.
+    val adMatch = """"additional_data"\s*:""".r.findFirstMatchIn(s)
+    val head = adMatch.map(m => s.substring(0, m.start)).getOrElse(s)
     val dim = """"embedding_dim"\s*:\s*(\d+)""".r
-      .findFirstMatchIn(s).map(_.group(1).toInt)
+      .findFirstMatchIn(head).map(_.group(1).toInt)
       .getOrElse(throw new IllegalArgumentException(s"no embedding_dim in $s"))
     val ann = """"ann_nlist"\s*:\s*(\d+)""".r
-      .findFirstMatchIn(s).map(_.group(1).toInt)
-    val kv = """"additional_data"\s*:""".r.findFirstMatchIn(s) match {
+      .findFirstMatchIn(head).map(_.group(1).toInt)
+    val kv = adMatch match {
       case None    => Map.empty[String, String]
       case Some(m) => parseObject(s, skipWs(s, m.end))
     }
     (dim, ann, kv)
+  }
+
+  /** True iff `v` is one complete JSON value (used to validate raw side
+    * data at store time, so save() can't write an unloadable meta).
+    */
+  private[core] def isJsonValue(v: String): Boolean = {
+    val t = v.trim
+    if (t.isEmpty) return false
+    try {
+      if (scanValue(t, 0) != t.length) return false
+      t.charAt(0) match {
+        case '"' | '{' | '[' => true
+        case _ => t.matches("""-?\d+(\.\d+)?([eE][+-]?\d+)?|true|false|null""")
+      }
+    } catch { case _: IllegalArgumentException => false }
   }
 
   private def skipWs(s: String, i0: Int): Int = {
@@ -160,20 +181,23 @@ object StoreIO {
     */
   private def parseObject(s: String, i0: Int): Map[String, String] = {
     require(i0 < s.length && s.charAt(i0) == '{', s"additional_data is not an object in $s")
+    def at(i: Int): Char = if (i < s.length) s.charAt(i) else truncated(s)
     val out = Map.newBuilder[String, String]
     var i = skipWs(s, i0 + 1)
-    if (s.charAt(i) == '}') return out.result()
+    if (at(i) == '}') return out.result()
     var done = false
     while (!done) {
+      if (at(i) != '"') truncated(s)
       val keyEnd = scanString(s, i)
       val key = unescapeJson(s.substring(i + 1, keyEnd - 1))
       i = skipWs(s, keyEnd)
-      require(s.charAt(i) == ':', s"expected ':' at $i in meta")
+      require(at(i) == ':', s"expected ':' at $i in meta")
       i = skipWs(s, i + 1)
+      if (i >= s.length) truncated(s)
       val vEnd = scanValue(s, i)
       out += key -> s.substring(i, vEnd)
       i = skipWs(s, vEnd)
-      s.charAt(i) match {
+      at(i) match {
         case ',' => i = skipWs(s, i + 1)
         case '}' => done = true
         case c   => throw new IllegalArgumentException(s"unexpected '$c' at $i in meta")
@@ -182,10 +206,18 @@ object StoreIO {
     out.result()
   }
 
-  /** End index (exclusive) of the JSON string starting at `s(i0) == '"'`. */
+  private def truncated(s: String): Nothing =
+    throw new IllegalArgumentException(s"truncated/corrupt store meta: $s")
+
+  /** End index (exclusive) of the JSON string starting at `s(i0) == '"'`.
+    * Bounds-checked: a torn meta file raises IllegalArgumentException,
+    * not StringIndexOutOfBoundsException.
+    */
   private def scanString(s: String, i0: Int): Int = {
     var i = i0 + 1
-    while (s.charAt(i) != '"') i += (if (s.charAt(i) == '\\') 2 else 1)
+    while (i < s.length && s.charAt(i) != '"')
+      i += (if (s.charAt(i) == '\\') 2 else 1)
+    if (i >= s.length) truncated(s)
     i + 1
   }
 
@@ -197,6 +229,7 @@ object StoreIO {
       var i = i0
       var scanning = true
       while (scanning) {
+        if (i >= s.length) truncated(s)
         s.charAt(i) match {
           case '"'       => i = scanString(s, i)
           case '{' | '[' => depth += 1; i += 1

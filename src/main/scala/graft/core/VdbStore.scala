@@ -512,9 +512,16 @@ final class VdbStore private (
 
   /** Store raw JSON values (objects, arrays, numbers, booleans, null —
     * caller supplies valid JSON text, e.g. `"{\"a\": [1, 2]}"`).
+    * Validated here so a bad payload fails fast on the driver instead
+    * of save() writing a snapshot that cannot be loaded back.
     */
-  def storeAdditionalDataJson(kv: (String, String)*): Unit =
+  def storeAdditionalDataJson(kv: (String, String)*): Unit = {
+    kv.foreach { case (k, v) =>
+      require(StoreIO.isJsonValue(v),
+        s"additional_data value for '$k' is not a JSON value: $v")
+    }
     additionalData = additionalData ++ kv
+  }
 
   /** String view: JSON-string values come back unquoted (the historical
     * String -> String surface); non-string values as their raw JSON text.

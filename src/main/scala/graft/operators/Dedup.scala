@@ -35,14 +35,13 @@ object Dedup {
   }
 
   /** Bounded LRU cache of expensive derived relations (shingle sets,
-    * simhash signatures), keyed by (sessionUUID, analyzed-plan semantic
-    * hash, params). Session-scoping keeps a later session from picking up
-    * a dead cached DataFrame after its owner stopped (entries of stopped
-    * sessions are swept on every access); the plan hash means rewriting
-    * files under the same path must be followed by a fresh `spark.read`
-    * (new plan) to miss the cache. The eager materialization — needed so
-    * concurrent AQE branches don't race to double-build the same
-    * InMemoryRelation — runs exactly once per entry, not per call.
+    * simhash signatures), keyed by (session identity, analyzed-plan
+    * semantic hash, params) on the shared [[graft.core.SessionLru]]
+    * policy. The plan hash means rewriting files under the same path
+    * must be followed by a fresh `spark.read` (new plan) to miss the
+    * cache. The eager materialization — needed so concurrent AQE
+    * branches don't race to double-build the same InMemoryRelation —
+    * runs exactly once per entry, not per call.
     */
   private final class PlanCache(maxEntries: Int) {
     private final class Entry(val df: DataFrame,
@@ -55,42 +54,31 @@ object Dedup {
         df
       }
     }
-    private val m = // access-order: evictions hit the least-recently-USED entry
-      new java.util.LinkedHashMap[(String, Int, String, String, Int), Entry](16, 0.75f, true)
+    private val lru =
+      new graft.core.SessionLru[(String, Int, String, String, Int), Entry](
+        maxEntries, _.session, _.df.unpersist(false))
 
     def get(df: DataFrame, idCol: String, textCol: String, n: Int)
            (build: DataFrame => DataFrame): DataFrame = {
       val spark = df.sparkSession
       // identity hash = per-live-session discriminator (the unified
-      // SparkSession API has no sessionUUID); stopped sessions are swept
-      // above, so a recycled hash can't resurrect a dead entry.
+      // SparkSession API has no sessionUUID); SessionLru sweeps stopped
+      // sessions, so a recycled hash can't resurrect a dead entry.
       val key = (System.identityHashCode(spark).toString,
         df.queryExecution.analyzed.semanticHash(), idCol, textCol, n)
-      val entry = m.synchronized {
-        val it = m.values().iterator()
-        while (it.hasNext) if (it.next().session.sparkContext.isStopped) it.remove()
-        Option(m.get(key)).getOrElse {
-          // Small inputs arrive as one parquet partition; spread the
-          // projection across the cluster before caching (explicit
-          // numPartitions so AQE does not coalesce it away). Width
-          // follows spark.sql.shuffle.partitions — the session's SQL
-          // parallelism knob — so callers can cap hot-thread count
-          // (this host's hypervisor steals cycles above 24 hot
-          // threads; a cluster sets the conf per deployment). Plan
-          // construction only — no job runs under this lock.
-          val spread = df.repartition(
-            spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-          val e = new Entry(build(spread).cache(), spark)
-          m.put(key, e)
-          while (m.size() > maxEntries) {
-            val eldest = m.keySet().iterator().next()
-            val ev = m.remove(eldest)
-            if (!ev.session.sparkContext.isStopped) ev.df.unpersist(false)
-          }
-          e
-        }
-      }
-      entry.ensure()
+      lru.getOrBuild(key) {
+        // Small inputs arrive as one parquet partition; spread the
+        // projection across the cluster before caching (explicit
+        // numPartitions so AQE does not coalesce it away). Width
+        // follows spark.sql.shuffle.partitions — the session's SQL
+        // parallelism knob — so callers can cap hot-thread count (this
+        // host's hypervisor steals cycles above 24 hot threads; a
+        // cluster sets the conf per deployment). Plan construction
+        // only — the eager count happens once in ensure().
+        val spread = df.repartition(
+          spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        new Entry(build(spread).cache(), spark)
+      }.ensure()
     }
   }
 
@@ -127,11 +115,16 @@ object Dedup {
   /** LSH candidate pairs from banded bucket rows (doc_id, band cols...):
     * ONE aggregation collects each bucket's (sorted) doc list, singleton
     * and over-`cap` buckets drop out, and ordered pairs are expanded from
-    * the tiny in-bucket arrays. Compared to the bucket self-join this
+    * the in-bucket arrays. Compared to the bucket self-join this
     * computes the (expensive) upstream exactly once — a self-join
-    * recomputes it per side — and a B-doc bucket costs B^2 pair rows only
-    * AFTER the cap bounds B. Distinct collapses pairs that collide in
-    * several bands.
+    * recomputes it per side. Pair expansion is TWO chained generates
+    * (explode left element, then explode the greater-than remainder),
+    * which stream B^2 pair rows through the pipeline with O(B) live
+    * memory — a single flatten(transform(...)) would materialize all
+    * B^2 structs as one array value and hard-fail on a degenerate hot
+    * bucket where the old self-join merely spilled. `cap` (when given)
+    * drops oversized buckets entirely before expansion. Distinct
+    * collapses pairs that collide in several bands.
     */
   private def bucketPairs(bands: DataFrame, keyCols: Seq[String],
                           maxBucket: Option[Int]): DataFrame = {
@@ -140,10 +133,8 @@ object Dedup {
       .filter(size(col("docs")) >= 2)
     val kept = maxBucket.map(cap => buckets.filter(size(col("docs")) <= cap))
       .getOrElse(buckets)
-    kept.select(explode(expr(
-        "flatten(transform(docs, x -> transform(filter(docs, y -> y > x), y -> struct(x AS a, y AS b))))"
-      )).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+    kept.select(col("docs"), explode(col("docs")).as("a"))
+      .select(col("a"), explode(expr("filter(docs, y -> y > a)")).as("b"))
       .distinct()
   }
 

@@ -139,42 +139,15 @@ object IvfIndex {
     new IvfIndex(centroids, assigned, idCol, vecCol)
   }
 
-  // ---- per-dataset index cache (amortizes repeated catalog/bench runs);
-  // bounded LRU (access-order): least-recently-USED entries are
-  // unpersisted + dropped past MaxCached. Keys are caller-chosen (path
-  // strings) — rewriting data under a key requires dropping it first.
-  // Entries whose owning SparkSession has stopped are swept on access
-  // (a dead session's cached DataFrame must never be served again).
-  private val MaxCached = 8
-  private val cache =
-    new java.util.LinkedHashMap[String, IvfIndex](16, 0.75f, true)
+  // ---- per-dataset index cache (amortizes repeated catalog/bench
+  // runs) on the shared SessionLru policy (dead-session sweep, bounded
+  // access-order eviction, build-outside-lock). Keys are caller-chosen
+  // (path strings) — rewriting data under a key requires dropping it
+  // first.
+  private val cache = new graft.core.SessionLru[String, IvfIndex](
+    8, _.assigned.sparkSession, _.unpersistAssigned())
 
-  def cached(key: String)(mk: => IvfIndex): IvfIndex = {
-    cache.synchronized {
-      val it = cache.values().iterator()
-      while (it.hasNext)
-        if (it.next().assigned.sparkSession.sparkContext.isStopped) it.remove()
-      Option(cache.get(key))
-    } match {
-      case Some(idx) => idx
-      case None =>
-        val idx = mk // build OUTSIDE the lock — unrelated keys shouldn't serialize
-        cache.synchronized {
-          Option(cache.get(key)) match {
-            case Some(winner) => // lost a race; discard ours
-              idx.unpersistAssigned()
-              winner
-            case None =>
-              cache.put(key, idx)
-              while (cache.size() > MaxCached) {
-                val eldest = cache.keySet().iterator().next()
-                cache.remove(eldest).unpersistAssigned()
-              }
-              idx
-          }
-        }
-    }
-  }
+  def cached(key: String)(mk: => IvfIndex): IvfIndex = cache.getOrBuild(key)(mk)
 }
 
 /** Seeded kmeans++ init + Lloyd iterations on a driver-side sample.

@@ -231,6 +231,38 @@ class VdbStoreSpec extends AnyFunSuite {
       """{"a": [1, 2, {"b": "c"}], "d": null}""")
   }
 
+  test("ann_nlist inside user additional_data does NOT enable ANN on load (parse scoping)") {
+    val dir = java.nio.file.Files.createTempDirectory("vdbannkey").toString + "/store"
+    val s = freshStore(3)
+    s.upsert(Seq(rec("a", Array(1f, 0f, 0f))))
+    s.storeAdditionalDataJson("cfg" -> """{"ann_nlist": 8}""")
+    s.save(dir)
+    val loaded = VdbStore.load(spark, dir)
+    assert(!loaded.annInfo.enabled) // nested key must not leak into meta parsing
+    assert(loaded.getAdditionalDataJson("cfg") == """{"ann_nlist": 8}""")
+  }
+
+  test("storeAdditionalDataJson rejects invalid JSON before it can poison a snapshot") {
+    val s = freshStore(3)
+    intercept[IllegalArgumentException] {
+      s.storeAdditionalDataJson("k" -> "not json")
+    }
+    intercept[IllegalArgumentException] {
+      s.storeAdditionalDataJson("k" -> """{"unclosed": [1, 2""")
+    }
+    // valid scalar/bool/null forms pass
+    s.storeAdditionalDataJson("n" -> "-1.5e3", "t" -> "true", "z" -> "null")
+    assert(s.getAdditionalDataJson("n") == "-1.5e3")
+  }
+
+  test("truncated store meta raises a diagnosable error, not StringIndexOutOfBounds") {
+    val e = intercept[IllegalArgumentException] {
+      graft.core.StoreIO.parseMeta(
+        """{"embedding_dim": 3, "additional_data": {"k": "val""")
+    }
+    assert(e.getMessage.contains("meta"))
+  }
+
   test("failed save leaves the previous snapshot loadable (test_more.py:271 atomic_save analog)") {
     val dir = java.nio.file.Files.createTempDirectory("vdbatomic").toString + "/store"
     val good = freshStore(3)
