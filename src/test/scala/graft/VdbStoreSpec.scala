@@ -392,6 +392,41 @@ class VdbStoreSpec extends AnyFunSuite {
     assert(math.abs(v(0) - 0.6f) < 1e-6 && math.abs(v(1) - 0.8f) < 1e-6)
   }
 
+  test("snapshot reads stay stable under concurrent mutation (test_task11 analog)") {
+    // The reference guards snapshot reads with an RW lock
+    // (pico_vdb.py:593-679); here immutability makes them free: a df
+    // reference taken before a mutation keeps answering from its own
+    // snapshot, and queries racing a writer never error or see a
+    // half-applied state.
+    val s = freshStore(4)
+    s.upsert((0 until 40).map { i =>
+      val v = new Array[Float](4); v(i % 4) = 1f
+      rec(f"r$i%03d", v)
+    })
+    val snapshot = s.df // pre-mutation snapshot
+    val writer = new Thread(() => {
+      (0 until 5).foreach { k =>
+        s.upsert(Seq(rec(s"w$k", Array(0f, 0f, 0f, 1f))))
+        s.delete(Seq(f"r$k%03d"))
+      }
+    })
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val failures = new java.util.concurrent.atomic.AtomicInteger
+    val readers = (0 until 2).map(_ => new Thread(() => {
+      (0 until 10).foreach { _ =>
+        try seen.add(s.queryOne(Array(1f, 0f, 0f, 0f), topK = 5).size)
+        catch { case _: Throwable => failures.incrementAndGet() }
+      }
+    }))
+    writer.start(); readers.foreach(_.start())
+    writer.join(); readers.foreach(_.join())
+    assert(failures.get() == 0)
+    assert(seen.size() == 20 && seen.iterator().hasNext)
+    // the old snapshot is untouched by 5 upserts + 5 deletes
+    assert(snapshot.count() == 40)
+    assert(s.count() == 40) // 40 - 5 deleted + 5 inserted
+  }
+
   test("within-batch duplicate ids: last record wins (sequential upsert law)") {
     val s = freshStore(3)
     s.upsert(Seq(rec("a", Array(1f, 0f, 0f), """{"v": 1}"""),
