@@ -41,4 +41,12 @@ final class GraftConf(spark: SparkSession) {
     */
   def snapshotsKeep: Int =
     opt("snapshots.keep", "GRAFT_SNAPSHOTS_KEEP").map(_.toInt).getOrElse(1)
+
+  /** Score queries with sequential-double accumulation (bit-parity with
+    * the DotProduct expression / declarative plan) instead of the SIMD
+    * float32 kernels. Default false: float32 is the reference's own
+    * scoring precision (pico_vdb.py:26) and ~5x faster.
+    */
+  def queryExact: Boolean =
+    opt("query.exact", "GRAFT_QUERY_EXACT").exists(_.toBoolean)
 }

@@ -329,8 +329,12 @@ final class VdbStore private (
           .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
       case None =>
         val bs = if (unfiltered) blockStore() else packCandidates(cand)
+        // float32 SIMD scoring by default — the reference's own
+        // precision (pico_vdb.py:26 Float = np.float32); set
+        // graft.query.exact=true for double accumulation bit-identical
+        // to the declarative/DotProduct plan.
         val merged = bs.topKMerged(queries, topK, betterThan,
-          normalizeQueries = true, exact = true)
+          normalizeQueries = true, exact = conf.queryExact)
         merged.iterator.zipWithIndex.flatMap { case (hits, qi) =>
           hits.iterator.zipWithIndex.map { case ((id, s), r) =>
             (queries(qi)._1, id, s, r + 1)

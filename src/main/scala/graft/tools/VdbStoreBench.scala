@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.core.VdbStore
+
+/** End-to-end picovdb-mirror workload through the PUBLIC VdbStore API
+  * (upsertDF -> query), at the reference's published scale (dim=1024,
+  * N=100k, 1000-query batch, top_k=10, better_than=0.1) — evidence that
+  * a user of the reference switching to this library gets headline-class
+  * throughput from the real API, not just from the internal BlockStore
+  * path. Run by hand; prints one line per phase.
+  */
+object VdbStoreBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", math.min(cpus.toInt, 24).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val dim = 1024
+    val n = 100000
+    val parts = math.min(cpus.toInt, 24)
+
+    def timed(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"VDBBENCH $name%-26s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($out)")
+    }
+
+    // pre-generated batch, pinned (reference pre-builds its numpy array)
+    val batch = spark.sparkContext.range(0, n, 1, parts).map { i =>
+      val rng = new java.util.Random(i * 2654435761L)
+      (f"id$i%06d", Array.fill(dim)(rng.nextFloat()), null: String)
+    }.toDF("_id_", "vector", "meta").persist()
+    batch.count()
+
+    val qrng = new java.util.Random(42)
+    val queries = Array.fill(1000)(Array.fill(dim)(qrng.nextFloat()).toIndexedSeq.toArray)
+
+    val store = VdbStore.empty(spark, dim)
+    timed("upsertDF 100k x 1024") {
+      store.upsertDF(batch)
+    }
+    timed("count")(store.count())
+    timed("batch 1000q cold") {
+      store.query(queries.toIndexedSeq, topK = 10, betterThan = Some(0.1)).size
+    }
+    timed("batch 1000q warm") {
+      store.query(queries.toIndexedSeq, topK = 10, betterThan = Some(0.1)).size
+    }
+    println("timings: " + store.lastTimings.map { case (k, v) => f"$k=$v%.2fs" }.mkString(" "))
+    spark.stop()
+  }
+}
