@@ -241,8 +241,18 @@ final class VdbStore private (
       .withColumn("_id_",
         coalesce(col("_id_").cast(StringType), content_id(col("_vecf_"))))
       .select(col("_id_"), col("_vector_"), col("meta"), lit(false).as("deleted"))
-    val nUpd = prepared.join(active.select("_id_"), Seq("_id_"), "left_semi").count()
-    val nIns = prepared.count() - nUpd
+    // Both report counts in ONE pass over the batch (a left join against
+    // the active id column + two counts): evaluating the normalize +
+    // content-id projection is the expensive part, and caching the wide
+    // vector arrays costs more than it saves — so the batch is evaluated
+    // exactly twice total (once here, once by the swap materialization).
+    val cnt = prepared.select(col("_id_"))
+      .join(active.select(col("_id_")).withColumn("_ex_", lit(true)),
+        Seq("_id_"), "left_outer")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("all"),
+        org.apache.spark.sql.functions.count(col("_ex_")).as("upd")).head()
+    val (nAll, nUpd) = (cnt.getLong(0), cnt.getLong(1))
+    val nIns = nAll - nUpd
     // tombstones of re-inserted ids must not survive next to the new
     // active rows (same rule as upsert's free-slot reuse)
     val next = active
