@@ -282,10 +282,13 @@ final class VdbStore private (
     * matrix, pico_vdb.py:683-689).
     */
   /** `whereFn` is the reference's arbitrary-callable predicate
-    * (pico_vdb.py:643-654): an opaque function over the raw meta JSON
-    * (null for records without metadata). It cannot be pushed down — it
-    * costs a full scan in both systems — and is re-checked post-score on
-    * the assembled hits exactly like the reference re-validates after
+    * (pico_vdb.py:643-654): an opaque function over (record id, raw
+    * meta JSON — null for records without metadata). The reference's
+    * callable sees the full doc dict INCLUDING `_id_`
+    * (tests/test_pico_vdb.py:125-137 filters on it), so the id is the
+    * first argument here. It cannot be pushed down — it costs a full
+    * scan in both systems — and is re-checked post-score on the
+    * assembled hits exactly like the reference re-validates after
     * releasing its lock (pico_vdb.py:768-770).
     */
   def query(
@@ -294,7 +297,7 @@ final class VdbStore private (
       betterThan: Option[Double] = None,
       where: Option[Column] = None,
       ids: Option[Seq[String]] = None,
-      whereFn: Option[String => Boolean] = None,
+      whereFn: Option[(String, String) => Boolean] = None,
       nProbe: Int = 0): Seq[Seq[VdbHit]] = timed("query") {
     // reference's batch-shape message (pico_vdb.py:572-575)
     vectors.foreach { v =>
@@ -312,8 +315,8 @@ final class VdbStore private (
     }
     where.foreach { p => cand = cand.filter(p) }
     whereFn.foreach { f =>
-      val u = udf((m: String) => f(m))
-      cand = cand.filter(u(col("meta")))
+      val u = udf((id: String, m: String) => f(id, m))
+      cand = cand.filter(u(col("_id_"), col("meta")))
     }
 
     // O28 bypass rule (pico_vdb.py:667-668): any ids/where restriction
@@ -361,7 +364,7 @@ final class VdbStore private (
       grouped.getOrElse(i.toLong, Seq.empty).sortBy(_._4).flatMap {
         case (_, id, score, _) =>
           byId.get(id).map(h => VdbHit(id, score, h.metaJson, h.vector))
-      }.filter(h => whereFn.forall(f => f(h.metaJson.orNull))) // post-score recheck
+      }.filter(h => whereFn.forall(f => f(h.id, h.metaJson.orNull))) // post-score recheck
     }
   }
 
@@ -389,7 +392,7 @@ final class VdbStore private (
                betterThan: Option[Double] = None,
                where: Option[Column] = None,
                ids: Option[Seq[String]] = None,
-               whereFn: Option[String => Boolean] = None): Seq[VdbHit] = {
+               whereFn: Option[(String, String) => Boolean] = None): Seq[VdbHit] = {
     // reference's single-vector message (pico_vdb.py:566-569) — shapes
     // are typed in Scala, so only the dim check remains
     require(vector.length == dim,

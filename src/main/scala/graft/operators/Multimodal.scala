@@ -55,7 +55,8 @@ object Multimodal {
     src.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
+        // null payload -> empty bytes (deterministic, no task crash)
+        val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         val (w, h, f) = decoder.decode(payload)
         Row(id, payload.length.toLong, w, h, f)
       }
@@ -82,7 +83,8 @@ object Multimodal {
     implicit val enc = RowEncoder.encoderFor(resizeSchema)
     src.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, _) = decoder.decode(r.getAs[Array[Byte]](1))
+        val (w, h, _) = decoder.decode(
+          Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray))
         val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
         Row(r.getLong(0), w, h,
           math.max(1, math.round(w * scale).toInt),
@@ -107,7 +109,8 @@ object Multimodal {
     implicit val enc = RowEncoder.encoderFor(frameSchema)
     src.mapPartitions { rows =>
       rows.map { r =>
-        val (_, _, n) = decoder.decode(r.getAs[Array[Byte]](1))
+        val (_, _, n) = decoder.decode(
+          Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray))
         Row(r.getLong(0), n, (0 until n by stride).toArray)
       }
     }

@@ -356,12 +356,19 @@ class VdbStoreSpec extends AnyFunSuite {
     val dictWhere = s.queryOne(q, topK = 10,
       where = Some(get_json_object(col("meta"), "$.g") === "x")).map(_.id)
     val lambdaWhere = s.queryOne(q, topK = 10,
-      whereFn = Some((m: String) => m != null && m.contains(""""g": "x""""))).map(_.id)
+      whereFn = Some((_: String, m: String) =>
+        m != null && m.contains(""""g": "x""""))).map(_.id)
     assert(dictWhere == Seq("a", "c"))
     assert(lambdaWhere == dictWhere)
     // null-meta records reach the callable as null and can be selected
-    val nullOnly = s.queryOne(q, topK = 10, whereFn = Some((m: String) => m == null))
+    val nullOnly = s.queryOne(q, topK = 10,
+      whereFn = Some((_: String, m: String) => m == null))
     assert(nullOnly.map(_.id) == Seq("d"))
+    // the callable sees the record id too, like the reference's doc dict
+    // (tests/test_pico_vdb.py:125-137 filters on x[K_ID])
+    val byId = s.queryOne(q, topK = 10,
+      whereFn = Some((id: String, _: String) => id == "b"))
+    assert(byId.map(_.id) == Seq("b"))
   }
 
   test("stats reports file sizes + ann state; ops record timings (O22/O30)") {
