@@ -158,7 +158,7 @@ object StoreIO {
   /** True iff `v` is one complete JSON value (used to validate raw side
     * data at store time, so save() can't write an unloadable meta).
     */
-  private[core] def isJsonValue(v: String): Boolean = {
+  private[graft] def isJsonValue(v: String): Boolean = {
     val t = v.trim
     if (t.isEmpty) return false
     try {
@@ -170,7 +170,7 @@ object StoreIO {
     } catch { case _: IllegalArgumentException => false }
   }
 
-  private def skipWs(s: String, i0: Int): Int = {
+  private[graft] def skipWs(s: String, i0: Int): Int = {
     var i = i0
     while (i < s.length && s.charAt(i).isWhitespace) i += 1
     i
@@ -213,7 +213,7 @@ object StoreIO {
     * Bounds-checked: a torn meta file raises IllegalArgumentException,
     * not StringIndexOutOfBoundsException.
     */
-  private def scanString(s: String, i0: Int): Int = {
+  private[graft] def scanString(s: String, i0: Int): Int = {
     var i = i0 + 1
     while (i < s.length && s.charAt(i) != '"')
       i += (if (s.charAt(i) == '\\') 2 else 1)
@@ -222,7 +222,7 @@ object StoreIO {
   }
 
   /** End index (exclusive) of the JSON value starting at `i0`. */
-  private def scanValue(s: String, i0: Int): Int = s.charAt(i0) match {
+  private[graft] def scanValue(s: String, i0: Int): Int = s.charAt(i0) match {
     case '"' => scanString(s, i0)
     case '{' | '[' =>
       var depth = 0
@@ -245,7 +245,7 @@ object StoreIO {
       i
   }
 
-  private[core] def unescapeJson(s: String): String = {
+  private[graft] def unescapeJson(s: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < s.length) {

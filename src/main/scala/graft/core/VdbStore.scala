@@ -610,7 +610,7 @@ object VdbStore {
 
   private[core] val log = org.slf4j.LoggerFactory.getLogger("graft.vdb")
 
-  private[core] def jsonEsc(s: String): String = s.flatMap {
+  private[graft] def jsonEsc(s: String): String = s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
     case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
   }
