@@ -83,7 +83,19 @@ object PicoStore {
       spark.sparkContext.parallelize(rows.toSeq,
         math.max(1, math.min(spark.sparkContext.defaultParallelism, rows.size))),
       VdbStore.schema)
-    VdbStore.fromDF(spark, dim, df, additional)
+    val store = VdbStore.fromDF(spark, dim, df, additional)
+    // The reference persists an optional FAISS index next to the matrix
+    // and rebuilds it when stale/dim-mismatched on load
+    // (pico_vdb.py:260-283). We can't parse a FAISS file, but its
+    // presence means the user ran with ANN on — mirror the stale-index
+    // path: enable the IVF accelerator and let the first unfiltered
+    // query build it (nList ~ sqrt(active), the standard IVF default).
+    val faiss = new Path(s"$basePath.vecs.npy.faiss")
+    if (faiss.getFileSystem(conf).exists(faiss)) {
+      val active = rows.count(r => !r.getBoolean(3))
+      store.enableAnn(math.max(1, math.min(4096, math.round(math.sqrt(active.toDouble)).toInt)))
+    }
+    store
   }
 
   // ------------------------------------------------------------- save

@@ -69,6 +69,25 @@ class PicoStoreSpec extends AnyFunSuite {
     assert(meta.contains("null"))
   }
 
+  test("a .faiss file next to the matrix re-enables ANN (stale-index rebuild analog)") {
+    // copy the fixture and add an (unparseable) faiss file — presence is
+    // the signal (pico_vdb.py:260-283 rebuilds stale indexes on load)
+    val dir = java.nio.file.Files.createTempDirectory("picofaiss")
+    val base = dir.toString + "/refstore"
+    Seq(".ids.json", ".vecs.npy", ".meta.json").foreach { suf =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(fixture + suf), java.nio.file.Paths.get(base + suf))
+    }
+    assert(!PicoStore.load(spark, base).annInfo.enabled) // no faiss file
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base + ".vecs.npy.faiss"), "opaque".getBytes)
+    val s = PicoStore.load(spark, base)
+    assert(s.annInfo.enabled && s.annInfo.lastRebuildMode == "none")
+    // first unfiltered query builds the IVF index lazily
+    s.queryOne(Array(1f, 0f, 0f, 0f), topK = 1)
+    assert(s.annInfo.lastRebuildMode == "full" && s.annInfo.upToDate)
+  }
+
   test("npy codec round-trips and rejects non-npy input") {
     val rows = Array(Array(1.5f, -2f), Array(0f, 3f), Array(Float.MinPositiveValue, 1e30f))
     val bytes = PicoStore.npyBytes(rows, 2)
