@@ -287,7 +287,7 @@ object Bench {
     val rc = recalls.map { case (k, v) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann_recall10":$rc,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann_recall10":$rc,"errors":$es,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -13,11 +13,20 @@ import org.apache.spark.sql.SparkSession
   *    `onEvict` releases its resources (skipped for stopped sessions);
   *  - `mk` runs OUTSIDE the lock (it may launch Spark jobs — unrelated
   *    keys must not serialize behind it); a losing racer's value is
-  *    released via `onEvict` and the winner returned.
+  *    released via `onDiscard` and the winner returned.
+  *
+  * `onDiscard` defaults to `onEvict` but MUST be a no-op when two
+  * concurrently-built values share underlying resources: Spark's
+  * CacheManager dedupes `df.cache()` by semantic plan, so for
+  * deterministic builders the loser's DataFrame IS the winner's cache
+  * entry — unpersisting the loser would uncache the winner.
   */
 final class SessionLru[K, V](maxEntries: Int,
                              sessionOf: V => SparkSession,
-                             onEvict: V => Unit) {
+                             onEvict: V => Unit,
+                             onDiscard: Option[V => Unit] = None) {
+
+  private val discard: V => Unit = onDiscard.getOrElse(onEvict)
 
   private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true)
 
@@ -37,7 +46,7 @@ final class SessionLru[K, V](maxEntries: Int,
         m.synchronized {
           Option(m.get(key)) match {
             case Some(winner) => // lost a race; release ours
-              onEvict(built)
+              discard(built)
               winner
             case None =>
               m.put(key, built)

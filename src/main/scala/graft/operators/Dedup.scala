@@ -54,9 +54,13 @@ object Dedup {
         df
       }
     }
+    // onDiscard is a NO-OP: the builder is deterministic, so a racing
+    // loser's cache() deduped onto the winner's InMemoryRelation —
+    // unpersisting it would uncache the winner (eviction still
+    // unpersists).
     private val lru =
       new graft.core.SessionLru[(String, Int, String, String, Int), Entry](
-        maxEntries, _.session, _.df.unpersist(false))
+        maxEntries, _.session, _.df.unpersist(false), onDiscard = Some(_ => ()))
 
     def get(df: DataFrame, idCol: String, textCol: String, n: Int)
            (build: DataFrame => DataFrame): DataFrame = {

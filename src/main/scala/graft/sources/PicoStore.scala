@@ -79,6 +79,14 @@ object PicoStore {
         }
       }
     }
+    // id canonicalization (int 7 -> "7") can collide with a string "7"
+    // that the reference kept distinct — fail fast rather than import
+    // duplicate active _id_ rows (they'd break the unique-id invariant).
+    val activeIds = rows.collect { case r if !r.getBoolean(3) => r.getString(0) }
+    val dupes = activeIds.groupBy(identity).collect { case (id, g) if g.size > 1 => id }
+    require(dupes.isEmpty,
+      s"ids collide after string canonicalization (README id deviation): ${dupes.take(5).mkString(", ")}")
+
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq,
         math.max(1, math.min(spark.sparkContext.defaultParallelism, rows.size))),
@@ -173,9 +181,13 @@ object PicoStore {
       if (major == 1)
         (((bytes(9) & 0xff) << 8) | (bytes(8) & 0xff), 10)
       else { // v2/v3: 4-byte little-endian header length
+        require(bytes.length >= 12, s"truncated npy header in $path")
         val b = ByteBuffer.wrap(bytes, 8, 4).order(ByteOrder.LITTLE_ENDIAN)
         (b.getInt, 12)
       }
+    // torn files raise a diagnosable error, matching the meta scanner
+    require(headerLen >= 0 && headerOff + headerLen <= bytes.length,
+      s"truncated npy header in $path: declared $headerLen bytes, file has ${bytes.length}")
     val header = new String(bytes, headerOff, headerLen, StandardCharsets.US_ASCII)
     require(header.contains("'descr': '<f4'") || header.contains("\"descr\": \"<f4\""),
       s"unsupported npy dtype in $path: $header")

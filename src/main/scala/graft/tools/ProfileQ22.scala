@@ -27,8 +27,9 @@ object ProfileQ22 {
       // Reproduce the bench's state when q22 runs: shingle cache warm,
       // q21 executed, then q22 timed on its FIRST execution.
       graft.operators.Dedup.prewarmShingles(docs, "doc_id", "text")
-      // the bench's exact evaluation sink (timing excludes the count,
-      // which only feeds the rows= display)
+      // the bench's exact evaluation sink; rows are NOT displayed on
+      // this path (a count() would pre-run the query and destroy the
+      // first-run timing this mode exists to measure)
       def force(df: org.apache.spark.sql.DataFrame): Long = {
         graft.Bench.forceSink(df); -1L
       }
