@@ -178,14 +178,20 @@ class IvfIndexSpec extends AnyFunSuite {
   test("GraftConf resolves spark.conf overrides with defaults (test_task48 analog)") {
     val conf = new graft.core.GraftConf(spark)
     assert(conf.inListMax == 1000 && conf.annNProbe == 4 &&
-      conf.annIncrRatio == 0.2 && conf.annSampleCap == 20000)
+      conf.annIncrRatio == 0.2 && conf.annSampleCap == 20000 &&
+      conf.snapshotsKeep == 1 && !conf.queryExact)
     spark.conf.set("graft.ann.nprobe", "9")
     spark.conf.set("graft.inlist.max", "7")
+    spark.conf.set("graft.snapshots.keep", "3")
+    spark.conf.set("graft.query.exact", "true")
     try {
-      assert(conf.annNProbe == 9 && conf.inListMax == 7)
+      assert(conf.annNProbe == 9 && conf.inListMax == 7 &&
+        conf.snapshotsKeep == 3 && conf.queryExact)
     } finally {
       spark.conf.unset("graft.ann.nprobe")
       spark.conf.unset("graft.inlist.max")
+      spark.conf.unset("graft.snapshots.keep")
+      spark.conf.unset("graft.query.exact")
     }
   }
 
