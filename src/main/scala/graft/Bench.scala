@@ -23,7 +23,10 @@ import graft.operators.CosineTopK
   * analog also absorbs JVM JIT warmup there, the counterpart of numpy's
   * precompiled kernels); the timed insert is normalize+pack into the
   * queryable store; the timed batch query runs cold on the freshly built
-  * store.
+  * store. The recorded insert/cold numbers are MEDIANS of three
+  * independent cold cycles — each cycle is genuinely cold; the median
+  * guards the recorded value against this host's sporadic hypervisor
+  * cycle-stealing.
   *
   * Prints ONE JSON line: {"metric","value","unit","queries",...,"sf"}.
   */
@@ -126,14 +129,30 @@ object Bench {
       warm.unpersist()
     }
 
-    // Timed insert: normalize (write-time invariant, zero->e0) + pack
-    // into the queryable BlockStore = ingest-to-queryable.
+    // Timed insert + cold query: THREE independent cold cycles, each a
+    // fresh normalize+pack (ingest-to-queryable) followed by one cold
+    // batch query on that fresh store; the RECORDED numbers are the
+    // medians. Every timed region is genuinely cold — the median only
+    // guards the recorded value against this host's sporadic hypervisor
+    // cycle-stealing, which can inflate one arbitrary pass 3-5x
+    // (BENCH_r02 recorded exactly one such spike).
     var store: BlockStore[Long] = null
-    results("picovdb_insert_100k") = timed {
-      store = BlockStore.fromRDD(raw, normalize = true).persist()
-      store.materialize()
-      ()
+    val insertSamples = scala.collection.mutable.Buffer[Double]()
+    val coldSamples = scala.collection.mutable.Buffer[Double]()
+    (1 to 3).foreach { cycle =>
+      if (store != null) store.unpersist()
+      insertSamples += timed {
+        store = BlockStore.fromRDD(raw, normalize = true).persist()
+        store.materialize()
+        ()
+      }
+      coldSamples += timed {
+        CosineTopK.gemmBlocks(store, queries, topK, betterThan = Some(0.1)).count()
+        ()
+      }
     }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    results("picovdb_insert_100k") = median(insertSamples.toSeq)
 
     if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")) {
       sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -157,11 +176,8 @@ object Bench {
     }
 
     // Cold batch query: one pass over the store, per-partition heaps,
-    // tiny final rank.
-    results("picovdb_batch_1000q") = timed {
-      CosineTopK.gemmBlocks(store, queries, topK, betterThan = Some(0.1)).count()
-      ()
-    }
+    // tiny final rank (median of the 3 cold cycles above).
+    results("picovdb_batch_1000q") = median(coldSamples.toSeq)
     // steady-state number: best of 3 warm runs
     results("picovdb_batch_1000q_warm") = (1 to 3).map { _ =>
       timed {
@@ -252,7 +268,9 @@ object Bench {
           normalized = false, exact = true)
         .select("qid", "id").collect()
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-      val idx = graft.operators.IvfIndex.cached(s"$sfDir/embeddings#recall16")(
+      // same key + params as q26_ann_ivf: the catalog pass already built
+      // this index, so the recall sweep reuses it
+      val idx = graft.operators.IvfIndex.cached(s"$sfDir/embeddings#16")(
         graft.operators.IvfIndex.build(emb, "vec_id", "embedding", nList = 16,
           normalized = false))
       Seq(1, 4, 8, 16).foreach { np =>
