@@ -1,0 +1,122 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.core.BoundedTopKG
+
+/** Bounded-heap top-k as a Catalyst `TypedImperativeAggregate` — the
+  * distributed analog of the reference's argpartition top-k selection
+  * (pico_vdb.py:698-713; SURVEY §4.3 item 3): each partition keeps one
+  * k-bounded min-heap per group, partial heaps merge on the reduce
+  * side, and only k rows per group ever cross the shuffle — a
+  * `row_number()` Window over the same input shuffles EVERY scored row.
+  * Tie-break matches the Window plan exactly: score desc, id asc.
+  *
+  * Ids may be STRING or BIGINT. Output: array<struct<id, score>> ranked
+  * best-first. (The BlockStore gemm path bypasses SQL aggregation
+  * entirely; this aggregate is for composing top-k with arbitrary
+  * Catalyst plans — filtered scans, joins — without a Window.)
+  */
+case class TopKByScore(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BoundedTopKG[Any]] {
+
+  require(k > 0, s"top_k_hits needs k > 0, got $k")
+
+  private def idIsString: Boolean = id.dataType == StringType
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", id.dataType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (score.dataType, id.dataType) match {
+      case (DoubleType | FloatType, StringType | LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (s, i) => TypeCheckResult.TypeCheckFailure(
+        s"top_k_hits expects (double|float score, string|bigint id), got ($s, $i)")
+    }
+
+  private implicit def ord: Ordering[Any] =
+    (if (idIsString) Ordering.String.on[Any](_.asInstanceOf[String])
+     else Ordering.Long.on[Any](_.asInstanceOf[Long]))
+
+  override def createAggregationBuffer(): BoundedTopKG[Any] =
+    new BoundedTopKG[Any](k)
+
+  override def update(buf: BoundedTopKG[Any], input: InternalRow): BoundedTopKG[Any] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      val sd = s match {
+        case d: java.lang.Double => d.doubleValue()
+        case f: java.lang.Float  => f.doubleValue()
+      }
+      val iv: Any =
+        if (idIsString) i.asInstanceOf[UTF8String].toString else i.asInstanceOf[Long]
+      buf.offer(sd, iv)
+    }
+    buf
+  }
+
+  override def merge(a: BoundedTopKG[Any], b: BoundedTopKG[Any]): BoundedTopKG[Any] = {
+    a.absorb(b); a
+  }
+
+  override def eval(buf: BoundedTopKG[Any]): Any = {
+    val hits = buf.sortedHits()
+    new GenericArrayData(hits.map { case (i, s) =>
+      InternalRow(if (idIsString) UTF8String.fromString(i.asInstanceOf[String]) else i, s)
+    })
+  }
+
+  override def serialize(buf: BoundedTopKG[Any]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val hits = buf.drain().toArray
+    out.writeInt(hits.length)
+    hits.foreach { case (s, i) =>
+      out.writeDouble(s)
+      if (idIsString) out.writeUTF(i.asInstanceOf[String])
+      else out.writeLong(i.asInstanceOf[Long])
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): BoundedTopKG[Any] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new BoundedTopKG[Any](k)
+    var x = 0
+    while (x < n) {
+      val s = in.readDouble()
+      val i: Any = if (idIsString) in.readUTF() else in.readLong()
+      buf.offer(s, i)
+      x += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKByScore =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByScore =
+    copy(score = newChildren(0), id = newChildren(1))
+
+  override def prettyName: String = "top_k_hits"
+}

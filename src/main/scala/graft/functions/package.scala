@@ -56,6 +56,13 @@ package object functions {
   def winnow_fps(tokens: Column, shingleN: Int, windowSize: Int): Column =
     col(WinnowFps(expr(tokens), shingleN, windowSize))
 
+  /** Bounded-heap top-k aggregate: per group, the k best (id, score)
+    * pairs ranked score desc / id asc — only k rows per group cross the
+    * shuffle (a row_number Window shuffles every scored row).
+    */
+  def top_k_hits(score: Column, id: Column, k: Int): Column =
+    col(TopKByScore(expr(score), expr(id), k).toAggregateExpression())
+
   /** Cosine similarity of two raw (not necessarily normalized) vectors,
     * computed fully in double: dot / (|a| * |b|). Zero-norm guarded to 0.
     */
