@@ -80,9 +80,14 @@ final class IvfIndex(
       .join(broadcast(probes), Seq("centroid_id"))
       .join(broadcast(qdf), Seq("qid"))
       .select(col("qid"), col(idCol).as("id"), score.as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
-    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // bounded-heap aggregate, not a Window: only k rows per query cross
+    // the shuffle (a row_number Window would shuffle every candidate in
+    // the probed buckets); tie-break identical (score desc, id asc)
+    cand.groupBy(col("qid"))
+      .agg(graft.functions.top_k_hits(col("score"), col("id"), k).as("hits"))
+      .select(col("qid"), posexplode(col("hits")))
+      .select(col("qid"), col("col.id").as("id"), col("col.score").as("score"),
+        (col("pos") + 1).as("rank"))
   }
 }
 
