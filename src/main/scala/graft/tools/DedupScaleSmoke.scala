@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dedup-family scale smoke: N synthetic documents (default 500k, ~50
+  * tokens each, seeded; 1% are near-duplicate perturbed copies) through
+  * minhash-LSH and simhash near-dup — converts SCALING.md's shuffle
+  * claims for the dedup operators into measured numbers at 100x the
+  * sf0.1 corpus, like ScaleSmoke does for the gemm path. Run by hand;
+  * prints one line per phase.
+  */
+object DedupScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.get("SPARK_GRAFT_SMOKE_DOCS").map(_.toInt).getOrElse(500000)
+    val spark = SparkSession.builder().master("local[24]")
+      .config("spark.sql.shuffle.partitions", "24")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"DEDUPSMOKE $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s  (rows=$out)")
+    }
+
+    // ~50-token docs over a 10k-word vocabulary; every 100th doc is a
+    // near-duplicate of its predecessor with 2 tokens swapped.
+    val docs = spark.sparkContext.range(0, n, 1, 24).map { i =>
+      val base = if (i % 100 == 99) i - 1 else i
+      val rng = new java.util.Random(base * 2654435761L)
+      val words = Array.fill(50)("w" + rng.nextInt(10000))
+      if (i % 100 == 99) { // perturb two positions -> high-Jaccard near-dup
+        val r2 = new java.util.Random(i)
+        words(r2.nextInt(50)) = "w" + r2.nextInt(10000)
+        words(r2.nextInt(50)) = "w" + r2.nextInt(10000)
+      }
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text").persist()
+    timed("generate docs")(docs.count())
+
+    timed("minhash LSH near-dup") {
+      graft.operators.Dedup.minhashLSH(docs, "doc_id", "text",
+        maxBucket = Some(1000)).count()
+    }
+    timed("simhash near-dup") {
+      graft.operators.Dedup.simhashNearDup(docs, "doc_id", "text").count()
+    }
+    // projection-only outputs must go through the bench's hashing sink,
+    // or count() prunes the actual fingerprint computation
+    timed("winnow fingerprints") {
+      val df = graft.operators.Dedup.winnowFingerprints(docs, "doc_id", "text")
+      graft.Bench.forceSink(df); -1L
+    }
+    timed("exact dedup") {
+      val df = graft.operators.Dedup.exact(docs, "doc_id", "text")
+      graft.Bench.forceSink(df); -1L
+    }
+    spark.stop()
+  }
+}
