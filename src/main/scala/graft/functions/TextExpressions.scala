@@ -41,6 +41,68 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct word n-gram shingles of a token array, first-occurrence
+  * order (`array_distinct(transform(sequence(...), i -> concat_ws(' ',
+  * tokens[i..i+n-1])))` as one codegen pass — higher-order-function
+  * lambdas evaluate interpreted, and the shingle build is the dominant
+  * cost of the shared dedup cache at scale). Tokens shorter than n
+  * yield an empty array (callers filter, matching the oracle's range()
+  * semantics).
+  */
+case class WordNgramsDistinct(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, s"shingle size must be positive, got $n")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams_distinct"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"word_ngrams_distinct expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    WordNgramsDistinct.compute(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = graft.functions.WordNgramsDistinct.compute($a, $n);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WordNgramsDistinct {
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val nTok = tokens.numElements()
+    val nGrams = nTok - (n - 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        if (!tokens.isNullAt(i + j)) sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var x = 0
+    while (it.hasNext) {
+      arr(x) = UTF8String.fromString(it.next())
+      x += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
 /** Winnowing fingerprint set (the MOSS scheme) of a token array: hash
   * every `n`-token shingle IN ORDER (md5 hex), slide a window of
   * `windowSize` consecutive hashes keeping each window's minimum, and

@@ -56,6 +56,12 @@ package object functions {
   def winnow_fps(tokens: Column, shingleN: Int, windowSize: Int): Column =
     col(WinnowFps(expr(tokens), shingleN, windowSize))
 
+  /** Distinct word n-gram shingles of a token array (first-occurrence
+    * order).
+    */
+  def word_ngrams_distinct(tokens: Column, n: Int): Column =
+    col(WordNgramsDistinct(expr(tokens), n))
+
   /** Bounded-heap top-k aggregate: per group, the k best (id, score)
     * pairs ranked score desc / id asc — only k rows per group cross the
     * shuffle (a row_number Window shuffles every scored row).

@@ -22,17 +22,17 @@ object Dedup {
   private def wordsOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("w"))
 
-  /** Distinct word n-gram shingle set per doc (docs with < n words drop out,
-    * matching `range()` semantics in the oracle).
+  /** Distinct word n-gram shingle set per doc (docs with < n words drop
+    * out, matching `range()` semantics in the oracle). One codegen pass
+    * through [[graft.functions.WordNgramsDistinct]] — the shingle build
+    * dominates the shared dedup cache cost, and the interpreted-HOF
+    * formulation it replaces paid a lambda call per position.
     */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val parts = (0 until n).map(o => s"element_at(w, i + $o)").mkString(", ")
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     wordsOf(df, idCol, textCol)
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"), array_distinct(
-        expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $parts))"))
-        .as("shingles"))
-  }
+      .select(col("doc_id"),
+        graft.functions.word_ngrams_distinct(col("w"), n).as("shingles"))
 
   /** Bounded LRU cache of expensive derived relations (shingle sets,
     * simhash signatures), keyed by (session identity, analyzed-plan
