@@ -446,12 +446,15 @@ object Oracles {
       """WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
         |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle FROM words),
-        |mh AS (SELECT doc_id, h.seed,
-        |         min(md5(CAST(h.seed AS VARCHAR) || ':' || shingle)) AS sig
-        |       FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) h
-        |       GROUP BY doc_id, h.seed),
+        |ab AS (SELECT doc_id,
+        |         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS a,
+        |         CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS b FROM sh),
+        |mh AS (SELECT doc_id, s.seed,
+        |         min((a + s.seed * b) % 4294967291) AS sig
+        |       FROM ab CROSS JOIN (SELECT unnest(range(12)) AS seed) s
+        |       GROUP BY doc_id, s.seed),
         |bands AS (SELECT doc_id, CAST(seed // 3 AS INTEGER) AS band,
-        |            md5(string_agg(sig, '|' ORDER BY seed)) AS bkey
+        |            string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS bkey
         |          FROM mh GROUP BY doc_id, seed // 3),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |         FROM bands x JOIN bands y

@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Modulus of the Kirsch-Mitzenmacher minhash family: the largest
+    * 32-bit prime, so every derived signature stays in uniform 32-bit
+    * range and all arithmetic fits comfortably in BIGINT on both this
+    * engine and the DuckDB oracle.
+    */
+  val MinhashPrime: Long = 4294967291L
+
   /** Word tokens of `textCol`, trimmed, split on whitespace runs. */
   private def wordsOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("w"))
@@ -153,39 +160,48 @@ object Dedup {
     * on (band, band key) -> verify candidates with true Jaccard >= t.
     * Returns (a, b, jaccard) with a < b, jaccard rounded to 6dp.
     *
-    * Shape at scale: all numHashes digests are computed once per exploded
-    * (doc, shingle) row inside the codegen'd partial aggregate of ONE
-    * groupBy — the shuffle carries one (numHashes+1)-column row per doc.
-    * (A no-shuffle `array_min(transform(...))` variant was measured 10x
-    * slower: Spark evaluates higher-order-function lambdas interpreted,
-    * outside whole-stage codegen.) Candidates come from ONE bucket
-    * aggregation ([[bucketPairs]]) — the previous bucket self-join
-    * recomputed the minhash aggregation once per join side, which
-    * dominated the query's cost. `maxBucket` guards hot band keys:
-    * buckets past the cap are dropped whole (recall loss confined to
-    * degenerate keys, the standard LSH guard), so a B-doc bucket costs
-    * B^2 pair rows only for bounded B.
+    * Shape at scale: ONE md5 per exploded (doc, shingle) row; the
+    * numHashes signatures derive arithmetically from its two 32-bit
+    * halves (sig_i = min over shingles of (a + i*b) mod p — the
+    * standard Kirsch-Mitzenmacher one-hash family; the previous 12
+    * independent seeded digests cost 12x the hashing for the same LSH
+    * guarantees). All mins happen inside the codegen'd partial
+    * aggregate of ONE groupBy — the shuffle carries one
+    * (numHashes+1)-column row per doc. Candidates come from ONE bucket
+    * aggregation ([[bucketPairs]]) keyed on (band, sig triple) — the
+    * previous bucket self-join recomputed the aggregation once per join
+    * side. `maxBucket` guards hot band keys: buckets past the cap are
+    * dropped whole (recall loss confined to degenerate keys, the
+    * standard LSH guard), so a B-doc bucket costs B^2 pair rows only
+    * for bounded B.
     */
   def minhashLSH(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 12, bandSize: Int = 3, shingleN: Int = 3,
                  threshold: Double = 0.5, maxBucket: Option[Int] = None): DataFrame = {
+    require(numHashes % bandSize == 0,
+      s"bandSize $bandSize must divide numHashes $numHashes")
     val sets = cachedShingleSets(df, idCol, textCol, shingleN)
     val shingleRows = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val sigCols = (0 until numHashes).map { s =>
-      min(md5(concat(lit(s + ":"), col("shingle")).cast("binary"))).as(s"sig$s")
+    // two 32-bit halves of ONE md5; (a + i*b) stays far below 2^63
+    val withAB = shingleRows.select(col("doc_id"),
+      expr("cast(conv(substr(md5(cast(shingle as binary)), 1, 8), 16, 10) as bigint)").as("a"),
+      expr("cast(conv(substr(md5(cast(shingle as binary)), 9, 8), 16, 10) as bigint)").as("b"))
+    val sigCols = (0 until numHashes).map { i =>
+      min((col("a") + lit(i.toLong) * col("b")) % lit(MinhashPrime)).as(s"sig$i")
     }
-    val mh = shingleRows.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val mh = withAB.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
 
     val nBands = numHashes / bandSize
     val bandCols = (0 until nBands).map { b =>
       val sigs = (0 until bandSize).map(o => col(s"sig${b * bandSize + o}"))
-      struct(lit(b).as("band"),
-        md5(concat_ws("|", sigs: _*).cast("binary")).as("bkey"))
+      struct(lit(b).as("band") +:
+        sigs.zipWithIndex.map { case (s, o) => s.as(s"k$o") }: _*)
     }
+    val keyCols = (0 until bandSize).map(o => s"k$o")
     val bands = mh
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val cand = bucketPairs(bands, Seq("band", "bkey"), maxBucket)
+      .select(col("doc_id") +: ("band" +: keyCols).map(c => col(s"bb.$c").as(c)): _*)
+    val cand = bucketPairs(bands, "band" +: keyCols, maxBucket)
 
     val sa = sets.select(col("doc_id").as("a"), col("shingles").as("sa"))
     val sb = sets.select(col("doc_id").as("b"), col("shingles").as("sb"))
