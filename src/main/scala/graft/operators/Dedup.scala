@@ -326,36 +326,35 @@ object Dedup {
   def embNearDupBlocked(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, nList: Int = 64,
                         normalized: Boolean = false): DataFrame = {
-    // transient index: don't pin the assignment (the self-join recomputes
-    // the cheap nearest-centroid pass twice instead of leaking a cached
-    // store-sized relation)
+    // transient index: the assignment pass feeds ONE bucket aggregation
+    // (a centroid self-join would recompute nearest-centroid per side);
+    // vectors re-join from the original df for scoring, keyed by id.
     val idx = IvfIndex.build(df, idCol, vecCol, nList, normalized = normalized,
       cacheAssigned = false)
-    val buckets = idx.assigned.select(
-      col("centroid_id"), col(idCol).as("bid"), col(vecCol).as("bvec"))
-    val x = buckets.select(col("centroid_id"), col("bid").as("a"), col("bvec").as("va"))
-    val y = buckets.select(col("centroid_id"), col("bid").as("b"), col("bvec").as("vb"))
+    val bands = idx.assigned.select(col("centroid_id"), col(idCol).as("doc_id"))
+    val cand = bucketPairs(bands, Seq("centroid_id"), maxBucket = None)
+    val va = df.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val vb = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
     val score =
       if (normalized) graft.functions.dot_product(col("va"), col("vb"))
       else graft.functions.cosine_sim(col("va"), col("vb"))
-    x.join(y, Seq("centroid_id"))
-      .filter(col("a") < col("b"))
+    cand.join(va, Seq("a")).join(vb, Seq("b"))
       .select(col("a"), col("b"), score.as("score"))
       .filter(col("score") >= threshold)
       .select(col("a"), col("b"), round(col("score"), 6).as("score"))
   }
 
   /** True n-gram Jaccard for candidate pairs blocked by a shared prefix
-    * fingerprint (cheap deterministic blocking).
+    * fingerprint (cheap deterministic blocking). Candidates come from
+    * ONE bucket aggregation over the fingerprint — the previous
+    * fp-self-join recomputed the tokenize+hash projection per side.
     */
   def ngramJaccardBlocked(df: DataFrame, idCol: String, textCol: String,
                           prefixTokens: Int = 4, shingleN: Int = 3): DataFrame = {
     val fp = wordsOf(df, idCol, textCol)
       .select(col("doc_id"),
         md5(concat_ws(" ", slice(col("w"), 1, prefixTokens)).cast("binary")).as("fp"))
-    val cand = fp.as("x").join(fp.as("y"), Seq("fp"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val cand = bucketPairs(fp, Seq("fp"), maxBucket = None)
     val sets = cachedShingleSets(df, idCol, textCol, shingleN)
     val sa = sets.select(col("doc_id").as("a"), col("shingles").as("sa"))
     val sb = sets.select(col("doc_id").as("b"), col("shingles").as("sb"))
