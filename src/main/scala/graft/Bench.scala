@@ -136,6 +136,23 @@ object Bench {
     // guards the recorded value against this host's sporadic hypervisor
     // cycle-stealing, which can inflate one arbitrary pass 3-5x
     // (BENCH_r02 recorded exactly one such spike).
+    // debug stage listener registers BEFORE the timed cycles so DBGSTAGE
+    // covers exactly the stages the debug mode exists to diagnose
+    if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = s.stageInfo.taskMetrics
+          System.err.println(
+            s"DBGSTAGE id=${s.stageInfo.stageId} name=${s.stageInfo.name.take(40)} " +
+            s"tasks=${s.stageInfo.numTasks} run=${m.executorRunTime}ms " +
+            s"cpu=${m.executorCpuTime / 1000000}ms gc=${m.jvmGCTime}ms " +
+            s"deser=${m.executorDeserializeTime}ms " +
+            s"wall=${s.stageInfo.completionTime.getOrElse(0L) - s.stageInfo.submissionTime.getOrElse(0L)}ms")
+        }
+      })
+    }
+
     var store: BlockStore[Long] = null
     val insertSamples = scala.collection.mutable.Buffer[Double]()
     val coldSamples = scala.collection.mutable.Buffer[Double]()
@@ -155,18 +172,6 @@ object Bench {
     results("picovdb_insert_100k") = median(insertSamples.toSeq)
 
     if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")) {
-      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          val m = s.stageInfo.taskMetrics
-          System.err.println(
-            s"DBGSTAGE id=${s.stageInfo.stageId} name=${s.stageInfo.name.take(40)} " +
-            s"tasks=${s.stageInfo.numTasks} run=${m.executorRunTime}ms " +
-            s"cpu=${m.executorCpuTime / 1000000}ms gc=${m.jvmGCTime}ms " +
-            s"deser=${m.executorDeserializeTime}ms " +
-            s"wall=${s.stageInfo.completionTime.getOrElse(0L) - s.stageInfo.submissionTime.getOrElse(0L)}ms")
-        }
-      })
       // sub-phase timing: raw candidate pass (RDD only), repeated
       (1 to 6).foreach { i =>
         results(s"dbg_scan_$i") = timed {

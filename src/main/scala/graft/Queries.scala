@@ -443,14 +443,14 @@ object Oracles {
         |        / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
         |FROM cand JOIN shl sa ON sa.doc_id = cand.a JOIN shl sb ON sb.doc_id = cand.b""".stripMargin,
     "q22_minhash_lsh" ->
-      """WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      s"""WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
         |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle FROM words),
         |ab AS (SELECT doc_id,
         |         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS a,
         |         CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS b FROM sh),
         |mh AS (SELECT doc_id, s.seed,
-        |         min((a + s.seed * b) % 4294967291) AS sig
+        |         min((a + s.seed * b) % ${operators.Dedup.MinhashPrime}) AS sig
         |       FROM ab CROSS JOIN (SELECT unnest(range(12)) AS seed) s
         |       GROUP BY doc_id, s.seed),
         |bands AS (SELECT doc_id, CAST(seed // 3 AS INTEGER) AS band,

@@ -356,19 +356,26 @@ object BlockStore {
 
 /** Fixed-capacity top-k accumulator over arbitrary id types: min-heap on
   * (score, id) with the deterministic tie-break score desc / id asc
-  * (matches the Window orderBy in the declarative path). offer() only
-  * pays O(log k) when the candidate beats the current floor.
+  * (matches the Window orderBy in the declarative path — including
+  * NaN-is-largest and -0.0 == 0.0, the SQL double ordering). offer()
+  * only pays O(log k) when the candidate beats the current floor.
   */
 final class BoundedTopKG[K](k: Int)(implicit ord: Ordering[K]) extends Serializable {
   private val scores = new Array[Double](k)
   private val ids = new Array[AnyRef](k)
   private var size = 0
 
-  // a "worse" element has smaller score, or equal score with larger id
-  @inline private def worse(s1: Double, i1: AnyRef, s2: Double, i2: AnyRef): Boolean =
-    s1 < s2 || (s1 == s2 && ord.gt(i1.asInstanceOf[K], i2.asInstanceOf[K]))
+  // a "worse" element has smaller score, or equal score with larger id.
+  // Double.compare, not `<`: a NaN at the heap root would otherwise
+  // compare false against everything and block all later admissions
+  // (Spark's double ordering places NaN largest the same way).
+  @inline private def worse(s1: Double, i1: AnyRef, s2: Double, i2: AnyRef): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && ord.gt(i1.asInstanceOf[K], i2.asInstanceOf[K]))
+  }
 
-  def offer(s: Double, id: K): Unit = {
+  def offer(s0: Double, id: K): Unit = {
+    val s = s0 + 0.0 // canonicalize -0.0 (SQL treats -0.0 == 0.0; Double.compare doesn't)
     val ref = id.asInstanceOf[AnyRef]
     if (size < k) {
       scores(size) = s; ids(size) = ref; size += 1
@@ -418,13 +425,17 @@ final class BoundedTopKG[K](k: Int)(implicit ord: Ordering[K]) extends Serializa
     }
   }
 
-  /** Final ranked hits: (id, score) ordered score desc, id asc. */
+  /** Final ranked hits: (id, score) ordered score desc, id asc (NaN
+    * first, like the SQL desc ordering).
+    */
   def sortedHits(): Array[(K, Double)] = {
     val arr = new Array[(K, Double)](size)
     var i = 0
     while (i < size) { arr(i) = (ids(i).asInstanceOf[K], scores(i)); i += 1 }
-    scala.util.Sorting.stableSort(arr, (a: (K, Double), b: (K, Double)) =>
-      a._2 > b._2 || (a._2 == b._2 && ord.lt(a._1, b._1)))
+    scala.util.Sorting.stableSort(arr, (a: (K, Double), b: (K, Double)) => {
+      val c = java.lang.Double.compare(a._2, b._2)
+      c > 0 || (c == 0 && ord.lt(a._1, b._1))
+    })
     arr
   }
 }

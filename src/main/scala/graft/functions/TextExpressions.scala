@@ -84,9 +84,14 @@ object WordNgramsDistinct {
     while (i < nGrams) {
       sb.setLength(0)
       var j = 0
+      var first = true
       while (j < n) {
-        if (j > 0) sb.append(' ')
-        if (!tokens.isNullAt(i + j)) sb.append(tokens.getUTF8String(i + j).toString)
+        // concat_ws semantics: null components are skipped WITHOUT a separator
+        if (!tokens.isNullAt(i + j)) {
+          if (!first) sb.append(' ')
+          sb.append(tokens.getUTF8String(i + j).toString)
+          first = false
+        }
         j += 1
       }
       seen.add(sb.toString)
@@ -150,9 +155,14 @@ object WinnowFps {
     while (i < nGrams) {
       sb.setLength(0)
       var j = 0
+      var first = true
       while (j < n) {
-        if (j > 0) sb.append(' ')
-        if (!tokens.isNullAt(i + j)) sb.append(tokens.getUTF8String(i + j).toString)
+        // concat_ws semantics: null components are skipped WITHOUT a separator
+        if (!tokens.isNullAt(i + j)) {
+          if (!first) sb.append(' ')
+          sb.append(tokens.getUTF8String(i + j).toString)
+          first = false
+        }
         j += 1
       }
       md.reset()

@@ -34,6 +34,7 @@ case class TopKByScore(
   require(k > 0, s"top_k_hits needs k > 0, got $k")
 
   private def idIsString: Boolean = id.dataType == StringType
+  private def idIsInt: Boolean = id.dataType == IntegerType
 
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
@@ -43,14 +44,20 @@ case class TopKByScore(
 
   override def checkInputDataTypes(): TypeCheckResult =
     (score.dataType, id.dataType) match {
-      case (DoubleType | FloatType, StringType | LongType) =>
+      case (DoubleType | FloatType, StringType | LongType | IntegerType) =>
         TypeCheckResult.TypeCheckSuccess
       case (s, i) => TypeCheckResult.TypeCheckFailure(
-        s"top_k_hits expects (double|float score, string|bigint id), got ($s, $i)")
+        s"top_k_hits expects (double|float score, string|bigint|int id), got ($s, $i)")
     }
 
+  // string ids stay UTF8String in the heap (binary-comparable with the
+  // exact ordering Spark's string sort uses — no per-row java.lang.String
+  // round trip); int ids widen to Long internally, narrowed back in eval
   private implicit def ord: Ordering[Any] =
-    (if (idIsString) Ordering.String.on[Any](_.asInstanceOf[String])
+    (if (idIsString)
+       Ordering.comparatorToOrdering(
+         java.util.Comparator.naturalOrder[UTF8String]())
+         .on[Any](_.asInstanceOf[UTF8String])
      else Ordering.Long.on[Any](_.asInstanceOf[Long]))
 
   override def createAggregationBuffer(): BoundedTopKG[Any] =
@@ -65,7 +72,9 @@ case class TopKByScore(
         case f: java.lang.Float  => f.doubleValue()
       }
       val iv: Any =
-        if (idIsString) i.asInstanceOf[UTF8String].toString else i.asInstanceOf[Long]
+        if (idIsString) i.asInstanceOf[UTF8String].clone() // detach from the row buffer
+        else if (idIsInt) i.asInstanceOf[Int].toLong
+        else i.asInstanceOf[Long]
       buf.offer(sd, iv)
     }
     buf
@@ -78,7 +87,7 @@ case class TopKByScore(
   override def eval(buf: BoundedTopKG[Any]): Any = {
     val hits = buf.sortedHits()
     new GenericArrayData(hits.map { case (i, s) =>
-      InternalRow(if (idIsString) UTF8String.fromString(i.asInstanceOf[String]) else i, s)
+      InternalRow(if (idIsInt) i.asInstanceOf[Long].toInt else i, s)
     })
   }
 
@@ -89,8 +98,12 @@ case class TopKByScore(
     out.writeInt(hits.length)
     hits.foreach { case (s, i) =>
       out.writeDouble(s)
-      if (idIsString) out.writeUTF(i.asInstanceOf[String])
-      else out.writeLong(i.asInstanceOf[Long])
+      if (idIsString) {
+        // length-prefixed bytes, not writeUTF (which caps at 64 KB ids)
+        val b = i.asInstanceOf[UTF8String].getBytes
+        out.writeInt(b.length)
+        out.write(b)
+      } else out.writeLong(i.asInstanceOf[Long])
     }
     out.flush()
     bos.toByteArray
@@ -103,7 +116,11 @@ case class TopKByScore(
     var x = 0
     while (x < n) {
       val s = in.readDouble()
-      val i: Any = if (idIsString) in.readUTF() else in.readLong()
+      val i: Any = if (idIsString) {
+        val b = new Array[Byte](in.readInt())
+        in.readFully(b)
+        UTF8String.fromBytes(b)
+      } else in.readLong()
       buf.offer(s, i)
       x += 1
     }
