@@ -56,6 +56,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joins(q28) == 2, s"q28 expected 2 joins:\n$q28")
   }
 
+  test("upsert slot-reuse plans no global sort/limit over the tombstone branch") {
+    // VERDICT r3 #1: on a tombstone-heavy store, keeping survivors via
+    // orderBy.limit(nTomb-reuse) funnels ~all tombstones through one
+    // partition. The fixed shape collects only the bounded consumed-id
+    // set and anti-joins it out, so the swapped store plan must carry no
+    // Sort / GlobalLimit nodes at all.
+    val s = graft.core.VdbStore.empty(spark, 3)
+    s.upsert((0 until 20).map(i =>
+      graft.core.VdbRecord(f"t$i%03d", Array(i.toFloat, 1f, 0f), null)))
+    s.delete((0 until 10).map(i => f"t$i%03d"))
+    // 1 insert, 10 tombstones -> reuse=1, 9 survivors
+    s.upsert(Seq(graft.core.VdbRecord("fresh", Array(9f, 9f, 9f), null)))
+    val plan = s.df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("GlobalLimit") && !plan.contains("Sort"),
+      s"tombstone branch regressed to a global sort/limit:\n$plan")
+    assert(s.capacity() == 20 && s.count() == 11) // slot consumed, no growth
+  }
+
   test("large-id-list delete plans a broadcast join, not an isin tree") {
     import org.apache.spark.sql.functions._
     val s = graft.core.VdbStore.empty(spark, 3)
