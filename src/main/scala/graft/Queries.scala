@@ -283,6 +283,17 @@ object Queries {
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Text-chunking ingest (pipeline op): overlapping token windows over
+    * each document — the chunk->embed->upsert flow's first stage
+    * (operators.TextChunk; bench/st_embedding.py analog). Boundaries are
+    * pure arithmetic, so the DuckDB oracle recomputes them exactly.
+    */
+  def textChunks(spark: SparkSession, dir: String): DataFrame =
+    operators.TextChunk.chunk(t(spark, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, overlap = 8)
+      .select(col("chunk_id"), col("doc_id"), col("chunk_idx"),
+        col("n_tokens"), md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+
   /** General aggregation sanity on lineitem (TPC-H Q1 shape). */
   def aggPricing(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -340,6 +351,7 @@ object Queries {
     "q28_simhash_neardup" -> (simhashNearDup _),
     "q29_winnow_fp" -> (winnowFp _),
     "q30_langid_chargram" -> (langIdChargram _),
+    "q31_text_chunks" -> (textChunks _),
   )
 }
 
@@ -453,9 +465,11 @@ object Oracles {
         |         min((a + s.seed * b) % ${operators.Dedup.MinhashPrime}) AS sig
         |       FROM ab CROSS JOIN (SELECT unnest(range(12)) AS seed) s
         |       GROUP BY doc_id, s.seed),
-        |bands AS (SELECT doc_id, CAST(seed // 3 AS INTEGER) AS band,
-        |            string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS bkey
-        |          FROM mh GROUP BY doc_id, seed // 3),
+        |bands0 AS (SELECT doc_id, CAST(seed // 3 AS INTEGER) AS band,
+        |             string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS bkey
+        |           FROM mh GROUP BY doc_id, seed // 3),
+        |bands AS (SELECT * FROM bands0
+        |          QUALIFY count(*) OVER (PARTITION BY band, bkey) <= 100),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |         FROM bands x JOIN bands y
         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
@@ -557,5 +571,21 @@ object Oracles {
         |          > len(list_filter(grams, x -> x IN ('the','he ',' th','ing','nd ','and',' an','ed '))) THEN 'dsl'
         |       ELSE 'und' END AS detected
         |FROM g""".stripMargin,
+    // chunkSize=32, overlap=8 -> stride=24; boundaries mirror
+    // TextChunk.chunk exactly (1 + floor((n-overlap-1)/stride) chunks,
+    // slice clipped at the document end). chunk_text hashes to md5 so
+    // the compare stays row-hashable.
+    "q31_text_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |c AS (SELECT doc_id, w, len(w) AS n,
+        |        CASE WHEN len(w) <= 8 THEN 1
+        |             ELSE 1 + (len(w) - 8 - 1) // 24 END AS n_chunks
+        |      FROM w WHERE len(w) > 0),
+        |e AS (SELECT doc_id, w, n, unnest(range(n_chunks)) AS i FROM c)
+        |SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR) AS chunk_id,
+        |  doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(least(32, n - i * 24) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(w[CAST(i*24+1 AS INT):CAST(i*24+32 AS INT)], ' ')) AS chunk_md5
+        |FROM e""".stripMargin,
   )
 }

@@ -233,6 +233,86 @@ object NearestCentroid {
   }
 }
 
+/** Top-`n` centroid ids by inner product against a FIXED centroid matrix
+  * — the multi-assign variant of [[NearestCentroid]] (IVF boundary
+  * probing: a vector near a centroid boundary lands in BOTH adjacent
+  * buckets, so boundary-straddling near-dup pairs share a bucket).
+  * Output ordered score desc, centroid id asc on ties — element 0 equals
+  * `nearest_centroid`.
+  */
+case class NearestCentroids(child: Expression, flat: Array[Double], dim: Int,
+                            n: Int) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroids expects array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    NearestCentroids.topN(v.asInstanceOf[ArrayData], flat, dim, isFloat, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = graft.functions.NearestCentroids.topN($a, $ref, $dim, $isFloat, $n);"
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object NearestCentroids {
+  /** Shared by eval and codegen. Same prefix-dot semantics as
+    * [[NearestCentroid.nearest]]; empty centroid set -> [0].
+    */
+  def topN(v: ArrayData, flat: Array[Double], dim: Int, isFloat: Boolean,
+           nAssign: Int): UnsafeArrayData = {
+    val k = if (dim == 0) 0 else flat.length / dim
+    if (k == 0) return UnsafeArrayData.fromPrimitiveArray(Array(0))
+    val n = math.min(dim, v.numElements())
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var s = 0.0
+      var j = 0
+      if (isFloat) while (j < n) { s += flat(off + j) * v.getFloat(j); j += 1 }
+      else while (j < n) { s += flat(off + j) * v.getDouble(j); j += 1 }
+      scores(c) = s
+      c += 1
+    }
+    val m = math.min(nAssign, k)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < m) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var i = 0
+      while (i < k) {
+        if (!taken(i) && scores(i) > bestS) { bestS = scores(i); best = i }
+        i += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 /** Squared L2 norm (double) of an array<float> / array<double>. */
 case class L2NormSq(child: Expression) extends UnaryExpression {
 

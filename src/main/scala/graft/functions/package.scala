@@ -40,6 +40,21 @@ package object functions {
     col(NearestCentroid(expr(v), flat, dim))
   }
 
+  /** Top-`n` max-inner-product centroid ids per row (score desc, id asc
+    * on ties; element 0 == `nearest_centroid`) — IVF multi-assign for
+    * boundary probing.
+    */
+  def nearest_centroids(v: Column, centroids: Array[Array[Double]], n: Int): Column = {
+    val dim = if (centroids.isEmpty) 0 else centroids(0).length
+    val flat = new Array[Double](centroids.length * dim)
+    var i = 0
+    while (i < centroids.length) {
+      System.arraycopy(centroids(i), 0, flat, i * dim, dim)
+      i += 1
+    }
+    col(NearestCentroids(expr(v), flat, dim, n))
+  }
+
   /** Reference content-hash id: md5 hex of the normalized vector's
     * little-endian float32 bytes (pico_vdb.py:54-55, 424-427).
     */

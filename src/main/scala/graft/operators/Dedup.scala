@@ -173,11 +173,14 @@ object Dedup {
     * side. `maxBucket` guards hot band keys: buckets past the cap are
     * dropped whole (recall loss confined to degenerate keys, the
     * standard LSH guard), so a B-doc bucket costs B^2 pair rows only
-    * for bounded B.
+    * for bounded B. It defaults ON (100, like [[simhashNearDup]]) — one
+    * degenerate band key on a real corpus (empty docs, boilerplate)
+    * otherwise makes the pair expansion unbounded; pass None to disable.
     */
   def minhashLSH(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 12, bandSize: Int = 3, shingleN: Int = 3,
-                 threshold: Double = 0.5, maxBucket: Option[Int] = None): DataFrame = {
+                 threshold: Double = 0.5,
+                 maxBucket: Option[Int] = Some(100)): DataFrame = {
     require(numHashes % bandSize == 0,
       s"bandSize $bandSize must divide numHashes $numHashes")
     val sets = cachedShingleSets(df, idCol, textCol, shingleN)
@@ -317,21 +320,32 @@ object Dedup {
     * scale path the sampled crossJoin variant (Queries.embNearDup) is a
     * demo of. Pair space shrinks from N^2 to sum(bucket^2); near-dups
     * land in the same bucket because near-identical vectors share a
-    * nearest centroid (recall loss only at bucket boundaries, the
-    * standard IVF trade — raise nList for smaller buckets, or probe
-    * neighboring buckets for higher recall).
+    * nearest centroid.
+    *
+    * `nAssign` (default 2) assigns each vector to its nAssign nearest
+    * centroids — boundary probing: a near-dup pair straddling a centroid
+    * boundary still shares the runner-up bucket (1-assign loses exactly
+    * those pairs, the standard IVF trade). Pair space grows by at most
+    * nAssign^2 over the 1-assign sum(bucket^2) bound — with default
+    * nAssign=2 a <=4x constant on a bound that is itself ~N^2/nList for
+    * balanced buckets; raise nList in step to keep bucket budgets flat
+    * (see SCALING.md). [[bucketPairs]]' distinct collapses pairs that
+    * co-bucket more than once.
     *
     * Returns (a, b, score) with a < b and cosine >= threshold.
     */
   def embNearDupBlocked(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, nList: Int = 64,
-                        normalized: Boolean = false): DataFrame = {
-    // transient index: the assignment pass feeds ONE bucket aggregation
-    // (a centroid self-join would recompute nearest-centroid per side);
-    // vectors re-join from the original df for scoring, keyed by id.
-    val idx = IvfIndex.build(df, idCol, vecCol, nList, normalized = normalized,
-      cacheAssigned = false)
-    val bands = idx.assigned.select(col("centroid_id"), col(idCol).as("doc_id"))
+                        normalized: Boolean = false,
+                        nAssign: Int = 2): DataFrame = {
+    // fit-then-band: one codegen'd multi-assign projection feeds ONE
+    // bucket aggregation (a centroid self-join would recompute the
+    // assignment per side); vectors re-join from the original df for
+    // scoring, keyed by id.
+    val centroids = IvfIndex.fitCentroids(df, vecCol, nList, normalized = normalized)
+    val bands = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.nearest_centroids(col(vecCol), centroids, nAssign))
+        .as("centroid_id"))
     val cand = bucketPairs(bands, Seq("centroid_id"), maxBucket = None)
     val va = df.select(col(idCol).as("a"), col(vecCol).as("va"))
     val vb = df.select(col(idCol).as("b"), col(vecCol).as("vb"))

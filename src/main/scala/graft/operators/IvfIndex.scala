@@ -103,7 +103,18 @@ object IvfIndex {
   def build(store: DataFrame, idCol: String, vecCol: String,
             nList: Int, seed: Long = 42L, sampleCap: Int = 20000,
             normalized: Boolean = true, maxIter: Int = 8,
-            cacheAssigned: Boolean = true): IvfIndex = {
+            cacheAssigned: Boolean = true): IvfIndex =
+    assign(store,
+      fitCentroids(store, vecCol, nList, seed, sampleCap, normalized, maxIter),
+      idCol, vecCol, cacheAssigned)
+
+  /** The fit half of [[build]]: sampled local k-means -> centroid matrix.
+    * Callers that band rows themselves (e.g. multi-assign dedup blocking)
+    * use this directly with `nearest_centroids`.
+    */
+  def fitCentroids(store: DataFrame, vecCol: String,
+                   nList: Int, seed: Long = 42L, sampleCap: Int = 20000,
+                   normalized: Boolean = true, maxIter: Int = 8): Array[Array[Double]] = {
     val total = store.count()
     val vecsDf = store.select(col(vecCol))
     val sampled =
@@ -121,8 +132,7 @@ object IvfIndex {
       }
       d
     }
-    val centroids = LocalKMeans.fit(sample, nList, maxIter, seed)
-    assign(store, centroids, idCol, vecCol, cacheAssigned)
+    LocalKMeans.fit(sample, nList, maxIter, seed)
   }
 
   /** Assignment pass under FIXED centroids — the incremental-maintenance

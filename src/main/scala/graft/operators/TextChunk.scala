@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-chunking ingest pipeline: overlapping token windows per document,
+  * the DataFrame form of the reference's embedding ingest flow
+  * (bench/st_embedding.py:1-60, bench/hf_upserts.py — chunk documents,
+  * embed each chunk, upsert chunk rows keyed by a derived chunk id).
+  *
+  * Chunk boundaries are pure arithmetic over the whitespace token array,
+  * so the operator is exactly reproducible in any engine (the DuckDB
+  * oracle recomputes it in SQL):
+  *
+  *   - `stride = chunkSize - overlap`; chunk `i` covers tokens
+  *     `[i*stride + 1, i*stride + chunkSize]` (1-based, clipped at the
+  *     document end);
+  *   - a document with `n` tokens has `1 + floor((n-overlap-1)/stride)`
+  *     chunks when `n > overlap`, else exactly 1 — every token is
+  *     covered, consecutive chunks share `overlap` tokens, and no chunk
+  *     is fully contained in its predecessor.
+  *
+  * Scale shape (100 TB): one narrow projection + one generator — no
+  * shuffle, no driver traffic; chunk counts derive per-row, so the
+  * operator streams through whole-stage codegen and parallelism follows
+  * the input partitioning. Feed the result to [[chunkEmbedUpsert]] (or
+  * any embedding stage) and `VdbStore.upsertDF` for the full ingest.
+  */
+object TextChunk {
+
+  /** Chunk rows: (chunk_id, doc_id, chunk_idx, n_tokens, chunk_text).
+    * `chunk_id` = "<doc_id>#<chunk_idx>" — deterministic, stable across
+    * re-ingests of the same corpus (the reference keys its upserts the
+    * same way: document id + running chunk index).
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    df.select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks",
+        when(col("n") <= overlap, lit(1L)).otherwise(
+          lit(1L) + floor((col("n") - lit(overlap) - lit(1)) / lit(stride))))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - lit(1L))).as("chunk_idx"))
+      .select(
+        concat(col("doc_id").cast("string"), lit("#"),
+          col("chunk_idx").cast("string")).as("chunk_id"),
+        col("doc_id"),
+        col("chunk_idx"),
+        least(lit(chunkSize.toLong),
+          col("n").cast("long") - col("chunk_idx") * stride).as("n_tokens"),
+        concat_ws(" ",
+          slice(col("w"), (col("chunk_idx") * stride + lit(1)).cast("int"),
+            lit(chunkSize))).as("chunk_text"))
+  }
+
+  /** Full ingest: chunk -> embed -> upsert into `store`. `embed` maps the
+    * `chunk_text` column to an array<float> embedding — in production a
+    * model-serving call (mapInPandas/an expression over a served model);
+    * tests use a deterministic fake. Returns (updated, inserted) counts
+    * from the store merge. Everything stays distributed: the store merge
+    * is `upsertDF`, whose driver traffic is count-only.
+    */
+  def chunkEmbedUpsert(store: graft.core.VdbStore, df: DataFrame,
+                       idCol: String, textCol: String,
+                       embed: Column => Column,
+                       chunkSize: Int = 64, overlap: Int = 16): (Long, Long) = {
+    val chunks = chunk(df, idCol, textCol, chunkSize, overlap)
+    val batch = chunks.select(
+      col("chunk_id").as("_id_"),
+      embed(col("chunk_text")).as("vector"),
+      to_json(struct(col("doc_id"), col("chunk_idx"), col("n_tokens"))).as("meta"))
+    store.upsertDF(batch)
+  }
+}

@@ -44,6 +44,18 @@ object DedupScaleSmoke {
       graft.operators.Dedup.minhashLSH(docs, "doc_id", "text",
         maxBucket = Some(1000)).count()
     }
+    timed("minhash LSH hot bucket") {
+      // every 10th doc replaced by identical boilerplate -> one
+      // degenerate ~n/10-doc bucket per band; the default maxBucket=100
+      // drops it whole instead of expanding (n/10)^2 pair rows — this
+      // phase must stay in the same time class as the clean corpus
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val hot = docs.withColumn("text",
+        when(col("doc_id") % 10 === 0,
+          lit("common boilerplate header text repeated verbatim across the corpus"))
+          .otherwise(col("text")))
+      graft.operators.Dedup.minhashLSH(hot, "doc_id", "text").count()
+    }
     timed("simhash near-dup") {
       graft.operators.Dedup.simhashNearDup(docs, "doc_id", "text").count()
     }

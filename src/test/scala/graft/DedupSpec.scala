@@ -51,4 +51,35 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
     assert(blocked == brute) // tight clusters: no boundary loss
   }
+
+  test("2-assign recovers boundary-straddling near-dup pairs that 1-assign misses") {
+    // two tight clusters on the axes plus ONE planted near-dup pair
+    // midway between them: p1 leans toward cluster A, p2 toward cluster
+    // B, so 1-assign puts them in different buckets and the pair is
+    // lost; 2-assign lands both in both buckets (VERDICT r3 #6).
+    val rng = new scala.util.Random(7)
+    def jig(v: Array[Float]) = v.map(x => x + (rng.nextFloat() - 0.5f) * 0.02f)
+    val ca = (0 until 20).map(i => (i.toLong, jig(Array(1f, 0f))))
+    val cb = (0 until 20).map(i => ((100 + i).toLong, jig(Array(0f, 1f))))
+    val planted = Seq((500L, Array(1.0f, 0.98f)), (501L, Array(0.98f, 1.0f)))
+    val df = (ca ++ cb ++ planted).toDF("vec_id", "vec")
+    // cosine(p1, p2) = 1.96 / 1.9604 ~ 0.9998 >= 0.999
+    def pairs(nAssign: Int) =
+      Dedup.embNearDupBlocked(df, "vec_id", "vec", threshold = 0.999,
+          nList = 2, nAssign = nAssign)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs(1).contains((500L, 501L))) // boundary pair lost at 1-assign
+    assert(pairs(2).contains((500L, 501L))) // recovered via runner-up bucket
+  }
+
+  test("minhashLSH default maxBucket caps degenerate buckets (explicit None opens them)") {
+    // 150 identical docs -> every band bucket has 150 docs, past the
+    // default cap of 100 -> dropped whole by default, C(150,2) pairs
+    // when explicitly uncapped
+    val docs = ((0 until 150).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta")) :+
+      (999L, "totally different words entirely here now")).toDF("doc_id", "text")
+    assert(Dedup.minhashLSH(docs, "doc_id", "text").collect().isEmpty)
+    assert(Dedup.minhashLSH(docs, "doc_id", "text", maxBucket = None)
+      .collect().length == 150 * 149 / 2)
+  }
 }
