@@ -257,7 +257,7 @@ object BlockStore {
   }
 
   /** Score one block into the per-query heaps. */
-  private[core] def scoreBlock[K](
+  private[graft] def scoreBlock[K](
       heaps: Array[BoundedTopKG[K]],
       b: VecBlock[K],
       qs: Array[Array[Float]],
