@@ -294,6 +294,26 @@ object Queries {
       .select(col("chunk_id"), col("doc_id"), col("chunk_idx"),
         col("n_tokens"), md5(col("chunk_text").cast("binary")).as("chunk_md5"))
 
+  /** Distributed-query-side top-k (pipeline op): the query side is a
+    * Dataset read from the table — never collected to the driver
+    * (CosineTopK.gemmQueries: pack-per-partition x store blocks +
+    * heap reduceByKey). Exact scoring, so the same DuckDB oracle shape
+    * as q01-q05 applies.
+    */
+  def topkDistributed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val store = graft.core.BlockStore.fromDataset(
+      emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
+      normalize = false)
+    val queries = emb.filter(col("vec_id") >= 40 && col("vec_id") < 60)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .repartition(4)
+    CosineTopK.gemmQueries(store, queries, k = 10, exact = true)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
   /** General aggregation sanity on lineitem (TPC-H Q1 shape). */
   def aggPricing(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -352,6 +372,7 @@ object Queries {
     "q29_winnow_fp" -> (winnowFp _),
     "q30_langid_chargram" -> (langIdChargram _),
     "q31_text_chunks" -> (textChunks _),
+    "q32_topk_distributed" -> (topkDistributed _),
   )
 }
 
@@ -587,5 +608,6 @@ object Oracles {
         |  CAST(least(32, n - i * 24) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(w[CAST(i*24+1 AS INT):CAST(i*24+32 AS INT)], ' ')) AS chunk_md5
         |FROM e""".stripMargin,
+    "q32_topk_distributed" -> topkOracle("vec_id >= 40 AND vec_id < 60", "true", 10, None),
   )
 }
