@@ -303,15 +303,19 @@ object Queries {
   def topkDistributed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = t(spark, dir, "embeddings")
+    // pinned for the run: cartesian recomputes the store side once per
+    // query partition when unpersisted (pack-4x at q32's repartition(4))
     val store = graft.core.BlockStore.fromDataset(
       emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
-      normalize = false)
+      normalize = false).persist()
     val queries = emb.filter(col("vec_id") >= 40 && col("vec_id") < 60)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .repartition(4)
-    CosineTopK.gemmQueries(store, queries, k = 10, exact = true)
+    val out = CosineTopK.gemmQueries(store, queries, k = 10, exact = true)
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    store.unpersist() // gemmQueries is eager; the pack is consumed
+    out
   }
 
   /** General aggregation sanity on lineitem (TPC-H Q1 shape). */
@@ -594,10 +598,13 @@ object Oracles {
         |FROM g""".stripMargin,
     // chunkSize=32, overlap=8 -> stride=24; boundaries mirror
     // TextChunk.chunk exactly (1 + floor((n-overlap-1)/stride) chunks,
-    // slice clipped at the document end). chunk_text hashes to md5 so
-    // the compare stays row-hashable.
+    // slice clipped at the document end; empty tokens dropped — Python
+    // str.split() parity). chunk_text hashes to md5 so the compare
+    // stays row-hashable.
     "q31_text_chunks" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
+        |  FROM documents),
         |c AS (SELECT doc_id, w, len(w) AS n,
         |        CASE WHEN len(w) <= 8 THEN 1
         |             ELSE 1 + (len(w) - 8 - 1) // 24 END AS n_chunks

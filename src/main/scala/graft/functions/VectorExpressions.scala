@@ -305,6 +305,13 @@ object NearestCentroids {
         if (!taken(i) && scores(i) > bestS) { bestS = scores(i); best = i }
         i += 1
       }
+      if (best == -1) {
+        // every remaining score is NaN/-Inf (corrupt vector): degrade to
+        // id-order assignment — same rule as NearestCentroid's best=0
+        // default — instead of crashing on taken(-1)
+        var j = 0
+        while (best == -1 && j < k) { if (!taken(j)) best = j; j += 1 }
+      }
       taken(best) = true
       out(r) = best
       r += 1

@@ -45,6 +45,8 @@ package object functions {
     * boundary probing.
     */
   def nearest_centroids(v: Column, centroids: Array[Array[Double]], n: Int): Column = {
+    require(n >= 1, s"nearest_centroids needs n >= 1, got $n") // n=0 would
+    // silently drop every row from downstream banding; n<0 would crash tasks
     val dim = if (centroids.isEmpty) 0 else centroids(0).length
     val flat = new Array[Double](centroids.length * dim)
     var i = 0

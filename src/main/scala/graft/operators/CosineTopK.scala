@@ -143,7 +143,10 @@ object CosineTopK {
     val threshold = betterThan.getOrElse(Double.NegativeInfinity)
     val kk = k
     val ex = exact
-    // pack + normalize each query partition ONCE (not per store block)
+    // pack + normalize each query partition ONCE (not per store block):
+    // cartesian re-computes its left parent once per store block, so the
+    // packed partitions are pinned for the run and dropped after the
+    // ranked rows materialize below
     val qblocks = queries.rdd.mapPartitionsWithIndex { (pi, it) =>
       val arr = it.toArray
       if (arr.isEmpty) Iterator.empty
@@ -157,7 +160,7 @@ object CosineTopK {
           else qvecs.map(v => math.sqrt(Kernels.normSqD(v)))
         Iterator((pi, qids, qvecs, qnorms))
       }
-    }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val partials = qblocks.cartesian(store.blocks).map {
       case ((pi, qids, qvecs, qnorms), block) =>
         val heaps = Array.fill(qvecs.length)(new graft.core.BoundedTopKG[K](kk))
@@ -178,7 +181,15 @@ object CosineTopK {
         }
       }
     }
-    spark.createDataset(rows)(enc).toDF("qid", "id", "score", "rank")
+    // Materialize the (Q x k, much smaller than either input) result
+    // eagerly so the packed-query cache can be dropped here rather than
+    // leak into the caller's lineage; callers unpersist the returned
+    // frame when done with it.
+    val out = spark.createDataset(rows)(enc).toDF("qid", "id", "score", "rank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    qblocks.unpersist(false)
+    out
   }
 
   /** One-shot convenience: pack a DataFrame store transiently and run the

@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * (bench/st_embedding.py:1-60, bench/hf_upserts.py — chunk documents,
   * embed each chunk, upsert chunk rows keyed by a derived chunk id).
   *
-  * Chunk boundaries are pure arithmetic over the whitespace token array,
-  * so the operator is exactly reproducible in any engine (the DuckDB
-  * oracle recomputes it in SQL):
+  * Chunk boundaries are pure arithmetic over the whitespace token array
+  * (empty tokens dropped, so leading/trailing/odd whitespace cannot mint
+  * phantom tokens — Python `str.split()` parity with the reference's
+  * chunker), so the operator is exactly reproducible in any engine (the
+  * DuckDB oracle recomputes it in SQL):
   *
   *   - `stride = chunkSize - overlap`; chunk `i` covers tokens
   *     `[i*stride + 1, i*stride + chunkSize]` (1-based, clipped at the
@@ -38,7 +40,8 @@ object TextChunk {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
     val stride = chunkSize - overlap
-    df.select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("w"))
+    df.select(col(idCol).as("doc_id"),
+        array_remove(split(col(textCol), "\\s+"), "").as("w"))
       .withColumn("n", size(col("w")))
       .filter(col("n") > 0)
       .withColumn("n_chunks",

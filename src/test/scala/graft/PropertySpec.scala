@@ -85,6 +85,35 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("NearestCentroids.topN: element 0 == nearest; NaN rows degrade to id order") {
+    val caseGen = for {
+      dim <- Gen.choose(1, 16)
+      k <- Gen.choose(1, 8)
+      n <- Gen.choose(1, 8)
+      cents <- Gen.containerOfN[Array, Array[Double]](k,
+        Gen.containerOfN[Array, Double](dim, Gen.chooseNum(-1.0, 1.0)))
+      v <- Gen.containerOfN[Array, Float](dim, Gen.chooseNum(-1f, 1f))
+    } yield (dim, cents, v, n)
+    check(Prop.forAll(caseGen) { case (dim, cents, v, n) =>
+      val flat = cents.flatten
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v)
+      val got = graft.functions.NearestCentroids
+        .topN(arr, flat, dim, isFloat = true, n).toIntArray()
+      val one = graft.functions.NearestCentroid.nearest(arr, flat, dim, isFloat = true)
+      got.length == math.min(n, cents.length) &&
+        got(0) == one && got.distinct.length == got.length
+    })
+    // corrupt all-NaN vector: no crash, id-order assignment, matches
+    // NearestCentroid's best=0 default on element 0
+    val nanArr = org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(Array(Float.NaN, Float.NaN))
+    val flat = Array(1.0, 0.0, 0.0, 1.0, 0.5, 0.5)
+    val got = graft.functions.NearestCentroids
+      .topN(nanArr, flat, 2, isFloat = true, 2).toIntArray()
+    assert(got.sameElements(Array(0, 1)))
+    assert(graft.functions.NearestCentroid.nearest(nanArr, flat, 2, isFloat = true) == 0)
+  }
+
   test("SimHash64 matches a direct md5 bit-vote reimplementation") {
     val tokensGen = Gen.listOf(Gen.alphaNumStr.map(_.take(12)))
     check(Prop.forAll(tokensGen) { tokens =>

@@ -40,6 +40,17 @@ class TextChunkSpec extends AnyFunSuite {
     assert(byDoc(9L).map(_._3) sameElements Array(8L, 4L))
   }
 
+  test("leading/trailing/odd whitespace mints no phantom tokens (str.split parity)") {
+    val df = Seq(
+      (1L, "  hello world\n"),     // edge whitespace incl. newline
+      (2L, "a\tb\nc"),             // tab/newline separators
+      (3L, "   \n  ")              // whitespace-only -> zero tokens, no chunks
+    ).toDF("doc_id", "text")
+    val out = TextChunk.chunk(df, "doc_id", "text", chunkSize = 8, overlap = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq((1L, 2L, "hello world"), (2L, 3L, "a b c")))
+  }
+
   test("chunk ids are deterministic and unique") {
     val df = Seq(doc(23), doc(9)).toDF("doc_id", "text")
     val ids = TextChunk.chunk(df, "doc_id", "text", 8, 3)
