@@ -240,14 +240,26 @@ final class VdbStore private (
     * `batch` needs columns (_id_ nullable — any type castable to string
     * (ints round-trip by value, see README "Deliberate deviations"),
     * vector array<float>, meta string).
+    *
+    * Duplicate ids WITHIN the batch collapse to one row (one hash
+    * aggregate on `_id_`) — without this, a replayed source (streaming
+    * at-least-once redelivery lands the same doc twice in one
+    * micro-batch) would insert duplicate store rows, breaking the
+    * unique-id invariant. DataFrames are unordered, so the survivor
+    * among genuinely DIFFERENT rows sharing an id is arbitrary (the
+    * record-based [[upsert]] is the sequential last-wins path,
+    * pico_vdb.py:403-498); callers that guarantee unique batch ids can
+    * skip the aggregate with `dedupIds=false`.
     */
-  def upsertDF(batch: DataFrame): (Long, Long) = {
-    val prepared = batch
+  def upsertDF(batch: DataFrame, dedupIds: Boolean = true): (Long, Long) = {
+    val prepared0 = batch
       .withColumn("_vecf_", col("vector").cast(ArrayType(FloatType)))
       .withColumn("_vector_", normalize_l2(col("_vecf_")))
       .withColumn("_id_",
         coalesce(col("_id_").cast(StringType), content_id(col("_vecf_"))))
       .select(col("_id_"), col("_vector_"), col("meta"), lit(false).as("deleted"))
+    val prepared =
+      if (dedupIds) prepared0.dropDuplicates("_id_") else prepared0
     // Both report counts in ONE pass over the batch (a left join against
     // the active id column + two counts): evaluating the normalize +
     // content-id projection is the expensive part, and caching the wide

@@ -27,6 +27,30 @@ object StreamingOps {
         if (!batch.isEmpty) { store.upsertDF(batch); () }
       }
 
+  /** Continuous chunk->embed->upsert ingest: each micro-batch of
+    * documents is chunked (overlapping token windows, deterministic
+    * chunk ids — see [[graft.operators.TextChunk]]), embedded by the
+    * caller-supplied column transform, and merged into the store. The
+    * streaming twin of `TextChunk.chunkEmbedUpsert`: chunk ids are
+    * stable, so a re-delivered document upserts over its own chunks
+    * (at-least-once delivery folds to idempotent writes).
+    *
+    * `stream` needs (idCol, textCol) columns.
+    */
+  def chunkIngestSink(stream: DataFrame, store: VdbStore,
+                      idCol: String, textCol: String,
+                      embed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                      chunkSize: Int = 64, overlap: Int = 16): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.TextChunk.chunkEmbedUpsert(store, batch, idCol,
+            textCol, embed, chunkSize, overlap)
+          ()
+        }
+      }
+
   /** Watermarked tumbling-window aggregation over an event stream —
     * the streaming twin of Queries.eventWindows. `ts` must be a
     * TimestampType column.

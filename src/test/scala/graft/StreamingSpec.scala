@@ -28,6 +28,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.queryOne(Array(1f, 0f, 0f), topK = 1).head.id == "a")
   }
 
+  test("streaming chunk-ingest sink: chunks land per micro-batch; redelivery is idempotent") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val store = VdbStore.empty(spark, 3)
+    val embed: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => array(length(c).cast("float"), size(split(c, " ")).cast("float"), lit(1f))
+    def run(): Unit = {
+      val q = StreamingOps.chunkIngestSink(stream, store, "doc_id", "text",
+          embed, chunkSize = 8, overlap = 3)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      ()
+    }
+    val doc23 = (1 to 23).map(i => s"t$i").mkString(" ")
+    mem.addData((7L, doc23)) // 4 chunks at size 8 / stride 5
+    run()
+    assert(store.count() == 4)
+    assert(store.get(Seq("7#0", "7#3")).size == 2)
+    mem.addData((7L, doc23)) // redelivered: same chunk ids -> pure update
+    run()
+    assert(store.count() == 4)
+  }
+
   test("stateful streaming dedup emits only first-seen content across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

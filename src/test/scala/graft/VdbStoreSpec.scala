@@ -125,6 +125,18 @@ class VdbStoreSpec extends AnyFunSuite {
     assert(s.queryOne(Array(0f, 0f, 1f), 1).head.id == "a")
   }
 
+  test("upsertDF collapses duplicate ids within one batch (at-least-once redelivery)") {
+    import spark.implicits._
+    val s = freshStore(3)
+    val batch = Seq(
+      ("a", Array(1f, 0f, 0f), null: String),
+      ("a", Array(1f, 0f, 0f), null: String), // same row delivered twice
+      ("b", Array(0f, 1f, 0f), null: String)).toDF("_id_", "vector", "meta")
+    val (u, i) = s.upsertDF(batch)
+    assert(u == 0 && i == 2)
+    assert(s.count() == 2 && s.capacity() == 2) // no duplicate 'a' row
+  }
+
   test("upsertDF re-inserting a deleted id leaves no duplicate rows") {
     import spark.implicits._
     val s = freshStore(3)
