@@ -53,6 +53,21 @@ object ScaleSmoke {
     timed("batch again") {
       CosineTopK.gemmBlocks(store, queries, 10, betterThan = Some(0.1)).count()
     }
+    // Distributed query side at a batch size no driver array should
+    // hold: the same stored vectors re-used as 100k queries (Dataset,
+    // never collected). Work is 100x the 1000-query batch; the phase
+    // converts gemmQueries' P_q x P_s heap-shuffle claim into a
+    // measured number.
+    import spark.implicits._
+    val nDistQ = sys.env.get("SPARK_GRAFT_SMOKE_DISTQ").map(_.toInt).getOrElse(100000)
+    val qDs = spark.createDataset(
+      sc.range(0, nDistQ, 1, 24).map { i =>
+        val rng = new java.util.Random(i * 104729L)
+        (i, Array.fill(dim)(rng.nextFloat()))
+      })
+    timed(s"distq ${nDistQ}q top10") {
+      CosineTopK.gemmQueries(store, qDs, 10, betterThan = Some(0.1)).count()
+    }
     spark.stop()
   }
 }
