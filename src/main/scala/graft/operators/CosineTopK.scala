@@ -182,12 +182,12 @@ object CosineTopK {
       }
     }
     // Materialize the (Q x k, much smaller than either input) result
-    // eagerly so the packed-query cache can be dropped here rather than
-    // leak into the caller's lineage; callers unpersist the returned
-    // frame when done with it.
+    // eagerly with a lineage cut, so the packed-query cache can be
+    // dropped HERE and nothing pins the session CacheManager: the
+    // checkpoint's backing RDD is context-cleaned when the returned
+    // frame is garbage-collected — callers own no unpersist contract.
     val out = spark.createDataset(rows)(enc).toDF("qid", "id", "score", "rank")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+      .localCheckpoint(true)
     qblocks.unpersist(false)
     out
   }

