@@ -318,6 +318,16 @@ object Queries {
     out
   }
 
+  /** Character-window chunking (pipeline op): the reference's other
+    * chunker (bench/local_embedding_index.py fixed-size slices,
+    * including its trailing-empty-chunk quirk on exact multiples).
+    */
+  def textChunksChars(spark: SparkSession, dir: String): DataFrame =
+    operators.TextChunk.chunkChars(t(spark, dir, "documents"), "doc_id", "text",
+        chunkSize = 100)
+      .select(col("chunk_id"), col("doc_id"), col("chunk_idx"),
+        col("n_chars"), md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+
   /** General aggregation sanity on lineitem (TPC-H Q1 shape). */
   def aggPricing(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -377,6 +387,7 @@ object Queries {
     "q30_langid_chargram" -> (langIdChargram _),
     "q31_text_chunks" -> (textChunks _),
     "q32_topk_distributed" -> (topkDistributed _),
+    "q33_text_chunks_chars" -> (textChunksChars _),
   )
 }
 
@@ -616,5 +627,15 @@ object Oracles {
         |  md5(array_to_string(w[CAST(i*24+1 AS INT):CAST(i*24+32 AS INT)], ' ')) AS chunk_md5
         |FROM e""".stripMargin,
     "q32_topk_distributed" -> topkOracle("vec_id >= 40 AND vec_id < 60", "true", 10, None),
+    // mirrors chunkChars: len//100 + 1 chunks (trailing empty chunk on
+    // exact multiples — the reference's own range() arithmetic)
+    "q33_text_chunks_chars" ->
+      """WITH c AS (SELECT doc_id, text, len(text) // 100 + 1 AS n FROM documents),
+        |e AS (SELECT doc_id, text, unnest(range(n)) AS i FROM c)
+        |SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR) AS chunk_id,
+        |  doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(len(substring(text, CAST(i*100+1 AS INT), 100)) AS BIGINT) AS n_chars,
+        |  md5(substring(text, CAST(i*100+1 AS INT), 100)) AS chunk_md5
+        |FROM e""".stripMargin,
   )
 }

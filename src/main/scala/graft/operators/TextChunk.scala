@@ -63,6 +63,36 @@ object TextChunk {
             lit(chunkSize))).as("chunk_text"))
   }
 
+  /** Fixed-size CHARACTER chunking — the reference's other chunker
+    * (bench/local_embedding_index.py:19-29: `content[i*N:(i+1)*N]` for
+    * `i in range(len(content)//N + 1)`). Faithfully mirrors its edge
+    * quirk: when the length is an exact multiple of `chunkSize` (or the
+    * text is empty) the final chunk is the empty string — the reference
+    * embeds it anyway, and the deterministic ids make re-ingest
+    * idempotent either way. Zero-shuffle, like [[chunk]].
+    *
+    * Output: (chunk_id, doc_id, chunk_idx, n_chars, chunk_text).
+    */
+  def chunkChars(df: DataFrame, idCol: String, textCol: String,
+                 chunkSize: Int = 256): DataFrame = {
+    require(chunkSize > 0, s"need chunkSize > 0, got $chunkSize")
+    df.select(col(idCol).as("doc_id"), col(textCol).as("_t_"))
+      .withColumn("n_chunks",
+        floor(length(col("_t_")).cast("long") / lit(chunkSize)) + lit(1L))
+      .select(col("doc_id"), col("_t_"),
+        explode(sequence(lit(0L), col("n_chunks") - lit(1L))).as("chunk_idx"))
+      .select(
+        concat(col("doc_id").cast("string"), lit("#"),
+          col("chunk_idx").cast("string")).as("chunk_id"),
+        col("doc_id"),
+        col("chunk_idx"),
+        expr(s"substring(_t_, cast(chunk_idx * $chunkSize + 1 as int), $chunkSize)")
+          .as("chunk_text"))
+      .withColumn("n_chars", length(col("chunk_text")).cast("long"))
+      .select(col("chunk_id"), col("doc_id"), col("chunk_idx"),
+        col("n_chars"), col("chunk_text"))
+  }
+
   /** Full ingest: chunk -> embed -> upsert into `store`. `embed` maps the
     * `chunk_text` column to an array<float> embedding — in production a
     * model-serving call (mapInPandas/an expression over a served model);

@@ -79,6 +79,23 @@ class TextChunkSpec extends AnyFunSuite {
     assert(hit.metaJson.exists(_.contains("\"chunk_idx\":1")))
   }
 
+  test("chunkChars mirrors the reference's len//N+1 arithmetic incl. the empty-tail quirk") {
+    val df = Seq(
+      (1L, "abcdefgh"),  // 8 chars, size 4 -> 3 chunks: abcd, efgh, ""
+      (2L, "abcdefghi"), // 9 chars -> 3 chunks: abcd, efgh, i
+      (3L, "ab"),        // 1 chunk
+      (4L, "")           // empty doc -> 1 empty chunk (reference embeds it)
+    ).toDF("doc_id", "text")
+    val out = TextChunk.chunkChars(df, "doc_id", "text", chunkSize = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 4L, "abcd"), (1L, 1L, 4L, "efgh"), (1L, 2L, 0L, ""),
+      (2L, 0L, 4L, "abcd"), (2L, 1L, 4L, "efgh"), (2L, 2L, 1L, "i"),
+      (3L, 0L, 2L, "ab"),
+      (4L, 0L, 0L, "")))
+  }
+
   test("re-ingesting a shrunken document prunes its stale higher-index chunks") {
     val store = graft.core.VdbStore.empty(spark, 3)
     val embed: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
