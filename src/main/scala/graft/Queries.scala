@@ -303,19 +303,21 @@ object Queries {
   def topkDistributed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = t(spark, dir, "embeddings")
-    // pinned for the run: cartesian recomputes the store side once per
-    // query partition when unpersisted (pack-4x at q32's repartition(4))
+    // pinned: cartesian recomputes the store side once per query
+    // partition when unpersisted (pack-4x at q32's repartition(4)). No
+    // explicit unpersist — the result is consumed lazily downstream,
+    // and the ContextCleaner drops the RDD blocks once this call's
+    // frame is unreachable (tiny pack; same lifecycle as gemmQueries'
+    // own query-partition cache).
     val store = graft.core.BlockStore.fromDataset(
       emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
       normalize = false).persist()
     val queries = emb.filter(col("vec_id") >= 40 && col("vec_id") < 60)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .repartition(4)
-    val out = CosineTopK.gemmQueries(store, queries, k = 10, exact = true)
+    CosineTopK.gemmQueries(store, queries, k = 10, exact = true)
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
-    store.unpersist() // gemmQueries is eager; the pack is consumed
-    out
   }
 
   /** Character-window chunking (pipeline op): the reference's other

@@ -144,9 +144,15 @@ object CosineTopK {
     val kk = k
     val ex = exact
     // pack + normalize each query partition ONCE (not per store block):
-    // cartesian re-computes its left parent once per store block, so the
-    // packed partitions are pinned for the run and dropped after the
-    // ranked rows materialize below
+    // cartesian re-computes its left parent once per store block, so
+    // the packed partitions are RDD-persisted. Deliberately no explicit
+    // unpersist and no eager materialization: RDD persistence does not
+    // touch the session CacheManager, lineage stays intact (a lost
+    // block recomputes — fault-tolerant on real clusters, unlike a
+    // localCheckpoint), and the ContextCleaner drops the blocks
+    // automatically once the returned frame is unreachable. Memory held
+    // is bounded by the packed query batch, the same class as a
+    // broadcast's lifecycle.
     val qblocks = queries.rdd.mapPartitionsWithIndex { (pi, it) =>
       val arr = it.toArray
       if (arr.isEmpty) Iterator.empty
@@ -181,15 +187,7 @@ object CosineTopK {
         }
       }
     }
-    // Materialize the (Q x k, much smaller than either input) result
-    // eagerly with a lineage cut, so the packed-query cache can be
-    // dropped HERE and nothing pins the session CacheManager: the
-    // checkpoint's backing RDD is context-cleaned when the returned
-    // frame is garbage-collected — callers own no unpersist contract.
-    val out = spark.createDataset(rows)(enc).toDF("qid", "id", "score", "rank")
-      .localCheckpoint(true)
-    qblocks.unpersist(false)
-    out
+    spark.createDataset(rows)(enc).toDF("qid", "id", "score", "rank")
   }
 
   /** One-shot convenience: pack a DataFrame store transiently and run the

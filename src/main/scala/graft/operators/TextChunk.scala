@@ -124,13 +124,26 @@ object TextChunk {
     val report = store.upsertDF(batch)
     if (pruneStale) {
       import org.apache.spark.sql.functions.broadcast
-      val newCounts = chunks.groupBy(col("doc_id").cast("string").as("_doc_"))
-        .agg((max(col("chunk_idx")) + 1).as("_n_"))
+      // Count per DOCUMENT in the delivered batch, not per chunk row: a
+      // document redelivered with empty/whitespace-only text produces
+      // ZERO chunk rows but must still supersede (delete) all its old
+      // chunks — left join + 0 fill covers the shrink-to-zero case.
+      val docIds = df.select(col(idCol).cast("string").as("_doc_")).distinct()
+      val newCounts = docIds
+        .join(chunks.groupBy(col("doc_id").cast("string").as("_doc_"))
+          .agg((max(col("chunk_idx")) + 1).as("_n_")), Seq("_doc_"), "left_outer")
+        .na.fill(0L, Seq("_n_"))
+      // A row is a stale chunk only if BOTH its meta carries this
+      // pipeline's (doc_id, chunk_idx) AND its id has the exact
+      // "<doc>#<idx>" shape those values imply — so foreign rows whose
+      // user meta happens to reuse the key names are never touched.
       val stale = store.active
         .select(col("_id_"),
           get_json_object(col("meta"), "$.doc_id").as("_doc_"),
           get_json_object(col("meta"), "$.chunk_idx").cast("long").as("_idx_"))
         .filter(col("_doc_").isNotNull && col("_idx_").isNotNull)
+        .filter(col("_id_") ===
+          concat(col("_doc_"), lit("#"), col("_idx_").cast("string")))
         .join(broadcast(newCounts), Seq("_doc_"))
         .filter(col("_idx_") >= col("_n_"))
         .select("_id_").as[String](org.apache.spark.sql.Encoders.STRING)

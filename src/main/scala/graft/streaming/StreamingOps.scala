@@ -43,13 +43,17 @@ object StreamingOps {
   def chunkIngestSink(stream: DataFrame, store: VdbStore,
                       idCol: String, textCol: String,
                       embed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-                      chunkSize: Int = 64, overlap: Int = 16): DataStreamWriter[Row] =
+                      chunkSize: Int = 64, overlap: Int = 16,
+                      pruneStale: Boolean = true): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // pruneStale costs one store-sized scan per micro-batch; an
+          // append-only/high-frequency pipeline can pass false and
+          // vacuum stale chunks offline instead
           graft.operators.TextChunk.chunkEmbedUpsert(store, batch, idCol,
-            textCol, embed, chunkSize, overlap)
+            textCol, embed, chunkSize, overlap, pruneStale)
           ()
         }
       }

@@ -61,8 +61,11 @@ object ScaleSmoke {
     // batch); the phase converts gemmQueries' P_q x P_s heap-shuffle
     // claim into a measured number.
     import spark.implicits._
+    // clamp in Long BEFORE the Int cast: a tiny n makes the quotient
+    // exceed Int.MaxValue (wrap -> 1.4B-query hang / silent 1000)
     val nDistQ = sys.env.get("SPARK_GRAFT_SMOKE_DISTQ").map(_.toInt)
-      .getOrElse(math.max(1000, (100000L * 1000000L / math.max(1, n)).toInt))
+      .getOrElse(math.max(1000L,
+        math.min(100000L, 100000L * 1000000L / math.max(1, n))).toInt)
     val qDs = spark.createDataset(
       sc.range(0, nDistQ, 1, 24).map { i =>
         val rng = new java.util.Random(i * 104729L)

@@ -110,6 +110,18 @@ class TextChunkSpec extends AnyFunSuite {
     assert(store.count() == 2)
     assert(store.get(Seq("7#2", "7#3")).isEmpty)
     assert(store.get(Seq("7#0", "7#1")).size == 2)
+    // a foreign row whose USER meta reuses the doc_id/chunk_idx keys but
+    // whose id is not this pipeline's "<doc>#<idx>" shape must survive
+    store.upsert(Seq(graft.core.VdbRecord("xyz", Array(1f, 0f, 0f),
+      """{"doc_id": "7", "chunk_idx": 10}""")))
+    // shrink to ZERO: an emptied document still supersedes (deletes) all
+    // its chunks even though it yields no chunk rows
+    val emptied = Seq((7L, "   ")).toDF("doc_id", "text")
+    val (u0, i0) = TextChunk.chunkEmbedUpsert(store, emptied, "doc_id", "text", embed, 8, 3)
+    assert(u0 == 0 && i0 == 0)
+    assert(store.get(Seq("7#0", "7#1")).isEmpty)
+    assert(store.get(Seq("xyz")).size == 1) // foreign row untouched
+    assert(store.count() == 1)
     // pruneStale=false keeps the orphans (the documented opt-out)
     val store2 = graft.core.VdbStore.empty(spark, 3)
     TextChunk.chunkEmbedUpsert(store2, long, "doc_id", "text", embed, 8, 3)
