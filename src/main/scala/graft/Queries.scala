@@ -482,7 +482,9 @@ object Oracles {
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "q21_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |fp AS (SELECT doc_id, md5(array_to_string(w[1:4], ' ')) AS fp FROM w),
+        |fp0 AS (SELECT doc_id, md5(array_to_string(w[1:4], ' ')) AS fp FROM w),
+        |fp AS (SELECT * FROM fp0
+        |       QUALIFY count(*) OVER (PARTITION BY fp) <= 100),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |         FROM fp x JOIN fp y ON x.fp = y.fp AND x.doc_id < y.doc_id),
         |shl AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),

@@ -346,6 +346,10 @@ object Dedup {
     val bands = df.select(col(idCol).as("doc_id"),
       explode(graft.functions.nearest_centroids(col(vecCol), centroids, nAssign))
         .as("centroid_id"))
+    // deliberately uncapped: centroid buckets are size-controlled by
+    // nList (≈ N/nList for balanced data), and a cap here would drop
+    // TRUE near-dup pairs, not degenerate-key noise — unlike the text
+    // operators' hash buckets
     val cand = bucketPairs(bands, Seq("centroid_id"), maxBucket = None)
     val va = df.select(col(idCol).as("a"), col(vecCol).as("va"))
     val vb = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
@@ -362,13 +366,18 @@ object Dedup {
     * fingerprint (cheap deterministic blocking). Candidates come from
     * ONE bucket aggregation over the fingerprint — the previous
     * fp-self-join recomputed the tokenize+hash projection per side.
+    * `maxBucket` defaults ON like the LSH operators: a boilerplate
+    * 4-token prefix ("copyright (c) all rights…") is exactly the
+    * degenerate key that makes B^2 pair expansion unbounded; buckets
+    * past the cap drop whole (pass None to disable).
     */
   def ngramJaccardBlocked(df: DataFrame, idCol: String, textCol: String,
-                          prefixTokens: Int = 4, shingleN: Int = 3): DataFrame = {
+                          prefixTokens: Int = 4, shingleN: Int = 3,
+                          maxBucket: Option[Int] = Some(100)): DataFrame = {
     val fp = wordsOf(df, idCol, textCol)
       .select(col("doc_id"),
         md5(concat_ws(" ", slice(col("w"), 1, prefixTokens)).cast("binary")).as("fp"))
-    val cand = bucketPairs(fp, Seq("fp"), maxBucket = None)
+    val cand = bucketPairs(fp, Seq("fp"), maxBucket)
     val sets = cachedShingleSets(df, idCol, textCol, shingleN)
     val sa = sets.select(col("doc_id").as("a"), col("shingles").as("sa"))
     val sb = sets.select(col("doc_id").as("b"), col("shingles").as("sb"))

@@ -72,6 +72,17 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs(2).contains((500L, 501L))) // recovered via runner-up bucket
   }
 
+  test("ngramJaccardBlocked default maxBucket drops a degenerate shared-prefix bucket") {
+    // 150 docs share the 4-token prefix (boilerplate header) -> one
+    // 150-doc fp bucket, past the default cap of 100
+    val docs = ((0 until 150).map(i =>
+      (i.toLong, s"common header boilerplate prefix unique tail $i")) :+
+      (999L, "totally different words entirely here now")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardBlocked(docs, "doc_id", "text").collect().isEmpty)
+    assert(Dedup.ngramJaccardBlocked(docs, "doc_id", "text", maxBucket = None)
+      .collect().length == 150 * 149 / 2)
+  }
+
   test("minhashLSH default maxBucket caps degenerate buckets (explicit None opens them)") {
     // 150 identical docs -> every band bucket has 150 docs, past the
     // default cap of 100 -> dropped whole by default, C(150,2) pairs
