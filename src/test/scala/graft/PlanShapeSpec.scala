@@ -54,6 +54,8 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joins(q22) == 2, s"q22 expected 2 joins:\n$q22")
     val q28 = formatted(Queries.simhashNearDup(spark, dir))
     assert(joins(q28) == 2, s"q28 expected 2 joins:\n$q28")
+    val q21 = formatted(Queries.ngramJaccard(spark, dir))
+    assert(joins(q21) == 2, s"q21 expected 2 joins:\n$q21")
   }
 
   test("upsert slot-reuse plans no global sort/limit over the tombstone branch") {
