@@ -183,24 +183,29 @@ object Bench {
     // Cold batch query: one pass over the store, per-partition heaps,
     // tiny final rank (median of the 3 cold cycles above).
     results("picovdb_batch_1000q") = median(coldSamples.toSeq)
-    // steady-state number: MEDIAN of 3 warm runs — r3 recorded a
-    // best-of-3 warm ABOVE the cold median (physically nonsensical; the
-    // host's sporadic cycle-stealing hit all three samples in one
-    // window). Median-of-3 plus a spaced retry: if the median still
-    // lands above the recorded cold number, re-sample once after the
-    // steal window has had time to pass — warm reuses the persisted
-    // pack, so warm > cold is measurement noise by construction
-    // (VERDICT r3 "what's wrong" #2).
+    // steady-state number: median of 5 warm runs, UNCONDITIONAL, spaced
+    // 500 ms apart. History: r3 recorded a best-of-3 warm ABOVE the cold
+    // median (the host's sporadic cycle-stealing hit all three samples
+    // in one burst — warm reuses the persisted pack, so warm > cold is
+    // measurement noise by construction, VERDICT r3 "what's wrong" #2);
+    // r4's fix retried conditionally and took the min of the two
+    // medians, which re-samples only until the number looks good — a
+    // one-sided downward bias (ADVICE r4). Now: fixed sample count (no
+    // data-dependent retry, no selection bias), samples spread over
+    // ~2.5 s so one steal burst cannot inflate a majority, median of
+    // all 5 recorded plus min/max so the spread is visible in the
+    // artifact.
     def warmBatch(): Double = timed {
       CosineTopK.gemmBlocks(store, queries, topK, betterThan = Some(0.1)).count()
       ()
     }
-    var warmMed = median((1 to 3).map(_ => warmBatch()))
-    if (warmMed > results("picovdb_batch_1000q")) {
-      Thread.sleep(2000)
-      warmMed = math.min(warmMed, median((1 to 3).map(_ => warmBatch())))
+    val warmSamples = (1 to 5).map { i =>
+      if (i > 1) Thread.sleep(500)
+      warmBatch()
     }
-    results("picovdb_batch_1000q_warm") = warmMed
+    results("picovdb_batch_1000q_warm") = median(warmSamples)
+    results("picovdb_batch_1000q_warm_min") = warmSamples.min
+    results("picovdb_batch_1000q_warm_max") = warmSamples.max
 
     // Filtered-scenario matrix (bench/numpy_query_profiler.py analog):
     // candidate restriction happens BEFORE packing, like the reference
@@ -326,7 +331,11 @@ object Bench {
       .mkString("{", ",", "}")
     val rc = recalls.map { case (k, v) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    // _min/_max entries are spread diagnostics for an already-recorded
+    // median — summing them would double-count that scenario in total.
+    val total = results.collect {
+      case (k, v) if v >= 0 && !k.endsWith("_min") && !k.endsWith("_max") => v
+    }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann_recall10":$rc,"errors":$es,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }

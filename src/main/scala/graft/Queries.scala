@@ -308,7 +308,8 @@ object Queries {
     // explicit unpersist — the result is consumed lazily downstream,
     // and the ContextCleaner drops the RDD blocks once this call's
     // frame is unreachable (tiny pack; same lifecycle as gemmQueries'
-    // own query-partition cache).
+    // own query-partition cache). Batch callers that consume results
+    // eagerly should use CosineTopK.gemmQueriesManaged and release().
     val store = graft.core.BlockStore.fromDataset(
       emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
       normalize = false).persist()

@@ -137,7 +137,30 @@ object CosineTopK {
       betterThan: Option[Double] = None,
       exact: Boolean = false)(
       implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
-      enc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
+      enc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame =
+    gemmQueriesManaged(store, queries, k, betterThan, exact).df
+
+  /** [[gemmQueries]] with an explicit release handle for the packed-query
+    * cache. The default entry point leaves the persisted query-partition
+    * RDD to the ContextCleaner (dropped when the result frame becomes
+    * unreachable) — fine for one-shot jobs, but a long-lived session
+    * invoking the path repeatedly holds executor block memory until the
+    * driver GCs the frames (ADVICE r4). Batch callers that have consumed
+    * the result call `release()` to unpersist eagerly. Releasing before
+    * an action merely drops the cache — lineage is intact, a later
+    * action recomputes (once per store partition, the cost the cache
+    * avoids), so release-early is slow, never wrong.
+    */
+  final case class GemmQueriesHandle(df: DataFrame, release: () => Unit)
+
+  def gemmQueriesManaged[K](
+      store: BlockStore[K],
+      queries: Dataset[(Long, Array[Float])],
+      k: Int,
+      betterThan: Option[Double] = None,
+      exact: Boolean = false)(
+      implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
+      enc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): GemmQueriesHandle = {
     val spark = queries.sparkSession
     val storeNormalized = store.normalized
     val threshold = betterThan.getOrElse(Double.NegativeInfinity)
@@ -145,14 +168,15 @@ object CosineTopK {
     val ex = exact
     // pack + normalize each query partition ONCE (not per store block):
     // cartesian re-computes its left parent once per store block, so
-    // the packed partitions are RDD-persisted. Deliberately no explicit
-    // unpersist and no eager materialization: RDD persistence does not
-    // touch the session CacheManager, lineage stays intact (a lost
-    // block recomputes — fault-tolerant on real clusters, unlike a
+    // the packed partitions are RDD-persisted. No eager materialization
+    // and no unconditional unpersist: RDD persistence does not touch
+    // the session CacheManager, lineage stays intact (a lost block
+    // recomputes — fault-tolerant on real clusters, unlike a
     // localCheckpoint), and the ContextCleaner drops the blocks
     // automatically once the returned frame is unreachable. Memory held
     // is bounded by the packed query batch, the same class as a
-    // broadcast's lifecycle.
+    // broadcast's lifecycle; callers needing eager release use the
+    // returned handle.
     val qblocks = queries.rdd.mapPartitionsWithIndex { (pi, it) =>
       val arr = it.toArray
       if (arr.isEmpty) Iterator.empty
@@ -187,7 +211,8 @@ object CosineTopK {
         }
       }
     }
-    spark.createDataset(rows)(enc).toDF("qid", "id", "score", "rank")
+    val df = spark.createDataset(rows)(enc).toDF("qid", "id", "score", "rank")
+    GemmQueriesHandle(df, () => qblocks.unpersist(blocking = false))
   }
 
   /** One-shot convenience: pack a DataFrame store transiently and run the

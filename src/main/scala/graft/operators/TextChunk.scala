@@ -34,8 +34,12 @@ object TextChunk {
 
   /** Chunk rows: (chunk_id, doc_id, chunk_idx, n_tokens, chunk_text).
     * `chunk_id` = "<doc_id>#<chunk_idx>" — deterministic, stable across
-    * re-ingests of the same corpus (the reference keys its upserts the
-    * same way: document id + running chunk index).
+    * re-ingests of the same corpus. The reference chunkers key their
+    * upserts by the bare running chunk index over a single document
+    * (st_embedding.py, local_embedding_index.py); the doc#idx composite
+    * id is this operator's multi-document generalization of that scheme
+    * (a corpus-wide ingest needs ids unique across documents, which a
+    * bare index is not).
     */
   def chunk(df: DataFrame, idCol: String, textCol: String,
             chunkSize: Int = 64, overlap: Int = 16): DataFrame = {

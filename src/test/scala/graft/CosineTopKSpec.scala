@@ -59,4 +59,23 @@ class CosineTopKSpec extends AnyFunSuite {
     assert(dist.sameElements(drv) && dist.length == 500 * 3)
     store.unpersist()
   }
+
+  test("gemmQueriesManaged.release drops the packed-query cache eagerly") {
+    val dim = 4
+    val sc = spark.sparkContext
+    val storeRdd = sc.range(0, 100, 1, 2).map(i => (i, mkVec(i + 17, dim)))
+    val store = BlockStore.fromRDD(storeRdd, normalize = true).persist()
+    store.materialize()
+    val qDs = spark.createDataset(
+      Array.tabulate(50)(i => (i.toLong, mkVec(i + 29, dim))).toSeq).repartition(2)
+    val before = sc.getPersistentRDDs.keySet
+    val h = CosineTopK.gemmQueriesManaged(store, qDs, k = 3)
+    val added = sc.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "packed query RDD should be persisted")
+    assert(h.df.count() == 50 * 3)
+    h.release()
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "release() must unpersist the packed query RDD")
+    store.unpersist()
+  }
 }
