@@ -484,10 +484,15 @@ object Oracles {
     "q21_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |fp0 AS (SELECT doc_id, md5(array_to_string(w[1:4], ' ')) AS fp FROM w),
-        |fp AS (SELECT * FROM fp0
-        |       QUALIFY count(*) OVER (PARTITION BY fp) <= 100),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |         FROM fp x JOIN fp y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+        |fp AS (SELECT *, count(*) OVER (PARTITION BY fp) AS bn,
+        |              min(doc_id) OVER (PARTITION BY fp) AS bmin
+        |       FROM fp0),
+        |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+        |         FROM fp x JOIN fp y
+        |           ON x.fp = y.fp AND x.doc_id < y.doc_id AND x.bn <= 100
+        |         UNION
+        |         SELECT bmin AS a, doc_id AS b
+        |         FROM fp WHERE bn > 100 AND doc_id > bmin),
         |shl AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
         |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
         |        FROM w WHERE len(w) >= 3)
@@ -509,11 +514,16 @@ object Oracles {
         |bands0 AS (SELECT doc_id, CAST(seed // 3 AS INTEGER) AS band,
         |             string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS bkey
         |           FROM mh GROUP BY doc_id, seed // 3),
-        |bands AS (SELECT * FROM bands0
-        |          QUALIFY count(*) OVER (PARTITION BY band, bkey) <= 100),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |bands AS (SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn,
+        |                 min(doc_id) OVER (PARTITION BY band, bkey) AS bmin
+        |          FROM bands0),
+        |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
         |         FROM bands x JOIN bands y
-        |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |           ON x.band = y.band AND x.bkey = y.bkey
+        |          AND x.doc_id < y.doc_id AND x.bn <= 100
+        |         UNION
+        |         SELECT bmin AS a, doc_id AS b
+        |         FROM bands WHERE bn > 100 AND doc_id > bmin),
         |shl AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
         |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
         |        FROM words WHERE len(w) >= 3)
@@ -575,18 +585,24 @@ object Oracles {
         |sig AS (SELECT doc_id,
         |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
         |  FROM votes GROUP BY doc_id),
-        |bands AS (SELECT doc_id, sig, b, substr(sig, CAST(b * 16 + 1 AS INT), 16) AS chunk
-        |          FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bb
-        |          QUALIFY count(*) OVER (PARTITION BY b, substr(sig, CAST(b * 16 + 1 AS INT), 16)) <= 100),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS sa, y.sig AS sb
-        |         FROM bands x JOIN bands y
-        |           ON x.b = y.b AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
-        |SELECT a, b,
+        |bands AS (SELECT doc_id, b, substr(sig, CAST(b * 16 + 1 AS INT), 16) AS chunk
+        |          FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+        |bc AS (SELECT *, count(*) OVER (PARTITION BY b, chunk) AS bn,
+        |              min(doc_id) OVER (PARTITION BY b, chunk) AS bmin
+        |       FROM bands),
+        |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+        |         FROM bc x JOIN bc y
+        |           ON x.b = y.b AND x.chunk = y.chunk
+        |          AND x.doc_id < y.doc_id AND x.bn <= 100
+        |         UNION
+        |         SELECT bmin AS a, doc_id AS b
+        |         FROM bc WHERE bn > 100 AND doc_id > bmin)
+        |SELECT cand.a, cand.b,
         |  CAST(len(list_filter(range(1, 65),
-        |    i -> substr(sa, CAST(i AS INT), 1) != substr(sb, CAST(i AS INT), 1))) AS BIGINT) AS hamming
-        |FROM cand
+        |    i -> substr(sx.sig, CAST(i AS INT), 1) != substr(sy.sig, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+        |FROM cand JOIN sig sx ON sx.doc_id = cand.a JOIN sig sy ON sy.doc_id = cand.b
         |WHERE len(list_filter(range(1, 65),
-        |    i -> substr(sa, CAST(i AS INT), 1) != substr(sb, CAST(i AS INT), 1))) <= 3""".stripMargin,
+        |    i -> substr(sx.sig, CAST(i AS INT), 1) != substr(sy.sig, CAST(i AS INT), 1))) <= 3""".stripMargin,
     "q29_winnow_fp" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |h AS (SELECT doc_id, list_transform(range(1, len(w) - 1),

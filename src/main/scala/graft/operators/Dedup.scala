@@ -125,26 +125,43 @@ object Dedup {
 
   /** LSH candidate pairs from banded bucket rows (doc_id, band cols...):
     * ONE aggregation collects each bucket's (sorted) doc list, singleton
-    * and over-`cap` buckets drop out, and ordered pairs are expanded from
-    * the in-bucket arrays. Compared to the bucket self-join this
-    * computes the (expensive) upstream exactly once — a self-join
-    * recomputes it per side. Pair expansion is TWO chained generates
-    * (explode left element, then explode the greater-than remainder),
-    * which stream B^2 pair rows through the pipeline with O(B) live
-    * memory — a single flatten(transform(...)) would materialize all
-    * B^2 structs as one array value and hard-fail on a degenerate hot
-    * bucket where the old self-join merely spilled. `cap` (when given)
-    * drops oversized buckets entirely before expansion. Distinct
-    * collapses pairs that collide in several bands.
+    * buckets drop out, and ordered pairs are expanded from the in-bucket
+    * arrays. Compared to the bucket self-join this computes the
+    * (expensive) upstream exactly once — a self-join recomputes it per
+    * side. Pair expansion is TWO chained generates (explode left
+    * element, then explode the greater-than remainder), which stream
+    * B^2 pair rows through the pipeline with O(B) live memory — a
+    * single flatten(transform(...)) would materialize all B^2 structs
+    * as one array value and hard-fail on a degenerate hot bucket where
+    * the old self-join merely spilled.
+    *
+    * Buckets past `cap` (when given) are STAR-routed, not dropped: only
+    * the bucket's smallest doc id explodes on the left, so the bucket
+    * emits B-1 (min, other) pairs instead of B(B-1)/2 — O(B) cost, and
+    * downstream verification still scores every emitted pair. For the
+    * dedup use (connected components / keep-one) a star over a giant
+    * genuine-duplicate cluster preserves exactly the connectivity the
+    * full clique encodes, where the pre-r5 drop made the MOST
+    * duplicated content invisible (ADVICE r4). What the cap still
+    * sacrifices: pairwise completeness inside oversized buckets — if
+    * one degenerate key captures TWO unrelated duplicate groups, only
+    * the group containing the bucket minimum gains in-bucket links
+    * (the other group normally recovers via its other, non-degenerate
+    * bands). Implemented as one `when` on the left explode — a
+    * full/star union of the aggregation would recompute it per branch.
+    * Distinct collapses pairs that collide in several bands.
     */
   private def bucketPairs(bands: DataFrame, keyCols: Seq[String],
                           maxBucket: Option[Int]): DataFrame = {
     val buckets = bands.groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) >= 2)
-    val kept = maxBucket.map(cap => buckets.filter(size(col("docs")) <= cap))
-      .getOrElse(buckets)
-    kept.select(col("docs"), explode(col("docs")).as("a"))
+    val leftSide = maxBucket match {
+      case Some(cap) => when(size(col("docs")) <= cap, col("docs"))
+        .otherwise(expr("slice(docs, 1, 1)"))
+      case None => col("docs")
+    }
+    buckets.select(col("docs"), explode(leftSide).as("a"))
       .select(col("a"), explode(expr("filter(docs, y -> y > a)")).as("b"))
       .distinct()
   }
@@ -170,12 +187,11 @@ object Dedup {
     * (numHashes+1)-column row per doc. Candidates come from ONE bucket
     * aggregation ([[bucketPairs]]) keyed on (band, sig triple) — the
     * previous bucket self-join recomputed the aggregation once per join
-    * side. `maxBucket` guards hot band keys: buckets past the cap are
-    * dropped whole (recall loss confined to degenerate keys, the
-    * standard LSH guard), so a B-doc bucket costs B^2 pair rows only
-    * for bounded B. It defaults ON (100, like [[simhashNearDup]]) — one
-    * degenerate band key on a real corpus (empty docs, boilerplate)
-    * otherwise makes the pair expansion unbounded; pass None to disable.
+    * side. `maxBucket` guards hot band keys: buckets past the cap
+    * star-route (B-1 pairs to the bucket minimum instead of B^2/2 — see
+    * [[bucketPairs]]), so a giant genuine-duplicate cluster still comes
+    * out fully connected while a degenerate key costs O(B). It defaults
+    * ON (100, like [[simhashNearDup]]); pass None to disable.
     */
   def minhashLSH(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 12, bandSize: Int = 3, shingleN: Int = 3,
@@ -272,8 +288,9 @@ object Dedup {
     * Blocking itself is one bucket aggregation ([[bucketPairs]]);
     * degenerate chunks are common for simhash (zero vote sums emit '0'
     * runs shared by unrelated short docs), so buckets past `maxBucket`
-    * are dropped whole before pair expansion — deterministic, mirrored
-    * in the oracle.
+    * star-route to the bucket minimum before pair expansion (O(B), full
+    * connectivity for true dup clusters) — deterministic, mirrored in
+    * the oracle.
     */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3, nBands: Int = 4,
@@ -369,7 +386,8 @@ object Dedup {
     * `maxBucket` defaults ON like the LSH operators: a boilerplate
     * 4-token prefix ("copyright (c) all rights…") is exactly the
     * degenerate key that makes B^2 pair expansion unbounded; buckets
-    * past the cap drop whole (pass None to disable).
+    * past the cap star-route to the bucket minimum ([[bucketPairs]];
+    * pass None to disable).
     */
   def ngramJaccardBlocked(df: DataFrame, idCol: String, textCol: String,
                           prefixTokens: Int = 4, shingleN: Int = 3,

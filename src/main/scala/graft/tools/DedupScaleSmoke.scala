@@ -47,7 +47,8 @@ object DedupScaleSmoke {
     timed("minhash LSH hot bucket") {
       // every 10th doc replaced by identical boilerplate -> one
       // degenerate ~n/10-doc bucket per band; the default maxBucket=100
-      // drops it whole instead of expanding (n/10)^2 pair rows — this
+      // star-routes it (n/10 - 1 pairs to the bucket minimum, verified
+      // downstream) instead of expanding (n/10)^2 pair rows — this
       // phase must stay in the same time class as the clean corpus
       import org.apache.spark.sql.functions.{col, lit, when}
       val hot = docs.withColumn("text",

@@ -10,14 +10,17 @@ class DedupSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("minhashLSH maxBucket drops oversized buckets, uncapped finds the pairs") {
+  test("minhashLSH maxBucket star-routes oversized buckets, uncapped finds all pairs") {
     // 6 identical docs share every band bucket -> bucket size 6
     val docs = ((0 until 6).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta")) :+
       (99L, "totally different words entirely here now")).toDF("doc_id", "text")
     val open = Dedup.minhashLSH(docs, "doc_id", "text").collect()
     assert(open.length == 15) // C(6,2) identical pairs
-    val capped = Dedup.minhashLSH(docs, "doc_id", "text", maxBucket = Some(3)).collect()
-    assert(capped.isEmpty) // hot bucket dropped before the self-join
+    val capped = Dedup.minhashLSH(docs, "doc_id", "text", maxBucket = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // over-cap bucket emits the star to the bucket minimum: every doc
+    // still linked (connectivity preserved), not the full clique
+    assert(capped == (1 until 6).map(i => (0L, i.toLong)).toSet)
   }
 
   test("IVF-blocked embedding near-dup finds the same pairs as brute force on clustered data") {
@@ -72,24 +75,31 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs(2).contains((500L, 501L))) // recovered via runner-up bucket
   }
 
-  test("ngramJaccardBlocked default maxBucket drops a degenerate shared-prefix bucket") {
+  test("ngramJaccardBlocked default maxBucket star-routes a degenerate shared-prefix bucket") {
     // 150 docs share the 4-token prefix (boilerplate header) -> one
-    // 150-doc fp bucket, past the default cap of 100
+    // 150-doc fp bucket, past the default cap of 100 -> B-1 star pairs
+    // to the bucket minimum instead of the C(150,2) clique
     val docs = ((0 until 150).map(i =>
       (i.toLong, s"common header boilerplate prefix unique tail $i")) :+
       (999L, "totally different words entirely here now")).toDF("doc_id", "text")
-    assert(Dedup.ngramJaccardBlocked(docs, "doc_id", "text").collect().isEmpty)
+    val starred = Dedup.ngramJaccardBlocked(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(starred == (1 until 150).map(i => (0L, i.toLong)).toSet)
     assert(Dedup.ngramJaccardBlocked(docs, "doc_id", "text", maxBucket = None)
       .collect().length == 150 * 149 / 2)
   }
 
-  test("minhashLSH default maxBucket caps degenerate buckets (explicit None opens them)") {
+  test("minhashLSH default maxBucket star-routes degenerate buckets (None opens the clique)") {
     // 150 identical docs -> every band bucket has 150 docs, past the
-    // default cap of 100 -> dropped whole by default, C(150,2) pairs
-    // when explicitly uncapped
+    // default cap of 100. Pre-r5 this dropped the bucket whole — the
+    // MOST duplicated content yielded ZERO pairs (ADVICE r4); the star
+    // keeps every doc connected to the bucket minimum so keep-one /
+    // connected-components dedup still removes all 149 duplicates.
     val docs = ((0 until 150).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta")) :+
       (999L, "totally different words entirely here now")).toDF("doc_id", "text")
-    assert(Dedup.minhashLSH(docs, "doc_id", "text").collect().isEmpty)
+    val starred = Dedup.minhashLSH(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(starred == (1 until 150).map(i => (0L, i.toLong)).toSet)
     assert(Dedup.minhashLSH(docs, "doc_id", "text", maxBucket = None)
       .collect().length == 150 * 149 / 2)
   }
