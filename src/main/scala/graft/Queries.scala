@@ -321,6 +321,31 @@ object Queries {
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Dedup cluster materialization (pipeline op): two overlapping
+    * 4-token fingerprint blockings union into one candidate-pair graph
+    * (Dedup.pairsByKey), connected components assign every clustered
+    * document its smallest-reachable-id representative
+    * (Dedup.connectedComponents hash-min propagation), and every
+    * document comes back with a cluster id (singletons are their own
+    * cluster). The keep-one pass a training pipeline runs after
+    * near-dup detection — kept rows are those with
+    * cluster_id = doc_id. The DuckDB oracle recomputes reachability
+    * with a recursive CTE, so the fixpoint itself is oracle-checked.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val w = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    def fpAt(start: Int) =
+      w.select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("w"), start, 4)).cast("binary")).as("fp"))
+    val pairs = operators.Dedup.pairsByKey(fpAt(1).union(fpAt(2)), Seq("fp"))
+    val cc = operators.Dedup.connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
   /** Character-window chunking (pipeline op): the reference's other
     * chunker (bench/local_embedding_index.py fixed-size slices,
     * including its trailing-empty-chunk quirk on exact multiples).
@@ -391,6 +416,7 @@ object Queries {
     "q31_text_chunks" -> (textChunks _),
     "q32_topk_distributed" -> (topkDistributed _),
     "q33_text_chunks_chars" -> (textChunksChars _),
+    "q34_dedup_clusters" -> (dedupClusters _),
   )
 }
 
@@ -658,5 +684,35 @@ object Oracles {
         |  CAST(len(substring(text, CAST(i*100+1 AS INT), 100)) AS BIGINT) AS n_chars,
         |  md5(substring(text, CAST(i*100+1 AS INT), 100)) AS chunk_md5
         |FROM e""".stripMargin,
+    // mirrors dedupClusters: dual 4-token fingerprints (w[1:4], w[2:5]),
+    // star-mirrored bucket cap like q21/q22, then min-reachable-id per
+    // node via a recursive CTE — the oracle checks the actual
+    // connected-components fixpoint, not just the pair set. (The star
+    // branch cannot change components vs the clique — identical
+    // connectivity — but mirroring keeps the edge sets bit-equal too.)
+    "q34_dedup_clusters" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |fps AS (SELECT doc_id, md5(array_to_string(w[1:4], ' ')) AS fp FROM w
+        |        UNION ALL
+        |        SELECT doc_id, md5(array_to_string(w[2:5], ' ')) AS fp FROM w),
+        |fpc AS (SELECT *, count(*) OVER (PARTITION BY fp) AS bn,
+        |               min(doc_id) OVER (PARTITION BY fp) AS bmin
+        |        FROM fps),
+        |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+        |         FROM fpc x JOIN fpc y
+        |           ON x.fp = y.fp AND x.doc_id < y.doc_id AND x.bn <= 100
+        |         UNION
+        |         SELECT bmin AS a, doc_id AS b
+        |         FROM fpc WHERE bn > 100 AND doc_id > bmin),
+        |edges AS (SELECT a, b FROM cand UNION SELECT b, a FROM cand),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+        |cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+        |SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id""".stripMargin,
   )
 }

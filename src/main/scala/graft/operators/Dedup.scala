@@ -404,4 +404,91 @@ object Dedup {
         round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))).cast("double"), 6).as("jaccard"))
   }
+
+  /** Generic blocking-key candidate pairs: `keyed` holds one row per
+    * (doc_id, blocking key) — a fingerprint, a band signature, a
+    * cluster id — and each key bucket expands to ordered in-bucket
+    * pairs via the shared [[bucketPairs]] machinery (one aggregation,
+    * streaming expansion, over-`maxBucket` buckets star-routed to the
+    * bucket minimum). The public primitive the specialized operators
+    * are built on; use it to compose custom blocking schemes (e.g. the
+    * multi-fingerprint union feeding [[connectedComponents]] in q34).
+    */
+  def pairsByKey(keyed: DataFrame, keyCols: Seq[String],
+                 maxBucket: Option[Int] = Some(100)): DataFrame =
+    bucketPairs(keyed, keyCols, maxBucket)
+
+  /** Connected components over an undirected duplicate-pair graph:
+    * (node, cluster_id) where cluster_id is the smallest doc id in the
+    * node's component — the canonical cluster representative for
+    * keep-one dedup. Input is any (a, b) pair frame ([[minhashLSH]],
+    * [[simhashNearDup]], [[embNearDupBlocked]], [[pairsByKey]], or a
+    * union of several); only nodes that appear in a pair come back
+    * (singletons are their own cluster by definition — callers
+    * left-join and coalesce, as q34 does).
+    *
+    * Algorithm: hash-min label propagation (the Pregel formulation of
+    * connected components). Each round every node takes the min of its
+    * own label and its neighbors' labels — one inner join + one
+    * partial-aggregated groupBy min per round, both hash-partitioned on
+    * node id, no driver-side graph state; rounds until a fixpoint,
+    * detected by a per-round changed-label count (one scalar action per
+    * round, the standard Pregel driver loop). Rounds needed = graph
+    * diameter, and LSH dup graphs are star/clique-shaped (diameter
+    * 2-3); `maxIter` hard-bounds adversarial chains. Each round's
+    * labels are persisted and the previous round's dropped; when the
+    * session has a checkpoint dir configured, labels checkpoint every 8
+    * rounds so lineage (and its replay cost on a lost executor) stays
+    * bounded on deep graphs.
+    *
+    * Star-routed capped buckets compose losslessly with this operator:
+    * a star over a bucket has exactly the clique's connectivity, so
+    * components (and therefore keep-one results) are identical with and
+    * without the cap — asserted in DedupSpec.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+                          bCol: String = "b", maxIter: Int = 50): DataFrame = {
+    val e0 = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    // symmetrize once; distinct collapses multi-edges from multi-band
+    // sources so each round's join fans out minimally
+    val edges = e0.union(e0.select(col("dst"), col("src")))
+      .toDF("src", "dst").distinct().persist()
+    val sc = edges.sparkSession.sparkContext
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbors = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      var next = viaNeighbors.union(labels)
+        .groupBy("node").agg(min("label").as("label"))
+      if (sc.getCheckpointDir.isDefined && iter % 8 == 7) next = next.checkpoint()
+      next = next.persist()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+        .filter(col("label") =!= col("prev")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** Keep-one dedup materializer: drop every row whose id sits in a
+    * pair component but is not that component's minimum — the standard
+    * "keep the first, drop the rest" pass a training-data pipeline runs
+    * after near-dup detection. Rows never mentioned in `pairs` survive
+    * untouched; the filter is one broadcast-able left_anti join against
+    * the (small: one row per clustered duplicate) non-representative
+    * set.
+    */
+  def keepOne(df: DataFrame, idCol: String, pairs: DataFrame,
+              aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val doomed = connectedComponents(pairs, aCol, bCol, maxIter = 50)
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as(idCol))
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
 }

@@ -103,4 +103,36 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.minhashLSH(docs, "doc_id", "text", maxBucket = None)
       .collect().length == 150 * 149 / 2)
   }
+
+  test("connectedComponents merges multi-hop chains to the component minimum") {
+    // 1-2-3-4 chain (needs >1 propagation round), separate 9-10 pair,
+    // and an untouched node never mentioned -> absent from the output
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 10L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L, 10L -> 9L))
+  }
+
+  test("keepOne keeps exactly one representative per component plus untouched rows") {
+    val df = (0L to 6L).map(i => (i, s"row$i")).toDF("id", "payload")
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("a", "b")
+    val kept = Dedup.keepOne(df, "id", pairs).select("id")
+      .collect().map(_.getLong(0)).toSet
+    // {0,1,2} -> keep 0; {4,5} -> keep 4; 3 and 6 untouched
+    assert(kept == Set(0L, 3L, 4L, 6L))
+  }
+
+  test("star-capped pairs yield the same components as the uncapped clique") {
+    // the cap changes the PAIR set (B-1 star vs B^2/2 clique) but must
+    // not change CONNECTIVITY - keep-one dedup is cap-invariant
+    val docs = ((0 until 150).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta")) :+
+      (999L, "totally different words entirely here now")).toDF("doc_id", "text")
+    def comps(cap: Option[Int]) =
+      Dedup.connectedComponents(
+          Dedup.minhashLSH(docs, "doc_id", "text", maxBucket = cap))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val starred = comps(Some(100))
+    assert(starred == comps(None))
+    assert(starred.values.toSet == Set(0L) && starred.size == 150)
+  }
 }
