@@ -450,10 +450,16 @@ object Dedup {
                           bCol: String = "b", maxIter: Int = 50): DataFrame = {
     val e0 = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
-    // symmetrize once; distinct collapses multi-edges from multi-band
-    // sources so each round's join fans out minimally
-    val edges = e0.union(e0.select(col("dst"), col("src")))
-      .toDF("src", "dst").distinct().persist()
+    // symmetrize in ONE pass with a generator — a union of e0 with its
+    // swap would recompute the (possibly expensive: a whole LSH
+    // pipeline) pair upstream once per branch; distinct collapses
+    // multi-edges from multi-band sources so each round's join fans
+    // out minimally
+    val edges = e0.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct().persist()
     val sc = edges.sparkSession.sparkContext
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).persist()

@@ -60,6 +60,15 @@ object DedupScaleSmoke {
     timed("simhash near-dup") {
       graft.operators.Dedup.simhashNearDup(docs, "doc_id", "text").count()
     }
+    timed("connected components") {
+      // full cluster-materialization pass over the LSH pair graph: the
+      // planted dups are disjoint 2-cliques (diameter 1), plus the hot
+      // boilerplate star from the capped bucket — a realistic shallow
+      // dup graph, so the Pregel loop converges in 2-3 rounds
+      val pairs = graft.operators.Dedup.minhashLSH(docs, "doc_id", "text",
+        maxBucket = Some(1000))
+      graft.operators.Dedup.connectedComponents(pairs).count()
+    }
     // projection-only outputs must go through the bench's hashing sink,
     // or count() prunes the actual fingerprint computation
     timed("winnow fingerprints") {
