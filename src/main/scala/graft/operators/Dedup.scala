@@ -431,15 +431,19 @@ object Dedup {
     * connected components). Each round every node takes the min of its
     * own label and its neighbors' labels — one inner join + one
     * partial-aggregated groupBy min per round, both hash-partitioned on
-    * node id, no driver-side graph state; rounds until a fixpoint,
-    * detected by a per-round changed-label count (one scalar action per
-    * round, the standard Pregel driver loop). Rounds needed = graph
-    * diameter, and LSH dup graphs are star/clique-shaped (diameter
-    * 2-3); `maxIter` hard-bounds adversarial chains. Each round's
-    * labels are persisted and the previous round's dropped; when the
-    * session has a checkpoint dir configured, labels checkpoint every 8
-    * rounds so lineage (and its replay cost on a lost executor) stays
-    * bounded on deep graphs.
+    * node id, no driver-side graph state; rounds until a fixpoint (the
+    * standard Pregel driver loop). Convergence is detected by the exact
+    * decimal SUM of labels: labels are per-node monotonically
+    * nonincreasing, so the sum is strictly decreasing until the
+    * fixpoint — one scalar aggregate over the new labels per round,
+    * where a changed-label count would cost a second join against the
+    * previous round. Rounds needed = graph diameter, and LSH dup
+    * graphs are star/clique-shaped (diameter 2-3); `maxIter`
+    * hard-bounds adversarial chains. Each round's labels are persisted
+    * and the previous round's dropped; when the session has a
+    * checkpoint dir configured, labels checkpoint every 8 rounds so
+    * lineage (and its replay cost on a lost executor) stays bounded on
+    * deep graphs.
     *
     * Star-routed capped buckets compose losslessly with this operator:
     * a star over a bucket has exactly the clique's connectivity, so
@@ -464,16 +468,20 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).persist()
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    var converged = false
+    // exact (decimal - long ids must not overflow) label sum of the
+    // PREVIOUS round; null until one round has run
+    var prevSum: java.math.BigDecimal = null
+    while (!converged && iter < maxIter) {
       val viaNeighbors = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("label"))
       var next = viaNeighbors.union(labels)
         .groupBy("node").agg(min("label").as("label"))
       if (sc.getCheckpointDir.isDefined && iter % 8 == 7) next = next.checkpoint()
       next = next.persist()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
-        .filter(col("label") =!= col("prev")).count()
+      val s = next.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+      converged = iter > 0 && java.util.Objects.equals(s, prevSum)
+      prevSum = s
       labels.unpersist(blocking = false)
       labels = next
       iter += 1
