@@ -356,6 +356,52 @@ object Queries {
       .select(col("chunk_id"), col("doc_id"), col("chunk_idx"),
         col("n_chars"), md5(col("chunk_text").cast("binary")).as("chunk_md5"))
 
+  /** Benchmark decontamination (pipeline op): train docs sharing any
+    * 13-gram with the eval split (doc_id % 10 == 0 stands in for the
+    * held-out benchmark set).
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    operators.CorpusClean.contaminationHits(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 13)
+  }
+
+  /** Cross-document boilerplate detection (pipeline op): word 5-grams
+    * occurring in >= 3 distinct documents (this corpus has no newlines,
+    * so n-grams stand in for the line-level unit; `cleanLines` covers
+    * the newline case and is spec-tested).
+    */
+  def boilerplateGrams(spark: SparkSession, dir: String): DataFrame = {
+    val units = operators.Dedup.shingleSets(
+        t(spark, dir, "documents"), "doc_id", "text", n = 5)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+    operators.CorpusClean.commonUnits(units, "doc_id", "g", minDocs = 3)
+  }
+
+  /** Gopher-style repetition quality signals (pipeline op). */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    operators.CorpusClean.repetitionStats(
+      t(spark, dir, "documents"), "doc_id", "text", n = 2)
+
+  /** Per-source sampling rates for q38 — shared with the oracle
+    * builder so both engines compare against the same hex thresholds.
+    */
+  private[graft] val sampleRates: Map[String, Double] =
+    (0 until 20).map(k => s"src$k" -> (0.05 + 0.05 * (k % 5))).toMap
+
+  /** Deterministic stratified sampling for domain mixing (pipeline
+    * op): per-source keep rates, decided by md5(doc_id) — reproducible
+    * across engines, so DuckDB running the same arithmetic IS the
+    * oracle.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    operators.CorpusClean.stratifiedSample(
+        t(spark, dir, "documents"), "doc_id", "source", sampleRates)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
+
   /** General aggregation sanity on lineitem (TPC-H Q1 shape). */
   def aggPricing(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -417,6 +463,10 @@ object Queries {
     "q32_topk_distributed" -> (topkDistributed _),
     "q33_text_chunks_chars" -> (textChunksChars _),
     "q34_dedup_clusters" -> (dedupClusters _),
+    "q35_decontaminate" -> (decontaminate _),
+    "q36_boilerplate_grams" -> (boilerplateGrams _),
+    "q37_repetition" -> (repetitionSignals _),
+    "q38_stratified_sample" -> (stratifiedSample _),
   )
 }
 
@@ -714,5 +764,45 @@ object Oracles {
         |cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
         |SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
         |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id""".stripMargin,
+    "q35_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS g
+        |          FROM w, unnest(range(1, len(w) - 11)) AS t(i)),
+        |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+        |SELECT gr.doc_id, count(*) AS n_hits
+        |FROM grams gr JOIN ev USING (g)
+        |WHERE gr.doc_id % 10 <> 0
+        |GROUP BY gr.doc_id""".stripMargin,
+    "q36_boilerplate_grams" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+        |          FROM w, unnest(range(1, len(w) - 3)) AS t(i))
+        |SELECT g, count(DISTINCT doc_id) AS n_docs
+        |FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 3""".stripMargin,
+    "q37_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+        |      FROM w, unnest(range(1, len(w))) AS t(i)),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+        |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total, max(c) AS top,
+        |             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+        |      FROM c GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(s.total, 0) AS n_grams,
+        |  round(coalesce(CAST(s.top AS DOUBLE) / CAST(s.total AS DOUBLE), 0.0), 6) AS top_frac,
+        |  round(coalesce(CAST(s.dup AS DOUBLE) / CAST(s.total AS DOUBLE), 0.0), 6) AS dup_frac
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+    "q38_stratified_sample" -> {
+      val values = Queries.sampleRates.toSeq.sortBy(_._1)
+        .map { case (s, r) =>
+          s"('$s', '${graft.operators.CorpusClean.sampleThresholdHex(r)}')"
+        }.mkString(", ")
+      s"""WITH rates(source, thr) AS (VALUES $values),
+         |kept AS (SELECT d.source, d.doc_id
+         |         FROM documents d JOIN rates r ON d.source = r.source
+         |         WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < r.thr)
+         |SELECT source, count(*) AS n_kept, min(doc_id) AS min_id
+         |FROM kept GROUP BY source""".stripMargin
+    },
   )
 }

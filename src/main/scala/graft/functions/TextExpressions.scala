@@ -236,3 +236,82 @@ object SimHash64 {
     UTF8String.fromBytes(out)
   }
 }
+
+/** Per-document n-gram repetition profile in one codegen pass:
+  * `struct(n_grams, top_frac, dup_frac)` over the NON-distinct ordered
+  * n-grams of a token array — `top_frac` = occurrences of the most
+  * frequent gram / total grams, `dup_frac` = occurrences belonging to
+  * any gram seen more than once / total grams (the Gopher-style
+  * duplicate-n-gram fraction; repetitive low-quality documents score
+  * high on both). Zero-shuffle alternative to the classic
+  * explode + double-groupBy plan: the corpus-scale input never expands
+  * to one row per gram, each document folds to three numbers in its
+  * scan partition. Fractions are exact small-integer ratios, so they
+  * bit-match the oracle's DuckDB divisions before the shared 6-dp
+  * rounding. Documents with fewer than n tokens yield (0, 0.0, 0.0).
+  */
+case class RepetitionStats(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, s"gram size must be positive, got $n")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("top_frac", DoubleType, nullable = false),
+    StructField("dup_frac", DoubleType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"repetition_stats expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    RepetitionStats.compute(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = graft.functions.RepetitionStats.compute($a, $n);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object RepetitionStats {
+  def compute(tokens: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val nTok = tokens.numElements()
+    val nGrams = math.max(0, nTok - (n - 1))
+    val counts = new java.util.HashMap[String, Int]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      var first = true
+      while (j < n) {
+        // concat_ws semantics: null components are skipped WITHOUT a separator
+        if (!tokens.isNullAt(i + j)) {
+          if (!first) sb.append(' ')
+          sb.append(tokens.getUTF8String(i + j).toString)
+          first = false
+        }
+        j += 1
+      }
+      counts.merge(sb.toString, 1, Integer.sum _)
+      i += 1
+    }
+    var top = 0L
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toLong
+      if (c > top) top = c
+      if (c > 1) dup += c
+    }
+    val topFrac = if (nGrams == 0) 0.0 else top.toDouble / nGrams
+    val dupFrac = if (nGrams == 0) 0.0 else dup.toDouble / nGrams
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nGrams.toLong, topFrac, dupFrac))
+  }
+}

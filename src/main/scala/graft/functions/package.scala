@@ -79,6 +79,12 @@ package object functions {
   def word_ngrams_distinct(tokens: Column, n: Int): Column =
     col(WordNgramsDistinct(expr(tokens), n))
 
+  /** Per-document n-gram repetition profile:
+    * `struct(n_grams, top_frac, dup_frac)` in one codegen pass.
+    */
+  def repetition_stats(tokens: Column, n: Int): Column =
+    col(RepetitionStats(expr(tokens), n))
+
   /** Bounded-heap top-k aggregate: per group, the k best (id, score)
     * pairs ranked score desc / id asc — only k rows per group cross the
     * shuffle (a row_number Window shuffles every scored row).

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators a training-data pipeline runs between raw
+  * ingest and dedup: benchmark decontamination, cross-document
+  * boilerplate detection and removal, repetition-based quality
+  * signals, and deterministic stratified sampling for domain mixing.
+  * None of these exist in the reference (a single-node vector store —
+  * `pico_vdb.py` stops at similarity queries); they are the
+  * corpus-side counterpart of its embedding flow
+  * (`bench/st_embedding.py`), expressed as declarative Spark plans
+  * that survive a 100 TB corpus: every operator below is one hash
+  * join and/or one partial-aggregated groupBy — no self-joins, no
+  * driver-side collections, no per-row UDF.
+  */
+object CorpusClean {
+
+  /** Benchmark decontamination (the GPT-3/PaLM n-gram overlap rule):
+    * for each corpus document, the number of distinct word `n`-grams
+    * it shares with ANY document of `evalSet` — a training corpus is
+    * "contaminated" where this is positive, and pipelines drop or
+    * audit those documents before training. Returns
+    * (doc_id, n_hits), n_hits > 0 only.
+    *
+    * Plan shape: both sides reduce to distinct (doc, gram) rows via
+    * the codegen shingle pass ([[Dedup.shingleSets]]), the eval side
+    * collapses to distinct grams, and one equi-join on the gram
+    * string + one count-per-doc groupBy finish it. Eval sets
+    * (benchmarks) are tiny next to the corpus, so the join side is
+    * broadcast by default (`broadcastEval`) — the 100 TB corpus side
+    * then never shuffles: hits fold map-side into per-doc counts.
+    * With `broadcastEval=false` it degrades to a hash join
+    * partitioned on the gram, still one shuffle of the (much smaller
+    * than raw text) gram projection. Joining on the gram string keeps
+    * the count exact; a pipeline tolerating ~1e-19 collision odds can
+    * pre-hash both sides to `xxhash64` and shuffle 8-byte keys
+    * instead.
+    */
+  def contaminationHits(corpus: DataFrame, evalSet: DataFrame,
+                        idCol: String, textCol: String, n: Int = 13,
+                        broadcastEval: Boolean = true): DataFrame = {
+    val corpusGrams = Dedup.shingleSets(corpus, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+    val evalGrams0 = Dedup.shingleSets(evalSet, idCol, textCol, n)
+      .select(explode(col("shingles")).as("g")).distinct()
+    val evalGrams = if (broadcastEval) broadcast(evalGrams0) else evalGrams0
+    corpusGrams.join(evalGrams, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Units (lines, n-grams, any per-document token) occurring in at
+    * least `minDocs` DISTINCT documents — the cross-document
+    * boilerplate set (navigation chrome, license headers, templated
+    * spans). Input is one row per (document, unit) occurrence; output
+    * is (unit, n_docs). One partial-aggregated groupBy on the unit:
+    * per-partition distinct (doc, unit) collapse happens map-side, so
+    * a unit repeated a million times in one partition crosses the
+    * shuffle once per partition, not per occurrence.
+    */
+  def commonUnits(units: DataFrame, idCol: String, unitCol: String,
+                  minDocs: Int): DataFrame =
+    units.groupBy(col(unitCol))
+      .agg(count_distinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** C4-style line-level boilerplate removal: split each document on
+    * newlines, drop every line that occurs (verbatim) in at least
+    * `minDocs` distinct documents, and reassemble the survivors in
+    * original order. Returns (id, text_clean, n_lines, n_removed);
+    * documents whose every line was boilerplate come back with an
+    * empty `text_clean`, not a dropped row.
+    *
+    * Two shuffles total at any scale: the boilerplate-set groupBy
+    * ([[commonUnits]]) and the reassembly groupBy on document id. The
+    * boilerplate set joins back by line hash; it is usually small
+    * (frequency-filtered) and AQE will broadcast it when it is. The
+    * order-restoring sort is per-document (`array_sort` over the
+    * collected (pos, line) structs), never a global sort.
+    */
+  def cleanLines(df: DataFrame, idCol: String, textCol: String,
+                 minDocs: Int): DataFrame = {
+    val lines = df.select(col(idCol).as("_cid"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val bp = commonUnits(lines, "_cid", "line", minDocs).select(col("line"))
+    val kept = lines.join(bp, Seq("line"), "left_anti")
+      .groupBy(col("_cid"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol), size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(kept.withColumnRenamed("_cid", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Per-document repetition quality signals (the Gopher repetition
+    * rules): total n-gram count, most-frequent-gram fraction, and
+    * duplicated-gram fraction, via the zero-shuffle codegen
+    * [[graft.functions.RepetitionStats]] pass — the corpus never
+    * explodes into gram rows. Returns (doc_id, n_grams, top_frac,
+    * dup_frac) with fractions rounded to 6 dp (oracle convention).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.repetition_stats(split(trim(col(textCol)), "\\s+"), n).as("r"))
+      .select(col("doc_id"),
+        col("r.n_grams").as("n_grams"),
+        round(col("r.top_frac"), 6).as("top_frac"),
+        round(col("r.dup_frac"), 6).as("dup_frac"))
+
+  /** Hex threshold (8 lowercase digits) such that
+    * `md5(id)[0,8) < threshold` holds for ~`rate` of uniformly hashed
+    * ids; `rate >= 1` maps to a sentinel above every hex digit so all
+    * rows pass. Fixed-width lowercase hex compares lexicographically
+    * as an unsigned integer, which both Spark and DuckDB do natively
+    * on strings — no hex-parse needed on either side.
+    */
+  def sampleThresholdHex(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else if (rate <= 0.0) "0"
+    else f"${(rate * 4294967296d).toLong}%08x"
+
+  /** Deterministic stratified sampling for domain mixing: keep each
+    * row with probability `rates(strata)`, decided by the first 8 hex
+    * digits of `md5(string(id))` against [[sampleThresholdHex]] — the
+    * standard hash-based reservoir-free sampler: reproducible across
+    * runs and engines (no RNG state), stable under repartitioning,
+    * and a row keeps or drops identically in every pipeline that
+    * samples at the same rate (so downsampled corpora stay nested as
+    * rates decrease... a rate-0.1 sample is a subset of the rate-0.5
+    * sample). Strata absent from `rates` are dropped.
+    *
+    * Plan: a broadcast join against the tiny rates table + a map-side
+    * filter — the corpus itself never shuffles.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratesDf = broadcast(
+      rates.toSeq.map { case (s, r) => (s, sampleThresholdHex(r)) }
+        .toDF(strataCol, "_thr"))
+    df.join(ratesDf, Seq(strataCol))
+      .filter(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8) < col("_thr"))
+      .drop("_thr")
+  }
+}

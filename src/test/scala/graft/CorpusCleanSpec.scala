@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusClean
+
+/** Corpus-hygiene operator behaviors beyond the driver oracle:
+  * line-level cleaning (the testdata corpus has no newlines), sampling
+  * determinism/nesting, and hand-computed repetition profiles.
+  */
+class CorpusCleanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("contaminationHits counts distinct shared n-grams per corpus doc") {
+    val evalSet = Seq((100L, "one two three four five")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares the 3-grams "one two three", "two three four" with eval
+      (1L, "zz one two three four yy"),
+      // no 3-gram overlap (only bigram-level sharing)
+      (2L, "one two xx three four"),
+      // repeated shared gram counts once (distinct per doc)
+      (3L, "one two three qq one two three")).toDF("doc_id", "text")
+    val hits = CorpusClean.contaminationHits(corpus, evalSet, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("cleanLines removes cross-document boilerplate, keeps order, empty-text survivors") {
+    val docs = Seq(
+      (1L, "keep me\nCOOKIE NOTICE\nunique line a"),
+      (2L, "COOKIE NOTICE\nunique line b"),
+      (3L, "COOKIE NOTICE"),
+      (4L, "solo document")).toDF("doc_id", "text")
+    val out = CorpusClean.cleanLines(docs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ("keep me\nunique line a", 3L, 1L))
+    assert(out(2L) == ("unique line b", 2L, 1L))
+    // every line was boilerplate: row survives with empty text
+    assert(out(3L) == ("", 1L, 1L))
+    assert(out(4L) == ("solo document", 1L, 0L))
+  }
+
+  test("repetitionStats matches hand-computed bigram profile") {
+    val docs = Seq(
+      // bigrams: "a b","b a","a b","b a","a b" -> counts {a b:3, b a:2}
+      (1L, "a b a b a b"),
+      // all bigrams unique
+      (2L, "p q r s"),
+      // below gram size
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = CorpusClean.repetitionStats(docs, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((5L, 0.6, 1.0)))
+    assert(out(2L) == ((3L, math.rint(1.0 / 3.0 * 1e6) / 1e6, 0.0)))
+    assert(out(3L) == ((0L, 0.0, 0.0)))
+  }
+
+  test("stratifiedSample is deterministic, nested across rates, and rate-accurate") {
+    val df = (0L until 2000L).map(i => (i, s"s${i % 2}")).toDF("id", "strata")
+    def kept(r0: Double, r1: Double): Set[Long] =
+      CorpusClean.stratifiedSample(df, "id", "strata", Map("s0" -> r0, "s1" -> r1))
+        .select("id").collect().map(_.getLong(0)).toSet
+    val half = kept(0.5, 0.1)
+    assert(half == kept(0.5, 0.1)) // deterministic
+    val tenth = kept(0.1, 0.1)
+    assert(tenth.subsetOf(kept(0.5, 0.5))) // nested as rates decrease
+    // rate accuracy on 1000 rows/stratum: binomial 3-sigma ~ 47
+    val s0 = half.count(_ % 2 == 0)
+    assert(s0 > 500 - 50 && s0 < 500 + 50, s"s0 kept $s0")
+    val s1 = half.count(_ % 2 == 1)
+    assert(s1 > 100 - 30 && s1 < 100 + 30, s"s1 kept $s1")
+    // absent strata drop; rate 0 drops; rate 1 keeps all
+    assert(kept(0.0, 1.0).forall(_ % 2 == 1))
+    assert(kept(0.0, 1.0).size == 1000)
+    assert(CorpusClean.stratifiedSample(df, "id", "strata", Map("s0" -> 1.0))
+      .count() == 1000)
+  }
+
+  test("commonUnits counts distinct docs, not occurrences") {
+    val units = Seq((1L, "x"), (1L, "x"), (1L, "x"), (2L, "x"), (1L, "y"))
+      .toDF("doc_id", "u")
+    val out = CorpusClean.commonUnits(units, "doc_id", "u", minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("x", 2L)))
+  }
+}
