@@ -79,6 +79,43 @@ object DedupScaleSmoke {
       val df = graft.operators.Dedup.exact(docs, "doc_id", "text")
       graft.Bench.forceSink(df); -1L
     }
+    timed("decontaminate vs 5k eval") {
+      // the 1% perturbed copies as the "benchmark" split: each shares
+      // long token runs with its train-side source, so ~all 5k eval
+      // docs contaminate exactly one train doc (chance 13-gram
+      // collisions are ~none at this vocab) — rows ≈ 5k
+      import org.apache.spark.sql.functions.col
+      graft.operators.CorpusClean.contaminationHits(
+        docs.filter(col("doc_id") % 100 =!= 99),
+        docs.filter(col("doc_id") % 100 === 99),
+        "doc_id", "text", n = 13).count()
+    }
+    timed("boilerplate 5-grams") {
+      // every 10th doc is verbatim boilerplate (the hot-bucket corpus):
+      // its grams occur in ~n/10 distinct docs and must survive the
+      // count-distinct collapse; the random remainder never crosses
+      // minDocs — rows = the boilerplate sentence's gram count
+      import org.apache.spark.sql.functions.{col, explode, lit, when}
+      val hot = docs.withColumn("text",
+        when(col("doc_id") % 10 === 0,
+          lit("common boilerplate header text repeated verbatim across the corpus"))
+          .otherwise(col("text")))
+      val units = graft.operators.Dedup.shingleSets(hot, "doc_id", "text", n = 5)
+        .select(col("doc_id"), explode(col("shingles")).as("g"))
+      graft.operators.CorpusClean.commonUnits(units, "doc_id", "g", minDocs = 3)
+        .count()
+    }
+    timed("repetition stats") {
+      val df = graft.operators.CorpusClean.repetitionStats(docs, "doc_id", "text")
+      graft.Bench.forceSink(df); -1L
+    }
+    timed("stratified sample") {
+      import org.apache.spark.sql.functions.pmod
+      val strat = docs.withColumn("src",
+        pmod(org.apache.spark.sql.functions.col("doc_id"), org.apache.spark.sql.functions.lit(20)).cast("string"))
+      graft.operators.CorpusClean.stratifiedSample(strat, "doc_id", "src",
+        (0 until 20).map(k => k.toString -> (0.05 + 0.05 * (k % 5))).toMap).count()
+    }
     spark.stop()
   }
 }

@@ -76,6 +76,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.capacity() == 20 && s.count() == 11) // slot consumed, no growth
   }
 
+  test("stratified sampling plans a broadcast rates join and no corpus shuffle") {
+    val plan = formatted(Queries.stratifiedSample(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rates join must broadcast:\n$plan")
+    // the only Exchange allowed is the final groupBy-source aggregation
+    // (and the broadcast itself) — the corpus rows themselves are
+    // filtered map-side, never hash-repartitioned before it
+    // formatted detail headers: shuffles print "(N) Exchange",
+    // broadcasts print "(N) BroadcastExchange"
+    val shuffles = """\(\d+\) Exchange\b""".r.findAllMatchIn(plan).size
+    assert(shuffles == 1, s"expected 1 shuffle (final agg), got $shuffles:\n$plan")
+  }
+
+  test("decontamination broadcasts the eval gram set") {
+    val plan = formatted(Queries.decontaminate(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast so the corpus side never shuffles pre-join:\n$plan")
+  }
+
   test("large-id-list delete plans a broadcast join, not an isin tree") {
     import org.apache.spark.sql.functions._
     val s = graft.core.VdbStore.empty(spark, 3)
