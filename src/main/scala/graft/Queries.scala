@@ -335,10 +335,14 @@ object Queries {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val w = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-    def fpAt(start: Int) =
-      w.select(col("doc_id"),
-        md5(concat_ws(" ", slice(col("w"), start, 4)).cast("binary")).as("fp"))
-    val pairs = operators.Dedup.pairsByKey(fpAt(1).union(fpAt(2)), Seq("fp"))
+    // both fingerprints in ONE scan via a generator — a union of two
+    // fpAt(start) projections would re-read and re-tokenize documents
+    // once per branch (the recompute-per-consumer trap; UNION ALL
+    // multiplicity preserved, matching the oracle)
+    val fps = w.select(col("doc_id"), explode(array(
+      md5(concat_ws(" ", slice(col("w"), 1, 4)).cast("binary")),
+      md5(concat_ws(" ", slice(col("w"), 2, 4)).cast("binary")))).as("fp"))
+    val pairs = operators.Dedup.pairsByKey(fps, Seq("fp"))
     val cc = operators.Dedup.connectedComponents(pairs)
     docs.select(col("doc_id"))
       .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")

@@ -440,18 +440,63 @@ object Dedup {
     * previous round. Rounds needed = graph diameter, and LSH dup
     * graphs are star/clique-shaped (diameter 2-3); `maxIter`
     * hard-bounds adversarial chains. Each round's labels are persisted
-    * and the previous round's dropped; when the session has a
-    * checkpoint dir configured, labels checkpoint every 8 rounds so
-    * lineage (and its replay cost on a lost executor) stays bounded on
-    * deep graphs.
+    * and the previous round's dropped; lineage truncates every 4
+    * rounds (reliable checkpoint when the session has a checkpoint
+    * dir, localCheckpoint otherwise) because the loop references the
+    * labels twice per round — without truncation the LOGICAL plan
+    * doubles per round and deep chains OOM merely stringifying it.
     *
-    * Star-routed capped buckets compose losslessly with this operator:
-    * a star over a bucket has exactly the clique's connectivity, so
-    * components (and therefore keep-one results) are identical with and
-    * without the cap — asserted in DedupSpec.
+    * Star-routed capped buckets compose with this operator UNVERIFIED:
+    * a star over a bucket has exactly the clique's connectivity, so for
+    * buckets of mutually-duplicate documents (the degenerate case the
+    * cap exists for) components and keep-one output are cap-invariant
+    * (DedupSpec asserts the identical-doc case). A mixed bucket whose
+    * members are NOT all near-dups of the bucket minimum is the
+    * documented star-routing trade ([[bucketPairs]]): X~Y pairs whose
+    * star edges fail downstream verification are lost vs uncapped
+    * expansion, so such components can split.
+    *
+    * Ids may be any orderable type. Numeric ids propagate directly;
+    * anything else (the store's canonical STRING ids included) is
+    * mapped to a dense order-preserving numeric rank first — one
+    * distributed sort of the (small: pair endpoints only) node set —
+    * so "smallest member" means lexicographic minimum, and the
+    * numeric convergence witness below still applies.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
                           bCol: String = "b", maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = pairs.schema(aCol).dataType
+    if (!Seq(ByteType, ShortType, IntegerType, LongType).contains(idType)) {
+      // order-preserving dense surrogate: rank within the sorted
+      // distinct node set (RDD sortBy + zipWithIndex — distributed,
+      // dense, and min(rank) maps back to min(id) in the id's own
+      // ordering, which a raw hash or monotonically_increasing_id
+      // would not)
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val nodes = pairs.select(explode(array(col(aCol).cast("string"),
+          col(bCol).cast("string"))).as("id")).distinct()
+      val ranked = nodes.as[String].rdd.sortBy(identity).zipWithIndex()
+        .toDF("id", "nid").persist()
+      ranked.count()
+      val pn = pairs
+        .join(ranked.select(col("id").as(aCol), col("nid").as("_na")), aCol)
+        .join(ranked.select(col("id").as(bCol), col("nid").as("_nb")), bCol)
+        .select(col("_na").as("a"), col("_nb").as("b"))
+      val cc = connectedComponentsNumeric(pn, "a", "b", maxIter)
+      val out = cc
+        .join(ranked.select(col("nid").as("node"), col("id").as("_node_id")), "node")
+        .join(ranked.select(col("nid").as("cluster_id"), col("id").as("_cluster")), "cluster_id")
+        .select(col("_node_id").as("node"), col("_cluster").as("cluster_id"))
+        .localCheckpoint(true)
+      ranked.unpersist(blocking = false)
+      out
+    } else connectedComponentsNumeric(pairs, aCol, bCol, maxIter)
+  }
+
+  private def connectedComponentsNumeric(pairs: DataFrame, aCol: String,
+                                         bCol: String, maxIter: Int): DataFrame = {
     val e0 = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
     // symmetrize in ONE pass with a generator — a union of e0 with its
@@ -477,7 +522,17 @@ object Dedup {
         .select(col("dst").as("node"), col("label"))
       var next = viaNeighbors.union(labels)
         .groupBy("node").agg(min("label").as("label"))
-      if (sc.getCheckpointDir.isDefined && iter % 8 == 7) next = next.checkpoint()
+      // the loop references `labels` twice per round, so the LOGICAL
+      // plan doubles every round (2^r nodes) even though persist()
+      // bounds recompute — deep chains then OOM just STRINGIFYING the
+      // plan (AQE explains it each round). Truncate lineage every 4
+      // rounds unconditionally: reliable checkpoint when the session
+      // has a checkpoint dir (survives executor loss), localCheckpoint
+      // otherwise (blocks are executor-local; fine in local mode, set
+      // a checkpoint dir on a real cluster)
+      if (iter % 4 == 3)
+        next = if (sc.getCheckpointDir.isDefined) next.checkpoint()
+               else next.localCheckpoint(true)
       next = next.persist()
       val s = next.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
       converged = iter > 0 && java.util.Objects.equals(s, prevSum)
@@ -486,8 +541,21 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents hit maxIter=$maxIter before the label fixpoint: " +
+          "cluster ids are mid-propagation (a >50-hop duplicate chain?); " +
+          "raise maxIter or pre-split the graph")
+    // eager localCheckpoint + unpersist: the result's blocks are
+    // ContextCleaner-managed RDD storage released when the frame is
+    // GC'd, where returning the persisted frame itself would pin a
+    // CacheManager entry per call for the session's lifetime (the
+    // ADVICE-r4 gemmQueries leak class)
+    val out = labels.select(col("node"), col("label").as("cluster_id"))
+      .localCheckpoint(true)
+    labels.unpersist(blocking = false)
     edges.unpersist(blocking = false)
-    labels.select(col("node"), col("label").as("cluster_id"))
+    out
   }
 
   /** Keep-one dedup materializer: drop every row whose id sits in a

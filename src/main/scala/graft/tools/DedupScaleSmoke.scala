@@ -61,10 +61,11 @@ object DedupScaleSmoke {
       graft.operators.Dedup.simhashNearDup(docs, "doc_id", "text").count()
     }
     timed("connected components") {
-      // full cluster-materialization pass over the LSH pair graph: the
-      // planted dups are disjoint 2-cliques (diameter 1), plus the hot
-      // boilerplate star from the capped bucket — a realistic shallow
-      // dup graph, so the Pregel loop converges in 2-3 rounds
+      // full cluster-materialization pass over the clean corpus's LSH
+      // pair graph: the planted dups are disjoint 2-cliques
+      // (diameter 1; no bucket reaches the 1000 cap here) — a
+      // realistic shallow dup graph, so the Pregel loop converges in
+      // 2-3 rounds
       val pairs = graft.operators.Dedup.minhashLSH(docs, "doc_id", "text",
         maxBucket = Some(1000))
       graft.operators.Dedup.connectedComponents(pairs).count()

@@ -135,4 +135,36 @@ class DedupSpec extends AnyFunSuite {
     assert(starred == comps(None))
     assert(starred.values.toSet == Set(0L) && starred.size == 150)
   }
+
+  test("connectedComponents and keepOne handle canonical string ids") {
+    // the store's ids are STRING (README deliberate deviations); the
+    // long-cast fast path must not silently null them out — string ids
+    // route through the order-preserving dense-rank surrogate, and the
+    // cluster representative is the LEXICOGRAPHIC minimum
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c"), ("zz-9", "zz-8"))
+      .toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(cc == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+      "doc-c" -> "doc-a", "zz-8" -> "zz-8", "zz-9" -> "zz-8"))
+    val df = Seq("doc-a", "doc-b", "doc-c", "solo", "zz-8", "zz-9")
+      .toDF("_id_")
+    val kept = Dedup.keepOne(df, "_id_", pairs)
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("doc-a", "solo", "zz-8"))
+  }
+
+  test("connectedComponents converges past maxIter truncation on a long chain") {
+    // a 12-hop chain with maxIter=3 leaves labels mid-propagation (a
+    // warning is logged); with the default budget the same chain
+    // resolves fully — guards that the truncation path at least
+    // returns per-node rows rather than failing
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val truncated = Dedup.connectedComponents(chain, maxIter = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(truncated.size == 13 && truncated.values.exists(_ != 0L))
+    val full = Dedup.connectedComponents(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(full.values.toSet == Set(0L) && full.size == 13)
+  }
 }
