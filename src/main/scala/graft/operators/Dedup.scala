@@ -456,44 +456,73 @@ object Dedup {
     * star edges fail downstream verification are lost vs uncapped
     * expansion, so such components can split.
     *
-    * Ids may be any orderable type. Numeric ids propagate directly;
-    * anything else (the store's canonical STRING ids included) is
-    * mapped to a dense order-preserving numeric rank first — one
-    * distributed sort of the (small: pair endpoints only) node set —
-    * so "smallest member" means lexicographic minimum, and the
-    * numeric convergence witness below still applies.
+    * Ids must be integral or string-like; rows with a null endpoint
+    * are dropped (a pair with no second member is meaningless).
+    * Integral ids on BOTH columns propagate directly; any other
+    * combination (the store's canonical STRING ids included, or a
+    * mixed integral/string union) is cast to string and mapped to a
+    * dense order-preserving numeric rank first — one distributed sort
+    * of the (small: pair endpoints only) node set — so "smallest
+    * member" means lexicographic minimum over the string rendering,
+    * and the numeric convergence witness below still applies.
+    * Fractional numeric ids are rejected: truncating them to long
+    * merges distinct nodes, and their string rendering ("1.0E7")
+    * orders arbitrarily — neither is an id space a dedup graph should
+    * have.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
                           bCol: String = "b", maxIter: Int = 50): DataFrame = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val idType = pairs.schema(aCol).dataType
-    if (!Seq(ByteType, ShortType, IntegerType, LongType).contains(idType)) {
+    import org.apache.spark.sql.types.{ByteType, DataType, DecimalType,
+      DoubleType, FloatType, IntegerType, LongType, ShortType}
+    def integral(t: DataType) =
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(t)
+    def fractional(t: DataType) = t == DoubleType || t == FloatType ||
+      t.isInstanceOf[DecimalType]
+    val (ta, tb) = (pairs.schema(aCol).dataType, pairs.schema(bCol).dataType)
+    require(!fractional(ta) && !fractional(tb),
+      s"connectedComponents ids must be integral or string-like, got $ta/$tb")
+    val cleaned = pairs.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    if (!(integral(ta) && integral(tb))) {
       // order-preserving dense surrogate: rank within the sorted
       // distinct node set (RDD sortBy + zipWithIndex — distributed,
-      // dense, and min(rank) maps back to min(id) in the id's own
+      // dense, and min(rank) maps back to min(id) in the string
       // ordering, which a raw hash or monotonically_increasing_id
-      // would not)
+      // would not). The projected pair frame is persisted first: the
+      // sort's range-partitioner sample, zipWithIndex's count, and
+      // the edge build would otherwise each re-execute the (possibly
+      // expensive: a whole LSH pipeline) pair upstream.
       val spark = pairs.sparkSession
       import spark.implicits._
-      val nodes = pairs.select(explode(array(col(aCol).cast("string"),
-          col(bCol).cast("string"))).as("id")).distinct()
+      val p2 = cleaned.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b")).persist()
+      val nodes = p2.select(explode(array(col("a"), col("b"))).as("id")).distinct()
       val ranked = nodes.as[String].rdd.sortBy(identity).zipWithIndex()
         .toDF("id", "nid").persist()
       ranked.count()
-      val pn = pairs
-        .join(ranked.select(col("id").as(aCol), col("nid").as("_na")), aCol)
-        .join(ranked.select(col("id").as(bCol), col("nid").as("_nb")), bCol)
+      val pn = p2
+        .join(ranked.select(col("id").as("a"), col("nid").as("_na")), "a")
+        .join(ranked.select(col("id").as("b"), col("nid").as("_nb")), "b")
         .select(col("_na").as("a"), col("_nb").as("b"))
       val cc = connectedComponentsNumeric(pn, "a", "b", maxIter)
-      val out = cc
+      val out = materializeResult(cc
         .join(ranked.select(col("nid").as("node"), col("id").as("_node_id")), "node")
         .join(ranked.select(col("nid").as("cluster_id"), col("id").as("_cluster")), "cluster_id")
-        .select(col("_node_id").as("node"), col("_cluster").as("cluster_id"))
-        .localCheckpoint(true)
+        .select(col("_node_id").as("node"), col("_cluster").as("cluster_id")))
       ranked.unpersist(blocking = false)
+      p2.unpersist(blocking = false)
       out
-    } else connectedComponentsNumeric(pairs, aCol, bCol, maxIter)
+    } else connectedComponentsNumeric(cleaned, aCol, bCol, maxIter)
   }
+
+  /** Materialize a small result frame without pinning a CacheManager
+    * entry: reliable checkpoint when the session has a checkpoint dir
+    * (recomputable after executor loss on a real cluster), eager
+    * localCheckpoint otherwise (blocks are executor-local — fine in
+    * local mode).
+    */
+  private def materializeResult(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint(true)
 
   private def connectedComponentsNumeric(pairs: DataFrame, aCol: String,
                                          bCol: String, maxIter: Int): DataFrame = {
@@ -529,11 +558,13 @@ object Dedup {
       // rounds unconditionally: reliable checkpoint when the session
       // has a checkpoint dir (survives executor loss), localCheckpoint
       // otherwise (blocks are executor-local; fine in local mode, set
-      // a checkpoint dir on a real cluster)
-      if (iter % 4 == 3)
-        next = if (sc.getCheckpointDir.isDefined) next.checkpoint()
-               else next.localCheckpoint(true)
-      next = next.persist()
+      // a checkpoint dir on a real cluster). A localCheckpoint IS
+      // eager persisted RDD storage — adding .persist() on top would
+      // store the same labels twice for that round.
+      if (iter % 4 == 3) {
+        if (sc.getCheckpointDir.isDefined) next = next.checkpoint().persist()
+        else next = next.localCheckpoint(true)
+      } else next = next.persist()
       val s = next.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
       converged = iter > 0 && java.util.Objects.equals(s, prevSum)
       prevSum = s
@@ -546,13 +577,13 @@ object Dedup {
         s"connectedComponents hit maxIter=$maxIter before the label fixpoint: " +
           "cluster ids are mid-propagation (a >50-hop duplicate chain?); " +
           "raise maxIter or pre-split the graph")
-    // eager localCheckpoint + unpersist: the result's blocks are
-    // ContextCleaner-managed RDD storage released when the frame is
-    // GC'd, where returning the persisted frame itself would pin a
-    // CacheManager entry per call for the session's lifetime (the
-    // ADVICE-r4 gemmQueries leak class)
-    val out = labels.select(col("node"), col("label").as("cluster_id"))
-      .localCheckpoint(true)
+    // materialize + unpersist: the result's storage is released when
+    // the frame is GC'd (or is a reliable checkpoint), where returning
+    // the persisted frame itself would pin a CacheManager entry per
+    // call for the session's lifetime (the ADVICE-r4 gemmQueries leak
+    // class)
+    val out = materializeResult(
+      labels.select(col("node"), col("label").as("cluster_id")))
     labels.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     out

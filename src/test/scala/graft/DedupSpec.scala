@@ -155,16 +155,30 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("connectedComponents converges past maxIter truncation on a long chain") {
-    // a 12-hop chain with maxIter=3 leaves labels mid-propagation (a
-    // warning is logged); with the default budget the same chain
-    // resolves fully — guards that the truncation path at least
-    // returns per-node rows rather than failing
+    // a 12-hop chain with maxIter=5 crosses the every-4-rounds lineage
+    // truncation AND exits mid-propagation (a warning is logged); the
+    // default budget resolves the same chain fully, crossing
+    // truncation multiple times
     val chain = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
-    val truncated = Dedup.connectedComponents(chain, maxIter = 3)
+    val truncated = Dedup.connectedComponents(chain, maxIter = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(truncated.size == 13 && truncated.values.exists(_ != 0L))
     val full = Dedup.connectedComponents(chain)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(full.values.toSet == Set(0L) && full.size == 13)
+  }
+
+  test("connectedComponents rejects fractional ids and drops null endpoints") {
+    val doubles = Seq((1.0, 2.0)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(doubles)
+    }
+    // mixed integral/string columns route through the string path (no
+    // silent null-cast of the string side); null endpoints drop
+    val mixed = Seq((Some(1L), Some("doc-x")), (Some(2L), None))
+      .toDF("a", "b")
+    val cc = Dedup.connectedComponents(mixed)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(cc == Map("1" -> "1", "doc-x" -> "1"))
   }
 }
