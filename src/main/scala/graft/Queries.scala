@@ -406,6 +406,18 @@ object Queries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
 
+  /** End-to-end hygiene pipeline (pipeline op): repetition gate →
+    * decontaminate vs the eval split → exact-dedup keep-one →
+    * stratified sample, as ONE composed plan (q39).
+    */
+  def hygienePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    operators.CorpusClean.hygienePipeline(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", "source", sampleRates)
+  }
+
   /** General aggregation sanity on lineitem (TPC-H Q1 shape). */
   def aggPricing(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -471,6 +483,7 @@ object Queries {
     "q36_boilerplate_grams" -> (boilerplateGrams _),
     "q37_repetition" -> (repetitionSignals _),
     "q38_stratified_sample" -> (stratifiedSample _),
+    "q39_hygiene_pipeline" -> (hygienePipeline _),
   )
 }
 
@@ -807,6 +820,37 @@ object Oracles {
          |         WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < r.thr)
          |SELECT source, count(*) AS n_kept, min(doc_id) AS min_id
          |FROM kept GROUP BY source""".stripMargin
+    },
+    "q39_hygiene_pipeline" -> {
+      val values = Queries.sampleRates.toSeq.sortBy(_._1)
+        .map { case (s, r) =>
+          s"('$s', '${graft.operators.CorpusClean.sampleThresholdHex(r)}')"
+        }.mkString(", ")
+      s"""WITH rates(source, thr) AS (VALUES $values),
+         |w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+         |g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+         |       FROM w, unnest(range(1, len(w))) AS t(i)),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+         |rep AS (SELECT doc_id,
+         |          round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) /
+         |                CAST(sum(c) AS DOUBLE), 6) AS dup_frac
+         |        FROM c2 GROUP BY doc_id),
+         |lowrep AS (SELECT d.doc_id, d.text, d.source FROM documents d
+         |           LEFT JOIN rep USING (doc_id)
+         |           WHERE d.doc_id % 10 <> 0 AND coalesce(rep.dup_frac, 0.0) <= 0.5),
+         |g13 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS g
+         |        FROM w, unnest(range(1, len(w) - 11)) AS t(i)),
+         |ev AS (SELECT DISTINCT g FROM g13 WHERE doc_id % 10 = 0),
+         |contam AS (SELECT DISTINCT g13.doc_id FROM g13 JOIN ev USING (g)
+         |           WHERE g13.doc_id IN (SELECT doc_id FROM lowrep)),
+         |clean AS (SELECT * FROM lowrep
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text))
+         |SELECT c.doc_id, c.source
+         |FROM clean c
+         |JOIN keep USING (doc_id)
+         |JOIN rates r ON c.source = r.source
+         |WHERE substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8) < r.thr""".stripMargin
     },
   )
 }

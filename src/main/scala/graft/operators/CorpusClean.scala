@@ -127,6 +127,47 @@ object CorpusClean {
     else if (rate <= 0.0) "0"
     else f"${(rate * 4294967296d).toLong}%08x"
 
+  /** The whole hygiene pass a training-data pipeline runs before
+    * tokenization, composed from the operators above in their
+    * canonical order: (1) repetition quality gate (`dup_frac <=
+    * maxDupFrac`, 6-dp rounded), (2) benchmark decontamination (drop
+    * any doc sharing a `contamN`-gram with `evalSet`), (3) exact
+    * dedup keep-one (smallest id per md5-identical text survives),
+    * (4) deterministic stratified sampling at `rates`. Returns the
+    * surviving (id, strata) rows.
+    *
+    * Every stage keeps its own scale shape (zero-shuffle stats,
+    * broadcast eval grams, one groupBy per dedup/sample stage), and
+    * stages are pipelined by Catalyst — the corpus is scanned once,
+    * with each gate fused into the surviving rows' plan where
+    * possible. Being a pure composition it is fully oracle-able:
+    * q39 runs the identical chain as DuckDB CTEs.
+    */
+  def hygienePipeline(docs: DataFrame, evalSet: DataFrame,
+                      idCol: String, textCol: String, strataCol: String,
+                      rates: Map[String, Double],
+                      maxDupFrac: Double = 0.5, contamN: Int = 13,
+                      repN: Int = 2): DataFrame = {
+    // the repetition gate is per-row, so it fuses into the scan as a
+    // map-side filter — joining back the repetitionStats frame would
+    // shuffle the whole corpus on id for nothing
+    val lowRep = docs.filter(
+      round(graft.functions.repetition_stats(
+          split(trim(col(textCol)), "\\s+"), repN).getField("dup_frac"), 6)
+        <= maxDupFrac)
+    val clean = lowRep.join(
+      contaminationHits(lowRep, evalSet, idCol, textCol, contamN)
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+    val kept = clean.join(
+      clean.groupBy(md5(col(textCol).cast("binary")))
+        .agg(min(col(idCol)).as(idCol))
+        .select(col(idCol)),
+      Seq(idCol), "left_semi")
+    stratifiedSample(kept, idCol, strataCol, rates)
+      .select(col(idCol), col(strataCol))
+  }
+
   /** Deterministic stratified sampling for domain mixing: keep each
     * row with probability `rates(strata)`, decided by the first 8 hex
     * digits of `md5(string(id))` against [[sampleThresholdHex]] — the
