@@ -110,6 +110,19 @@ object DedupScaleSmoke {
       val df = graft.operators.CorpusClean.repetitionStats(docs, "doc_id", "text")
       graft.Bench.forceSink(df); -1L
     }
+    timed("hygiene pipeline e2e") {
+      // full pre-tokenization chain over the 495k/5k train/eval split:
+      // repetition gate (map-side) -> decontaminate (broadcast grams)
+      // -> exact dedup keep-one -> stratified sample at 20%
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val strat = docs.withColumn("src",
+        pmod(col("doc_id"), lit(20)).cast("string"))
+      graft.operators.CorpusClean.hygienePipeline(
+        strat.filter(col("doc_id") % 100 =!= 99),
+        strat.filter(col("doc_id") % 100 === 99),
+        "doc_id", "text", "src",
+        (0 until 20).map(k => k.toString -> 0.2).toMap).count()
+    }
     timed("stratified sample") {
       import org.apache.spark.sql.functions.pmod
       val strat = docs.withColumn("src",
