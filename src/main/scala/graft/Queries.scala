@@ -418,6 +418,12 @@ object Queries {
       "doc_id", "text", "source", sampleRates)
   }
 
+  /** Corpus IDF table (pipeline op): document frequency + smoothed
+    * IDF per distinct term (q40).
+    */
+  def idfTable(spark: SparkSession, dir: String): DataFrame =
+    operators.CorpusClean.idfTable(t(spark, dir, "documents"), "doc_id", "text")
+
   /** General aggregation sanity on lineitem (TPC-H Q1 shape). */
   def aggPricing(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -484,6 +490,7 @@ object Queries {
     "q37_repetition" -> (repetitionSignals _),
     "q38_stratified_sample" -> (stratifiedSample _),
     "q39_hygiene_pipeline" -> (hygienePipeline _),
+    "q40_idf_table" -> (idfTable _),
   )
 }
 
@@ -852,5 +859,13 @@ object Oracles {
          |JOIN rates r ON c.source = r.source
          |WHERE substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8) < r.thr""".stripMargin
     },
+    "q40_idf_table" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |t AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM w),
+        |d AS (SELECT term, count(*) AS df FROM t GROUP BY term)
+        |SELECT term, df,
+        |  round(ln((CAST((SELECT count(*) FROM documents) AS DOUBLE) + 1.0) /
+        |           (df + 1.0)) + 1.0, 6) AS idf
+        |FROM d""".stripMargin,
   )
 }

@@ -115,6 +115,29 @@ object CorpusClean {
         round(col("r.top_frac"), 6).as("top_frac"),
         round(col("r.dup_frac"), 6).as("dup_frac"))
 
+  /** Corpus inverse-document-frequency table: one row per distinct
+    * term with its document frequency and smoothed IDF
+    * (`ln((N+1)/(df+1)) + 1`, the sklearn smooth-idf convention),
+    * rounded to 6 dp. The backbone of TF-IDF quality scoring and
+    * rare-term analysis over a training corpus.
+    *
+    * One groupBy on the term after a per-doc DISTINCT word projection
+    * (map-side: the per-partition (doc, term) collapse means a term
+    * repeated thousands of times in one doc crosses the shuffle
+    * once). The corpus cardinality N is one count() action up front —
+    * a single scalar job, not per-row work.
+    */
+  def idfTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.count()
+    Dedup.shingleSets(docs, idCol, textCol, n = 1)
+      .select(col("doc_id"), explode(col("shingles")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"),
+        round(log((lit(n.toDouble) + 1.0) / (col("df") + lit(1.0))) + 1.0, 6)
+          .as("idf"))
+  }
+
   /** Hex threshold (8 lowercase digits) such that
     * `md5(id)[0,8) < threshold` holds for ~`rate` of uniformly hashed
     * ids; `rate >= 1` maps to a sentinel above every hex digit so all

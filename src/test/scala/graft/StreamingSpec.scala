@@ -105,4 +105,44 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
+
+  test("streaming hygiene: gate, decontaminate, dedup, and sample across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "text", "source")
+    // eval grams = the distinct 3-grams of the "benchmark" doc
+    val evalGrams = Seq("one two three", "two three four")
+    val out = graft.streaming.StreamingOps.hygieneStream(stream, evalGrams,
+      rates = Map("keep" -> 1.0, "drop" -> 0.0),
+      maxDupFrac = 0.5, contamN = 3, repN = 2)
+
+    mem.addData(
+      ("g1", "clean fresh words entirely here", "keep"),   // survives
+      ("g2", "spam spam spam spam spam spam", "keep"),     // repetition-gated
+      ("g3", "zz one two three four yy", "keep"),          // contaminated
+      ("g4", "clean fresh words entirely here", "keep"),   // dup of g1
+      ("g5", "unique but zero rate stratum", "drop"),      // sampled out
+      ("g6", "unique but unknown stratum", "other"))       // stratum not in rates
+    val q = out.toDF("doc_id", "text", "source").writeStream.outputMode("append")
+      .format("memory").queryName("hyg1")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val batch1 = spark.table("hyg1").select("doc_id").as[String].collect().toSet
+    assert(batch1 == Set("g1"))
+
+    // a later micro-batch: state suppresses re-delivered g1 content
+    mem.addData(("g7", "clean fresh words entirely here", "keep"),
+      ("g8", "brand new survivor content", "keep"))
+    val q2 = out.toDF("doc_id", "text", "source").writeStream.outputMode("append")
+      .format("memory").queryName("hyg2")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    val all = spark.table("hyg2").select("doc_id").as[String].collect().toSet
+    assert(all == Set("g1", "g8"))
+  }
 }
