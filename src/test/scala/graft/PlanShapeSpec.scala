@@ -95,6 +95,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"eval grams must broadcast so the corpus side never shuffles pre-join:\n$plan")
   }
 
+  test("hygiene pipeline fuses the repetition gate into the scan as a filter") {
+    val plan = formatted(Queries.hygienePipeline(spark, dir))
+    // the per-row gate must appear as a Filter condition (map-side,
+    // fused over the scan), not as a join against a stats frame
+    assert("""\(\d+\) Filter""".r.findAllMatchIn(plan).nonEmpty
+        && plan.contains("repetition_stats"),
+      s"repetition gate regressed to a join:\n$plan")
+  }
+
   test("large-id-list delete plans a broadcast join, not an isin tree") {
     import org.apache.spark.sql.functions._
     val s = graft.core.VdbStore.empty(spark, 3)
