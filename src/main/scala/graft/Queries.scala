@@ -844,7 +844,8 @@ object Oracles {
          |        FROM c2 GROUP BY doc_id),
          |lowrep AS (SELECT d.doc_id, d.text, d.source FROM documents d
          |           LEFT JOIN rep USING (doc_id)
-         |           WHERE d.doc_id % 10 <> 0 AND coalesce(rep.dup_frac, 0.0) <= 0.5),
+         |           WHERE d.doc_id % 10 <> 0 AND d.text IS NOT NULL
+         |             AND coalesce(rep.dup_frac, 0.0) <= 0.5),
          |g13 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS g
          |        FROM w, unnest(range(1, len(w) - 11)) AS t(i)),
          |ev AS (SELECT DISTINCT g FROM g13 WHERE doc_id % 10 = 0),

@@ -159,18 +159,23 @@ object CorpusClean {
     * (4) deterministic stratified sampling at `rates`. Returns the
     * surviving (id, strata) rows.
     *
-    * Every stage keeps its own scale shape (zero-shuffle stats,
-    * broadcast eval grams, one groupBy per dedup/sample stage), and
-    * stages are pipelined by Catalyst — the corpus is scanned once,
-    * with each gate fused into the surviving rows' plan where
-    * possible. Being a pure composition it is fully oracle-able:
-    * q39 runs the identical chain as DuckDB CTEs.
+    * Scale shape: the gated corpus subtree is referenced twice — once
+    * as the anti-join row side, once exploded into grams for the
+    * contamination probe — so the scan + gate runs TWICE (Catalyst
+    * does not dedupe identical subplans, and persisting a 100 TB
+    * corpus is not an option); everything downstream is single-pass:
+    * keep-one is a row_number window over the content hash (same
+    * md5/min-id convention as [[Dedup.exact]] — one shuffle, no
+    * self-join), sampling is a broadcast join + map-side filter.
+    * Being a pure composition it is fully oracle-able: q39 runs the
+    * identical chain as DuckDB CTEs.
     */
   def hygienePipeline(docs: DataFrame, evalSet: DataFrame,
                       idCol: String, textCol: String, strataCol: String,
                       rates: Map[String, Double],
                       maxDupFrac: Double = 0.5, contamN: Int = 13,
                       repN: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // the repetition gate is per-row, so it fuses into the scan as a
     // map-side filter — joining back the repetitionStats frame would
     // shuffle the whole corpus on id for nothing
@@ -182,11 +187,11 @@ object CorpusClean {
       contaminationHits(lowRep, evalSet, idCol, textCol, contamN)
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
-    val kept = clean.join(
-      clean.groupBy(md5(col(textCol).cast("binary")))
-        .agg(min(col(idCol)).as(idCol))
-        .select(col(idCol)),
-      Seq(idCol), "left_semi")
+    val kept = clean
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(md5(col(textCol).cast("binary")))
+          .orderBy(col(idCol))))
+      .filter(col("_rn") === 1).drop("_rn")
     stratifiedSample(kept, idCol, strataCol, rates)
       .select(col(idCol), col(strataCol))
   }

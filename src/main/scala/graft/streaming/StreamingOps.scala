@@ -97,33 +97,34 @@ object StreamingOps {
                     maxDupFrac: Double = 0.5, contamN: Int = 13,
                     repN: Int = 2): org.apache.spark.sql.Dataset[(String, String, String)] = {
     import stream.sparkSession.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val toks = split(trim(col("text")), "\\s+")
     val gated = stream.filter(
       round(graft.functions.repetition_stats(toks, repN).getField("dup_frac"), 6)
         <= maxDupFrac)
+    val grams = graft.functions.word_ngrams_distinct(toks, contamN)
     val decon =
       if (evalGrams.isEmpty) gated
-      else gated.filter(!arrays_overlap(
-        graft.functions.word_ngrams_distinct(toks, contamN),
-        typedlit(evalGrams)))
+      else if (evalGrams.size <= LiteralGramsMax)
+        // small eval set: ride into the plan as a codegen literal.
+        // ArraysOverlap hashes the SMALLER side per row, so a large
+        // literal would cost O(|evalGrams|) per clean row — hence the
+        // broadcast path below past the threshold
+        gated.filter(!arrays_overlap(grams, typedlit(evalGrams)))
+      else {
+        // large eval set: broadcast a Set once and probe the doc's own
+        // grams — O(|doc grams|) per row. A deliberate UDF exception:
+        // no built-in expression tests array membership against a
+        // broadcast variable, and serializing a multi-MB literal into
+        // every task beats codegen purity by losing
+        val bc = stream.sparkSession.sparkContext.broadcast(evalGrams.toSet)
+        val hit = udf((g: Seq[String]) => g != null && g.exists(bc.value.contains))
+        gated.filter(!hit(grams))
+      }
     val keyed = decon
       .select(col("doc_id").cast("string"), col("text").cast("string"),
         col("source").cast("string"))
       .as[(String, String, String)]
-      .groupByKey { case (_, text, _) =>
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(text.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-      }
-    val deduped = keyed.flatMapGroupsWithState[Boolean, (String, String, String)](
-      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-      case (_, rows, state: GroupState[Boolean]) =>
-        if (state.exists) Iterator.empty
-        else {
-          state.update(true)
-          Iterator.single(rows.minBy(_._1))
-        }
-    }
+    val deduped = firstSeenByContent(keyed)(_._2, _._1)
     val thresholds = rates.map { case (s, r) =>
       s -> graft.operators.CorpusClean.sampleThresholdHex(r)
     }
@@ -131,6 +132,39 @@ object StreamingOps {
       substring(md5(col("_1").cast("binary")), 1, 8) <
         element_at(typedlit(thresholds), col("_3")))
       .as[(String, String, String)]
+  }
+
+  /** Above this many eval grams, [[hygieneStream]] switches from a
+    * plan literal to a broadcast Set probe.
+    */
+  val LiteralGramsMax = 1000
+
+  /** Shared first-seen-content state machine: key rows by the md5 of
+    * `contentOf`, keep ONE boolean of state per distinct content, emit
+    * only each content's first occurrence (ties within a micro-batch
+    * broken by the smallest `idOf`). Both [[dedupStream]] and
+    * [[hygieneStream]] route through this so the dedup rule (key
+    * hash, tie-break, state protocol) cannot silently fork.
+    */
+  private def firstSeenByContent[T](rows: org.apache.spark.sql.Dataset[T])(
+      contentOf: T => String, idOf: T => String)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val strEnc = org.apache.spark.sql.Encoders.STRING
+    implicit val boolEnc = org.apache.spark.sql.Encoders.scalaBoolean
+    rows.groupByKey { t =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(contentOf(t).getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      }
+      .flatMapGroupsWithState[Boolean, T](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(it.minBy(idOf))
+          }
+      }
   }
 
   /** Streaming exact dedup with CUSTOM STATE: keyed by content hash,
@@ -145,24 +179,9 @@ object StreamingOps {
     */
   def dedupStream(stream: DataFrame): org.apache.spark.sql.Dataset[(String, String)] = {
     import stream.sparkSession.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val keyed = stream
+    val rows = stream
       .select(col("doc_id").cast("string"), col("text").cast("string"))
       .as[(String, String)]
-      .groupByKey { case (_, text) =>
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(text.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-      }
-    keyed.flatMapGroupsWithState[Boolean, (String, String)](
-      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-      case (_, rows, state: GroupState[Boolean]) =>
-        if (state.exists) Iterator.empty
-        else {
-          state.update(true)
-          // within one micro-batch, the smallest doc_id wins (deterministic)
-          val first = rows.minBy(_._1)
-          Iterator.single(first)
-        }
-    }
+    firstSeenByContent(rows)(_._2, _._1)
   }
 }

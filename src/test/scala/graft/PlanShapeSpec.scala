@@ -97,10 +97,11 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("hygiene pipeline fuses the repetition gate into the scan as a filter") {
     val plan = formatted(Queries.hygienePipeline(spark, dir))
-    // the per-row gate must appear as a Filter condition (map-side,
-    // fused over the scan), not as a join against a stats frame
-    assert("""\(\d+\) Filter""".r.findAllMatchIn(plan).nonEmpty
-        && plan.contains("repetition_stats"),
+    // the per-row gate must appear INSIDE a Filter's Condition detail
+    // (map-side, fused over the scan) — merely finding
+    // 'repetition_stats' anywhere would also pass if the gate
+    // regressed to a join against a stats frame
+    assert("""Condition : .*repetition_stats""".r.findFirstIn(plan).isDefined,
       s"repetition gate regressed to a join:\n$plan")
   }
 

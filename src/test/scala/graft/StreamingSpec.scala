@@ -124,25 +124,32 @@ class StreamingSpec extends AnyFunSuite {
       ("g4", "clean fresh words entirely here", "keep"),   // dup of g1
       ("g5", "unique but zero rate stratum", "drop"),      // sampled out
       ("g6", "unique but unknown stratum", "other"))       // stratum not in rates
-    val q = out.toDF("doc_id", "text", "source").writeStream.outputMode("append")
-      .format("memory").queryName("hyg1")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(60000)
-    val batch1 = spark.table("hyg1").select("doc_id").as[String].collect().toSet
-    assert(batch1 == Set("g1"))
-
-    // a later micro-batch: state suppresses re-delivered g1 content
+    // SAME checkpoint across both runs (foreachBatch sink — the memory
+    // sink cannot recover from a checkpoint): the second query resumes
+    // from committed offsets, so batch 2 processes only the new rows
+    // with CARRIED state — g7 (re-delivered g1 content) must be
+    // suppressed by state.exists, not by within-batch tie-breaking
+    val ck = java.nio.file.Files.createTempDirectory("ck").toString
+    // micro-batches commit sequentially on the driver, so a plain
+    // buffer is safe here
+    val got = new scala.collection.mutable.ArrayBuffer[String]
+    def run(): Set[String] = {
+      got.clear()
+      val q = out.toDF("doc_id", "text", "source").writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= b.select("doc_id").as[String](org.apache.spark.sql.Encoders.STRING)
+            .collect(); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      got.toSet
+    }
+    assert(run() == Set("g1"))
     mem.addData(("g7", "clean fresh words entirely here", "keep"),
       ("g8", "brand new survivor content", "keep"))
-    val q2 = out.toDF("doc_id", "text", "source").writeStream.outputMode("append")
-      .format("memory").queryName("hyg2")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("ck").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q2.awaitTermination(60000)
-    val all = spark.table("hyg2").select("doc_id").as[String].collect().toSet
-    assert(all == Set("g1", "g8"))
+    assert(run() == Set("g8"))
   }
 }
