@@ -424,6 +424,30 @@ object Queries {
   def idfTable(spark: SparkSession, dir: String): DataFrame =
     operators.CorpusClean.idfTable(t(spark, dir, "documents"), "doc_id", "text")
 
+  /** Per-document top TF-IDF terms (pipeline op, q41): the corpus IDF
+    * table joined back to term frequencies, ranked per doc by the
+    * bounded-heap `top_k_hits` aggregate — k rows per doc cross the
+    * shuffle, where a row_number Window would shuffle every (doc,
+    * term) score. Cross-family reuse of the vector path's top-k
+    * machinery on the text side.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val idf = operators.CorpusClean.idfTable(docs, "doc_id", "text")
+    val tf = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(broadcast(idf.select(col("term"), col("idf"))), Seq("term"))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * col("idf"), 6).as("tfidf"))
+    scored.groupBy(col("doc_id"))
+      .agg(graft.functions.top_k_hits(col("tfidf"), col("term"), 3).as("hits"))
+      .select(col("doc_id"), posexplode(col("hits")).as(Seq("i", "h")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("rank"),
+        col("h.id").as("term"), col("h.score").as("tfidf"))
+  }
+
   /** General aggregation sanity on lineitem (TPC-H Q1 shape). */
   def aggPricing(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -491,6 +515,7 @@ object Queries {
     "q38_stratified_sample" -> (stratifiedSample _),
     "q39_hygiene_pipeline" -> (hygienePipeline _),
     "q40_idf_table" -> (idfTable _),
+    "q41_tfidf_top_terms" -> (tfidfTopTerms _),
   )
 }
 
@@ -868,5 +893,18 @@ object Oracles {
         |  round(ln((CAST((SELECT count(*) FROM documents) AS DOUBLE) + 1.0) /
         |           (df + 1.0)) + 1.0, 6) AS idf
         |FROM d""".stripMargin,
+    "q41_tfidf_top_terms" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS term FROM w),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |d AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        round(tf.tf * round(ln((n.n + 1.0) / (d.df + 1.0)) + 1.0, 6), 6) AS tfidf
+        |      FROM tf JOIN d USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |      FROM s)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
+        |FROM r WHERE rank <= 3""".stripMargin,
   )
 }
