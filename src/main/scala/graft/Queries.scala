@@ -448,6 +448,21 @@ object Queries {
         col("h.id").as("term"), col("h.score").as("tfidf"))
   }
 
+  /** Corpus profile (pipeline op, q42): per-language doc counts, mean
+    * and exact p50/p90 length percentiles — the summary a pipeline
+    * prints before/after each hygiene stage. Exact `percentile` (both
+    * engines interpolate at p*(n-1)) is fine at per-group cardinality;
+    * a 100 TB corpus would swap in `approx_percentile` (no exact
+    * oracle by construction).
+    */
+  def corpusProfile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("n_chars")), 6).as("mean_chars"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90"))
+
   /** General aggregation sanity on lineitem (TPC-H Q1 shape). */
   def aggPricing(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -516,6 +531,7 @@ object Queries {
     "q39_hygiene_pipeline" -> (hygienePipeline _),
     "q40_idf_table" -> (idfTable _),
     "q41_tfidf_top_terms" -> (tfidfTopTerms _),
+    "q42_corpus_profile" -> (corpusProfile _),
   )
 }
 
@@ -906,5 +922,11 @@ object Oracles {
         |      FROM s)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
         |FROM r WHERE rank <= 3""".stripMargin,
+    "q42_corpus_profile" ->
+      """SELECT lang, count(*) AS n,
+        |  round(avg(n_chars), 6) AS mean_chars,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 6) AS p90
+        |FROM documents GROUP BY lang""".stripMargin,
   )
 }
