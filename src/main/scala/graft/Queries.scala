@@ -431,14 +431,22 @@ object Queries {
     * term) score. Cross-family reuse of the vector path's top-k
     * machinery on the text side.
     */
+  /** The whitespace tokenizer every text entry shares — q41's tf side
+    * MUST stay bit-identical to the idf/df side's tokenization
+    * (Dedup.wordsOf), or the term join silently drops divergent terms.
+    */
+  private def words(c: org.apache.spark.sql.Column) = split(trim(c), "\\s+")
+
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val idf = operators.CorpusClean.idfTable(docs, "doc_id", "text")
     val tf = docs
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // no broadcast hint: a corpus-scale open vocabulary can exceed the
+    // broadcast cap — AQE broadcasts small vocabularies on its own
     val scored = tf
-      .join(broadcast(idf.select(col("term"), col("idf"))), Seq("term"))
+      .join(idf.select(col("term"), col("idf")), Seq("term"))
       .select(col("doc_id"), col("term"),
         round(col("tf") * col("idf"), 6).as("tfidf"))
     scored.groupBy(col("doc_id"))
@@ -460,8 +468,11 @@ object Queries {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"),
         round(avg(col("n_chars")), 6).as("mean_chars"),
-        round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
-        round(expr("percentile(n_chars, 0.9)"), 6).as("p90"))
+        // one percentile buffer per group for both points, not two
+        expr("percentile(n_chars, array(0.5, 0.9))").as("_p"))
+      .select(col("lang"), col("n"), col("mean_chars"),
+        round(element_at(col("_p"), 1), 6).as("p50"),
+        round(element_at(col("_p"), 2), 6).as("p90"))
 
   /** General aggregation sanity on lineitem (TPC-H Q1 shape). */
   def aggPricing(spark: SparkSession, dir: String): DataFrame =
