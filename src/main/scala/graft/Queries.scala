@@ -474,6 +474,22 @@ object Queries {
         round(element_at(col("_p"), 1), 6).as("p50"),
         round(element_at(col("_p"), 2), 6).as("p90"))
 
+  /** Chunk→document embedding pooling (pipeline op, q43): element-wise
+    * mean of each group's vectors via the `vector_avg`
+    * TypedImperativeAggregate — one (sums, count) buffer per group
+    * crosses the shuffle however many chunk vectors fold in.
+    * vec_id % 50 stands in for the chunk→doc relation. Output is
+    * flattened to (doc, dim, val) rows — the driver's oracle compare
+    * hashes scalars, not arrays.
+    */
+  def docEmbedding(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .groupBy((col("vec_id") % 50).as("doc"))
+      .agg(graft.functions.vector_avg(col("embedding")).as("v"))
+      .select(col("doc"), posexplode(col("v")).as(Seq("i", "val")))
+      .select(col("doc"), (col("i") + 1).cast("long").as("dim"),
+        round(col("val"), 6).as("val"))
+
   /** General aggregation sanity on lineitem (TPC-H Q1 shape). */
   def aggPricing(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -543,6 +559,7 @@ object Queries {
     "q40_idf_table" -> (idfTable _),
     "q41_tfidf_top_terms" -> (tfidfTopTerms _),
     "q42_corpus_profile" -> (corpusProfile _),
+    "q43_doc_embedding" -> (docEmbedding _),
   )
 }
 
@@ -939,5 +956,10 @@ object Oracles {
         |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
         |  round(quantile_cont(n_chars, 0.9), 6) AS p90
         |FROM documents GROUP BY lang""".stripMargin,
+    "q43_doc_embedding" ->
+      """WITH e AS (SELECT vec_id % 50 AS doc, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT doc, i, v[i] AS val FROM e, unnest(range(1, len(v) + 1)) AS t(i))
+        |SELECT doc, CAST(i AS BIGINT) AS dim, round(avg(val), 6) AS val
+        |FROM x GROUP BY doc, i""".stripMargin,
   )
 }

@@ -92,6 +92,12 @@ package object functions {
   def top_k_hits(score: Column, id: Column, k: Int): Column =
     col(TopKByScore(expr(score), expr(id), k).toAggregateExpression())
 
+  /** Element-wise mean of array<float|double> vectors (double
+    * accumulation) — chunk→document embedding pooling.
+    */
+  def vector_avg(v: Column): Column =
+    col(VectorAvg(expr(v)).toAggregateExpression())
+
   /** Cosine similarity of two raw (not necessarily normalized) vectors,
     * computed fully in double: dot / (|a| * |b|). Zero-norm guarded to 0.
     */

@@ -80,4 +80,32 @@ class VectorFunctionsSpec extends AnyFunSuite {
       normalize_l2(col("v"))).as("s")).collect()
     assert(out.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-6))
   }
+
+  test("vector_avg pools element-wise across partitions, skips nulls, rejects mixed dims") {
+    import spark.implicits._
+    // 8 partitions force partial-buffer merges through serialize/merge
+    val df = spark.sparkContext.parallelize(
+        (0 until 100).map(i => (i % 4, Array(i.toFloat, 2f * i))), 8)
+      .toDF("g", "v")
+    val out = df.groupBy("g").agg(vector_avg(col("v")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+    // group g holds i = g, g+4, ..., g+96: mean = g + 48
+    (0 until 4).foreach { g =>
+      assert(out(g) == Seq((g + 48).toDouble, 2.0 * (g + 48)), s"group $g")
+    }
+    // null vectors are skipped, not zero-counted
+    val withNull = Seq((1, Some(Array(1f, 3f))), (1, None), (1, Some(Array(3f, 5f))))
+      .toDF("g", "v")
+    val m = withNull.groupBy("g").agg(vector_avg(col("v")).as("m"))
+      .collect()(0).getSeq[Double](1)
+    assert(m == Seq(2.0, 4.0))
+    // dimension mismatch fails loudly (silent truncation would corrupt
+    // the pooled embedding)
+    val bad = Seq((1, Array(1f, 2f)), (1, Array(1f, 2f, 3f))).toDF("g", "v")
+    val err = intercept[Exception] {
+      bad.groupBy("g").agg(vector_avg(col("v")).as("m")).collect()
+    }
+    assert(err.getMessage.contains("dimension mismatch")
+      || err.getCause != null)
+  }
 }
