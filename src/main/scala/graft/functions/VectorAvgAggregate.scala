@@ -54,10 +54,19 @@ case class VectorAvg(
       else require(buf.sums.length == n,
         s"vector_avg dimension mismatch: ${buf.sums.length} vs $n")
       var i = 0
+      // null ELEMENTS fail loudly: getFloat on a null slot silently
+      // reads 0.0, which would corrupt the pooled embedding (and
+      // diverge from SQL avg's skip-null semantics without warning)
       if (childIsFloat)
-        while (i < n) { buf.sums(i) += arr.getFloat(i); i += 1 }
+        while (i < n) {
+          require(!arr.isNullAt(i), s"vector_avg: null element at index $i")
+          buf.sums(i) += arr.getFloat(i); i += 1
+        }
       else
-        while (i < n) { buf.sums(i) += arr.getDouble(i); i += 1 }
+        while (i < n) {
+          require(!arr.isNullAt(i), s"vector_avg: null element at index $i")
+          buf.sums(i) += arr.getDouble(i); i += 1
+        }
       buf.count += 1
     }
     buf

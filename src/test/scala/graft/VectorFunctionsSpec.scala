@@ -105,7 +105,9 @@ class VectorFunctionsSpec extends AnyFunSuite {
     val err = intercept[Exception] {
       bad.groupBy("g").agg(vector_avg(col("v")).as("m")).collect()
     }
-    assert(err.getMessage.contains("dimension mismatch")
-      || err.getCause != null)
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(err).exists(t =>
+      t.getMessage != null && t.getMessage.contains("dimension mismatch")))
   }
 }
