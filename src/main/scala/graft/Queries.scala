@@ -490,6 +490,26 @@ object Queries {
       .select(col("doc"), (col("i") + 1).cast("long").as("dim"),
         round(col("val"), 6).as("val"))
 
+  /** Edit-distance near-dup verification (pipeline op, q44): the
+    * fuzzy-match metric users reach for when Jaccard/Hamming are too
+    * coarse. Levenshtein is O(len²) per pair, so it only ever runs as
+    * a VERIFY stage on blocked candidates (prefix-fingerprint buckets
+    * here via [[operators.Dedup.pairsByKey]]) — never on the pair
+    * space. Integer distances, so oracle parity is exact.
+    */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val fps = docs.select(col("doc_id"),
+      md5(concat_ws(" ", slice(words(col("text")), 1, 4)).cast("binary")).as("fp"))
+    val pairs = operators.Dedup.pairsByKey(fps, Seq("fp"))
+    val ta = docs.select(col("doc_id").as("a"), col("text").as("ta"))
+    val tb = docs.select(col("doc_id").as("b"), col("text").as("tb"))
+    pairs.join(ta, Seq("a")).join(tb, Seq("b"))
+      .select(col("a"), col("b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+      .filter(col("dist") <= 120)
+  }
+
   /** General aggregation sanity on lineitem (TPC-H Q1 shape). */
   def aggPricing(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -560,6 +580,7 @@ object Queries {
     "q41_tfidf_top_terms" -> (tfidfTopTerms _),
     "q42_corpus_profile" -> (corpusProfile _),
     "q43_doc_embedding" -> (docEmbedding _),
+    "q44_edit_distance" -> (editDistancePairs _),
   )
 }
 
@@ -961,5 +982,22 @@ object Oracles {
         |x AS (SELECT doc, i, v[i] AS val FROM e, unnest(range(1, len(v) + 1)) AS t(i))
         |SELECT doc, CAST(i AS BIGINT) AS dim, round(avg(val), 6) AS val
         |FROM x GROUP BY doc, i""".stripMargin,
+    "q44_edit_distance" ->
+      """WITH w AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |fps AS (SELECT doc_id, md5(array_to_string(w[1:4], ' ')) AS fp FROM w),
+        |fpc AS (SELECT *, count(*) OVER (PARTITION BY fp) AS bn,
+        |               min(doc_id) OVER (PARTITION BY fp) AS bmin
+        |        FROM fps),
+        |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+        |         FROM fpc x JOIN fpc y
+        |           ON x.fp = y.fp AND x.doc_id < y.doc_id AND x.bn <= 100
+        |         UNION
+        |         SELECT bmin AS a, doc_id AS b
+        |         FROM fpc WHERE bn > 100 AND doc_id > bmin)
+        |SELECT c.a, c.b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+        |FROM cand c
+        |JOIN documents da ON da.doc_id = c.a
+        |JOIN documents db ON db.doc_id = c.b
+        |WHERE levenshtein(da.text, db.text) <= 120""".stripMargin,
   )
 }
