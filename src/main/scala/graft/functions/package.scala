@@ -116,5 +116,15 @@ package object functions {
     reg.createOrReplaceTempFunction("float32_le_bytes", es => Float32LEBytes(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("l2_norm_sq", es => L2NormSq(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("word_ngrams_distinct",
+      es => WordNgramsDistinct(es(0), graft.GraftExtensions.intArg("word_ngrams_distinct", es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_fps",
+      es => WinnowFps(es(0), graft.GraftExtensions.intArg("winnow_fps", es(1)),
+        graft.GraftExtensions.intArg("winnow_fps", es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("repetition_stats",
+      es => RepetitionStats(es(0), graft.GraftExtensions.intArg("repetition_stats", es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("top_k_hits",
+      es => TopKByScore(es(0), es(1), graft.GraftExtensions.intArg("top_k_hits", es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("vector_avg", es => VectorAvg(es.head), "scala_udf")
   }
 }

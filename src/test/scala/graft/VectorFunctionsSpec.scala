@@ -110,4 +110,29 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(chain(err).exists(t =>
       t.getMessage != null && t.getMessage.contains("dimension mismatch")))
   }
+
+  test("registerAll exposes every custom expression to spark.sql") {
+    graft.functions.registerAll(spark)
+    Seq((1L, "a b a b a b", Array(1f, 3f)), (2L, "p q r s", Array(3f, 5f)))
+      .toDF("id", "text", "v").createOrReplaceTempView("sqlfns")
+    val row = spark.sql(
+      """SELECT size(word_ngrams_distinct(split(text, ' '), 2)) AS ng,
+        |       size(winnow_fps(split(text, ' '), 2, 2)) AS wf,
+        |       repetition_stats(split(text, ' '), 2).dup_frac AS df,
+        |       simhash64(split(text, ' ')) AS sh
+        |FROM sqlfns WHERE id = 1""".stripMargin).collect()(0)
+    assert(row.getInt(0) == 2 && row.getInt(1) >= 1
+      && row.getDouble(2) == 1.0 && row.getString(3).length == 64)
+    val agg = spark.sql(
+      """SELECT top_k_hits(CAST(id AS DOUBLE), id, 1) AS top,
+        |       vector_avg(v) AS m
+        |FROM sqlfns""".stripMargin).collect()(0)
+    assert(agg.getSeq[org.apache.spark.sql.Row](0).head.getLong(0) == 2L)
+    assert(agg.getSeq[Double](1) == Seq(2.0, 4.0))
+    // non-literal int parameter is a loud analysis error, not a crash
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT word_ngrams_distinct(split(text,' '), CAST(id AS INT)) FROM sqlfns")
+        .collect()
+    }
+  }
 }
