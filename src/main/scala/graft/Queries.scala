@@ -362,14 +362,20 @@ object Queries {
 
   /** Benchmark decontamination (pipeline op): train docs sharing any
     * 13-gram with the eval split (doc_id % 10 == 0 stands in for the
-    * held-out benchmark set).
+    * held-out benchmark set). Because this demo's "eval set" is 10%
+    * OF THE CORPUS — not a benchmark-sized set — it grows with the
+    * scale factor, so `broadcastEval=false`: the gram join shuffles
+    * (or AQE broadcasts at runtime from actual sizes) instead of
+    * statically broadcasting a corpus-fraction gram set that would
+    * blow the driver at large SF. Real benchmark eval sets keep the
+    * default broadcast path.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     operators.CorpusClean.contaminationHits(
       docs.filter(col("doc_id") % 10 =!= 0),
       docs.filter(col("doc_id") % 10 === 0),
-      "doc_id", "text", n = 13)
+      "doc_id", "text", n = 13, broadcastEval = false)
   }
 
   /** Cross-document boilerplate detection (pipeline op): word 5-grams
@@ -412,10 +418,12 @@ object Queries {
     */
   def hygienePipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
+    // broadcastEval=false for the same reason as q35: the eval split
+    // here is a corpus fraction, not a fixed benchmark set
     operators.CorpusClean.hygienePipeline(
       docs.filter(col("doc_id") % 10 =!= 0),
       docs.filter(col("doc_id") % 10 === 0),
-      "doc_id", "text", "source", sampleRates)
+      "doc_id", "text", "source", sampleRates, broadcastEval = false)
   }
 
   /** Corpus IDF table (pipeline op): document frequency + smoothed
@@ -424,6 +432,12 @@ object Queries {
   def idfTable(spark: SparkSession, dir: String): DataFrame =
     operators.CorpusClean.idfTable(t(spark, dir, "documents"), "doc_id", "text")
 
+  /** The whitespace tokenizer every text entry shares — q41's tf side
+    * MUST stay bit-identical to the idf/df side's tokenization
+    * (Dedup.wordsOf), or the term join silently drops divergent terms.
+    */
+  private def words(c: org.apache.spark.sql.Column) = split(trim(c), "\\s+")
+
   /** Per-document top TF-IDF terms (pipeline op, q41): the corpus IDF
     * table joined back to term frequencies, ranked per doc by the
     * bounded-heap `top_k_hits` aggregate — k rows per doc cross the
@@ -431,12 +445,6 @@ object Queries {
     * term) score. Cross-family reuse of the vector path's top-k
     * machinery on the text side.
     */
-  /** The whitespace tokenizer every text entry shares — q41's tf side
-    * MUST stay bit-identical to the idf/df side's tokenization
-    * (Dedup.wordsOf), or the term join silently drops divergent terms.
-    */
-  private def words(c: org.apache.spark.sql.Column) = split(trim(c), "\\s+")
-
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val idf = operators.CorpusClean.idfTable(docs, "doc_id", "text")

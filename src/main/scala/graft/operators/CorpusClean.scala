@@ -31,9 +31,14 @@ object CorpusClean {
     * (benchmarks) are tiny next to the corpus, so the join side is
     * broadcast by default (`broadcastEval`) — the 100 TB corpus side
     * then never shuffles: hits fold map-side into per-doc counts.
-    * With `broadcastEval=false` it degrades to a hash join
-    * partitioned on the gram, still one shuffle of the (much smaller
-    * than raw text) gram projection. Joining on the gram string keeps
+    * The default assumes a FIXED-SIZE eval set; pass
+    * `broadcastEval=false` whenever the eval side scales with the
+    * corpus (q35/q39 derive it from a 10% corpus split) or its
+    * distinct gram set may exceed the broadcast/driver limit — the
+    * join then plans as a hash join partitioned on the gram, still
+    * one shuffle of the (much smaller than raw text) gram
+    * projection, and AQE is free to broadcast at runtime from actual
+    * sizes. Joining on the gram string keeps
     * the count exact; a pipeline tolerating ~1e-19 collision odds can
     * pre-hash both sides to `xxhash64` and shuffle 8-byte keys
     * instead.
@@ -174,7 +179,8 @@ object CorpusClean {
                       idCol: String, textCol: String, strataCol: String,
                       rates: Map[String, Double],
                       maxDupFrac: Double = 0.5, contamN: Int = 13,
-                      repN: Int = 2): DataFrame = {
+                      repN: Int = 2,
+                      broadcastEval: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the repetition gate is per-row, so it fuses into the scan as a
     // map-side filter — joining back the repetitionStats frame would
@@ -184,7 +190,8 @@ object CorpusClean {
           split(trim(col(textCol)), "\\s+"), repN).getField("dup_frac"), 6)
         <= maxDupFrac)
     val clean = lowRep.join(
-      contaminationHits(lowRep, evalSet, idCol, textCol, contamN)
+      contaminationHits(lowRep, evalSet, idCol, textCol, contamN,
+          broadcastEval)
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
     val kept = clean

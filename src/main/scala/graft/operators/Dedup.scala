@@ -463,8 +463,9 @@ object Dedup {
     * mixed integral/string union) is cast to string and mapped to a
     * dense order-preserving numeric rank first — one distributed sort
     * of the (small: pair endpoints only) node set — so "smallest
-    * member" means lexicographic minimum over the string rendering,
-    * and the numeric convergence witness below still applies.
+    * member" means the UTF-8-binary-order minimum of the string
+    * rendering (the same order Spark SQL and a SQL `min(id)` oracle
+    * use), and the numeric convergence witness below still applies.
     * Fractional numeric ids are rejected: truncating them to long
     * merges distinct nodes, and their string rendering ("1.0E7")
     * orders arbitrarily — neither is an id space a dedup graph should
@@ -496,7 +497,13 @@ object Dedup {
       val p2 = cleaned.select(col(aCol).cast("string").as("a"),
         col(bCol).cast("string").as("b")).persist()
       val nodes = p2.select(explode(array(col("a"), col("b"))).as("id")).distinct()
-      val ranked = nodes.as[String].rdd.sortBy(identity).zipWithIndex()
+      // sort key = UTF8String, whose compareTo is unsigned UTF-8 byte
+      // order — the order Spark SQL and any SQL min(id) oracle use.
+      // Scala String's natural ordering is UTF-16 code-unit order,
+      // which disagrees for [U+E000,U+FFFF] vs supplementary planes.
+      val ranked = nodes.as[String].rdd
+        .sortBy(org.apache.spark.unsafe.types.UTF8String.fromString)
+        .zipWithIndex()
         .toDF("id", "nid").persist()
       ranked.count()
       val pn = p2
@@ -519,6 +526,17 @@ object Dedup {
     * (recomputable after executor loss on a real cluster), eager
     * localCheckpoint otherwise (blocks are executor-local — fine in
     * local mode).
+    *
+    * Reliable checkpoint files are NOT deleted by default: Spark only
+    * removes out-of-scope checkpoints when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`.
+    * Long-lived sessions that configure a checkpoint dir and call
+    * [[connectedComponents]]/[[keepOne]] repeatedly MUST set that conf
+    * (or sweep the checkpoint dir themselves), or each call leaks the
+    * final-result checkpoint plus one in-loop lineage-truncation
+    * checkpoint per 4 rounds. Without a checkpoint dir (the default;
+    * everything in this repo) the localCheckpoint path is taken and
+    * blocks are dropped with the RDDs — nothing to clean.
     */
   private def materializeResult(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()

@@ -154,6 +154,23 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set("doc-a", "solo", "zz-8"))
   }
 
+  test("connectedComponents string representative uses UTF-8 binary order, like SQL min") {
+    // U+E000 encodes as UTF-8 EE 80 80; U+1F600 as F0 9F 98 80 — so
+    // UTF-8 (= Spark SQL / DuckDB min(id)) puts U+E000 first, while
+    // Java String's UTF-16 code-unit order says the opposite (the
+    // surrogate 0xD83D < 0xE000). The rank sort must agree with SQL.
+    val e000 = new String(Character.toChars(0xE000)) + "x"
+    val emoji = new String(Character.toChars(0x1F600)) + "x"
+    val pairs = Seq((emoji, e000)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(cc == Map(e000 -> e000, emoji -> e000))
+    import org.apache.spark.sql.functions.{array, explode, min}
+    val sqlMin = pairs.select(explode(array($"a", $"b")).as("id"))
+      .agg(min($"id")).head.getString(0)
+    assert(sqlMin == e000) // the oracle order the fix aligns with
+  }
+
   test("connectedComponents converges past maxIter truncation on a long chain") {
     // a 12-hop chain with maxIter=5 crosses the every-4-rounds lineage
     // truncation AND exits mid-propagation (a warning is logged); the

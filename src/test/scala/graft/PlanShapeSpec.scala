@@ -89,10 +89,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected 1 shuffle (final agg), got $shuffles:\n$plan")
   }
 
-  test("decontamination broadcasts the eval gram set") {
-    val plan = formatted(Queries.decontaminate(spark, dir))
-    assert(plan.contains("BroadcastHashJoin"),
-      s"eval grams must broadcast so the corpus side never shuffles pre-join:\n$plan")
+  test("decontamination: benchmark eval sets broadcast, corpus-split eval does not pin one") {
+    // default path (real benchmark set): the eval gram side broadcasts
+    // so the corpus side never shuffles pre-join
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val planDefault = formatted(operators.CorpusClean.contaminationHits(
+      docs.filter(col("doc_id") % 10 =!= 0).limit(50),
+      docs.filter(col("doc_id") % 10 === 0).limit(5),
+      "doc_id", "text", n = 13))
+    assert(planDefault.contains("BroadcastHashJoin"),
+      s"benchmark-sized eval grams must broadcast:\n$planDefault")
+    // q35's eval side is a 10% CORPUS split — it scales with SF, so the
+    // query must NOT pin a broadcast HINT on it. Catalyst/AQE may still
+    // broadcast from size ESTIMATES (it does at sf0.001 — that is the
+    // point: the decision stays cost-based and flips to a shuffled join
+    // when the split outgrows the threshold, where a hint would not).
+    val q35Logical = Queries.decontaminate(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!q35Logical.contains("strategy=broadcast"),
+      s"corpus-derived eval grams must not carry a broadcast hint:\n$q35Logical")
+    val defaultLogical = operators.CorpusClean.contaminationHits(
+      docs.filter(col("doc_id") % 10 =!= 0).limit(50),
+      docs.filter(col("doc_id") % 10 === 0).limit(5),
+      "doc_id", "text", n = 13).queryExecution.optimizedPlan.toString
+    assert(defaultLogical.contains("strategy=broadcast"),
+      s"default benchmark path must keep the broadcast hint:\n$defaultLogical")
   }
 
   test("hygiene pipeline fuses the repetition gate into the scan as a filter") {
