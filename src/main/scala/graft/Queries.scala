@@ -278,7 +278,9 @@ object Queries {
     val idx = operators.IvfIndex.cached(s"$dir/embeddings#16")(
       operators.IvfIndex.build(emb, "vec_id", "embedding", nList = 16,
         normalized = false))
-    idx.search(queries, k = 10, nProbe = 4, normalized = false)
+    // default nProbe (nList/2 — recall@10 >= 0.8 even on structure-free
+    // vectors; the bench records the exact number as nprobe_default)
+    idx.search(queries, k = 10, normalized = false)
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
@@ -500,10 +502,15 @@ object Queries {
 
   /** Edit-distance near-dup verification (pipeline op, q44): the
     * fuzzy-match metric users reach for when Jaccard/Hamming are too
-    * coarse. Levenshtein is O(len²) per pair, so it only ever runs as
-    * a VERIFY stage on blocked candidates (prefix-fingerprint buckets
-    * here via [[operators.Dedup.pairsByKey]]) — never on the pair
-    * space. Integer distances, so oracle parity is exact.
+    * coarse. Levenshtein only ever runs as a VERIFY stage on blocked
+    * candidates (prefix-fingerprint buckets here via
+    * [[operators.Dedup.pairsByKey]]) — never on the pair space — and
+    * uses the THRESHOLD form: the 3-arg `levenshtein` band-limits the
+    * DP to O(len × threshold) cells and returns −1 past the bound, so
+    * a candidate pair of long documents costs 120·len, not len²
+    * (VERDICT r6 #2). `dist >= 0` keeps exactly the rows the
+    * full-DP-then-filter version kept; integer distances, so oracle
+    * parity is exact.
     */
   def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
@@ -514,8 +521,8 @@ object Queries {
     val tb = docs.select(col("doc_id").as("b"), col("text").as("tb"))
     pairs.join(ta, Seq("a")).join(tb, Seq("b"))
       .select(col("a"), col("b"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
-      .filter(col("dist") <= 120)
+        levenshtein(col("ta"), col("tb"), 120).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
   }
 
   /** General aggregation sanity on lineitem (TPC-H Q1 shape). */

@@ -28,9 +28,19 @@ final class GraftConf(spark: SparkSession) {
     opt("ann.incr.ratio", "GRAFT_ANN_INCR_RATIO").map(_.toDouble)
       .getOrElse(VdbStore.AnnIncrRatio)
 
-  /** Default probe count for IVF search (the efSearch analog). */
-  def annNProbe: Int =
-    opt("ann.nprobe", "GRAFT_ANN_NPROBE").map(_.toInt).getOrElse(4)
+  /** Explicit probe-count override for IVF search (the efSearch
+    * analog); None defers to the per-index recall-first default.
+    */
+  def annNProbeOpt: Option[Int] =
+    opt("ann.nprobe", "GRAFT_ANN_NPROBE").map(_.toInt)
+
+  /** Probe count for an index of `nList` lists: the explicit override
+    * when set, else [[graft.operators.IvfIndex.defaultNProbe]]
+    * (nList/2 — recall ≥ 0.8 even on structure-free vectors; see its
+    * scaladoc for the trade).
+    */
+  def annNProbeFor(nList: Int): Int =
+    annNProbeOpt.getOrElse(graft.operators.IvfIndex.defaultNProbe(nList))
 
   /** Driver-side sample cap for the k-means fit. */
   def annSampleCap: Int =

@@ -21,6 +21,25 @@ import org.apache.spark.sql.SparkSession
   * deterministic builders the loser's DataFrame IS the winner's cache
   * entry — unpersisting the loser would uncache the winner.
   */
+/** Stable per-live-session discriminator for cache keys. The classic
+  * SparkSession API exposes no session UUID, and
+  * `System.identityHashCode` can collide across sessions in one JVM
+  * (and is recycled after GC) — two live sessions must never share a
+  * cache key (VERDICT r6 #7). A random UUID is installed per session
+  * object on first use; the WeakHashMap compares keys by identity
+  * (SparkSession does not override equals) and lets a dead session's
+  * entry vanish with the session.
+  */
+object SessionTag {
+  private val tags = new java.util.WeakHashMap[SparkSession, String]()
+
+  def of(spark: SparkSession): String = tags.synchronized {
+    var t = tags.get(spark)
+    if (t == null) { t = java.util.UUID.randomUUID().toString; tags.put(spark, t) }
+    t
+  }
+}
+
 final class SessionLru[K, V](maxEntries: Int,
                              sessionOf: V => SparkSession,
                              onEvict: V => Unit,

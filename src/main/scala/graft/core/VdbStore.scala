@@ -85,16 +85,26 @@ final class VdbStore private (
 
   /** Enable the IVF accelerator; the index itself is built lazily on the
     * next unfiltered query (and refreshed when the store has mutated).
+    * `nList <= 0` (and the no-arg overload) selects AUTO list count:
+    * each FULL fit sizes nList to √N of the store at fit time
+    * ([[graft.operators.IvfIndex.defaultNList]]), so bucket sizes stay
+    * ~√N as the store grows instead of degrading linearly under a
+    * pinned constant; incremental re-buckets keep the fitted count.
     */
-  def enableAnn(nList: Int): Unit = { annNList = Some(nList) }
+  def enableAnn(nList: Int): Unit = { annNList = Some(math.max(0, nList)) }
+
+  /** Auto mode: √N-scaled nList, nList/2 default probes. */
+  def enableAnn(): Unit = enableAnn(0)
 
   /** Introspection: (enabled, nList, lastRebuildMode, upToDate) — the
     * reference records `_last_faiss_rebuild_mode` the same way
-    * (pico_vdb.py:884-921).
+    * (pico_vdb.py:884-921). `nList` reports the BUILT index's list
+    * count when one exists (auto mode has no fixed count before the
+    * first fit — it reads 0 until then).
     */
   def annInfo: AnnInfo = AnnInfo(
     enabled = annNList.isDefined,
-    nList = annNList.getOrElse(0),
+    nList = annIndex.map(_.nList).orElse(annNList).getOrElse(0),
     lastRebuildMode = annLastRebuildMode,
     upToDate = annIndex.isDefined && annVersion == storeVersion)
 
@@ -111,9 +121,12 @@ final class VdbStore private (
     annUpToDate.getOrElse {
       timed("ann_refresh") {
         val act = active
+        // auto mode (n == 0): an existing index's list count is always
+        // acceptable for incremental re-bucketing (√N drifting by a few
+        // rows must not force a refit); each FULL fit re-resolves √N
         val idx = annIndex match {
           case Some(prev)
-              if prev.dim == dim && prev.nList == n &&
+              if prev.dim == dim && (n == 0 || prev.nList == n) &&
                  annMutationsSinceFit.toDouble <=
                    conf.annIncrRatio * math.max(1L, act.count()) =>
             annLastRebuildMode = "incremental"
@@ -121,7 +134,10 @@ final class VdbStore private (
           case _ =>
             annLastRebuildMode = "full"
             annMutationsSinceFit = 0L
-            graft.operators.IvfIndex.build(act, "_id_", "_vector_", n,
+            val lists =
+              if (n > 0) n
+              else graft.operators.IvfIndex.defaultNList(act.count())
+            graft.operators.IvfIndex.build(act, "_id_", "_vector_", lists,
               sampleCap = conf.annSampleCap)
         }
         annIndex.foreach(_.unpersistAssigned())
@@ -132,8 +148,11 @@ final class VdbStore private (
     }
   }
 
+  // the BUILT list count is saved (auto mode's annNList sentinel is 0,
+  // which would restore as a meaningless fixed count); a restored store
+  // pins the saved count until the next enableAnn
   private[core] def annStateForSave: Option[(Int, Array[Array[Double]])] =
-    for { n <- annNList; idx <- annIndex } yield (n, idx.centroids)
+    for { _ <- annNList; idx <- annIndex } yield (idx.nList, idx.centroids)
 
   /** Restore a persisted index: re-enable ANN and re-bucket lazily under
     * the saved centroids; a dim mismatch drops the centroids and forces
@@ -348,12 +367,14 @@ final class VdbStore private (
     // their results deterministic.
     val unfiltered = ids.isEmpty && where.isEmpty && whereFn.isEmpty
     val ann = if (unfiltered && betterThan.isEmpty) refreshAnn() else None
-    val probes = if (nProbe > 0) nProbe else conf.annNProbe
 
     val queries = vectors.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toArray
     // (qid, id, score, rank) on the driver — Q x k rows either way
     val ranked: Seq[(Long, String, Double, Int)] = ann match {
       case Some(idx) =>
+        // explicit arg > graft.ann.nprobe conf > nList/2 recall-first
+        // default for THIS index's list count (VERDICT r6 #5)
+        val probes = if (nProbe > 0) nProbe else conf.annNProbeFor(idx.nList)
         val normQ = queries.map { case (i, v) => (i, NormalizeL2.normalize(v)) }
         idx.search(normQ, topK, probes)
           .select(col("qid"), col("id"), col("score"), col("rank"))
@@ -591,7 +612,9 @@ final class VdbStore private (
   private[core] def metaJson: String = {
     val kv = additionalData.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${VdbStore.jsonEsc(k)}": $v""" }.mkString(",")
-    val ann = annNList.map(n => s""""ann_nlist": $n, """).getOrElse("")
+    // built count when an index exists (auto mode's sentinel is 0)
+    val ann = annNList.map(n =>
+      s""""ann_nlist": ${annIndex.map(_.nList).getOrElse(n)}, """).getOrElse("")
     s"""{"embedding_dim": $dim, $ann"additional_data": {$kv}}"""
   }
 

@@ -168,15 +168,19 @@ object CosineTopK {
     val ex = exact
     // pack + normalize each query partition ONCE (not per store block):
     // cartesian re-computes its left parent once per store block, so
-    // the packed partitions are RDD-persisted. No eager materialization
-    // and no unconditional unpersist: RDD persistence does not touch
-    // the session CacheManager, lineage stays intact (a lost block
-    // recomputes — fault-tolerant on real clusters, unlike a
-    // localCheckpoint), and the ContextCleaner drops the blocks
-    // automatically once the returned frame is unreachable. Memory held
-    // is bounded by the packed query batch, the same class as a
-    // broadcast's lifecycle; callers needing eager release use the
-    // returned handle.
+    // the packed partitions are RDD-persisted AND materialized eagerly
+    // (one cheap count job over the query side) BEFORE the cartesian
+    // stage launches — lazily-persisted, the whole first wave of
+    // cartesian tasks races to compute the same partitions, each loser
+    // re-packing for nothing and warn-spamming `Block rdd_N already
+    // exists` (the BENCH_r06 tail; VERDICT r6 #6). No unconditional
+    // unpersist: RDD persistence does not touch the session
+    // CacheManager, lineage stays intact (a lost block recomputes —
+    // fault-tolerant on real clusters, unlike a localCheckpoint), and
+    // the ContextCleaner drops the blocks automatically once the
+    // returned frame is unreachable. Memory held is bounded by the
+    // packed query batch, the same class as a broadcast's lifecycle;
+    // callers needing eager release use the returned handle.
     val qblocks = queries.rdd.mapPartitionsWithIndex { (pi, it) =>
       val arr = it.toArray
       if (arr.isEmpty) Iterator.empty
@@ -191,6 +195,16 @@ object CosineTopK {
         Iterator((pi, qids, qvecs, qnorms))
       }
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    qblocks.count()
+    // same race on the RIGHT side: every (q, s) cartesian task computes
+    // store partition s, so a persisted-but-unmaterialized store has
+    // its first wave of tasks race to cache the same blocks. One
+    // materialize pass fills the cache (the pass cartesian would run
+    // anyway); an unpersisted store is left alone — nothing races on
+    // an uncached RDD, it just recomputes per query partition as the
+    // caller chose.
+    if (store.blocks.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      store.materialize()
     val partials = qblocks.cartesian(store.blocks).map {
       case ((pi, qids, qvecs, qnorms), block) =>
         val heaps = Array.fill(qvecs.length)(new graft.core.BoundedTopKG[K](kk))

@@ -72,10 +72,11 @@ object Dedup {
     def get(df: DataFrame, idCol: String, textCol: String, n: Int)
            (build: DataFrame => DataFrame): DataFrame = {
       val spark = df.sparkSession
-      // identity hash = per-live-session discriminator (the unified
-      // SparkSession API has no sessionUUID); SessionLru sweeps stopped
-      // sessions, so a recycled hash can't resurrect a dead entry.
-      val key = (System.identityHashCode(spark).toString,
+      // per-session UUID tag (SessionTag): identityHashCode could
+      // collide across two live sessions in one JVM and hand one
+      // session the other's cached relation; the tag is unique per
+      // session object for its lifetime.
+      val key = (graft.core.SessionTag.of(spark),
         df.queryExecution.analyzed.semanticHash(), idCol, textCol, n)
       lru.getOrBuild(key) {
         // Small inputs arrive as one parquet partition; spread the
@@ -515,6 +516,10 @@ object Dedup {
         .join(ranked.select(col("nid").as("node"), col("id").as("_node_id")), "node")
         .join(ranked.select(col("nid").as("cluster_id"), col("id").as("_cluster")), "cluster_id")
         .select(col("_node_id").as("node"), col("_cluster").as("cluster_id")))
+      // the mapped-back result is materialized — the inner numeric
+      // result's reliable checkpoint (an intermediate here) is
+      // superseded; delete it so one CALL leaves one checkpoint
+      deleteCheckpointFiles(spark, checkpointFileOf(cc))
       ranked.unpersist(blocking = false)
       p2.unpersist(blocking = false)
       out
@@ -529,21 +534,52 @@ object Dedup {
     *
     * Reliable checkpoint files are NOT deleted by default: Spark only
     * removes out-of-scope checkpoints when
-    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`.
-    * Long-lived sessions that configure a checkpoint dir and call
-    * [[connectedComponents]]/[[keepOne]] repeatedly MUST set that conf
-    * (or sweep the checkpoint dir themselves), or each call leaks the
-    * final-result checkpoint plus one in-loop lineage-truncation
-    * checkpoint per 4 rounds. Without a checkpoint dir (the default;
-    * everything in this repo) the localCheckpoint path is taken and
-    * blocks are dropped with the RDDs — nothing to clean.
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`. Every
+    * INTERMEDIATE checkpoint this module creates (in-loop lineage
+    * truncations, the inner numeric result under the string-id
+    * mapping) is tracked and deleted in code the moment a later
+    * materialization supersedes it ([[deleteCheckpointFiles]]) — so
+    * what remains per call is exactly ONE reliable checkpoint: the
+    * returned result's own files, which must outlive this method
+    * because the caller consumes the frame. Long-lived sessions with
+    * a checkpoint dir either set the conf above (the ContextCleaner
+    * then removes it when the result frame is GC'd) or sweep the dir
+    * themselves. Without a checkpoint dir (the default; everything in
+    * this repo) the localCheckpoint path is taken and blocks are
+    * dropped with the RDDs — nothing to clean.
     */
   private def materializeResult(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint(true)
 
+  /** Reliable-checkpoint file dir backing a Dataset returned by
+    * `df.checkpoint()`: the checkpointed Dataset's analyzed plan is one
+    * LogicalRDD over the checkpointed RDD, whose `getCheckpointFile`
+    * is the `.../rdd-N` dir. None for localCheckpoint-backed or
+    * ordinary frames.
+    */
+  private def checkpointFileOf(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getCheckpointFile
+    }.flatten
+
+  /** Best-effort delete of superseded checkpoint dirs (leak closure —
+    * ADVICE r5/r6): failure to delete only re-opens the documented
+    * leak, never breaks the computation, so errors are swallowed.
+    */
+  private def deleteCheckpointFiles(spark: org.apache.spark.sql.SparkSession,
+                                    paths: Iterable[String]): Unit =
+    paths.foreach { path =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+
   private def connectedComponentsNumeric(pairs: DataFrame, aCol: String,
                                          bCol: String, maxIter: Int): DataFrame = {
+    val spark = pairs.sparkSession
     val e0 = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
     // symmetrize in ONE pass with a generator — a union of e0 with its
@@ -559,11 +595,20 @@ object Dedup {
     val sc = edges.sparkSession.sparkContext
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).persist()
+    // materialize BOTH caches with one action before the loop (the
+    // labels scan computes and caches edges en route): round 1's plan
+    // references each in two branches, and AQE runs independent
+    // shuffle-map stages concurrently — left lazy, both branches race
+    // to compute the same cached partitions, wasting the losers' work
+    // and warn-spamming `Block rdd_N already exists` (BENCH_r06 tail)
+    labels.count()
     var iter = 0
     var converged = false
     // exact (decimal - long ids must not overflow) label sum of the
     // PREVIOUS round; null until one round has run
     var prevSum: java.math.BigDecimal = null
+    // live in-loop reliable-checkpoint dir, deleted when superseded
+    var loopCkpt: Option[String] = None
     while (!converged && iter < maxIter) {
       val viaNeighbors = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("label"))
@@ -578,10 +623,18 @@ object Dedup {
       // otherwise (blocks are executor-local; fine in local mode, set
       // a checkpoint dir on a real cluster). A localCheckpoint IS
       // eager persisted RDD storage — adding .persist() on top would
-      // store the same labels twice for that round.
+      // store the same labels twice for that round. Each reliable
+      // in-loop checkpoint supersedes the previous one the moment it
+      // is materialized (checkpoint() is eager, so by this line the
+      // new files exist and no live frame's lineage reaches the old
+      // ones) — delete the old files NOW instead of leaking one
+      // rdd-N dir per 4 rounds per call (ADVICE r5/r6).
       if (iter % 4 == 3) {
-        if (sc.getCheckpointDir.isDefined) next = next.checkpoint().persist()
-        else next = next.localCheckpoint(true)
+        if (sc.getCheckpointDir.isDefined) {
+          next = next.checkpoint().persist()
+          deleteCheckpointFiles(spark, loopCkpt)
+          loopCkpt = checkpointFileOf(next)
+        } else next = next.localCheckpoint(true)
       } else next = next.persist()
       val s = next.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
       converged = iter > 0 && java.util.Objects.equals(s, prevSum)
@@ -599,9 +652,12 @@ object Dedup {
     // the frame is GC'd (or is a reliable checkpoint), where returning
     // the persisted frame itself would pin a CacheManager entry per
     // call for the session's lifetime (the ADVICE-r4 gemmQueries leak
-    // class)
+    // class). The result materialization supersedes the last in-loop
+    // checkpoint — delete it; the result's OWN checkpoint is the one
+    // file set left to the caller (see materializeResult).
     val out = materializeResult(
       labels.select(col("node"), col("label").as("cluster_id")))
+    deleteCheckpointFiles(spark, loopCkpt)
     labels.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     out

@@ -49,9 +49,12 @@ final class IvfIndex(
 
   /** ANN top-k: prune to nProbe centroid partitions per query, exact
     * cosine top-k inside the pruned set. Output: qid, id, score, rank.
+    * `nProbe <= 0` (the default) resolves to the recall-first
+    * [[IvfIndex.defaultNProbe]] for this index.
     */
-  def search(queries: Array[(Long, Array[Float])], k: Int, nProbe: Int,
+  def search(queries: Array[(Long, Array[Float])], k: Int, nProbe: Int = 0,
              normalized: Boolean = true): DataFrame = {
+    val np = if (nProbe > 0) nProbe else IvfIndex.defaultNProbe(nList)
     val spark = assigned.sparkSession
     import spark.implicits._
     // (qid, probe centroid) pairs — broadcast-joined against the store's
@@ -64,7 +67,7 @@ final class IvfIndex(
               else d)
     }
     val probes = qnorm.flatMap { case (qid, q) =>
-      probesFor(q, nProbe).map(c => (qid, c))
+      probesFor(q, np).map(c => (qid, c))
     }.toSeq.toDF("qid", "centroid_id")
     val qdf = qnorm.toSeq.toDF("qid", "qvec")
 
@@ -92,6 +95,26 @@ final class IvfIndex(
 }
 
 object IvfIndex {
+
+  /** √N-scaled list count (the FAISS guideline for IVF coarse
+    * quantizers): balanced buckets of ~√N rows keep both the probe
+    * fan-out and the per-bucket scan sublinear as the store grows —
+    * a FIXED nList degrades linearly on one axis or the other.
+    */
+  def defaultNList(n: Long): Int =
+    math.max(4, math.round(math.sqrt(math.max(0L, n).toDouble)).toInt)
+
+  /** Recall-first default probe count: HALF the lists. On
+    * adversarially-uniform vectors (no cluster structure — the bench's
+    * near-random embeddings) IVF recall approaches the probed-mass
+    * fraction, so nList/4 lands near 0.6 recall@10 while nList/2
+    * clears 0.8 (BENCH r6: 0.58 vs 0.81 at nList=16; VERDICT r6 #5).
+    * Clustered real-world embeddings concentrate each query's true
+    * neighbors in few lists and can drop `graft.ann.nprobe` well below
+    * this for speed — the default trades a 2x scan for a recall floor
+    * that holds even with no structure (SCALING.md "ANN defaults").
+    */
+  def defaultNProbe(nList: Int): Int = math.max(1, nList / 2)
 
   /** Build the index: local k-means (kmeans++ init, Lloyd) over a
     * bounded sample, then one distributed assignment pass adding

@@ -185,6 +185,48 @@ class DedupSpec extends AnyFunSuite {
     assert(full.values.toSet == Set(0L) && full.size == 13)
   }
 
+  test("with a checkpoint dir, one call leaves exactly ONE checkpoint (in-loop + inner ones deleted)") {
+    // string ids force the full path: inner numeric CC (in-loop
+    // truncations at iter 3 and 7 on an 11-node chain, plus its own
+    // final checkpoint) + the outer mapped-back result. Everything but
+    // the RETURNED result's checkpoint must be deleted in code
+    // (ADVICE r5/r6 — the leak was doc-only before r7).
+    val sc = spark.sparkContext
+    val ckptRoot = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    sc.setCheckpointDir(ckptRoot.getAbsolutePath)
+    try {
+      val chain = (0 until 10).map(i => (f"n$i%02d", f"n${i + 1}%02d")).toDF("a", "b")
+      val cc = Dedup.connectedComponents(chain)
+      val rows = cc.collect().map(r => (r.getString(0), r.getString(1)))
+      assert(rows.length == 11 && rows.forall(_._2 == "n00"))
+      def rddDirs(f: java.io.File): List[java.io.File] =
+        if (!f.isDirectory) Nil
+        else if (f.getName.startsWith("rdd-")) List(f)
+        else f.listFiles().toList.flatMap(rddDirs)
+      val leaked = rddDirs(ckptRoot)
+      assert(leaked.size == 1, s"expected only the result checkpoint, got $leaked")
+      // the surviving checkpoint IS the result's backing files
+      assert(cc.count() == 11)
+    } finally {
+      sc.setCheckpointDir(null) // restore the localCheckpoint default
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete(); ()
+      }
+      del(ckptRoot)
+    }
+  }
+
+  test("SessionTag: two live sessions in one JVM get distinct cache discriminators") {
+    // the shared plan caches key on SessionTag — identityHashCode could
+    // collide across live sessions and hand one session the other's
+    // cached relation (VERDICT r6 #7)
+    val s2 = spark.newSession()
+    assert(graft.core.SessionTag.of(spark) == graft.core.SessionTag.of(spark))
+    assert(graft.core.SessionTag.of(s2) == graft.core.SessionTag.of(s2))
+    assert(graft.core.SessionTag.of(spark) != graft.core.SessionTag.of(s2))
+  }
+
   test("connectedComponents rejects fractional ids and drops null endpoints") {
     val doubles = Seq((1.0, 2.0)).toDF("a", "b")
     intercept[IllegalArgumentException] {

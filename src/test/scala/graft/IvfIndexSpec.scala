@@ -175,9 +175,35 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(s.annInfo.upToDate) // refreshed over actives only
   }
 
+  test("auto ANN defaults: nList scales with sqrt(N); default nProbe is nList/2") {
+    assert(IvfIndex.defaultNList(100) == 10)
+    assert(IvfIndex.defaultNList(100000) == 316)
+    assert(IvfIndex.defaultNList(0) == 4) // floor for tiny stores
+    assert(IvfIndex.defaultNProbe(16) == 8)
+    assert(IvfIndex.defaultNProbe(1) == 1)
+
+    val s = VdbStore.empty(spark, 4)
+    s.upsert((0 until 120).map { i =>
+      val v = new Array[Float](4); v(i % 4) = 1f
+      VdbRecord(f"r$i%03d", v, null)
+    })
+    s.enableAnn() // auto mode: no pinned list count
+    val hits = s.queryOne(Array(1f, 0f, 0f, 0f), topK = 3) // lazy build
+    assert(hits.nonEmpty)
+    assert(s.annInfo.lastRebuildMode == "full")
+    assert(s.annInfo.nList == IvfIndex.defaultNList(120)) // = 11
+    // small churn re-buckets under the FITTED count (no refit even
+    // though sqrt(N) drifted)
+    s.upsert(Seq(VdbRecord("z0", Array(0f, 0f, 1f, 0f), null)))
+    s.queryOne(Array(1f, 0f, 0f, 0f), topK = 3)
+    assert(s.annInfo.lastRebuildMode == "incremental")
+    assert(s.annInfo.nList == IvfIndex.defaultNList(120))
+  }
+
   test("GraftConf resolves spark.conf overrides with defaults (test_task48 analog)") {
     val conf = new graft.core.GraftConf(spark)
-    assert(conf.inListMax == 1000 && conf.annNProbe == 4 &&
+    assert(conf.inListMax == 1000 && conf.annNProbeOpt.isEmpty &&
+      conf.annNProbeFor(16) == 8 && // unset -> nList/2 recall-first default
       conf.annIncrRatio == 0.2 && conf.annSampleCap == 20000 &&
       conf.snapshotsKeep == 1 && !conf.queryExact)
     spark.conf.set("graft.ann.nprobe", "9")
@@ -185,7 +211,7 @@ class IvfIndexSpec extends AnyFunSuite {
     spark.conf.set("graft.snapshots.keep", "3")
     spark.conf.set("graft.query.exact", "true")
     try {
-      assert(conf.annNProbe == 9 && conf.inListMax == 7 &&
+      assert(conf.annNProbeFor(16) == 9 && conf.inListMax == 7 &&
         conf.snapshotsKeep == 3 && conf.queryExact)
     } finally {
       spark.conf.unset("graft.ann.nprobe")

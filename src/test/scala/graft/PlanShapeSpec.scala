@@ -127,6 +127,39 @@ class PlanShapeSpec extends AnyFunSuite {
       s"repetition gate regressed to a join:\n$plan")
   }
 
+  test("idfTable is lazy: constructing the frame triggers no Spark job") {
+    // VERDICT r6 #3: the pre-r7 version ran an eager docs.count() at
+    // call time — a full corpus scan fired during plan CONSTRUCTION,
+    // and the operator could not compose into its caller's job graph.
+    // N now folds in-plan (1-row count aggregate cross join).
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val docs = Seq((1L, "alpha beta beta"), (2L, "beta gamma"), (3L, ""))
+        .toDF("doc_id", "text")
+      val idf = operators.CorpusClean.idfTable(docs, "doc_id", "text")
+      Thread.sleep(500) // listener delivery is async; give a job time to surface
+      assert(jobs.get() == 0, "idfTable construction launched a Spark job")
+      // one action computes the whole thing, N included — and the
+      // smoothed IDF uses N = ALL docs (3, empty doc counted), sklearn
+      // smooth-idf convention
+      val rows = idf.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+      assert(jobs.get() > 0) // the listener itself works
+      val byTerm = rows.map(r => r._1 -> r).toMap
+      assert(byTerm("beta")._2 == 2 && byTerm("alpha")._2 == 1 && byTerm("gamma")._2 == 1)
+      assert(math.abs(byTerm("beta")._3 - (math.log(4.0 / 3.0) + 1.0)) < 1e-6)
+      assert(math.abs(byTerm("alpha")._3 - (math.log(4.0 / 2.0) + 1.0)) < 1e-6)
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("large-id-list delete plans a broadcast join, not an isin tree") {
     import org.apache.spark.sql.functions._
     val s = graft.core.VdbStore.empty(spark, 3)
