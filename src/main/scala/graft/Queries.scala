@@ -352,6 +352,33 @@ object Queries {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Incremental cluster maintenance (pipeline op, q45): the first
+    * fingerprint blocking plays the HISTORICAL pair graph — labeled
+    * once by connectedComponents — and the second blocking arrives as
+    * a new batch of candidate pairs folded in with
+    * [[operators.Dedup.mergeComponents]]: the hash-min fixpoint reruns
+    * only over the new batch's quotient graph, never the accumulated
+    * edge set. Merged labels must equal a from-scratch labeling of the
+    * union graph (the quotient-contraction argument DedupSpec
+    * asserts), so the DuckDB oracle recomputes reachability over BOTH
+    * blockings' pairs with a recursive CTE — the incremental path is
+    * held to the batch answer.
+    */
+  def mergeClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val w = docs.select(col("doc_id"), words(col("text")).as("w"))
+    def fpAt(start: Int) = w.select(col("doc_id"),
+      md5(concat_ws(" ", slice(col("w"), start, 4)).cast("binary")).as("fp"))
+    val historical = operators.Dedup.connectedComponents(
+      operators.Dedup.pairsByKey(fpAt(1), Seq("fp")))
+    val newPairs = operators.Dedup.pairsByKey(fpAt(2), Seq("fp"))
+    val merged = operators.Dedup.mergeComponents(historical, newPairs)
+    docs.select(col("doc_id"))
+      .join(merged.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
   /** Character-window chunking (pipeline op): the reference's other
     * chunker (bench/local_embedding_index.py fixed-size slices,
     * including its trailing-empty-chunk quirk on exact multiples).
@@ -596,6 +623,7 @@ object Queries {
     "q42_corpus_profile" -> (corpusProfile _),
     "q43_doc_embedding" -> (docEmbedding _),
     "q44_edit_distance" -> (editDistancePairs _),
+    "q45_merge_clusters" -> (mergeClusters _),
   )
 }
 
@@ -1014,5 +1042,41 @@ object Oracles {
         |JOIN documents da ON da.doc_id = c.a
         |JOIN documents db ON db.doc_id = c.b
         |WHERE levenshtein(da.text, db.text) <= 120""".stripMargin,
+    // reachability over BOTH blockings' pairs (each capped per-blocking,
+    // mirroring the two pairsByKey calls) — the incremental merge must
+    // reproduce the from-scratch union answer
+    "q45_merge_clusters" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |fps1 AS (SELECT doc_id, md5(array_to_string(w[1:4], ' ')) AS fp FROM w),
+        |fps2 AS (SELECT doc_id, md5(array_to_string(w[2:5], ' ')) AS fp FROM w),
+        |fpc1 AS (SELECT *, count(*) OVER (PARTITION BY fp) AS bn,
+        |                min(doc_id) OVER (PARTITION BY fp) AS bmin
+        |         FROM fps1),
+        |fpc2 AS (SELECT *, count(*) OVER (PARTITION BY fp) AS bn,
+        |                min(doc_id) OVER (PARTITION BY fp) AS bmin
+        |         FROM fps2),
+        |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+        |         FROM fpc1 x JOIN fpc1 y
+        |           ON x.fp = y.fp AND x.doc_id < y.doc_id AND x.bn <= 100
+        |         UNION
+        |         SELECT bmin AS a, doc_id AS b
+        |         FROM fpc1 WHERE bn > 100 AND doc_id > bmin
+        |         UNION
+        |         SELECT x.doc_id AS a, y.doc_id AS b
+        |         FROM fpc2 x JOIN fpc2 y
+        |           ON x.fp = y.fp AND x.doc_id < y.doc_id AND x.bn <= 100
+        |         UNION
+        |         SELECT bmin AS a, doc_id AS b
+        |         FROM fpc2 WHERE bn > 100 AND doc_id > bmin),
+        |edges AS (SELECT a, b FROM cand UNION SELECT b, a FROM cand),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+        |cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+        |SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id""".stripMargin,
   )
 }

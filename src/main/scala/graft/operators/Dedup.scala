@@ -663,6 +663,72 @@ object Dedup {
     out
   }
 
+  /** Incremental connected-components maintenance: fold a batch of NEW
+    * duplicate pairs into an existing labeling without recomputing the
+    * accumulated graph's fixpoint — the streaming-dedup counterpart of
+    * [[connectedComponents]] (whose output format this consumes and
+    * produces: (node, cluster_id), cluster_id = smallest member).
+    *
+    * Quotient-graph contraction: every new-pair endpoint maps to its
+    * existing cluster representative (itself when unseen), the hash-min
+    * fixpoint runs over THAT contracted pair set — O(|batch|) work,
+    * independent of how many nodes/edges the accumulated graph holds —
+    * and one join relabels exactly the nodes whose representative's
+    * label changed. Correctness: contracting each existing component to
+    * a vertex is a graph quotient, and components of (old ∪ new) edges
+    * equal components of the quotient graph expanded back; the
+    * representative IS the component minimum, so min-of-reps in the
+    * quotient equals the global minimum of the merged component.
+    * Self-loops (a batch pair internal to one existing cluster) drop
+    * before the fixpoint; clusters no new edge touches never appear in
+    * the quotient and keep their labels through the relabel coalesce.
+    *
+    * Pair endpoints must be join-compatible with `existing`'s node
+    * column; the result is materialized ([[materializeResult]]) so a
+    * foreachBatch accumulator ([[graft.streaming.StreamingOps
+    * .componentsSink]]) does not chain lineage across micro-batches.
+    */
+  def mergeComponents(existing: DataFrame, newPairs: DataFrame,
+                      aCol: String = "a", bCol: String = "b",
+                      maxIter: Int = 50): DataFrame = {
+    // referenced twice (contraction + new-node scan) and possibly an
+    // expensive LSH upstream — pin for the call, released after the
+    // eager result materialization below
+    val cleaned = newPairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+      .persist()
+    val exA = existing.select(col("node").as("a"), col("cluster_id").as("_ra"))
+    val exB = existing.select(col("node").as("b"), col("cluster_id").as("_rb"))
+    val contracted = cleaned
+      .join(exA, Seq("a"), "left")
+      .join(exB, Seq("b"), "left")
+      .select(coalesce(col("_ra"), col("a")).as("a"),
+        coalesce(col("_rb"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+    // fixpoint over the contracted batch only (reps + unseen nodes)
+    val quotient = connectedComponents(contracted, "a", "b", maxIter)
+      .select(col("node").as("_qn"), col("cluster_id").as("_ql"))
+    // existing nodes re-route through their representative's new label;
+    // untouched clusters miss the join and keep their old label
+    val relabeled = existing
+      .join(quotient, existing("cluster_id") === col("_qn"), "left")
+      .select(existing("node"),
+        coalesce(col("_ql"), existing("cluster_id")).as("cluster_id"))
+    // unseen endpoints of this batch enter as themselves (each IS a
+    // quotient vertex); a batch whose pairs were all intra-cluster
+    // self-loops contributes nothing new
+    val newNodes = cleaned
+      .select(explode(array(col("a"), col("b"))).as("node")).distinct()
+      .join(existing.select(col("node")), Seq("node"), "left_anti")
+      .join(quotient, col("node") === col("_qn"), "left")
+      .select(col("node"),
+        coalesce(col("_ql"), col("node")).as("cluster_id"))
+    val out = materializeResult(relabeled.unionByName(newNodes))
+    cleaned.unpersist(blocking = false)
+    out
+  }
+
   /** Keep-one dedup materializer: drop every row whose id sits in a
     * pair component but is not that component's minimum — the standard
     * "keep the first, drop the rest" pass a training-data pipeline runs

@@ -167,6 +167,50 @@ object StreamingOps {
       }
   }
 
+  /** Continuous dedup-cluster maintenance: each micro-batch of new
+    * candidate pairs (a, b) folds into a running (node, cluster_id)
+    * components table via [[graft.operators.Dedup.mergeComponents]] —
+    * the hash-min fixpoint runs over each batch's QUOTIENT graph only
+    * (new pairs contracted through the current labeling), never the
+    * accumulated edge set, so per-batch cost tracks batch size while
+    * the maintained table grows unbounded. The merged table is
+    * materialized each batch (no cross-batch lineage) and handed to
+    * `onUpdate` (write to a sink table, refresh a view, ...); read the
+    * latest labeling any time via the returned `current` thunk.
+    *
+    * State note: the components table lives in THIS driver's lineage
+    * (checkpointed per batch), not the streaming state store — restart
+    * recovery means re-seeding from the last `onUpdate` sink, which is
+    * why `onUpdate` receives every merged table. `seed` starts the
+    * accumulator from an existing labeling (e.g. a batch
+    * [[graft.operators.Dedup.connectedComponents]] over the historical
+    * corpus).
+    */
+  final case class ComponentsSink(writer: DataStreamWriter[Row],
+                                  current: () => DataFrame)
+
+  def componentsSink(pairStream: DataFrame, seed: Option[DataFrame] = None,
+                     onUpdate: DataFrame => Unit = _ => ()): ComponentsSink = {
+    val spark = pairStream.sparkSession
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          pairStream.schema("a").dataType),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          pairStream.schema("a").dataType))))
+    @volatile var components: DataFrame = seed.getOrElse(empty)
+    val writer = pairStream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          components = graft.operators.Dedup.mergeComponents(components, batch)
+          onUpdate(components)
+        }
+      }
+    ComponentsSink(writer, () => components)
+  }
+
   /** Streaming exact dedup with CUSTOM STATE: keyed by content hash,
     * `flatMapGroupsWithState` keeps one boolean of state per key and
     * emits only the FIRST occurrence of each distinct content across

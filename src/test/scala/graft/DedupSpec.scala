@@ -185,6 +185,39 @@ class DedupSpec extends AnyFunSuite {
     assert(full.values.toSet == Set(0L) && full.size == 13)
   }
 
+  test("mergeComponents folds a batch of new pairs into an existing labeling == full recompute") {
+    val batch1 = Seq((1L, 2L), (3L, 4L), (8L, 9L)).toDF("a", "b")
+    val cc1 = Dedup.connectedComponents(batch1)
+    // batch 2 exercises every merge case: bridge two existing clusters
+    // (2-3), extend one with an unseen node (4-5), an intra-cluster
+    // no-op self-loop after contraction (8-9 again), and a pair of two
+    // brand-new nodes (20-21)
+    val batch2 = Seq((2L, 3L), (4L, 5L), (8L, 9L), (20L, 21L)).toDF("a", "b")
+    val merged = Dedup.mergeComponents(cc1, batch2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = Dedup.connectedComponents(batch1.unionByName(batch2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(merged == full)
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      8L -> 8L, 9L -> 8L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("mergeComponents keeps untouched clusters' labels and handles string ids") {
+    val cc1 = Dedup.connectedComponents(Seq(("b", "c"), ("x", "y")).toDF("a", "b"))
+    val merged = Dedup.mergeComponents(cc1, Seq(("c", "a")).toDF("a", "b"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    // c's cluster re-routes through its rep to the new minimum "a";
+    // {x, y} never appears in the quotient and keeps its label
+    assert(merged == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+    // an all-intra-cluster batch is a fixpoint no-op
+    val again = Dedup.mergeComponents(
+        Dedup.mergeComponents(cc1, Seq(("c", "a")).toDF("a", "b")),
+        Seq(("b", "a")).toDF("a", "b"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(again == merged)
+  }
+
   test("with a checkpoint dir, one call leaves exactly ONE checkpoint (in-loop + inner ones deleted)") {
     // string ids force the full path: inner numeric CC (in-loop
     // truncations at iter 3 and 7 on an 11-node chain, plus its own

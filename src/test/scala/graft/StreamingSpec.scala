@@ -84,6 +84,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(all == Set(("d1", "alpha beta"), ("d2", "gamma"), ("d5", "delta")))
   }
 
+  test("componentsSink maintains cluster ids incrementally across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF().toDF("a", "b")
+    val updates = scala.collection.mutable.Buffer[Map[String, String]]()
+    val sink = StreamingOps.componentsSink(stream,
+      onUpdate = df => {
+        updates += df.collect().map(r => (r.getString(0), r.getString(1))).toMap
+        ()
+      })
+    def run(): Unit = {
+      val q = sink.writer
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      ()
+    }
+    mem.addData(("d2", "d1"), ("d8", "d9"))
+    run()
+    assert(sink.current().collect().map(r => (r.getString(0), r.getString(1))).toMap ==
+      Map("d1" -> "d1", "d2" -> "d1", "d8" -> "d8", "d9" -> "d8"))
+    // next batch bridges the two clusters and adds a fresh pair — only
+    // THIS batch's quotient runs through the fixpoint, yet labels match
+    // a batch recompute over all edges seen so far
+    mem.addData(("d9", "d2"), ("z1", "z2"))
+    run()
+    val after = sink.current().collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val full = graft.operators.Dedup.connectedComponents(
+        Seq(("d2", "d1"), ("d8", "d9"), ("d9", "d2"), ("z1", "z2")).toDF("a", "b"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(after == full)
+    assert(after("d8") == "d1" && after("z2") == "z1")
+    assert(updates.size == 2 && updates.last == after) // every merge handed to onUpdate
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
