@@ -218,6 +218,32 @@ class DedupSpec extends AnyFunSuite {
     assert(again == merged)
   }
 
+  test("mergeComponents: random multi-batch folds match a union-find reference") {
+    val rng = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val n = 30
+      val edges = Seq.fill(25)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val batches = edges.grouped(math.max(1, edges.size / 3)).toSeq
+      var comps = Dedup.connectedComponents(batches.head.toDF("a", "b"))
+      batches.tail.foreach { b =>
+        comps = Dedup.mergeComponents(comps, b.toDF("a", "b"))
+      }
+      val got = comps.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // union-find keeping the smaller root: each root IS its
+      // component's minimum, the labeling contract
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+      val want = touched.map(x => x -> find(x.toInt).toLong).toMap
+      assert(got == want, s"trial $trial differed")
+    }
+  }
+
   test("with a checkpoint dir, one call leaves exactly ONE checkpoint (in-loop + inner ones deleted)") {
     // string ids force the full path: inner numeric CC (in-loop
     // truncations at iter 3 and 7 on an 11-node chain, plus its own
