@@ -130,6 +130,34 @@ object DedupScaleSmoke {
       graft.operators.CorpusClean.stratifiedSample(strat, "doc_id", "src",
         (0 until 20).map(k => k.toString -> (0.05 + 0.05 * (k % 5))).toMap).count()
     }
+
+    // ---- incremental cluster maintenance at scale (round 7):
+    // full fixpoint over an accumulated 3M-node / 2M-edge graph vs
+    // folding a 1k-pair micro-batch into its labeling. The merge's
+    // fixpoint sees only the batch's QUOTIENT graph; the accumulated
+    // graph contributes one broadcast-relabel scan of the components
+    // table — so batch folds must sit at the per-job floor, not the
+    // full-recompute time class (which grows with the graph).
+    val bigPairs = spark.sparkContext.range(0, 1000000, 1, 24)
+      .flatMap(i => Seq((i * 3, i * 3 + 1), (i * 3 + 1, i * 3 + 2)))
+      .toDF("a", "b") // 1M chains of 3 nodes: diameter 2
+    var labeling: org.apache.spark.sql.DataFrame = null
+    timed("cc full 3M nodes") {
+      labeling = graft.operators.Dedup.connectedComponents(bigPairs)
+      labeling.count()
+    }
+    (1 to 2).foreach { b =>
+      timed(s"mergeComponents 1k batch $b") {
+        // 500 bridges between existing chains + 500 brand-new pairs
+        val batch = spark.sparkContext.range(0, 500, 1, 4).flatMap { i =>
+          Seq((i * 6 * (b + 1), i * 6 * (b + 1) + 3),        // bridge
+              (1000000000L + b * 10000 + i * 2,               // fresh pair
+               1000000000L + b * 10000 + i * 2 + 1))
+        }.toDF("a", "b")
+        labeling = graft.operators.Dedup.mergeComponents(labeling, batch)
+        labeling.count()
+      }
+    }
     spark.stop()
   }
 }
