@@ -92,6 +92,51 @@ final class IvfIndex(
       .select(col("qid"), col("col.id").as("id"), col("col.score").as("score"),
         (col("pos") + 1).as("rank"))
   }
+
+  /** Dataset-query-side ANN top-k — the scale path when the query batch
+    * is itself a table (millions of stored queries; the driver-array
+    * [[search]] caps at driver memory). No collect anywhere: per-row
+    * probes come from the codegen `nearest_centroids` expression (same
+    * inner-product order and tie rule as the driver-side `probesFor`),
+    * candidates join the assigned store on `centroid_id`, and the
+    * bounded-heap `top_k_hits` aggregate moves only k rows per query
+    * through the shuffle — the IVF analog of `CosineTopK.gemmQueries`.
+    *
+    * Shuffle shape: both sides hash-partition on `centroid_id`, so
+    * parallelism equals the probed list count — with the √N default
+    * nList that grows with the store, and AQE broadcasts a small side
+    * outright. Candidate volume (Σ per-list queries × list size) is
+    * the IVF search cost itself, not join overhead.
+    *
+    * Output matches [[search]]: (qid, id, score, rank).
+    */
+  def searchDs(queries: DataFrame, qidCol: String, qvecCol: String,
+               k: Int, nProbe: Int = 0, normalized: Boolean = true): DataFrame = {
+    val np = if (nProbe > 0) nProbe else IvfIndex.defaultNProbe(nList)
+    // same normalization rule as the driver path: raw queries normalize
+    // (zero vector -> e0) so the dot against unit rows is cosine
+    val qn = (if (normalized) col(qvecCol)
+              else graft.functions.normalize_l2(col(qvecCol)))
+      .cast("array<double>")
+    val probed = queries.select(col(qidCol).as("qid"), qn.as("_qv"),
+      explode(graft.functions.nearest_centroids(qn, centroids, np))
+        .as("centroid_id"))
+    val rawScore = graft.functions.dot_product(col("_qv"),
+      col(vecCol).cast("array<double>"))
+    val score =
+      if (normalized) rawScore
+      else {
+        val vn = sqrt(graft.functions.l2_norm_sq(col(vecCol)))
+        when(vn === 0.0, lit(0.0)).otherwise(rawScore / vn)
+      }
+    probed.join(assigned, Seq("centroid_id"))
+      .select(col("qid"), col(idCol).as("id"), score.as("score"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.top_k_hits(col("score"), col("id"), k).as("hits"))
+      .select(col("qid"), posexplode(col("hits")))
+      .select(col("qid"), col("col.id").as("id"), col("col.score").as("score"),
+        (col("pos") + 1).as("rank"))
+  }
 }
 
 object IvfIndex {

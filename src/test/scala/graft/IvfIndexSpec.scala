@@ -56,6 +56,28 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(annSet == exact.toSet)
   }
 
+  test("searchDs (Dataset query side) matches driver-array search, ids/ranks/scores") {
+    val data = clusteredData()
+    val df = data.toDF("vec_id", "vec")
+    val idx = IvfIndex.build(df, "vec_id", "vec", nList = 4)
+    val queries = data.filter(_._1 % 17 == 0).toArray
+    val driver = idx.search(queries, k = 5, nProbe = 2)
+      .select("qid", "rank", "id", "score").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e9)))
+      .toSet
+    val qds = queries.toSeq.toDF("vec_id", "vec")
+    val ds = idx.searchDs(qds, "vec_id", "vec", k = 5, nProbe = 2)
+      .select("qid", "rank", "id", "score").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e9)))
+      .toSet
+    assert(ds == driver)
+    // default nProbe resolves identically on both paths
+    assert(idx.searchDs(qds, "vec_id", "vec", k = 5).count() ==
+      idx.search(queries, k = 5).count())
+  }
+
   test("nProbe = nList degenerates to exact search on random data") {
     val rng = new scala.util.Random(9)
     val data = (0 until 200).map { i =>
