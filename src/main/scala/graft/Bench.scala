@@ -268,26 +268,40 @@ object Bench {
       }
       graft.operators.Dedup.prewarmShingles(
         spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
-      // MEDIAN of 3 consecutive runs per catalog entry — single samples
-      // let the host's sporadic hypervisor cycle-stealing silently 2x a
+      // MEDIAN of 3 samples per catalog entry, taken as three
+      // INTERLEAVED passes over the whole catalog — single samples let
+      // the host's sporadic hypervisor cycle-stealing silently 2x a
       // recorded number on untouched code (q29-q33 doubled r5->r6 with
-      // zero code change; VERDICT r6 #1 — the same hole r3 flagged and
-      // r4 fixed for headlines/scenarios only). Queries whose first run
-      // builds a shared cache (q23's simhash signatures, q26's IVF
-      // index) record their warm steady state — the number TriageQ
-      // measures and the number a production pipeline pays per
-      // invocation; the one-time build cost is visible in the run log,
-      // not the artifact.
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        try {
-          results(name) = median((1 to 3).map { _ =>
-            timed { force(fn(spark, sfDir)) }
-          })
-        } catch {
-          case e: Throwable =>
-            results(name) = -1.0
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      // zero code change; VERDICT r6 #1, the same hole r3 flagged and
+      // r4 fixed for headlines/scenarios only), and three BACK-TO-BACK
+      // samples of one query still fit inside a single multi-second
+      // steal burst (measured: a consecutive-sample median recorded
+      // one query at 4.3x its other-run value). Interleaving spreads a
+      // query's samples ~a full catalog pass apart, so a burst inflates
+      // at most one of the three. Queries whose first pass builds a
+      // shared cache (q23's simhash signatures, q26's IVF index) record
+      // their warm steady state — the number TriageQ measures and a
+      // production pipeline pays per invocation; the one-time build is
+      // visible in the run log, not the artifact.
+      val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+      val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+      (1 to 3).foreach { _ =>
+        catalog.foreach { case (name, fn) =>
+          if (!errors.contains(name)) {
+            try {
+              val t = timed { force(fn(spark, sfDir)) }
+              samples(name) = samples.getOrElse(name, Nil) :+ t
+            } catch {
+              case e: Throwable =>
+                results(name) = -1.0
+                errors(name) =
+                  Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            }
+          }
         }
+      }
+      samples.foreach { case (name, ts) =>
+        if (!errors.contains(name)) results(name) = median(ts)
       }
     }
 
