@@ -157,6 +157,13 @@ object Bench {
     val insertSamples = scala.collection.mutable.Buffer[Double]()
     val coldSamples = scala.collection.mutable.Buffer[Double]()
     (1 to 3).foreach { cycle =>
+      // space the cycles out: back-to-back they span ~3.5 s, inside one
+      // steal burst — a majority of samples then inflates together and
+      // the median records the burst (observed: one run's cold median
+      // 2x its sibling run's). ~10 s total span puts cycles in
+      // different burst windows, same reasoning as the interleaved
+      // catalog passes and the spaced warm samples below.
+      if (cycle > 1) Thread.sleep(2000)
       if (store != null) store.unpersist()
       insertSamples += timed {
         store = BlockStore.fromRDD(raw, normalize = true).persist()
