@@ -48,6 +48,32 @@ object Bench {
     ()
   }
 
+  /** Blackhole for the noise canary's result so the JIT cannot elide the
+    * loop. @volatile forces a real store per canary run.
+    */
+  @volatile private var canaryBlackhole: Double = 0.0
+
+  /** Steal-noise canary (VERDICT r7 next-round #1): one run of a fixed
+    * single-threaded 100M-iteration FMA dependency chain. On a quiet
+    * host its wall time is stable to a few percent; hypervisor
+    * cycle-stealing inflates it proportionally. The bench times this
+    * loop once per measurement pass and records each time as a ratio to
+    * a nominal calibrated (min-of-5) at startup — a recorded pass whose
+    * ratio exceeds ~1.25 ran under host contention and the artifact says
+    * so, instead of silently recording a slowdown that is not in the
+    * code (BENCH_r07 recorded a 40% "regression" a same-machine re-run
+    * disproved).
+    */
+  private def canaryOnce(): Double = {
+    var x = 1.0d
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 100000000) { x = x * 1.0000000001 + 1e-12; i += 1 }
+    val dt = (System.nanoTime() - t0) / 1e9
+    canaryBlackhole = x
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -64,6 +90,15 @@ object Bench {
     // Warmup: absorb session/codegen startup so per-query times are real.
     spark.range(1000000).select(org.apache.spark.sql.functions.sum("id")).collect()
     SparkEntry.entry(spark).count()
+
+    // Noise-canary calibration: warm the loop through C2, then take the
+    // min of 5 as the uncontended nominal (min, not median — the nominal
+    // must be the quiet-host floor, or contention during calibration
+    // would mask contention later).
+    (1 to 3).foreach(_ => canaryOnce())
+    val canaryNominal = (1 to 5).map(_ => canaryOnce()).min
+    val canaryRatios = scala.collection.mutable.Buffer[Double]()
+    def canarySample(): Unit = canaryRatios += canaryOnce() / canaryNominal
 
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -164,6 +199,7 @@ object Bench {
       // different burst windows, same reasoning as the interleaved
       // catalog passes and the spaced warm samples below.
       if (cycle > 1) Thread.sleep(2000)
+      canarySample() // one ratio per headline cold cycle
       if (store != null) store.unpersist()
       insertSamples += timed {
         store = BlockStore.fromRDD(raw, normalize = true).persist()
@@ -292,7 +328,8 @@ object Bench {
       // visible in the run log, not the artifact.
       val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
-      (1 to 3).foreach { _ =>
+      (1 to 3).foreach { pass =>
+        canarySample() // one ratio per interleaved catalog pass
         catalog.foreach { case (name, fn) =>
           if (!errors.contains(name)) {
             try {
@@ -300,8 +337,16 @@ object Bench {
               samples(name) = samples.getOrElse(name, Nil) :+ t
             } catch {
               case e: Throwable =>
-                results(name) = -1.0
+                // A transient late-pass failure must not erase earlier
+                // valid samples (ADVICE r7): record the median of what
+                // was measured, note the error; only a first-pass
+                // failure records -1 (nothing measurable).
+                val prior = samples.getOrElse(name, Nil)
+                results(name) = if (prior.nonEmpty) median(prior) else -1.0
                 errors(name) =
+                  (if (prior.nonEmpty)
+                     s"pass $pass failed after ${prior.size} valid sample(s): "
+                   else "") +
                   Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
             }
           }
@@ -374,7 +419,20 @@ object Bench {
     val total = results.collect {
       case (k, v) if v >= 0 && !k.endsWith("_min") && !k.endsWith("_max") => v
     }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann_recall10":$rc,"errors":$es,"sf":${jstr(sfDir)}}""")
+    // noise_canary: ratio of a fixed single-thread FMA loop to its
+    // startup-calibrated nominal, sampled once per headline cold cycle
+    // (first 3) and once per interleaved catalog pass (last 3). Any
+    // entry > ~1.25 means that pass ran under host contention — read
+    // this run's numbers accordingly.
+    val canaryJson = canaryRatios.map(jnum).mkString("[", ",", "]")
+    val canaryFlagged = canaryRatios.exists(_ > 1.25)
+    val notes = jstr(
+      "noise_canary = single-thread 100M-FMA time / calibrated nominal, " +
+      "per measurement pass (3 headline cycles then 3 catalog passes); " +
+      ">1.25 marks a contaminated pass. Cache-building catalog entries " +
+      "(q23 simhash signatures, q26 IVF build) record warm steady state " +
+      "since r7; their one-time build cost is in the run log, not here.")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann_recall10":$rc,"noise_canary":$canaryJson,"noise_flagged":$canaryFlagged,"canary_nominal_sec":${jnum(canaryNominal)},"notes":$notes,"errors":$es,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
