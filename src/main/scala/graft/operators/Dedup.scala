@@ -698,6 +698,26 @@ object Dedup {
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .select(col(aCol).as("a"), col(bCol).as("b"))
       .persist()
+    val (merged, qcc) = mergeFrames(existing, cleaned, maxIter)
+    val out = materializeResult(merged)
+    // the quotient labeling is an intermediate here: once `out` is
+    // materialized its reliable checkpoint (when a checkpoint dir is
+    // set) is superseded — delete it, or componentsSink would leak one
+    // rdd-N dir per micro-batch (ADVICE r7), contradicting the
+    // one-checkpoint-per-call invariant of [[materializeResult]].
+    deleteCheckpointFiles(existing.sparkSession, checkpointFileOf(qcc))
+    cleaned.unpersist(blocking = false)
+    out
+  }
+
+  /** Un-materialized merge plan + the inner quotient labeling frame.
+    * Package-private so PlanShapeSpec can assert the relabel join's
+    * physical shape (the broadcast pin below) BEFORE materialization
+    * hides it behind a LogicalRDD. `cleaned` must already carry columns
+    * `a`/`b` with nulls dropped.
+    */
+  private[graft] def mergeFrames(existing: DataFrame, cleaned: DataFrame,
+                                 maxIter: Int): (DataFrame, DataFrame) = {
     val exA = existing.select(col("node").as("a"), col("cluster_id").as("_ra"))
     val exB = existing.select(col("node").as("b"), col("cluster_id").as("_rb"))
     val contracted = cleaned
@@ -707,12 +727,20 @@ object Dedup {
         coalesce(col("_rb"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
     // fixpoint over the contracted batch only (reps + unseen nodes)
-    val quotient = connectedComponents(contracted, "a", "b", maxIter)
+    val qcc = connectedComponents(contracted, "a", "b", maxIter)
+    val quotient = qcc
       .select(col("node").as("_qn"), col("cluster_id").as("_ql"))
     // existing nodes re-route through their representative's new label;
-    // untouched clusters miss the join and keep their old label
+    // untouched clusters miss the join and keep their old label. The
+    // quotient is batch-bounded (≤ 2·|batch| vertices) by construction,
+    // so the relabel is PINNED as a broadcast: the scale contract is one
+    // map-side pass over the N-row components table, never a shuffle of
+    // it (VERDICT r7 #3 — AQE happened to broadcast at test sizes;
+    // nothing guaranteed it). A batch too large to broadcast is outside
+    // this operator's design point — run the full [[connectedComponents]]
+    // recompute instead.
     val relabeled = existing
-      .join(quotient, existing("cluster_id") === col("_qn"), "left")
+      .join(broadcast(quotient), existing("cluster_id") === col("_qn"), "left")
       .select(existing("node"),
         coalesce(col("_ql"), existing("cluster_id")).as("cluster_id"))
     // unseen endpoints of this batch enter as themselves (each IS a
@@ -721,12 +749,10 @@ object Dedup {
     val newNodes = cleaned
       .select(explode(array(col("a"), col("b"))).as("node")).distinct()
       .join(existing.select(col("node")), Seq("node"), "left_anti")
-      .join(quotient, col("node") === col("_qn"), "left")
+      .join(broadcast(quotient), col("node") === col("_qn"), "left")
       .select(col("node"),
         coalesce(col("_ql"), col("node")).as("cluster_id"))
-    val out = materializeResult(relabeled.unionByName(newNodes))
-    cleaned.unpersist(blocking = false)
-    out
+    (relabeled.unionByName(newNodes), qcc)
   }
 
   /** Keep-one dedup materializer: drop every row whose id sits in a

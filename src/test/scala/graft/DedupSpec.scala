@@ -276,6 +276,38 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeComponents with a checkpoint dir leaves exactly ONE checkpoint (inner quotient deleted)") {
+    // the inner quotient connectedComponents call materializes its own
+    // reliable checkpoint; once the merged result is materialized that
+    // intermediate must be deleted in code (ADVICE r7) — one rdd-N dir
+    // would otherwise leak per componentsSink micro-batch.
+    val sc = spark.sparkContext
+    val ckptRoot = java.nio.file.Files.createTempDirectory("graft-ckpt-mc").toFile
+    sc.setCheckpointDir(ckptRoot.getAbsolutePath)
+    try {
+      val existing = (0L until 20L).map(i => (i, (i / 4) * 4)).toDF("node", "cluster_id")
+      val pairs = Seq((0L, 4L), (8L, 30L)).toDF("a", "b")
+      val merged = Dedup.mergeComponents(existing, pairs)
+      assert(merged.count() == 21) // 20 existing + unseen node 30
+      def rddDirs(f: java.io.File): List[java.io.File] =
+        if (!f.isDirectory) Nil
+        else if (f.getName.startsWith("rdd-")) List(f)
+        else f.listFiles().toList.flatMap(rddDirs)
+      val leaked = rddDirs(ckptRoot)
+      assert(leaked.size == 1, s"expected only the merged result checkpoint, got $leaked")
+      // labels correct through the checkpointed result
+      val got = merged.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got(4L) == 0L && got(7L) == 0L && got(30L) == 8L && got(12L) == 12L)
+    } finally {
+      sc.setCheckpointDir(null)
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete(); ()
+      }
+      del(ckptRoot)
+    }
+  }
+
   test("SessionTag: two live sessions in one JVM get distinct cache discriminators") {
     // the shared plan caches key on SessionTag — identityHashCode could
     // collide across live sessions and hand one session the other's
