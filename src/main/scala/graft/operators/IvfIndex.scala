@@ -73,13 +73,19 @@ final class IvfIndex(
 
     val rawScore = graft.functions.dot_product(col("qvec"),
       col(vecCol).cast("array<double>"))
+    // store-side norm precomputed BELOW the joins (VERDICT r7 #5): the
+    // projection runs once per store row per scan; in the old shape the
+    // sqrt sat above the query join, so a row probed by Q queries paid
+    // Q norm computations.
+    val base =
+      if (normalized) assigned
+      else assigned.withColumn("_vnorm",
+        sqrt(graft.functions.l2_norm_sq(col(vecCol))))
     val score =
       if (normalized) rawScore
-      else {
-        val n = sqrt(graft.functions.l2_norm_sq(col(vecCol)))
-        when(n === 0.0, lit(0.0)).otherwise(rawScore / n)
-      }
-    val cand = assigned
+      else when(col("_vnorm") === 0.0, lit(0.0))
+        .otherwise(rawScore / col("_vnorm"))
+    val cand = base
       .join(broadcast(probes), Seq("centroid_id"))
       .join(broadcast(qdf), Seq("qid"))
       .select(col("qid"), col(idCol).as("id"), score.as("score"))
@@ -113,23 +119,40 @@ final class IvfIndex(
   def searchDs(queries: DataFrame, qidCol: String, qvecCol: String,
                k: Int, nProbe: Int = 0, normalized: Boolean = true): DataFrame = {
     val np = if (nProbe > 0) nProbe else IvfIndex.defaultNProbe(nList)
-    // same normalization rule as the driver path: raw queries normalize
-    // (zero vector -> e0) so the dot against unit rows is cosine
-    val qn = (if (normalized) col(qvecCol)
-              else graft.functions.normalize_l2(col(qvecCol)))
-      .cast("array<double>")
+    // Query-side preparation matches the driver path ([[search]])
+    // bit-for-bit (ADVICE r7 — it used NormalizeL2, which works in
+    // FLOAT precision and applied the zero->e0 rule only when
+    // normalized=false): the all-zero query maps to e0 under BOTH
+    // normalized settings, and normalization divides in DOUBLE, the
+    // same `d.map(_ / n)` arithmetic the driver runs. e0's length is
+    // the index dim (the driver uses the query's own length — equal
+    // whenever the query is dimensioned for this index).
+    val qd = col(qvecCol).cast("array<double>")
+    val qNormSq = graft.functions.l2_norm_sq(col(qvecCol))
+    val e0: org.apache.spark.sql.Column =
+      if (dim <= 0) qd
+      else array((lit(1.0) +: Seq.fill(dim - 1)(lit(0.0))): _*)
+    val qn =
+      if (normalized) when(qNormSq === 0.0, e0).otherwise(qd)
+      else {
+        val n = sqrt(qNormSq)
+        when(qNormSq === 0.0, e0).otherwise(transform(qd, x => x / n))
+      }
     val probed = queries.select(col(qidCol).as("qid"), qn.as("_qv"),
       explode(graft.functions.nearest_centroids(qn, centroids, np))
         .as("centroid_id"))
     val rawScore = graft.functions.dot_product(col("_qv"),
       col(vecCol).cast("array<double>"))
+    // store-side norm below the join, one per store row (VERDICT r7 #5)
+    val base =
+      if (normalized) assigned
+      else assigned.withColumn("_vnorm",
+        sqrt(graft.functions.l2_norm_sq(col(vecCol))))
     val score =
       if (normalized) rawScore
-      else {
-        val vn = sqrt(graft.functions.l2_norm_sq(col(vecCol)))
-        when(vn === 0.0, lit(0.0)).otherwise(rawScore / vn)
-      }
-    probed.join(assigned, Seq("centroid_id"))
+      else when(col("_vnorm") === 0.0, lit(0.0))
+        .otherwise(rawScore / col("_vnorm"))
+    probed.join(base, Seq("centroid_id"))
       .select(col("qid"), col(idCol).as("id"), score.as("score"))
       .groupBy(col("qid"))
       .agg(graft.functions.top_k_hits(col("score"), col("id"), k).as("hits"))

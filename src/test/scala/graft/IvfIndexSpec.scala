@@ -78,6 +78,54 @@ class IvfIndexSpec extends AnyFunSuite {
       idx.search(queries, k = 5).count())
   }
 
+  test("searchDs matches search BIT-for-bit on normalized=false input incl. all-zero vectors") {
+    // ADVICE r7: searchDs normalized in float (NormalizeL2) and skipped
+    // the zero->e0 rule when normalized=true; both paths now share the
+    // driver's double arithmetic, so scores compare on exact bits.
+    val rng = new scala.util.Random(31)
+    val data = (0 until 120).map { i =>
+      (i.toLong, Array.fill(8)((rng.nextFloat() - 0.5f) * 3f))
+    } :+ (999L, new Array[Float](8)) // zero store row (vnorm=0 branch)
+    val df = data.toDF("vec_id", "vec")
+    val idx = IvfIndex.build(df, "vec_id", "vec", nList = 4, normalized = false)
+    val queries = (data.filter(_._1 % 29 == 0) :+
+      ((1000L, new Array[Float](8)))).toArray // all-zero query -> e0
+    def key(res: org.apache.spark.sql.DataFrame) =
+      res.select("qid", "rank", "id", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    val qds = queries.toSeq.toDF("vec_id", "vec")
+    assert(key(idx.searchDs(qds, "vec_id", "vec", k = 5, nProbe = 2, normalized = false)) ==
+      key(idx.search(queries, k = 5, nProbe = 2, normalized = false)))
+    // the zero->e0 rule applies on the normalized=true path too
+    assert(key(idx.searchDs(qds, "vec_id", "vec", k = 5, nProbe = 2)) ==
+      key(idx.search(queries, k = 5, nProbe = 2)))
+  }
+
+  test("normalized=false store norm projects BELOW the probe join (one norm per store row)") {
+    // VERDICT r7 #5: the sqrt used to sit in the projection above the
+    // join, charging a store row once per probing query.
+    val rng = new scala.util.Random(7)
+    val data = (0 until 60).map { i =>
+      (i.toLong, Array.fill(8)((rng.nextFloat() - 0.5f) * 2f))
+    }
+    val df = data.toDF("vec_id", "vec")
+    val idx = IvfIndex.build(df, "vec_id", "vec", nList = 4,
+      normalized = false, cacheAssigned = false)
+    val qds = data.take(3).toDF("vec_id", "vec")
+    val frame = idx.searchDs(qds, "vec_id", "vec", k = 3, nProbe = 2,
+      normalized = false)
+    val lines = frame.queryExecution.executedPlan.toString
+      .linesIterator.toIndexedSeq
+    val joinIdx = lines.indexWhere(_.contains("Join"))
+    assert(joinIdx >= 0, s"no join in plan:\n${lines.mkString("\n")}")
+    val sqrtAbove = lines.take(joinIdx).filter(_.toLowerCase.contains("sqrt("))
+    assert(sqrtAbove.isEmpty,
+      s"store norm computed above the probe join:\n${sqrtAbove.mkString("\n")}")
+    // ... and it still exists somewhere below (the projection wasn't lost)
+    assert(lines.drop(joinIdx).exists(_.toLowerCase.contains("sqrt(")))
+  }
+
   test("nProbe = nList degenerates to exact search on random data") {
     val rng = new scala.util.Random(9)
     val data = (0 until 200).map { i =>
