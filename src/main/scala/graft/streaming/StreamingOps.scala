@@ -190,21 +190,34 @@ object StreamingOps {
                                   current: () => DataFrame)
 
   def componentsSink(pairStream: DataFrame, seed: Option[DataFrame] = None,
-                     onUpdate: DataFrame => Unit = _ => ()): ComponentsSink = {
+                     onUpdate: DataFrame => Unit = _ => (),
+                     aCol: String = "a", bCol: String = "b"): ComponentsSink = {
+    // eager schema validation (ADVICE r7): a stream missing the pair
+    // columns, or with mismatched endpoint types, used to surface as an
+    // opaque analysis error inside the first micro-batch.
+    val schema = pairStream.schema
+    Seq(aCol, bCol).foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"componentsSink: pair stream needs column '$c' (pass aCol/bCol " +
+          s"for other names); stream has ${schema.fieldNames.mkString(", ")}")
+    }
+    val (ta, tb) = (schema(aCol).dataType, schema(bCol).dataType)
+    require(ta == tb,
+      s"componentsSink: pair endpoints '$aCol' ($ta) and '$bCol' ($tb) " +
+        "must share one id type")
     val spark = pairStream.sparkSession
     val empty = spark.createDataFrame(
       new java.util.ArrayList[Row](),
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("node",
-          pairStream.schema("a").dataType),
-        org.apache.spark.sql.types.StructField("cluster_id",
-          pairStream.schema("a").dataType))))
+        org.apache.spark.sql.types.StructField("node", ta),
+        org.apache.spark.sql.types.StructField("cluster_id", ta))))
     @volatile var components: DataFrame = seed.getOrElse(empty)
     val writer = pairStream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          components = graft.operators.Dedup.mergeComponents(components, batch)
+          components =
+            graft.operators.Dedup.mergeComponents(components, batch, aCol, bCol)
           onUpdate(components)
         }
       }

@@ -120,6 +120,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(updates.size == 2 && updates.last == after) // every merge handed to onUpdate
   }
 
+  test("componentsSink restart recovery: re-seed from the last onUpdate sink (VERDICT r7 #3)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // --- first life: two micro-batches, every merge handed to onUpdate
+    val mem1 = MemoryStream[(String, String)]
+    @volatile var lastSunk: org.apache.spark.sql.DataFrame = null
+    val sink1 = StreamingOps.componentsSink(mem1.toDF().toDF("a", "b"),
+      onUpdate = df => { lastSunk = df })
+    def run(s: StreamingOps.ComponentsSink): Unit = {
+      val q = s.writer
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+    }
+    mem1.addData(("d2", "d1"), ("d8", "d9"))
+    run(sink1)
+    mem1.addData(("d9", "d2"), ("x1", "x2"))
+    run(sink1) // "crash" here: sink1 is abandoned after this batch
+    assert(lastSunk != null)
+    // the sunk table is what a real pipeline persisted externally — the
+    // documented recovery contract says a NEW sink seeds from it
+    val recoveredSeed = lastSunk
+
+    // --- second life: fresh stream + sink seeded from the sunk table
+    val mem2 = MemoryStream[(String, String)]
+    val sink2 = StreamingOps.componentsSink(mem2.toDF().toDF("a", "b"),
+      seed = Some(recoveredSeed))
+    mem2.addData(("x2", "d1"), ("y1", "y2")) // bridges old clusters + fresh pair
+    run(sink2)
+    val got = sink2.current().collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    // oracle: batch recompute over ALL edges from both lives
+    val full = graft.operators.Dedup.connectedComponents(
+        Seq(("d2", "d1"), ("d8", "d9"), ("d9", "d2"), ("x1", "x2"),
+          ("x2", "d1"), ("y1", "y2")).toDF("a", "b"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == full)
+    assert(got("x1") == "d1" && got("d8") == "d1" && got("y2") == "y1")
+  }
+
+  test("componentsSink validates pair columns and types eagerly with a clear message") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val wrongNames = intercept[IllegalArgumentException] {
+      StreamingOps.componentsSink(mem.toDF().toDF("left", "right"))
+    }
+    assert(wrongNames.getMessage.contains("aCol/bCol"))
+    // custom names work end-to-end
+    val sink = StreamingOps.componentsSink(mem.toDF().toDF("left", "right"),
+      aCol = "left", bCol = "right")
+    mem.addData(("p2", "p1"))
+    val q = sink.writer
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    assert(sink.current().collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap ==
+      Map("p1" -> "p1", "p2" -> "p1"))
+    // mismatched endpoint types rejected upfront
+    val memT = MemoryStream[(Long, String)]
+    val wrongTypes = intercept[IllegalArgumentException] {
+      StreamingOps.componentsSink(memT.toDF().toDF("a", "b"))
+    }
+    assert(wrongTypes.getMessage.contains("share one id type"))
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
