@@ -399,6 +399,50 @@ object Bench {
         errors("ann_recall10") =
           Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
     }
+    // Clustered-data recall (VERDICT r7 #7): the sweep above uses the
+    // bench's structure-free embeddings — IVF's worst case, where recall
+    // approaches the probed-mass fraction. Real-world embeddings are
+    // clustered; planted-cluster vectors (the IvfIndexSpec floor test's
+    // data shape, and the shape of the reference's parity fixture,
+    // tests/test_task14_faiss_vs_numpy_results.py) show the realistic
+    // default-nProbe trade: true neighbors concentrate in few lists, so
+    // far fewer probes reach full recall.
+    if (!picovdbOnly) try {
+      import spark.implicits._
+      val dimC = 16
+      val rng = new scala.util.Random(2024)
+      val dataC = (0 until 2000).map { i =>
+        val c = i % 16
+        val v = Array.fill(dimC)((rng.nextFloat() - 0.5f) * 0.8f)
+        v(c) += 1f
+        val nn = math.sqrt(v.map(x => x.toDouble * x).sum)
+        (i.toLong, v.map(x => (x / nn).toFloat))
+      }
+      val idxC = graft.operators.IvfIndex.build(
+        dataC.toDF("vec_id", "vec"), "vec_id", "vec", nList = 16,
+        cacheAssigned = false)
+      val qsC = dataC.filter(_._1 % 40 == 0).toArray // 50 queries
+      val exactC = qsC.map { case (qid, q) =>
+        qid -> dataC.map { case (id, v) =>
+          (id, q.zip(v).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+        }.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      }.toMap
+      val npDefC = graft.operators.IvfIndex.defaultNProbe(idxC.nList)
+      (Seq(1, 2, 4) :+ npDefC).distinct.sorted.foreach { np =>
+        val approx = idxC.search(qsC, k = 10, nProbe = np)
+          .select("qid", "id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        val perQ = qsC.map { case (qid, _) =>
+          approx.getOrElse(qid, Set.empty[Long]).count(exactC(qid)).toDouble / 10.0
+        }
+        recalls(s"clustered_nprobe$np") = perQ.sum / math.max(1, perQ.length)
+      }
+      recalls("clustered_nprobe_default") = recalls(s"clustered_nprobe$npDefC")
+    } catch {
+      case e: Throwable =>
+        errors("ann_recall10_clustered") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    }
 
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

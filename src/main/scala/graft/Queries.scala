@@ -285,6 +285,25 @@ object Queries {
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Dataset-query-side IVF ANN (O27 scale path): the query batch stays
+    * a DataFrame end-to-end — per-row codegen centroid probes +
+    * bounded-heap top-k, no driver collect anywhere. Bit-identical
+    * output to [[annIvf]] (searchDs parity spec), registered separately
+    * so the distributed path carries its own bench number (VERDICT r7
+    * #6). Same index cache key as q26: whichever runs first builds.
+    */
+  def annIvfDs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+    val idx = operators.IvfIndex.cached(s"$dir/embeddings#16")(
+      operators.IvfIndex.build(emb, "vec_id", "embedding", nList = 16,
+        normalized = false))
+    idx.searchDs(queries, "vec_id", "embedding", k = 10, normalized = false)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Text-chunking ingest (pipeline op): overlapping token windows over
     * each document — the chunk->embed->upsert flow's first stage
     * (operators.TextChunk; bench/st_embedding.py analog). Boundaries are
@@ -624,6 +643,7 @@ object Queries {
     "q43_doc_embedding" -> (docEmbedding _),
     "q44_edit_distance" -> (editDistancePairs _),
     "q45_merge_clusters" -> (mergeClusters _),
+    "q46_ann_ivf_ds" -> (annIvfDs _),
   )
 }
 
