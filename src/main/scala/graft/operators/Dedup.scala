@@ -698,7 +698,7 @@ object Dedup {
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .select(col(aCol).as("a"), col(bCol).as("b"))
       .persist()
-    val (merged, qcc) = mergeFrames(existing, cleaned, maxIter)
+    val (merged, qcc, touched) = mergeFrames(existing, cleaned, maxIter)
     val out = materializeResult(merged)
     // the quotient labeling is an intermediate here: once `out` is
     // materialized its reliable checkpoint (when a checkpoint dir is
@@ -706,23 +706,51 @@ object Dedup {
     // rdd-N dir per micro-batch (ADVICE r7), contradicting the
     // one-checkpoint-per-call invariant of [[materializeResult]].
     deleteCheckpointFiles(existing.sparkSession, checkpointFileOf(qcc))
+    touched.unpersist(blocking = false)
     cleaned.unpersist(blocking = false)
     out
   }
 
-  /** Un-materialized merge plan + the inner quotient labeling frame.
-    * Package-private so PlanShapeSpec can assert the relabel join's
-    * physical shape (the broadcast pin below) BEFORE materialization
-    * hides it behind a LogicalRDD. `cleaned` must already carry columns
-    * `a`/`b` with nulls dropped.
+  /** Un-materialized merge plan + the inner quotient labeling + the
+    * persisted batch-bounded `touched` slice (caller unpersists after
+    * materializing the merge). Package-private so PlanShapeSpec can
+    * assert the physical shape (the broadcast pins below) BEFORE
+    * materialization hides it behind a LogicalRDD. `cleaned` must
+    * already carry columns `a`/`b` with nulls dropped.
+    *
+    * Scale shape (the 100 TB contract, PlanShapeSpec-pinned): the N-row
+    * components table is NEVER shuffled. It is read exactly twice, both
+    * map-side against a broadcast of a batch-bounded build:
+    *
+    *  1. `touched` — one LeftSemi pass with the batch's endpoint set
+    *     broadcast extracts the (≤ 2·|batch| rows) slice every lookup
+    *     below needs; the r7 shape instead joined the full table three
+    *     times (two contraction lookups + the unseen anti-join), each a
+    *     hash shuffle of all N rows per micro-batch.
+    *  2. the relabel — LeftOuter against the broadcast quotient
+    *     labeling (VERDICT r7 #3).
+    *
+    * Everything else (contraction, fixpoint, unseen-node entry) runs on
+    * batch-sized frames. A batch too large to broadcast its endpoint
+    * set is outside this operator's design point — run the full
+    * [[connectedComponents]] recompute instead.
     */
   private[graft] def mergeFrames(existing: DataFrame, cleaned: DataFrame,
-                                 maxIter: Int): (DataFrame, DataFrame) = {
-    val exA = existing.select(col("node").as("a"), col("cluster_id").as("_ra"))
-    val exB = existing.select(col("node").as("b"), col("cluster_id").as("_rb"))
+                                 maxIter: Int): (DataFrame, DataFrame, DataFrame) = {
+    val endpoints = cleaned
+      .select(explode(array(col("a"), col("b"))).as("node")).distinct()
+    // eagerly materialized: the contraction references it twice (exA,
+    // exB) and AQE races concurrent stages into a lazily-persisted
+    // cache (the `Block rdd_N already exists` class, VERDICT r6 #6)
+    val touched = existing
+      .join(broadcast(endpoints), Seq("node"), "left_semi")
+      .persist()
+    touched.count()
+    val exA = touched.select(col("node").as("a"), col("cluster_id").as("_ra"))
+    val exB = touched.select(col("node").as("b"), col("cluster_id").as("_rb"))
     val contracted = cleaned
-      .join(exA, Seq("a"), "left")
-      .join(exB, Seq("b"), "left")
+      .join(broadcast(exA), Seq("a"), "left")
+      .join(broadcast(exB), Seq("b"), "left")
       .select(coalesce(col("_ra"), col("a")).as("a"),
         coalesce(col("_rb"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
@@ -731,28 +759,21 @@ object Dedup {
     val quotient = qcc
       .select(col("node").as("_qn"), col("cluster_id").as("_ql"))
     // existing nodes re-route through their representative's new label;
-    // untouched clusters miss the join and keep their old label. The
-    // quotient is batch-bounded (≤ 2·|batch| vertices) by construction,
-    // so the relabel is PINNED as a broadcast: the scale contract is one
-    // map-side pass over the N-row components table, never a shuffle of
-    // it (VERDICT r7 #3 — AQE happened to broadcast at test sizes;
-    // nothing guaranteed it). A batch too large to broadcast is outside
-    // this operator's design point — run the full [[connectedComponents]]
-    // recompute instead.
+    // untouched clusters miss the join and keep their old label
     val relabeled = existing
       .join(broadcast(quotient), existing("cluster_id") === col("_qn"), "left")
       .select(existing("node"),
         coalesce(col("_ql"), existing("cluster_id")).as("cluster_id"))
     // unseen endpoints of this batch enter as themselves (each IS a
-    // quotient vertex); a batch whose pairs were all intra-cluster
-    // self-loops contributes nothing new
-    val newNodes = cleaned
-      .select(explode(array(col("a"), col("b"))).as("node")).distinct()
-      .join(existing.select(col("node")), Seq("node"), "left_anti")
+    // quotient vertex); endpoints ∖ touched ≡ endpoints ∖ existing, so
+    // the anti-join never touches the full table. A batch whose pairs
+    // were all intra-cluster self-loops contributes nothing new.
+    val newNodes = endpoints
+      .join(broadcast(touched.select(col("node"))), Seq("node"), "left_anti")
       .join(broadcast(quotient), col("node") === col("_qn"), "left")
       .select(col("node"),
         coalesce(col("_ql"), col("node")).as("cluster_id"))
-    (relabeled.unionByName(newNodes), qcc)
+    (relabeled.unionByName(newNodes), qcc, touched)
   }
 
   /** Keep-one dedup materializer: drop every row whose id sits in a

@@ -71,15 +71,29 @@ class PlanShapeSpec extends AnyFunSuite {
     try {
       val existing = (0L until 1000L).map(i => (i, (i / 4) * 4)).toDF("node", "cluster_id")
       val cleaned = Seq((0L, 4L), (8L, 12L), (100L, 2000L)).toDF("a", "b")
-      val (merged, _) = operators.Dedup.mergeFrames(existing, cleaned, 50)
-      // physical join lines carry their keys: any join on _qn must be a
-      // broadcast hash join (string plan covers the AQE initial plan)
-      val planStr = merged.queryExecution.executedPlan.toString
-      val qnJoins = planStr.linesIterator
-        .filter(l => l.contains("Join") && l.contains("_qn")).toList
-      assert(qnJoins.nonEmpty, s"no quotient join found in:\n$planStr")
-      assert(qnJoins.forall(_.contains("BroadcastHashJoin")),
-        s"quotient join regressed to a shuffle:\n${qnJoins.mkString("\n")}")
+      val (merged, _, touched) = operators.Dedup.mergeFrames(existing, cleaned, 50)
+      try {
+        // physical join lines carry their keys: any join on _qn must be
+        // a broadcast hash join (string plan covers the AQE initial plan)
+        val planStr = merged.queryExecution.executedPlan.toString
+        val qnJoins = planStr.linesIterator
+          .filter(l => l.contains("Join") && l.contains("_qn")).toList
+        assert(qnJoins.nonEmpty, s"no quotient join found in:\n$planStr")
+        assert(qnJoins.forall(_.contains("BroadcastHashJoin")),
+          s"quotient join regressed to a shuffle:\n${qnJoins.mkString("\n")}")
+        // the whole merge plan carries NO shuffled join of any kind —
+        // every join against the components table builds a broadcast of
+        // a batch-bounded side (the zero-component-shuffle contract)
+        Seq("SortMergeJoin", "ShuffledHashJoin").foreach { j =>
+          assert(!planStr.contains(j), s"merge plan gained a $j:\n$planStr")
+        }
+        // and the touched extraction itself is a broadcast semi join —
+        // ONE map-side pass over the full table
+        val touchedPlan = touched.queryExecution.executedPlan.toString
+        assert(touchedPlan.contains("BroadcastHashJoin") &&
+          touchedPlan.contains("LeftSemi"),
+          s"touched slice must extract via broadcast semi join:\n$touchedPlan")
+      } finally touched.unpersist(blocking = false)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
