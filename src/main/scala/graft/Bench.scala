@@ -43,7 +43,7 @@ object Bench {
     */
   private[graft] def forceSink(df: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.functions.{col, expr, xxhash64}
-    df.select(xxhash64(df.columns.map(col): _*).as("_h_"))
+    df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("_h_"))
       .agg(expr("bit_xor(_h_)")).collect()
     ()
   }

@@ -81,7 +81,7 @@ object ProfileQ22 {
     timed("distinct shingles")(shingles.select("shingle").distinct().count())
 
     val sigCols = (0 until 12).map { s =>
-      min(md5(concat(lit(s + ":"), col("shingle")).cast("binary"))).as(s"sig$s")
+      min(md5(concat(lit(s"$s:"), col("shingle")).cast("binary"))).as(s"sig$s")
     }
     val mh = shingles.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     timed("minhash sigs (12x md5/row)")(mh.count())
