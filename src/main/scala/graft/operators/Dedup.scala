@@ -586,12 +586,18 @@ object Dedup {
     // swap would recompute the (possibly expensive: a whole LSH
     // pipeline) pair upstream once per branch; distinct collapses
     // multi-edges from multi-band sources so each round's join fans
-    // out minimally
+    // out minimally. The distinct leaves the cache partitioned on
+    // (src, dst), which does NOT satisfy the round-join's clustering
+    // on src — every round would re-shuffle the full edge set. One
+    // repartition(src) at build (cached partitioning survives
+    // InMemoryTableScan) elides the edges Exchange from every round:
+    // per round only the (node-count) labels side shuffles, a
+    // diameter× saving on the largest frame in the loop.
     val edges = e0.select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().persist()
+      .distinct().repartition(col("src")).persist()
     val sc = edges.sparkSession.sparkContext
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).persist()
