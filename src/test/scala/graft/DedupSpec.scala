@@ -276,6 +276,21 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeComponents is idempotent: re-folding an already-merged batch is a no-op (redelivery safety)") {
+    // foreachBatch can redeliver a micro-batch after a failure; an
+    // already-merged pair contracts to a self-loop and drops before the
+    // fixpoint, so componentsSink needs no dedup bookkeeping.
+    val existing = Dedup.connectedComponents(
+      Seq((1L, 2L), (5L, 6L), (10L, 11L)).toDF("a", "b"))
+    val batch = Seq((2L, 5L), (20L, 21L)).toDF("a", "b")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val once = Dedup.mergeComponents(existing, batch)
+    val twice = Dedup.mergeComponents(once, batch)
+    assert(m(once) == m(twice))
+    assert(m(once)(6L) == 1L && m(once)(21L) == 20L && m(once)(11L) == 10L)
+  }
+
   test("mergeComponents with a checkpoint dir leaves exactly ONE checkpoint (inner quotient deleted)") {
     // the inner quotient connectedComponents call materializes its own
     // reliable checkpoint; once the merged result is materialized that
