@@ -59,6 +59,21 @@ final class VdbStore private (
   /** Seconds spent by the most recent invocation of each operation. */
   def lastTimings: Map[String, Double] = timings
 
+  // Which execution path the most recent query() took — the analog of
+  // the reference's `_last_topk_strategy` introspection
+  // (pico_vdb.py:160-167, 698-713; asserted by
+  // tests/test_task48_tuning_knobs.py:39-52). The reference reports its
+  // NumPy top-k algorithm ("argsort" vs "argpartition"); the strategies
+  // that exist HERE are the physical paths Catalyst/graft choose
+  // between, so that is what a migrating user introspects:
+  //   "ann"            — IVF probe search served the whole batch
+  //   "exact"          — full packed-scan (BlockStore SIMD) path
+  //   "exact-filtered" — ids/where/whereFn candidates packed + scanned
+  @volatile private var lastStrategy: Option[String] = None
+
+  /** Path taken by the most recent [[query]]; None before any query. */
+  def lastQueryStrategy: Option[String] = lastStrategy
+
   private def timed[T](op: String)(f: => T): T = {
     spark.sparkContext.setJobDescription(s"graft.vdb.$op")
     val t0 = System.nanoTime()
@@ -367,6 +382,10 @@ final class VdbStore private (
     // their results deterministic.
     val unfiltered = ids.isEmpty && where.isEmpty && whereFn.isEmpty
     val ann = if (unfiltered && betterThan.isEmpty) refreshAnn() else None
+    lastStrategy = Some(
+      if (ann.isDefined) "ann"
+      else if (unfiltered) "exact"
+      else "exact-filtered")
 
     val queries = vectors.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toArray
     // (qid, id, score, rank) on the driver — Q x k rows either way

@@ -314,16 +314,26 @@ class IvfIndexSpec extends AnyFunSuite {
     }
     s.upsert(recs)
     s.enableAnn(nList = 4)
+    assert(s.lastQueryStrategy.isEmpty) // no query yet
     val hits = s.queryOne(Array(1f, 0f, 0f, 0f), topK = 3)
     assert(hits.size == 3 && hits.head.metrics > 0.9)
+    // strategy introspection — the `_last_topk_strategy` analog
+    // (pico_vdb.py:160-167; tests/test_task48_tuning_knobs.py:39-52)
+    assert(s.lastQueryStrategy.contains("ann"))
     // filtered query still correct (exact path)
     val f = s.queryOne(Array(1f, 0f, 0f, 0f), topK = 3,
       where = Some(org.apache.spark.sql.functions.get_json_object(
         col("meta"), "$.g") === "1"))
     assert(f.nonEmpty)
+    assert(s.lastQueryStrategy.contains("exact-filtered"))
+    // thresholded query takes the deterministic exact path (O28
+    // conservative deviation), reported as such
+    s.queryOne(Array(1f, 0f, 0f, 0f), topK = 3, betterThan = Some(0.1))
+    assert(s.lastQueryStrategy.contains("exact"))
     // mutation invalidates; next unfiltered query rebuilds and still answers
     s.delete(Seq("r0"))
     val again = s.queryOne(Array(1f, 0f, 0f, 0f), topK = 3)
     assert(again.nonEmpty && again.map(_.id).forall(_ != "r0"))
+    assert(s.lastQueryStrategy.contains("ann")) // rebuilt, back on the index
   }
 }
