@@ -19,10 +19,28 @@ object DedupScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // per-phase shuffle-write volume: the byte-level witness for the
+    // "batch-sized, not table-sized" claims (zero-component-shuffle
+    // merge, round 8). Stage events arrive async — the short drain
+    // sleep keeps attribution honest enough for a smoke.
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          shuffleW.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
     def timed(name: String)(f: => Long): Unit = {
+      Thread.sleep(300)
+      val w0 = shuffleW.get()
       val t0 = System.nanoTime()
       val out = f
-      println(f"DEDUPSMOKE $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s  (rows=$out)")
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // drain listener queue before reading
+      val mb = (shuffleW.get() - w0) / 1048576.0
+      println(f"DEDUPSMOKE $name%-24s $dt%7.2f s  shuffleMB=$mb%8.1f  (rows=$out)")
     }
 
     // ~50-token docs over a 10k-word vocabulary; every 100th doc is a
