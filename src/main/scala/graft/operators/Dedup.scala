@@ -563,6 +563,17 @@ object Dedup {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getCheckpointFile
     }.flatten
 
+  /** Delete the reliable-checkpoint files backing a frame this module
+    * materialized, once the CALLER has superseded it — the accumulator
+    * counterpart of the per-call cleanup: a long-lived loop that folds
+    * result into result (componentsSink) must drop each stale
+    * snapshot's files or it leaks one rdd-N dir per iteration
+    * (tools/StreamSoak is the witness). No-op for localCheckpoint- or
+    * plain-backed frames. The frame is unreadable afterwards.
+    */
+  private[graft] def dropResultCheckpoint(df: DataFrame): Unit =
+    deleteCheckpointFiles(df.sparkSession, checkpointFileOf(df))
+
   /** Best-effort delete of superseded checkpoint dirs (leak closure —
     * ADVICE r5/r6): failure to delete only re-opens the documented
     * leak, never breaks the computation, so errors are swallowed.

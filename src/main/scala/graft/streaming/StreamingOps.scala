@@ -181,10 +181,16 @@ object StreamingOps {
     * State note: the components table lives in THIS driver's lineage
     * (checkpointed per batch), not the streaming state store — restart
     * recovery means re-seeding from the last `onUpdate` sink, which is
-    * why `onUpdate` receives every merged table. `seed` starts the
-    * accumulator from an existing labeling (e.g. a batch
+    * why `onUpdate` receives every merged table (StreamingSpec runs
+    * that recovery round-trip). `seed` starts the accumulator from an
+    * existing labeling (e.g. a batch
     * [[graft.operators.Dedup.connectedComponents]] over the historical
-    * corpus).
+    * corpus). With a reliable checkpoint dir configured, each
+    * superseded snapshot's files are deleted when the next batch lands
+    * (bounded disk, tools/StreamSoak-verified) — so a `current()` frame
+    * is valid until the NEXT micro-batch completes; durable readers
+    * consume `onUpdate`, which runs before the drop. The caller's own
+    * `seed` frame is never touched.
     */
   final case class ComponentsSink(writer: DataStreamWriter[Row],
                                   current: () => DataFrame)
@@ -212,13 +218,25 @@ object StreamingOps {
         org.apache.spark.sql.types.StructField("node", ta),
         org.apache.spark.sql.types.StructField("cluster_id", ta))))
     @volatile var components: DataFrame = seed.getOrElse(empty)
+    // snapshots THIS sink materialized (never the caller's seed) own
+    // their reliable checkpoint; once the next batch supersedes one,
+    // its files are deleted — a long-lived sink would otherwise leak
+    // one rdd-N dir per micro-batch (tools/StreamSoak caught exactly
+    // that in round 8). Consequence, documented on ComponentsSink: a
+    // `current()` frame is valid until the NEXT micro-batch completes;
+    // durable readers consume `onUpdate` (which runs BEFORE the
+    // superseded snapshot is dropped).
+    @volatile var ownsCurrent = false
     val writer = pairStream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          val prev = components
           components =
             graft.operators.Dedup.mergeComponents(components, batch, aCol, bCol)
           onUpdate(components)
+          if (ownsCurrent) graft.operators.Dedup.dropResultCheckpoint(prev)
+          ownsCurrent = true
         }
       }
     ComponentsSink(writer, () => components)

@@ -161,6 +161,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got("x1") == "d1" && got("d8") == "d1" && got("y2") == "y1")
   }
 
+  test("componentsSink with a checkpoint dir keeps exactly ONE live checkpoint across batches") {
+    // each micro-batch materializes a new accumulator snapshot; the
+    // superseded one's reliable checkpoint must be dropped when the
+    // next batch lands or a long-lived sink leaks one rdd-N dir per
+    // batch (tools/StreamSoak caught this in round 8; bounded-disk
+    // contract documented on ComponentsSink).
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val sc = spark.sparkContext
+    val ckptRoot = java.nio.file.Files.createTempDirectory("graft-sink-ckpt").toFile
+    sc.setCheckpointDir(ckptRoot.getAbsolutePath)
+    try {
+      val mem = MemoryStream[(Long, Long)]
+      val sink = StreamingOps.componentsSink(mem.toDF().toDF("a", "b"))
+      def run(): Unit = {
+        val q = sink.writer
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(60000); q.stop()
+      }
+      (1 to 3).foreach { b =>
+        mem.addData((b * 10L, b * 10L + 1), (b * 10L + 1, b * 10L + 2))
+        run()
+      }
+      def rddDirs(f: java.io.File): Int =
+        if (!f.isDirectory) 0
+        else if (f.getName.startsWith("rdd-")) 1
+        else f.listFiles().map(rddDirs).sum
+      assert(rddDirs(ckptRoot) == 1,
+        s"superseded sink snapshots must drop their checkpoints, have ${rddDirs(ckptRoot)}")
+      // the surviving checkpoint is the live table — still readable+right
+      val got = sink.current().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+        20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L))
+    } finally {
+      sc.setCheckpointDir(null)
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete(); ()
+      }
+      del(ckptRoot)
+    }
+  }
+
   test("componentsSink validates pair columns and types eagerly with a clear message") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
