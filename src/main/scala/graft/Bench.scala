@@ -91,14 +91,17 @@ object Bench {
     spark.range(1000000).select(org.apache.spark.sql.functions.sum("id")).collect()
     SparkEntry.entry(spark).count()
 
-    // Noise-canary calibration: warm the loop through C2, then take the
-    // min of 5 as the uncontended nominal (min, not median — the nominal
-    // must be the quiet-host floor, or contention during calibration
-    // would mask contention later).
+    // Noise-canary calibration: warm the loop through C2, then seed the
+    // nominal with min-of-5. The recorded ratios are normalized against
+    // the GLOBAL minimum across calibration AND per-pass samples
+    // (computed at JSON time): if the calibration window itself ran
+    // under contention, any later quiet pass re-anchors the floor, so
+    // an inflated nominal cannot mask real contention (ratios are also
+    // never systematically < 1).
     (1 to 3).foreach(_ => canaryOnce())
-    val canaryNominal = (1 to 5).map(_ => canaryOnce()).min
-    val canaryRatios = scala.collection.mutable.Buffer[Double]()
-    def canarySample(): Unit = canaryRatios += canaryOnce() / canaryNominal
+    val canaryCalib = (1 to 5).map(_ => canaryOnce())
+    val canaryRaw = scala.collection.mutable.Buffer[Double]()
+    def canarySample(): Unit = canaryRaw += canaryOnce()
 
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -463,19 +466,21 @@ object Bench {
     val total = results.collect {
       case (k, v) if v >= 0 && !k.endsWith("_min") && !k.endsWith("_max") => v
     }.sum
-    // noise_canary: ratio of a fixed single-thread FMA loop to its
-    // startup-calibrated nominal, sampled once per headline cold cycle
-    // (first 3) and once per interleaved catalog pass (last 3). Any
-    // entry > ~1.25 means that pass ran under host contention — read
-    // this run's numbers accordingly.
+    // noise_canary: ratio of a fixed single-thread FMA loop to the
+    // run's global-minimum canary time (calibration + passes), sampled
+    // once per headline cold cycle (first 3) and once per interleaved
+    // catalog pass (last 3). Any entry > ~1.25 means that pass ran
+    // under host contention — read this run's numbers accordingly.
+    val canaryNominal = (canaryCalib ++ canaryRaw).min
+    val canaryRatios = canaryRaw.map(_ / canaryNominal)
     val canaryJson = canaryRatios.map(jnum).mkString("[", ",", "]")
     val canaryFlagged = canaryRatios.exists(_ > 1.25)
     val notes = jstr(
-      "noise_canary = single-thread 100M-FMA time / calibrated nominal, " +
+      "noise_canary = single-thread 100M-FMA time / run-global minimum, " +
       "per measurement pass (3 headline cycles then 3 catalog passes); " +
       ">1.25 marks a contaminated pass. Cache-building catalog entries " +
-      "(q23 simhash signatures, q26 IVF build) record warm steady state " +
-      "since r7; their one-time build cost is in the run log, not here.")
+      "(q23 simhash signatures, q26/q46 IVF build) record warm steady " +
+      "state since r7; their one-time build cost is in the run log, not here.")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann_recall10":$rc,"noise_canary":$canaryJson,"noise_flagged":$canaryFlagged,"canary_nominal_sec":${jnum(canaryNominal)},"notes":$notes,"errors":$es,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
