@@ -214,6 +214,11 @@ object Bench {
         ()
       }
     }
+    // Post-final-cycle witness (VERDICT r8 next-round #7): the per-cycle
+    // samples above land BEFORE each timed region, so a steal burst inside
+    // the last cycle would otherwise leave no trace in the canary array.
+    canarySample()
+    val headlineCanaryCount = canaryRaw.size
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     results("picovdb_insert_100k") = median(insertSamples.toSeq)
 
@@ -358,6 +363,27 @@ object Bench {
       samples.foreach { case (name, ts) =>
         if (!errors.contains(name)) results(name) = median(ts)
       }
+
+      // Merge-only fold timing (VERDICT r8 next-round #5): q45's catalog
+      // number conflates building its fixture — a from-scratch labeling
+      // plus two pair blockings — with the incremental fold it exists to
+      // measure. Build the fixture once UNTIMED, then time only
+      // mergeComponents: the per-micro-batch cost a streaming dedup
+      // pipeline actually pays (SCALING.md's flat-per-batch claim).
+      // mergeComponents materializes its result eagerly, so the timed
+      // call covers the whole fold.
+      try {
+        val (historical, newPairs) = Queries.mergeFixture(spark, sfDir)
+        results("q45_merge_only") = median((1 to 3).map { i =>
+          if (i > 1) Thread.sleep(500)
+          timed { graft.operators.Dedup.mergeComponents(historical, newPairs); () }
+        })
+        newPairs.unpersist(blocking = false)
+      } catch {
+        case e: Throwable =>
+          errors("q45_merge_only") =
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
     }
 
     // ---- ANN recall@10 vs the exact path on the real embeddings ----
@@ -475,13 +501,40 @@ object Bench {
     val canaryRatios = canaryRaw.map(_ / canaryNominal)
     val canaryJson = canaryRatios.map(jnum).mkString("[", ",", "]")
     val canaryFlagged = canaryRatios.exists(_ > 1.25)
+    // Self-description derived from the ACTUAL sample counts (ADVICE r8:
+    // the hardcoded "3 headline cycles then 3 catalog passes" text was
+    // wrong under SPARK_GRAFT_PICOVDB_ONLY, where the catalog loop is
+    // skipped and the array is shorter).
+    val catalogCanaryCount = canaryRaw.size - headlineCanaryCount
+    val canaryLayout =
+      s"$headlineCanaryCount headline samples (one per cold cycle + one " +
+      s"post-final-cycle witness)" +
+      (if (catalogCanaryCount > 0)
+         s" then $catalogCanaryCount catalog-pass samples"
+       else " (catalog sweep skipped: picovdb-only mode)")
     val notes = jstr(
       "noise_canary = single-thread 100M-FMA time / run-global minimum, " +
-      "per measurement pass (3 headline cycles then 3 catalog passes); " +
+      s"per measurement pass ($canaryLayout); " +
       ">1.25 marks a contaminated pass. Cache-building catalog entries " +
       "(q23 simhash signatures, q26/q46 IVF build) record warm steady " +
       "state since r7; their one-time build cost is in the run log, not here.")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann_recall10":$rc,"noise_canary":$canaryJson,"noise_flagged":$canaryFlagged,"canary_nominal_sec":${jnum(canaryNominal)},"notes":$notes,"errors":$es,"sf":${jstr(sfDir)}}""")
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ann_recall10":$rc,"noise_canary":$canaryJson,"noise_flagged":$canaryFlagged,"canary_nominal_sec":${jnum(canaryNominal)},"notes":$notes,"errors":$es,"sf":${jstr(sfDir)}}"""
+    println(jsonLine)
+    // Durable artifact (VERDICT r8 next-round #1): the stdout line above is
+    // the driver contract, but any finite tail capture can decapitate a
+    // single long line (BENCH_r08.json lost its headline entries that way).
+    // Write the identical JSON to a file beside the repo root, overwritten
+    // per run, so the record survives regardless of how stdout is captured.
+    try {
+      val out = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
+      val w = new java.io.PrintWriter(out, "UTF-8")
+      try w.println(jsonLine) finally w.close()
+      System.err.println(s"bench json also written to ${out.getAbsolutePath}")
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"bench json file write failed (stdout line above is complete): $e")
+    }
     spark.stop()
   }
 }

@@ -304,6 +304,29 @@ object Queries {
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Oracled exact-parity ANN entry (q47, VERDICT r8 next-round #2): the
+    * same IVF probe-join + bounded-heap `top_k_hits` machinery as q26,
+    * run at nProbe = nList — every list is probed, so the candidate set
+    * is the whole store and the result is EXACT by construction
+    * (IvfIndexSpec proves nProbe=nList ≡ the exact path bit-for-bit).
+    * That makes this the one ANN entry a DuckDB top-k oracle can
+    * hash-match, giving the probe-join plumbing a green CORRECTNESS row
+    * instead of a units-only argument. Distinct query slice from
+    * q01/q26 so the entry carries its own evidence.
+    */
+  def annIvfExact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") >= 60 && col("vec_id") < 80)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val idx = operators.IvfIndex.cached(s"$dir/embeddings#16")(
+      operators.IvfIndex.build(emb, "vec_id", "embedding", nList = 16,
+        normalized = false))
+    idx.search(queries, k = 10, nProbe = idx.nList, normalized = false)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Text-chunking ingest (pipeline op): overlapping token windows over
     * each document — the chunk->embed->upsert flow's first stage
     * (operators.TextChunk; bench/st_embedding.py analog). Boundaries are
@@ -396,6 +419,26 @@ object Queries {
       .join(merged.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** q45's fixture, exposed for the bench's merge-only timing (VERDICT
+    * r8 next-round #5: the catalog entry conflates fixture construction
+    * — a from-scratch labeling plus two blockings — with the 2-3 s fold
+    * it exists to measure). Returns (historical labeling, new pair
+    * batch); the historical frame is already materialized by
+    * `connectedComponents`, the pair frame is persisted and counted so
+    * a timed `mergeComponents` over the two measures ONLY the fold.
+    */
+  private[graft] def mergeFixture(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = t(spark, dir, "documents")
+    val w = docs.select(col("doc_id"), words(col("text")).as("w"))
+    def fpAt(start: Int) = w.select(col("doc_id"),
+      md5(concat_ws(" ", slice(col("w"), start, 4)).cast("binary")).as("fp"))
+    val historical = operators.Dedup.connectedComponents(
+      operators.Dedup.pairsByKey(fpAt(1), Seq("fp")))
+    val newPairs = operators.Dedup.pairsByKey(fpAt(2), Seq("fp")).persist()
+    newPairs.count()
+    (historical, newPairs)
   }
 
   /** Character-window chunking (pipeline op): the reference's other
@@ -644,6 +687,7 @@ object Queries {
     "q44_edit_distance" -> (editDistancePairs _),
     "q45_merge_clusters" -> (mergeClusters _),
     "q46_ann_ivf_ds" -> (annIvfDs _),
+    "q47_ann_ivf_exact" -> (annIvfExact _),
   )
 }
 
@@ -1098,5 +1142,10 @@ object Oracles {
         |cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
         |SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
         |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id""".stripMargin,
+    // IVF at nProbe = nList probes every list — exact by construction, so
+    // the standard top-k oracle applies (the one ANN entry that can
+    // hash-match; q26/q46 stay no_oracle by design)
+    "q47_ann_ivf_exact" ->
+      topkOracle("vec_id >= 60 AND vec_id < 80", "true", 10, None),
   )
 }

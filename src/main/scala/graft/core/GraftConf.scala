@@ -52,6 +52,19 @@ final class GraftConf(spark: SparkSession) {
   def snapshotsKeep: Int =
     opt("snapshots.keep", "GRAFT_SNAPSHOTS_KEEP").map(_.toInt).getOrElse(1)
 
+  /** Distinct-endpoint bound for the incremental component fold
+    * ([[graft.operators.Dedup.mergeComponents]]): every batch-derived
+    * frame there (endpoint set, touched slice, quotient labeling) is
+    * broadcast, so batches above this bound route to the full
+    * `connectedComponents` recompute instead of dying on a broadcast
+    * limit. Default 2M endpoints ≈ a ~100 MB broadcast hash relation —
+    * conservative for a local driver; raise on a cluster with driver
+    * memory to spare.
+    */
+  def mergeMaxBatch: Long =
+    opt("merge.maxBatch", "GRAFT_MERGE_MAX_BATCH").map(_.toLong)
+      .getOrElse(2000000L)
+
   /** Score queries with sequential-double accumulation (bit-parity with
     * the DotProduct expression / declarative plan) instead of the SIMD
     * float32 kernels. Default false: float32 is the reference's own

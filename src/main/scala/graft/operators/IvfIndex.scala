@@ -54,6 +54,14 @@ final class IvfIndex(
     */
   def search(queries: Array[(Long, Array[Float])], k: Int, nProbe: Int = 0,
              normalized: Boolean = true): DataFrame = {
+    // mis-dimensioned queries fail loudly here (ADVICE r8): truncated
+    // dot products would silently score garbage, and the searchDs
+    // bit-parity claim is scoped to index-dimensioned queries (its e0
+    // uses the index dim; README "ANN" caveat)
+    if (dim > 0) queries.foreach { case (qid, v) =>
+      require(v.length == dim,
+        s"IvfIndex.search: query $qid has dim ${v.length}, index dim is $dim")
+    }
     val np = if (nProbe > 0) nProbe else IvfIndex.defaultNProbe(nList)
     val spark = assigned.sparkSession
     import spark.implicits._
@@ -125,8 +133,11 @@ final class IvfIndex(
     // normalized=false): the all-zero query maps to e0 under BOTH
     // normalized settings, and normalization divides in DOUBLE, the
     // same `d.map(_ / n)` arithmetic the driver runs. e0's length is
-    // the index dim (the driver uses the query's own length — equal
-    // whenever the query is dimensioned for this index).
+    // the index dim — equal to the driver path's (the query's own
+    // length) whenever the query is dimensioned for this index, which
+    // `search` now enforces up front; this path cannot inspect row
+    // dims without running a job, so the residual caveat is documented
+    // in README "ANN" (ADVICE r8).
     val qd = col(qvecCol).cast("array<double>")
     val qNormSq = graft.functions.l2_norm_sq(col(qvecCol))
     val e0: org.apache.spark.sql.Column =

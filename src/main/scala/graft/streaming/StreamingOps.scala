@@ -185,12 +185,15 @@ object StreamingOps {
     * that recovery round-trip). `seed` starts the accumulator from an
     * existing labeling (e.g. a batch
     * [[graft.operators.Dedup.connectedComponents]] over the historical
-    * corpus). With a reliable checkpoint dir configured, each
-    * superseded snapshot's files are deleted when the next batch lands
-    * (bounded disk, tools/StreamSoak-verified) — so a `current()` frame
-    * is valid until the NEXT micro-batch completes; durable readers
-    * consume `onUpdate`, which runs before the drop. The caller's own
-    * `seed` frame is never touched.
+    * corpus). With a reliable checkpoint dir configured, superseded
+    * snapshot files are deleted with a ONE-generation grace window
+    * (bounded disk, tools/StreamSoak-verified: at most two snapshot
+    * dirs live) — a `current()` / `onUpdate` frame for batch k stays
+    * readable through batch k+1 and is dropped when batch k+2
+    * completes. `onUpdate` must therefore durably WRITE the frame it
+    * receives, not retain it; the grace window only de-races consumers
+    * that read promptly. The caller's own `seed` frame is never
+    * touched.
     */
   final case class ComponentsSink(writer: DataStreamWriter[Row],
                                   current: () => DataFrame)
@@ -200,18 +203,28 @@ object StreamingOps {
                      aCol: String = "a", bCol: String = "b"): ComponentsSink = {
     // eager schema validation (ADVICE r7): a stream missing the pair
     // columns, or with mismatched endpoint types, used to surface as an
-    // opaque analysis error inside the first micro-batch.
+    // opaque analysis error inside the first micro-batch. Name lookup
+    // uses the session's resolver (ADVICE r8): Spark analysis is
+    // case-insensitive unless spark.sql.caseSensitive is set, so a
+    // stream with columns 'A'/'B' must pass here exactly when col("a")
+    // would resolve in the merge below.
+    val spark = pairStream.sparkSession
+    val resolver = spark.sessionState.analyzer.resolver
     val schema = pairStream.schema
-    Seq(aCol, bCol).foreach { c =>
-      require(schema.fieldNames.contains(c),
+    def fieldOf(c: String): org.apache.spark.sql.types.StructField = {
+      val matches = schema.fields.filter(f => resolver(f.name, c))
+      require(matches.nonEmpty,
         s"componentsSink: pair stream needs column '$c' (pass aCol/bCol " +
           s"for other names); stream has ${schema.fieldNames.mkString(", ")}")
+      require(matches.length == 1,
+        s"componentsSink: column '$c' is ambiguous in this stream " +
+          s"(${matches.map(_.name).mkString(", ")} all resolve to it)")
+      matches.head
     }
-    val (ta, tb) = (schema(aCol).dataType, schema(bCol).dataType)
+    val (ta, tb) = (fieldOf(aCol).dataType, fieldOf(bCol).dataType)
     require(ta == tb,
       s"componentsSink: pair endpoints '$aCol' ($ta) and '$bCol' ($tb) " +
         "must share one id type")
-    val spark = pairStream.sparkSession
     val empty = spark.createDataFrame(
       new java.util.ArrayList[Row](),
       org.apache.spark.sql.types.StructType(Seq(
@@ -219,14 +232,20 @@ object StreamingOps {
         org.apache.spark.sql.types.StructField("cluster_id", ta))))
     @volatile var components: DataFrame = seed.getOrElse(empty)
     // snapshots THIS sink materialized (never the caller's seed) own
-    // their reliable checkpoint; once the next batch supersedes one,
-    // its files are deleted — a long-lived sink would otherwise leak
-    // one rdd-N dir per micro-batch (tools/StreamSoak caught exactly
-    // that in round 8). Consequence, documented on ComponentsSink: a
-    // `current()` frame is valid until the NEXT micro-batch completes;
-    // durable readers consume `onUpdate` (which runs BEFORE the
-    // superseded snapshot is dropped).
+    // their reliable checkpoint; superseded snapshots are deleted so a
+    // long-lived sink does not leak one rdd-N dir per micro-batch
+    // (tools/StreamSoak caught exactly that in round 8). ONE superseded
+    // generation is retained as a reader grace window (ADVICE r8: a
+    // frame handed to onUpdate / obtained via current() for batch k got
+    // its files deleted the moment batch k+1 completed, so a consumer
+    // that retained it briefly hit FileNotFound): batch k's snapshot now
+    // survives batch k+1 and is deleted when batch k+2 lands — disk
+    // stays bounded at two snapshot dirs. Durable readers still consume
+    // `onUpdate` (write, don't retain), documented on ComponentsSink.
     @volatile var ownsCurrent = false
+    // the one owned snapshot superseded exactly once (grace window);
+    // null when the previous frame was the caller's seed
+    @volatile var grace: DataFrame = null
     val writer = pairStream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -235,7 +254,8 @@ object StreamingOps {
           components =
             graft.operators.Dedup.mergeComponents(components, batch, aCol, bCol)
           onUpdate(components)
-          if (ownsCurrent) graft.operators.Dedup.dropResultCheckpoint(prev)
+          if (grace != null) graft.operators.Dedup.dropResultCheckpoint(grace)
+          grace = if (ownsCurrent) prev else null
           ownsCurrent = true
         }
       }

@@ -10,9 +10,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * every batch; all three must stay BOUNDED. Round 8: this soak caught
   * the superseded-snapshot checkpoint leak (one rdd-N dir per
   * micro-batch) that per-call cleanup could not see; componentsSink now
-  * drops each stale snapshot's files when the next batch lands, so
-  * ckptDirs must hold at 1. Labels are cross-checked against a
-  * from-scratch connectedComponents at the end.
+  * drops stale snapshot files with a one-generation reader grace window
+  * (ADVICE r9), so ckptDirs must hold at <= 2. Labels are cross-checked
+  * against a from-scratch connectedComponents at the end.
   */
 object StreamSoak {
   def main(args: Array[String]): Unit = {
@@ -36,11 +36,15 @@ object StreamSoak {
       mem.toDF().toDF("a", "b"))
     val allPairs = scala.collection.mutable.Buffer[(Long, Long)]()
     (1 to nBatches).foreach { b =>
-      // 100 fresh chains + 100 bridges into earlier batches
+      // 100 fresh chains + 100 bridges into earlier batches; batch 1 has
+      // no earlier batch, so it bridges into its own chain PARTNERS
+      // (+1 offset) — real edges, not the self-loops the b-1 formula
+      // degenerated to (ADVICE r8)
+      val bridgeBase = if (b == 1) 1L else (b - 1) * 10000L
       val pairs = (0 until 100).map { i =>
         (b * 10000L + i * 2, b * 10000L + i * 2 + 1)
       } ++ (0 until 100).map { i =>
-        (math.max(1, b - 1) * 10000L + i * 2, b * 10000L + i * 2)
+        (bridgeBase + i * 2, b * 10000L + i * 2)
       }
       allPairs ++= pairs
       mem.addData(pairs)

@@ -323,6 +323,58 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeComponents routes an over-bound batch to the full recompute (graft.merge.maxBatch)") {
+    // every batch-derived frame in the fold is broadcast, so a batch
+    // whose endpoint set exceeds graft.merge.maxBatch must NOT take the
+    // broadcast path (VERDICT r8 #3: it used to die on an opaque
+    // broadcast-limit error at scale) — it falls back to a full
+    // connectedComponents recompute over existing-as-edges ∪ batch,
+    // whose labels must equal the unbounded merge's.
+    val existing = Dedup.connectedComponents(
+      Seq((1L, 2L), (5L, 6L), (10L, 11L)).toDF("a", "b"))
+    val batch = Seq((2L, 5L), (20L, 21L), (30L, 31L)).toDF("a", "b")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val unbounded = m(Dedup.mergeComponents(existing, batch))
+    spark.conf.set("graft.merge.maxBatch", "3") // batch has 6 endpoints
+    try {
+      val fell = m(Dedup.mergeComponents(existing, batch))
+      assert(fell == unbounded)
+      assert(fell(6L) == 1L && fell(21L) == 20L && fell(31L) == 30L && fell(11L) == 10L)
+    } finally spark.conf.unset("graft.merge.maxBatch")
+  }
+
+  test("dropResultCheckpoint makes the frame fail loudly, not silently recompute (contract)") {
+    // the scaladoc warns "the frame is unreadable afterwards" — pin that
+    // a caller holding a dropped frame gets a loud error instead of a
+    // silent recompute through dead lineage (VERDICT r8 #6). With a
+    // reliable checkpoint dir the frame's ONLY lineage is its checkpoint
+    // files, so deleting them must surface as a read failure.
+    val sc = spark.sparkContext
+    val ckptRoot = java.nio.file.Files.createTempDirectory("graft-ckpt-drop").toFile
+    sc.setCheckpointDir(ckptRoot.getAbsolutePath)
+    try {
+      val cc = Dedup.connectedComponents(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"))
+      assert(cc.count() == 3) // readable before the drop
+      Dedup.dropResultCheckpoint(cc)
+      val e = intercept[Exception] { cc.count() }
+      // loud failure rooted in the deleted checkpoint files
+      def causes(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: causes(t.getCause)
+      assert(causes(e).exists { c =>
+        c.isInstanceOf[java.io.FileNotFoundException] ||
+          Option(c.getMessage).exists(_.contains("Checkpoint"))
+      }, s"expected a checkpoint-file failure, got $e")
+    } finally {
+      sc.setCheckpointDir(null)
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete(); ()
+      }
+      del(ckptRoot)
+    }
+  }
+
   test("SessionTag: two live sessions in one JVM get distinct cache discriminators") {
     // the shared plan caches key on SessionTag — identityHashCode could
     // collide across live sessions and hand one session the other's

@@ -56,6 +56,18 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(annSet == exact.toSet)
   }
 
+  test("search rejects a mis-dimensioned query up front (ADVICE r8)") {
+    // truncated dot products would silently score garbage, and the
+    // searchDs bit-parity claim is scoped to index-dimensioned queries
+    val idx = IvfIndex.build(clusteredData().toDF("vec_id", "vec"),
+      "vec_id", "vec", nList = 4)
+    val bad = Array((7L, Array.fill(5)(0.1f))) // index dim is 8
+    val e = intercept[IllegalArgumentException] {
+      idx.search(bad, k = 3, nProbe = 1)
+    }
+    assert(e.getMessage.contains("dim 5") && e.getMessage.contains("index dim is 8"))
+  }
+
   test("searchDs (Dataset query side) matches driver-array search, ids/ranks/scores") {
     val data = clusteredData()
     val df = data.toDF("vec_id", "vec")

@@ -161,12 +161,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(got("x1") == "d1" && got("d8") == "d1" && got("y2") == "y1")
   }
 
-  test("componentsSink with a checkpoint dir keeps exactly ONE live checkpoint across batches") {
-    // each micro-batch materializes a new accumulator snapshot; the
-    // superseded one's reliable checkpoint must be dropped when the
-    // next batch lands or a long-lived sink leaks one rdd-N dir per
-    // batch (tools/StreamSoak caught this in round 8; bounded-disk
-    // contract documented on ComponentsSink).
+  test("componentsSink bounds checkpoints at two generations with a reader grace window") {
+    // each micro-batch materializes a new accumulator snapshot; stale
+    // snapshots must be dropped or a long-lived sink leaks one rdd-N
+    // dir per batch (tools/StreamSoak caught this in round 8). ONE
+    // superseded generation is retained as a reader grace window
+    // (ADVICE r8: a frame handed out for batch k got its files deleted
+    // the moment batch k+1 completed, so a consumer retaining it
+    // briefly hit FileNotFound): batch k's frame stays readable through
+    // batch k+1, is dropped at batch k+2, and disk holds at <= 2
+    // snapshot dirs.
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val sc = spark.sparkContext
@@ -180,7 +184,7 @@ class StreamingSpec extends AnyFunSuite {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         q.awaitTermination(60000); q.stop()
       }
-      (1 to 3).foreach { b =>
+      def batch(b: Long): Unit = {
         mem.addData((b * 10L, b * 10L + 1), (b * 10L + 1, b * 10L + 2))
         run()
       }
@@ -188,12 +192,25 @@ class StreamingSpec extends AnyFunSuite {
         if (!f.isDirectory) 0
         else if (f.getName.startsWith("rdd-")) 1
         else f.listFiles().map(rddDirs).sum
-      assert(rddDirs(ckptRoot) == 1,
+      batch(1); batch(2)
+      val atBatch2 = sink.current()
+      batch(3)
+      // grace window: batch 2's retained frame survives batch 3 ...
+      assert(atBatch2.count() == 6,
+        "a current() frame must stay readable through the NEXT micro-batch")
+      assert(rddDirs(ckptRoot) == 2,
+        s"current + one grace snapshot must be the only checkpoints, have ${rddDirs(ckptRoot)}")
+      // ... and is dropped (fails loudly, not silently recomputed) once
+      // batch 4 supersedes it twice
+      batch(4)
+      assert(rddDirs(ckptRoot) == 2,
         s"superseded sink snapshots must drop their checkpoints, have ${rddDirs(ckptRoot)}")
-      // the surviving checkpoint is the live table — still readable+right
+      intercept[Exception] { atBatch2.count() }
+      // the live table is still readable+right
       val got = sink.current().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
-        20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L))
+        20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L,
+        40L -> 40L, 41L -> 40L, 42L -> 40L))
     } finally {
       sc.setCheckpointDir(null)
       def del(f: java.io.File): Unit = {
@@ -228,6 +245,17 @@ class StreamingSpec extends AnyFunSuite {
       StreamingOps.componentsSink(memT.toDF().toDF("a", "b"))
     }
     assert(wrongTypes.getMessage.contains("share one id type"))
+    // validation follows the session's resolver (ADVICE r8): analysis is
+    // case-insensitive by default, so 'A'/'B' columns must pass the
+    // eager check exactly as col("a")/col("b") resolve in the merge
+    val memU = MemoryStream[(Long, Long)]
+    val upper = StreamingOps.componentsSink(memU.toDF().toDF("A", "B"))
+    memU.addData((2L, 1L))
+    val qu = upper.writer
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    qu.awaitTermination(60000); qu.stop()
+    assert(upper.current().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap == Map(1L -> 1L, 2L -> 1L))
   }
 
   test("watermarked windowed aggregation over an event stream") {
