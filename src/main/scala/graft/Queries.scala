@@ -327,6 +327,28 @@ object Queries {
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Oracled packed-ANN entry (q48): [[operators.IvfIndex.searchPacked]]
+    * at nProbe = nList with exact double scoring — every bucket probed
+    * and the cosine arithmetic identical to the declarative plan (the
+    * gemmQueries kernels), so the same DuckDB top-k oracle hash-matches.
+    * The bucketed-SIMD twin of q47's probe-join entry: between them the
+    * whole ANN surface (probe selection, bucket cogroup, packed kernels,
+    * heap merge) carries green CORRECTNESS rows.
+    */
+  def annIvfPacked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") >= 80 && col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val idx = operators.IvfIndex.cached(s"$dir/embeddings#16")(
+      operators.IvfIndex.build(emb, "vec_id", "embedding", nList = 16,
+        normalized = false))
+    idx.searchPacked[Long](queries, k = 10, nProbe = idx.nList,
+        normalized = false, exact = true)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Text-chunking ingest (pipeline op): overlapping token windows over
     * each document — the chunk->embed->upsert flow's first stage
     * (operators.TextChunk; bench/st_embedding.py analog). Boundaries are
@@ -688,6 +710,7 @@ object Queries {
     "q45_merge_clusters" -> (mergeClusters _),
     "q46_ann_ivf_ds" -> (annIvfDs _),
     "q47_ann_ivf_exact" -> (annIvfExact _),
+    "q48_ann_ivf_packed" -> (annIvfPacked _),
   )
 }
 
@@ -1147,5 +1170,9 @@ object Oracles {
     // hash-match; q26/q46 stay no_oracle by design)
     "q47_ann_ivf_exact" ->
       topkOracle("vec_id >= 60 AND vec_id < 80", "true", 10, None),
+    // packed-kernel ANN at nProbe = nList, exact double cosine — same
+    // oracle shape (see annIvfPacked)
+    "q48_ann_ivf_packed" ->
+      topkOracle("vec_id >= 80 AND vec_id < 100", "true", 10, None),
   )
 }

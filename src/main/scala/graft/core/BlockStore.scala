@@ -180,7 +180,7 @@ object BlockStore {
         packPartition(it, normalize, assumeNormalized, maxBlockFloats)),
       normalize || assumeNormalized)
 
-  private[core] def packPartition[K: ClassTag](
+  private[graft] def packPartition[K: ClassTag](
       it: Iterator[(K, Array[Float])],
       normalize: Boolean,
       assumeNormalized: Boolean = false,

@@ -34,7 +34,20 @@ final class IvfIndex(
   def nList: Int = centroids.length
   def dim: Int = if (centroids.isEmpty) 0 else centroids(0).length
 
-  def unpersistAssigned(): Unit = assigned.unpersist(false)
+  /** Packed per-centroid buckets for [[searchPacked]], keyed by the
+    * `normalized` flag (one store shuffle + pack at first use, cached
+    * after). Values are (RDD[(cid, VecBlock[K])], partitioner) — typed
+    * via erasure because K is fixed per index in practice (the id
+    * column has one type).
+    */
+  @transient private lazy val packedCache =
+    new java.util.concurrent.ConcurrentHashMap[Boolean, (org.apache.spark.rdd.RDD[_], org.apache.spark.HashPartitioner)]()
+
+  def unpersistAssigned(): Unit = {
+    assigned.unpersist(false)
+    packedCache.forEach((_, v) => { v._1.unpersist(false); () })
+    packedCache.clear()
+  }
 
   /** Nearest-centroid ids for one query vector (driver-side; centroids
     * are tiny by construction). Inner-product order, matching the
@@ -79,8 +92,9 @@ final class IvfIndex(
     }.toSeq.toDF("qid", "centroid_id")
     val qdf = qnorm.toSeq.toDF("qid", "qvec")
 
-    val rawScore = graft.functions.dot_product(col("qvec"),
-      col(vecCol).cast("array<double>"))
+    // mixed-type dot: the double query vector scores the float store row
+    // directly — no per-(query,row) cast allocation (see DotProduct)
+    val rawScore = graft.functions.dot_product(col("qvec"), col(vecCol))
     // store-side norm precomputed BELOW the joins (VERDICT r7 #5): the
     // projection runs once per store row per scan; in the old shape the
     // sqrt sat above the query join, so a row probed by Q queries paid
@@ -152,8 +166,9 @@ final class IvfIndex(
     val probed = queries.select(col(qidCol).as("qid"), qn.as("_qv"),
       explode(graft.functions.nearest_centroids(qn, centroids, np))
         .as("centroid_id"))
-    val rawScore = graft.functions.dot_product(col("_qv"),
-      col(vecCol).cast("array<double>"))
+    // mixed-type dot — same arithmetic as the cast form (float widens
+    // exactly), none of its per-(query,row) allocation
+    val rawScore = graft.functions.dot_product(col("_qv"), col(vecCol))
     // store-side norm below the join, one per store row (VERDICT r7 #5)
     val base =
       if (normalized) assigned
@@ -171,9 +186,153 @@ final class IvfIndex(
       .select(col("qid"), col("col.id").as("id"), col("col.score").as("score"),
         (col("pos") + 1).as("rank"))
   }
+
+  /** Packed-kernel Dataset-side ANN top-k — the throughput path.
+    * [[searchDs]] stays fully declarative (row-at-a-time codegen dot
+    * products through the probe join; bit-parity with [[search]]), but
+    * a row-join pays UnsafeRow traversal per (query, candidate) pair;
+    * this path instead packs each centroid's rows into the SIMD slabs
+    * the exact gemm path streams (graft.core.VecBlock — the
+    * IVF-bucketed analog of [[CosineTopK.gemmQueries]]), which measured
+    * ~10x the per-candidate throughput on the ScaleSmoke ANN phase.
+    *
+    * Shuffle shape at scale: the store moves ONCE at first use into
+    * centroid-keyed packed buckets, cached on the index (the same
+    * lifecycle as `assigned`); per batch only Q × nProbe probe rows
+    * (query vector + centroid id) shuffle in, buckets are cogrouped
+    * in place (no store movement), and Q × nProbe × k heap entries
+    * shuffle out of the merge — candidate scoring never crosses a
+    * stage boundary.
+    *
+    * Scoring follows [[CosineTopK.gemmQueries]] arithmetic, NOT
+    * [[search]]'s normalize-the-query-first: `normalized=false` scores
+    * raw/raw cosine dot/(|q||v|) — `exact=true` is then bit-identical
+    * to the declarative `cosine_sim` plan and hash-matches the double
+    * cosine oracle (q48) — and a zero query scores 0 everywhere
+    * (where [[search]] maps it to e0). Ranks therefore match
+    * [[searchDs]] except on floating-point reassociation ties;
+    * IvfIndexSpec asserts id-set parity on separated data.
+    */
+  def searchPacked[K](queries: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                      k: Int, nProbe: Int = 0, normalized: Boolean = true,
+                      exact: Boolean = false)(
+      implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
+      rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)],
+      outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
+    import graft.core.{BlockStore, BoundedTopKG, VecBlock}
+    import graft.operators.{Kernels => Kn}
+    val spark = assigned.sparkSession
+    val sc = spark.sparkContext
+    val np = math.min(if (nProbe > 0) nProbe else IvfIndex.defaultNProbe(nList), nList)
+    val (packed, part) = packedBuckets[K](normalized)
+    val bcCent = sc.broadcast(centroids)
+    val dimLocal = dim
+    val kk = k
+    val ex = exact
+    val normStore = normalized
+    val probed = queries.rdd.flatMap { case (qid, v) =>
+      IvfIndex.probeIds(bcCent.value, v, np).map(c => (c, (qid, v)))
+    }
+    val partials = packed.cogroup(probed, part).flatMap {
+      case (_, (blocks, qs)) =>
+        if (blocks.isEmpty || qs.isEmpty) Iterator.empty
+        else {
+          val qarr = qs.toArray
+          val qids = qarr.map(_._1)
+          // normalized mode: zero query -> e0 (write-time invariant rule);
+          // cosine mode: raw/raw like gemmQueries (zero query -> score 0)
+          val qvecs = qarr.map { x =>
+            val v = x._2
+            if (normStore && Kn.normSqD(v) == 0.0) {
+              val e = new Array[Float](math.max(1, dimLocal)); e(0) = 1f; e
+            } else v
+          }
+          val qnorms =
+            if (normStore) null
+            else qvecs.map(v => math.sqrt(Kn.normSqD(v)))
+          val heaps = Array.fill(qarr.length)(new BoundedTopKG[K](kk))
+          blocks.foreach(b => BlockStore.scoreBlock(
+            heaps, b.asInstanceOf[VecBlock[K]], qvecs, qnorms,
+            Double.NegativeInfinity, ex))
+          qids.iterator.zip(heaps.iterator)
+        }
+    }
+    val rows = partials
+      .reduceByKey((a, b) => { a.absorb(b); a })
+      .flatMap { case (qid, h) =>
+        h.sortedHits().iterator.zipWithIndex.map { case ((id, s), r) =>
+          (qid, id, s, r + 1)
+        }
+      }
+    spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
+  }
+
+  /** Build (or fetch) the centroid-keyed packed buckets: one store
+    * shuffle on `centroid_id`, then per-partition grouping + SIMD-slab
+    * packing. Persisted MEMORY_AND_DISK and materialized eagerly (a
+    * lazily-persisted RDD would have the first action's task waves race
+    * the cache); dropped with [[unpersistAssigned]].
+    */
+  private def packedBuckets[K](normalized: Boolean)(
+      implicit ct: scala.reflect.ClassTag[K],
+      rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)])
+      : (org.apache.spark.rdd.RDD[(Int, graft.core.VecBlock[K])], org.apache.spark.HashPartitioner) = {
+    val cached = packedCache.computeIfAbsent(normalized, { _ =>
+      val rows = assigned
+        .select(col(idCol), col(vecCol), col("centroid_id"))
+        .as[(K, Array[Float], Int)](rowEnc).rdd
+      val nParts = math.max(rows.getNumPartitions,
+        assigned.sparkSession.sparkContext.defaultParallelism)
+      val part = new org.apache.spark.HashPartitioner(nParts)
+      val normStore = normalized
+      val packed = rows.map { case (id, v, cid) => (cid, (id, v)) }
+        .partitionBy(part)
+        .mapPartitions { it =>
+          val byCid = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[(K, Array[Float])]]()
+          it.foreach { case (cid, r) =>
+            byCid.computeIfAbsent(cid, _ => new scala.collection.mutable.ArrayBuffer)
+              .append(r)
+          }
+          import scala.jdk.CollectionConverters._
+          byCid.entrySet().iterator().asScala.flatMap { e =>
+            graft.core.BlockStore.packPartition(e.getValue.iterator,
+                normalize = false, assumeNormalized = normStore)
+              .map(b => (e.getKey.intValue, b))
+          }
+        }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      packed.count()
+      (packed, part)
+    })
+    (cached._1.asInstanceOf[org.apache.spark.rdd.RDD[(Int, graft.core.VecBlock[K])]],
+      cached._2)
+  }
 }
 
 object IvfIndex {
+
+  /** Nearest-centroid probe ids for one float query — the closure-safe
+    * twin of the instance `probesFor` (task closures must not capture
+    * the index: `assigned` is a DataFrame). Same inner-product order
+    * and (-score, index) tie rule as `probesFor`/`nearest_centroids`;
+    * ranking is scale-invariant, so raw (un-normalized) queries probe
+    * identically to their normalized forms.
+    */
+  private[operators] def probeIds(cents: Array[Array[Double]],
+                                  q: Array[Float], np: Int): Array[Int] = {
+    val scored = new Array[(Double, Int)](cents.length)
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)
+      var s = 0.0
+      var j = 0
+      val n = math.min(c.length, q.length)
+      while (j < n) { s += c(j) * q(j); j += 1 }
+      scored(ci) = (-s, ci)
+      ci += 1
+    }
+    scored.sorted.take(np).map(_._2)
+  }
 
   /** √N-scaled list count (the FAISS guideline for IVF coarse
     * quantizers): balanced buckets of ~√N rows keep both the probe
@@ -286,20 +445,31 @@ object LocalKMeans {
       s
     }
 
+    // The two O(n·k·dim) loops below (seeding distance refresh, Lloyd
+    // best-center search) run PARALLEL over points — at √N list counts
+    // they dominate the whole index build (a 10M-row store fits
+    // k=3162: 452 s single-threaded on the ScaleSmoke ANN phase, the
+    // build's bottleneck). Parallelism is over exact per-point work
+    // only (disjoint array writes); every floating-point ACCUMULATION
+    // (the seeding weight sum, the centroid means) stays sequential in
+    // index order, so the fitted centroids are BIT-IDENTICAL to the
+    // sequential implementation — determinism for a given
+    // (sample, k, seed) is part of this method's contract.
+
     // kmeans++ seeding
     val centers = new Array[Array[Double]](kk)
     centers(0) = sample(rng.nextInt(n)).clone()
     val minD = Array.fill(n)(Double.MaxValue)
     var c = 1
     while (c < kk) {
-      var i = 0
-      var sum = 0.0
-      while (i < n) {
-        val d = distSq(sample(i), centers(c - 1))
+      val prev = centers(c - 1)
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+        val d = distSq(sample(i), prev)
         if (d < minD(i)) minD(i) = d
-        sum += minD(i)
-        i += 1
       }
+      var sum = 0.0
+      var i = 0
+      while (i < n) { sum += minD(i); i += 1 }
       var pick = rng.nextDouble() * sum
       var j = 0
       while (j < n - 1 && pick > minD(j)) { pick -= minD(j); j += 1 }
@@ -311,10 +481,10 @@ object LocalKMeans {
     val assign = new Array[Int](n)
     var iter = 0
     var moved = true
+    val movedFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
     while (iter < maxIter && moved) {
-      moved = false
-      var i = 0
-      while (i < n) {
+      movedFlag.set(false)
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
         var best = 0
         var bestD = Double.MaxValue
         var cc = 0
@@ -323,12 +493,12 @@ object LocalKMeans {
           if (d < bestD) { bestD = d; best = cc }
           cc += 1
         }
-        if (assign(i) != best) { assign(i) = best; moved = true }
-        i += 1
+        if (assign(i) != best) { assign(i) = best; movedFlag.set(true) }
       }
+      moved = movedFlag.get()
       val sums = Array.fill(kk)(new Array[Double](dim))
       val counts = new Array[Int](kk)
-      i = 0
+      var i = 0
       while (i < n) {
         val a = assign(i)
         counts(a) += 1

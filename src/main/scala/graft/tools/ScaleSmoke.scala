@@ -74,6 +74,83 @@ object ScaleSmoke {
     timed(s"distq ${nDistQ}q top10") {
       CosineTopK.gemmQueries(store, qDs, 10, betterThan = Some(0.1)).count()
     }
+
+    // ---- ANN phase (VERDICT r8 next-round #4): the Dataset-side IVF
+    // search at the same scale as the exact phases — build at √N lists
+    // on this store, searchDs a 100k-query Dataset, record wall +
+    // recall@10 vs the exact path, so the "probe join prunes to
+    // nProbe/nList of the store" claim carries a measured row
+    // (SCALING.md "ANN"). Query vectors are structure-free (IVF's worst
+    // case), so the recorded recall is the floor, not the typical.
+    import org.apache.spark.sql.functions.col
+    import graft.operators.IvfIndex
+    val nAnnQ = sys.env.get("SPARK_GRAFT_SMOKE_ANNQ").map(_.toInt).getOrElse(100000)
+    val nProbe = sys.env.get("SPARK_GRAFT_SMOKE_NPROBE").map(_.toInt).getOrElse(32)
+    def annQVec(i: Long): Array[Float] = {
+      val rng = new java.util.Random(i * 15485863L)
+      Array.fill(dim)(rng.nextFloat())
+    }
+    // exact ground truth for the recall subsample FIRST, while the
+    // packed store is still cached (cosine ranking — same order the
+    // IVF normalized=false path scores)
+    val sampleQ = Array.tabulate(100)((i: Int) => (i.toLong, annQVec(i)))
+    val exactTop = CosineTopK.gemmBlocks(store, sampleQ, 10)
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    store.unpersist() // packed slabs freed; the ANN phase caches `assigned`
+    val annDf = raw.toDF("vec_id", "vec")
+    val nList = IvfIndex.defaultNList(n)
+    var idx: IvfIndex = null
+    timed(s"ann build nList=$nList") {
+      idx = IvfIndex.build(annDf, "vec_id", "vec", nList = nList,
+        normalized = false)
+      idx.assigned.count()
+    }
+    raw.unpersist(blocking = false) // assigned cache now holds the rows
+    // the declarative row-join path pays UnsafeRow traversal per
+    // (query, candidate) pair — ~10x the packed path's per-candidate
+    // cost — so its phase takes its own query count (default = the ANN
+    // batch; the 10M evidence pass drops it to keep the phase bounded
+    // and compares per-query rates)
+    val nDsQ = sys.env.get("SPARK_GRAFT_SMOKE_DSQ").map(_.toInt).getOrElse(nAnnQ)
+    val annQDs = spark.createDataset(sc.range(0, math.max(nDsQ.toLong, 100L), 1, 24)
+      .map(i => (i, annQVec(i)))).toDF("qid", "vec")
+    timed(s"ann searchDs ${nDsQ}q np=$nProbe") {
+      idx.searchDs(annQDs.filter(col("qid") < nDsQ), "qid", "vec", k = 10,
+        nProbe = nProbe, normalized = false).count()
+    }
+    val approx = idx.searchDs(annQDs.filter(col("qid") < 100), "qid", "vec",
+        k = 10, nProbe = nProbe, normalized = false)
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = sampleQ.map { case (qid, _) =>
+      approx.getOrElse(qid, Set.empty[Long]).count(exactTop(qid)).toDouble / 10
+    }.sum / sampleQ.length
+    println(f"SMOKE ann recall@10 np=$nProbe     $recall%.3f  (nList=$nList, probed ${nProbe.toDouble / nList * 100}%.1f%% of store)")
+    // packed-kernel twin: the store re-buckets ONCE into per-centroid
+    // SIMD slabs (timed as its own phase — an index-build cost), then
+    // the same query batch streams them with the gemm kernels
+    val annQTyped = spark.createDataset(sc.range(0, nAnnQ, 1, 24)
+      .map(i => (i, annQVec(i))))
+    timed(s"ann pack buckets") {
+      // first searchPacked call builds + caches the packed buckets; a
+      // 1-query probe isolates the build cost into this phase
+      idx.searchPacked[Long](spark.createDataset(Seq((0L, annQVec(0)))),
+        k = 1, nProbe = 1, normalized = false).count()
+    }
+    timed(s"ann searchPacked ${nAnnQ}q np=$nProbe") {
+      idx.searchPacked[Long](annQTyped, k = 10, nProbe = nProbe,
+        normalized = false).count()
+    }
+    val approxP = idx.searchPacked[Long](
+        spark.createDataset(sampleQ.toSeq), k = 10, nProbe = nProbe,
+        normalized = false)
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recallP = sampleQ.map { case (qid, _) =>
+      approxP.getOrElse(qid, Set.empty[Long]).count(exactTop(qid)).toDouble / 10
+    }.sum / sampleQ.length
+    println(f"SMOKE ann packed recall@10        $recallP%.3f  (same probes)")
     spark.stop()
   }
 }

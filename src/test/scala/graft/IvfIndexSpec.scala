@@ -114,6 +114,39 @@ class IvfIndexSpec extends AnyFunSuite {
       key(idx.search(queries, k = 5, nProbe = 2)))
   }
 
+  test("searchPacked (bucketed SIMD path) matches searchDs ids/ranks in both modes") {
+    // scoring follows gemmQueries arithmetic (not search's
+    // normalize-the-query-first), so scores can differ by fp
+    // reassociation — ranks/ids must agree wherever scores aren't ties
+    val data = clusteredData()
+    val idx = IvfIndex.build(data.toDF("vec_id", "vec"), "vec_id", "vec", nList = 4)
+    val queries = data.filter(_._1 % 17 == 0).toArray
+    val qds = spark.createDataset(queries.toSeq)
+    def rkey(res: org.apache.spark.sql.DataFrame) =
+      res.select("qid", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ds = rkey(idx.searchDs(queries.toSeq.toDF("vec_id", "vec"),
+      "vec_id", "vec", k = 5, nProbe = 2))
+    assert(rkey(idx.searchPacked[Long](qds, k = 5, nProbe = 2, exact = true)) == ds)
+    // float-kernel default agrees too (separated data, no near-ties)
+    assert(rkey(idx.searchPacked[Long](qds, k = 5, nProbe = 2)) == ds)
+
+    // cosine mode (normalized=false) on random data, zero queries
+    // excluded (documented divergence: packed scores a zero query 0,
+    // search maps it to e0)
+    val rng = new scala.util.Random(31)
+    val rdata = (0 until 120).map { i =>
+      (i.toLong, Array.fill(8)((rng.nextFloat() - 0.5f) * 3f))
+    }
+    val ridx = IvfIndex.build(rdata.toDF("vec_id", "vec"), "vec_id", "vec",
+      nList = 4, normalized = false)
+    val rq = rdata.filter(_._1 % 29 == 0).toArray
+    val rds = rkey(ridx.searchDs(rq.toSeq.toDF("vec_id", "vec"),
+      "vec_id", "vec", k = 5, nProbe = 2, normalized = false))
+    assert(rkey(ridx.searchPacked[Long](spark.createDataset(rq.toSeq),
+      k = 5, nProbe = 2, normalized = false, exact = true)) == rds)
+  }
+
   test("normalized=false store norm projects BELOW the probe join (one norm per store row)") {
     // VERDICT r7 #5: the sqrt used to sit in the projection above the
     // join, charging a store row once per probing query.
