@@ -349,6 +349,28 @@ object Queries {
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Oracled shuffle-free-ANN entry (q49):
+    * [[operators.IvfIndex.searchMerged]] at nProbe = nList with exact
+    * double scoring — the driver-batch treeAggregate path (broadcast
+    * down, heaps up, nothing shuffles), bit-identical to
+    * [[annIvfPacked]]'s kernels (IvfIndexSpec), with its own green
+    * CORRECTNESS row via the same DuckDB top-k oracle shape.
+    */
+  def annIvfMerged(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val idx = operators.IvfIndex.cached(s"$dir/embeddings#16")(
+      operators.IvfIndex.build(emb, "vec_id", "embedding", nList = 16,
+        normalized = false))
+    idx.searchMerged[Long](queries, k = 10, nProbe = idx.nList,
+        normalized = false, exact = true)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Text-chunking ingest (pipeline op): overlapping token windows over
     * each document — the chunk->embed->upsert flow's first stage
     * (operators.TextChunk; bench/st_embedding.py analog). Boundaries are
@@ -711,6 +733,7 @@ object Queries {
     "q46_ann_ivf_ds" -> (annIvfDs _),
     "q47_ann_ivf_exact" -> (annIvfExact _),
     "q48_ann_ivf_packed" -> (annIvfPacked _),
+    "q49_ann_ivf_merged" -> (annIvfMerged _),
   )
 }
 
@@ -1174,5 +1197,9 @@ object Oracles {
     // oracle shape (see annIvfPacked)
     "q48_ann_ivf_packed" ->
       topkOracle("vec_id >= 80 AND vec_id < 100", "true", 10, None),
+    // shuffle-free treeAggregate ANN at nProbe = nList, exact double
+    // cosine — same oracle shape (see annIvfMerged)
+    "q49_ann_ivf_merged" ->
+      topkOracle("vec_id >= 100 AND vec_id < 120", "true", 10, None),
   )
 }

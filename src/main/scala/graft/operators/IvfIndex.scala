@@ -267,6 +267,118 @@ final class IvfIndex(
     spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
   }
 
+  /** Shuffle-free driver-batch ANN top-k — the IVF twin of
+    * [[graft.core.BlockStore.topKMerged]] and the path that makes ANN
+    * pay at the reference's own scale (100k × 1024-d, 1000-query
+    * batches): [[searchPacked]]'s probe shuffle ships each query
+    * vector once per probed bucket and pays multi-stage scheduling,
+    * a fixed ~1-2 s that swamps the pruning win on small batches
+    * (measured SLOWER than the exact scan at 100k). Here nothing
+    * shuffles at all: the query batch plus a cid → probing-query
+    * inversion broadcasts DOWN, each packed-bucket partition scores
+    * only (bucket × its probing queries) pairs with the gemm kernels,
+    * and per-query bounded heaps merge UP a treeAggregate —
+    * partitions × Q × k tuples over the tree, the same volume
+    * contract as the exact path, minus the un-probed work.
+    *
+    * Scoring arithmetic, tie rule, and output shape match
+    * [[searchPacked]] exactly (same kernels over the same buckets;
+    * per-pair scores are independent of the query grouping), so the
+    * two agree bit-for-bit — asserted in IvfIndexSpec. Driver memory
+    * bounds the batch like every driver-array path; beyond that, use
+    * [[searchPacked]].
+    */
+  def searchMerged[K](queries: Array[(Long, Array[Float])], k: Int,
+                      nProbe: Int = 0, normalized: Boolean = true,
+                      exact: Boolean = false)(
+      implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
+      rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)],
+      outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
+    import graft.core.{BlockStore, BoundedTopKG}
+    import graft.operators.{Kernels => Kn}
+    val spark = assigned.sparkSession
+    val np = math.min(if (nProbe > 0) nProbe else IvfIndex.defaultNProbe(nList), nList)
+    val (packed, _) = packedBuckets[K](normalized)
+    val dimLocal = dim
+    // query prep matches searchPacked: zero -> e0 in normalized mode,
+    // raw/raw cosine (zero query scores 0) otherwise
+    val qids = queries.map(_._1)
+    val qvecs = queries.map { q =>
+      val v = q._2
+      if (normalized && Kn.normSqD(v) == 0.0) {
+        val e = new Array[Float](math.max(1, dimLocal)); e(0) = 1f; e
+      } else v
+    }
+    val qnorms =
+      if (normalized) null
+      else qvecs.map(v => math.sqrt(Kn.normSqD(v)))
+    // driver-side probe inversion: cid -> indices of queries probing
+    // it. The probe scans (Q × nList × dim flops) run parallel over
+    // queries — sequential they were most of this path's fixed
+    // overhead (~0.4 s at 1000 × 316 × 1024); the inversion itself is
+    // a cheap ordered loop.
+    val probesPerQ = new Array[Array[Int]](queries.length)
+    java.util.stream.IntStream.range(0, queries.length).parallel().forEach { i =>
+      probesPerQ(i) = IvfIndex.probeIds(centroids, queries(i)._2, np)
+    }
+    val inv = Array.fill(nList)(new scala.collection.mutable.ArrayBuffer[Int](4))
+    var qi = 0
+    while (qi < queries.length) {
+      probesPerQ(qi).foreach(c => inv(c) += qi)
+      qi += 1
+    }
+    val cidToQ: Array[Array[Int]] = inv.map(_.toArray)
+    val bc = spark.sparkContext.broadcast((qvecs, qnorms, cidToQ))
+    val kk = k
+    val ex = exact
+    val localOrd = ord
+    try {
+      val merged = packed.treeAggregate(null: Array[BoundedTopKG[K]])(
+        seqOp = (acc, pair) => {
+          val (qv, qn, c2q) = bc.value
+          val heaps = if (acc != null) acc
+                      else Array.fill(qv.length)(new BoundedTopKG[K](kk)(localOrd))
+          val cid = pair._1
+          val idxs = if (cid >= 0 && cid < c2q.length) c2q(cid)
+                     else Array.emptyIntArray
+          if (idxs.length > 0) {
+            // subset views share the global per-query heap objects, so
+            // scoreBlock's writes land in the right accumulators
+            val subQ = new Array[Array[Float]](idxs.length)
+            val subH = new Array[BoundedTopKG[K]](idxs.length)
+            val subN = if (qn == null) null else new Array[Double](idxs.length)
+            var i = 0
+            while (i < idxs.length) {
+              subQ(i) = qv(idxs(i))
+              subH(i) = heaps(idxs(i))
+              if (subN != null) subN(i) = qn(idxs(i))
+              i += 1
+            }
+            BlockStore.scoreBlock(subH, pair._2, subQ, subN,
+              Double.NegativeInfinity, ex)
+          }
+          heaps
+        },
+        combOp = (a, b) =>
+          if (a == null) b
+          else if (b == null) a
+          else {
+            var i = 0
+            while (i < a.length) { a(i).absorb(b(i)); i += 1 }
+            a
+          },
+        depth = 2)
+      val rows: Seq[(Long, K, Double, Int)] =
+        if (merged == null) Seq.empty
+        else merged.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.sortedHits().iterator.zipWithIndex.map { case ((id, s), r) =>
+            (qids(i), id, s, r + 1)
+          }
+        }.toSeq
+      spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
+    } finally bc.destroy()
+  }
+
   /** Build (or fetch) the centroid-keyed packed buckets: one store
     * shuffle on `centroid_id`, then per-partition grouping + SIMD-slab
     * packing. Persisted MEMORY_AND_DISK and materialized eagerly (a

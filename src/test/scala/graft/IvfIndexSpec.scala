@@ -147,6 +147,36 @@ class IvfIndexSpec extends AnyFunSuite {
       k = 5, nProbe = 2, normalized = false, exact = true)) == rds)
   }
 
+  test("searchMerged (shuffle-free driver batch) matches searchPacked bit-for-bit") {
+    // same kernels over the same buckets; per-pair scores don't depend
+    // on the query grouping, so scores compare on exact bits in both
+    // precision modes
+    val data = clusteredData()
+    val idx = IvfIndex.build(data.toDF("vec_id", "vec"), "vec_id", "vec", nList = 4)
+    val queries = data.filter(_._1 % 17 == 0).toArray
+    val qds = spark.createDataset(queries.toSeq)
+    def bkey(res: org.apache.spark.sql.DataFrame) =
+      res.select("qid", "rank", "id", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(bkey(idx.searchMerged[Long](queries, k = 5, nProbe = 2)) ==
+      bkey(idx.searchPacked[Long](qds, k = 5, nProbe = 2)))
+    assert(bkey(idx.searchMerged[Long](queries, k = 5, nProbe = 2, exact = true)) ==
+      bkey(idx.searchPacked[Long](qds, k = 5, nProbe = 2, exact = true)))
+    // cosine mode on random data too
+    val rng = new scala.util.Random(47)
+    val rdata = (0 until 100).map { i =>
+      (i.toLong, Array.fill(8)((rng.nextFloat() - 0.5f) * 3f))
+    }
+    val ridx = IvfIndex.build(rdata.toDF("vec_id", "vec"), "vec_id", "vec",
+      nList = 4, normalized = false)
+    val rq = rdata.filter(_._1 % 23 == 0).toArray
+    assert(bkey(ridx.searchMerged[Long](rq, k = 5, nProbe = 2,
+        normalized = false, exact = true)) ==
+      bkey(ridx.searchPacked[Long](spark.createDataset(rq.toSeq), k = 5,
+        nProbe = 2, normalized = false, exact = true)))
+  }
+
   test("normalized=false store norm projects BELOW the probe join (one norm per store row)") {
     // VERDICT r7 #5: the sqrt used to sit in the projection above the
     // join, charging a store row once per probing query.
