@@ -430,8 +430,8 @@ object IvfIndex {
     * ranking is scale-invariant, so raw (un-normalized) queries probe
     * identically to their normalized forms.
     */
-  private[operators] def probeIds(cents: Array[Array[Double]],
-                                  q: Array[Float], np: Int): Array[Int] = {
+  private[graft] def probeIds(cents: Array[Array[Double]],
+                              q: Array[Float], np: Int): Array[Int] = {
     val scored = new Array[(Double, Int)](cents.length)
     var ci = 0
     while (ci < cents.length) {

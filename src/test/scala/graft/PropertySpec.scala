@@ -156,6 +156,30 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("IvfIndex.probeIds agrees with NearestCentroids.topN bucket-for-bucket") {
+    // search/searchDs select probe buckets via the codegen
+    // NearestCentroids; searchPacked/searchMerged via the driver-side
+    // probeIds — if their inner-product order or tie rule ever
+    // diverged, the paths would probe DIFFERENT buckets and the
+    // cross-path parity specs would only catch it on unlucky data
+    val caseGen = for {
+      dim <- Gen.choose(1, 16)
+      k <- Gen.choose(1, 8)
+      np <- Gen.choose(1, 8)
+      cents <- Gen.containerOfN[Array, Array[Double]](k,
+        Gen.containerOfN[Array, Double](dim, Gen.chooseNum(-1.0, 1.0)))
+      v <- Gen.containerOfN[Array, Float](dim, Gen.chooseNum(-1f, 1f))
+    } yield (cents, v, np)
+    check(Prop.forAll(caseGen) { case (cents, v, np) =>
+      val dim = cents(0).length
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v)
+      val want = graft.functions.NearestCentroids
+        .topN(arr, cents.flatten, dim, isFloat = true, math.min(np, cents.length))
+        .toIntArray().toSeq
+      graft.operators.IvfIndex.probeIds(cents, v, np).toSeq == want
+    })
+  }
+
   test("LocalKMeans is deterministic for a fixed seed and returns k centers") {
     val sampleGen = for {
       n <- Gen.choose(5, 60)
