@@ -395,7 +395,19 @@ final class VdbStore private (
         // default for THIS index's list count (VERDICT r6 #5)
         val probes = if (nProbe > 0) nProbe else conf.annNProbeFor(idx.nList)
         val normQ = queries.map { case (i, v) => (i, NormalizeL2.normalize(v)) }
-        idx.search(normQ, topK, probes)
+        // shuffle-free driver-batch path (round 9): broadcast the batch
+        // down, score only probed packed buckets, merge heaps up a
+        // treeAggregate — on the reference-scale 1000-query batch this
+        // measured ~0.45 s vs ~2 s for the probe row-join. Precision now
+        // MATCHES the exact strategy below: float32 kernels by default
+        // (the reference's own scoring precision), graft.query.exact
+        // flips BOTH strategies to double accumulation — previously the
+        // ann strategy alone scored in double. Costs one cached packed
+        // copy of the store alongside `assigned` (dropped with the
+        // index on refit/rebuild), the same trade the reference makes
+        // keeping a FAISS index beside its numpy matrix.
+        idx.searchMerged[String](normQ, topK, probes,
+            normalized = true, exact = conf.queryExact)
           .select(col("qid"), col("id"), col("score"), col("rank"))
           .collect()
           .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
