@@ -218,7 +218,6 @@ object Bench {
     // samples above land BEFORE each timed region, so a steal burst inside
     // the last cycle would otherwise leave no trace in the canary array.
     canarySample()
-    val headlineCanaryCount = canaryRaw.size
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     results("picovdb_insert_100k") = median(insertSamples.toSeq)
 
@@ -337,6 +336,10 @@ object Bench {
         errors("picovdb_ann") =
           Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
     }
+    // witness the ANN headline section too (it runs after the
+    // post-cycle sample above; nothing else would record a burst here)
+    canarySample()
+    val headlineCanaryCount = canaryRaw.size
     store.unpersist()
     raw.unpersist()
 
@@ -564,8 +567,8 @@ object Bench {
     // skipped and the array is shorter).
     val catalogCanaryCount = canaryRaw.size - headlineCanaryCount
     val canaryLayout =
-      s"$headlineCanaryCount headline samples (one per cold cycle + one " +
-      s"post-final-cycle witness)" +
+      s"$headlineCanaryCount headline samples (one per cold cycle, one " +
+      s"post-final-cycle witness, one post-ANN-section witness)" +
       (if (catalogCanaryCount > 0)
          s" then $catalogCanaryCount catalog-pass samples"
        else " (catalog sweep skipped: picovdb-only mode)")
