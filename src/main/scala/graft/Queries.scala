@@ -485,6 +485,33 @@ object Queries {
     (historical, newPairs)
   }
 
+  /** PII redaction (pipeline op, q50): scrub emails / IPv4s / phone
+    * numbers to typed placeholders before tokenization
+    * ([[operators.CorpusClean.redactPii]] — one codegen regexp_replace
+    * chain, zero shuffle). The synthetic corpus carries no PII, so the
+    * entry SALTS deterministic contact strings into a subset of docs
+    * (doc_id-derived, reproduced verbatim by the oracle) — the DuckDB
+    * side re-runs the same RE2-safe patterns, holding both the match
+    * semantics and the placeholder arithmetic to byte parity.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val salted = docs.select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" from 10.0."), (col("doc_id") % 250).cast("string"), lit(".1")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(" call 555-867-5309"))
+        .otherwise(lit(""))).as("text"))
+    operators.CorpusClean.redactPii(salted, "text")
+      .select(col("doc_id"),
+        md5(col("redacted").cast("binary")).as("redacted_md5"),
+        col("n_redactions"))
+  }
+
   /** Character-window chunking (pipeline op): the reference's other
     * chunker (bench/local_embedding_index.py fixed-size slices,
     * including its trailing-empty-chunk quirk on exact multiples).
@@ -734,6 +761,7 @@ object Queries {
     "q47_ann_ivf_exact" -> (annIvfExact _),
     "q48_ann_ivf_packed" -> (annIvfPacked _),
     "q49_ann_ivf_merged" -> (annIvfMerged _),
+    "q50_pii_redact" -> (piiRedact _),
   )
 }
 
@@ -1201,5 +1229,28 @@ object Oracles {
     // cosine — same oracle shape (see annIvfMerged)
     "q49_ann_ivf_merged" ->
       topkOracle("vec_id >= 100 AND vec_id < 120", "true", 10, None),
+    // same salting, same RE2-safe patterns in the same order, same
+    // placeholder-count arithmetic (see piiRedact / CorpusClean
+    // .PiiPatterns)
+    "q50_pii_redact" ->
+      """WITH salted AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || (doc_id % 250) || '.1' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END AS text
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |  FROM salted)
+        |SELECT doc_id, md5(redacted) AS redacted_md5,
+        |  CAST((length(redacted) - length(replace(redacted, '<EMAIL>', ''))) / 7
+        |     + (length(redacted) - length(replace(redacted, '<IP>', ''))) / 4
+        |     + (length(redacted) - length(replace(redacted, '<PHONE>', ''))) / 7
+        |    AS BIGINT) AS n_redactions
+        |FROM red""".stripMargin,
   )
 }

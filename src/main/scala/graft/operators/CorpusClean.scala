@@ -235,4 +235,38 @@ object CorpusClean {
       .filter(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8) < col("_thr"))
       .drop("_thr")
   }
+
+  /** PII scrub patterns, applied in this order (email first so an
+    * address's dotted domain can never be half-eaten by the IP rule).
+    * Deliberately restricted to RE2-compatible constructs — character
+    * classes, bounded repeats, `\b` — so engines with RE2 semantics
+    * (DuckDB, Go) reproduce the output byte-for-byte; q50's oracle
+    * holds the redaction to exactly that.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "<EMAIL>",
+    """\b(\d{1,3}\.){3}\d{1,3}\b""" -> "<IP>",
+    """\b\d{3}-\d{3}-\d{4}\b""" -> "<PHONE>")
+
+  /** PII redaction (pipeline op): replace emails / IPv4 addresses /
+    * NANP-style phone numbers with typed placeholder tokens — the scrub
+    * a training pipeline runs before tokenization so models never see
+    * raw contact data. One codegen `regexp_replace` chain per row:
+    * zero shuffle, no UDF, scales with the scan. Adds `redacted` and
+    * `n_redactions` (how many placeholders landed) beside the input
+    * columns.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (pat, token)) => regexp_replace(c, pat, token)
+    }
+    val out = df.withColumn("redacted", redacted)
+    // occurrence count via literal (non-regex) replace — the same
+    // arithmetic any SQL engine can mirror exactly
+    val counts = PiiPatterns.map { case (_, token) =>
+      (length(col("redacted")) -
+        length(expr(s"replace(redacted, '$token', '')"))) / token.length
+    }
+    out.withColumn("n_redactions", counts.reduce(_ + _).cast("long"))
+  }
 }

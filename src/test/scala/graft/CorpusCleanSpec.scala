@@ -77,6 +77,24 @@ class CorpusCleanSpec extends AnyFunSuite {
       .count() == 1000)
   }
 
+  test("redactPii scrubs emails/IPs/phones to typed placeholders with exact counts") {
+    import spark.implicits._
+    val docs = Seq(
+      ("d1", "mail me at alice.smith+x@sub.example.org today"),
+      ("d2", "server 192.168.0.1 and backup 10.0.0.2 up"),
+      ("d3", "call 555-867-5309 or write bob@x.io"),
+      ("d4", "nothing sensitive here"),
+      ("d5", "")).toDF("doc_id", "text")
+    val out = operators.CorpusClean.redactPii(docs, "text")
+      .select("doc_id", "redacted", "n_redactions").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out("d1") == (("mail me at <EMAIL> today", 1L)))
+    assert(out("d2") == (("server <IP> and backup <IP> up", 2L)))
+    assert(out("d3") == (("call <PHONE> or write <EMAIL>", 2L)))
+    assert(out("d4") == (("nothing sensitive here", 0L)))
+    assert(out("d5") == (("", 0L)))
+  }
+
   test("commonUnits counts distinct docs, not occurrences") {
     val units = Seq((1L, "x"), (1L, "x"), (1L, "x"), (2L, "x"), (1L, "y"))
       .toDF("doc_id", "u")

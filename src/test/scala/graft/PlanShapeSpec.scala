@@ -58,6 +58,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joins(q21) == 2, s"q21 expected 2 joins:\n$q21")
   }
 
+  test("IVF probe join broadcasts probes and queries (never a store shuffle)") {
+    // search's scale contract: the store side (assigned) is scanned in
+    // place and the per-query probe/query frames broadcast onto it — a
+    // plan that shuffles the store per batch would not survive 100x
+    val plan = formatted(Queries.annIvf(spark, dir))
+    val mat = """\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(mat.nonEmpty && mat.forall(_ == "BroadcastHashJoin"),
+      s"probe joins must broadcast, got $mat:\n$plan")
+  }
+
   test("mergeComponents relabel join broadcasts the quotient side (never a components-table shuffle)") {
     // VERDICT r7 #3: the scale contract is one map-side pass over the
     // N-row components table against a batch-bounded quotient. The code
