@@ -512,6 +512,25 @@ object Queries {
         col("n_redactions"))
   }
 
+  /** URL-domain histogram (pipeline op, q51): documents per extracted
+    * http(s) host ([[operators.CorpusClean.domainHistogram]]). Same
+    * salting scheme as q50 — the synthetic corpus carries no URLs, so
+    * deterministic ones are appended and the DuckDB oracle re-runs the
+    * identical RE2-safe extraction.
+    */
+  def domainHist(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val salted = docs.select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" see https://site"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com/x")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 9 === 0, lit(" and http://mirror.example.org/y"))
+        .otherwise(lit(""))).as("text"))
+    operators.CorpusClean.domainHistogram(salted, "doc_id", "text")
+  }
+
   /** Character-window chunking (pipeline op): the reference's other
     * chunker (bench/local_embedding_index.py fixed-size slices,
     * including its trailing-empty-chunk quirk on exact multiples).
@@ -762,6 +781,7 @@ object Queries {
     "q48_ann_ivf_packed" -> (annIvfPacked _),
     "q49_ann_ivf_merged" -> (annIvfMerged _),
     "q50_pii_redact" -> (piiRedact _),
+    "q51_domain_hist" -> (domainHist _),
   )
 }
 
@@ -1252,5 +1272,17 @@ object Oracles {
         |     + (length(redacted) - length(replace(redacted, '<PHONE>', ''))) / 7
         |    AS BIGINT) AS n_redactions
         |FROM red""".stripMargin,
+    // same salting, same RE2 extraction; docs counted once per domain
+    "q51_domain_hist" ->
+      """WITH salted AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' see https://site' || (doc_id % 20) || '.example.com/x' ELSE '' END
+        |    || CASE WHEN doc_id % 9 = 0 THEN ' and http://mirror.example.org/y' ELSE '' END AS text
+        |  FROM documents),
+        |d0 AS (SELECT doc_id,
+        |         unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+        |       FROM salted),
+        |d AS (SELECT DISTINCT doc_id, domain FROM d0)
+        |SELECT domain, count(*) AS n_docs FROM d GROUP BY domain""".stripMargin,
   )
 }

@@ -269,4 +269,20 @@ object CorpusClean {
     }
     out.withColumn("n_redactions", counts.reduce(_ + _).cast("long"))
   }
+
+  /** Domain histogram (pipeline op): extract every http(s) URL host
+    * from the text and count DOCUMENTS per domain (multiple mentions in
+    * one doc count once) — the domain-mixing / blocklist signal every
+    * web-corpus pipeline computes before sampling. Codegen regexp
+    * extraction map-side; only (doc, domain) pairs ever shuffle, the
+    * corpus itself never moves. RE2-safe pattern, so q51's DuckDB
+    * oracle re-runs it verbatim.
+    */
+  def domainHistogram(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("_doc"),
+        explode(expr(
+          s"regexp_extract_all($textCol, 'https?://([A-Za-z0-9.-]+)', 1)"))
+          .as("domain"))
+      .distinct()
+      .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
 }

@@ -95,6 +95,18 @@ class CorpusCleanSpec extends AnyFunSuite {
     assert(out("d5") == (("", 0L)))
   }
 
+  test("domainHistogram counts documents per host, one per doc regardless of mentions") {
+    import spark.implicits._
+    val docs = Seq(
+      ("d1", "see https://a.example.com/x and again https://a.example.com/y"),
+      ("d2", "both http://a.example.com/z and https://b.example.org/"),
+      ("d3", "no links at all"),
+      ("d4", "tail https://b.example.org")).toDF("doc_id", "text")
+    val got = operators.CorpusClean.domainHistogram(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a.example.com" -> 2L, "b.example.org" -> 2L))
+  }
+
   test("commonUnits counts distinct docs, not occurrences") {
     val units = Seq((1L, "x"), (1L, "x"), (1L, "x"), (2L, "x"), (1L, "y"))
       .toDF("doc_id", "u")
