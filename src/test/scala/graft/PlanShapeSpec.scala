@@ -69,6 +69,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"probe joins must broadcast, got $mat:\n$plan")
   }
 
+  test("PII redaction plans zero exchanges (pure map-side scan work)") {
+    // q50 is a regexp_replace chain + per-row arithmetic — any Exchange
+    // appearing here means the scrub stopped scaling with the scan
+    val plan = formatted(Queries.piiRedact(spark, dir))
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+  }
+
   test("mergeComponents relabel join broadcasts the quotient side (never a components-table shuffle)") {
     // VERDICT r7 #3: the scale contract is one map-side pass over the
     // N-row components table against a batch-bounded quotient. The code
