@@ -293,10 +293,10 @@ object Bench {
     // probe shuffle, and the treeAggregate path's only per-batch cost
     // is the probed fraction of the exact scan.
     val recalls = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var annIdx: graft.operators.IvfIndex = null
     try {
       import spark.implicits._
       val annDf = raw.toDF("vec_id", "vec")
-      var annIdx: graft.operators.IvfIndex = null
       results("picovdb_ann_build") = timed {
         annIdx = graft.operators.IvfIndex.build(annDf, "vec_id", "vec",
           nList = graft.operators.IvfIndex.defaultNList(n), normalized = false)
@@ -330,11 +330,15 @@ object Bench {
         }
         recalls(s"headline_np$np") = perQ.sum / math.max(1, perQ.length)
       }
-      annIdx.unpersistAssigned()
     } catch {
       case e: Throwable =>
         errors("picovdb_ann") =
           Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    } finally {
+      // release the assigned cache + packed buckets even when the
+      // section fails — leaked, they'd pressure the whole catalog
+      // sweep that follows and skew its recorded medians
+      if (annIdx != null) annIdx.unpersistAssigned()
     }
     // witness the ANN headline section too (it runs after the
     // post-cycle sample above; nothing else would record a burst here)
@@ -434,11 +438,28 @@ object Bench {
       // mergeComponents materializes its result eagerly, so the timed
       // call covers the whole fold.
       try {
+        // each labeling is eagerly materialized (localCheckpoint in
+        // this dir-less session) — release the fixture's historical
+        // frame and every timed result, or four corpus-sized labelings
+        // stay pinned in executor storage through the ANN recall
+        // section and skew its cache behavior
+        def releaseMaterialized(df: org.apache.spark.sql.DataFrame): Unit =
+          df.queryExecution.analyzed.collectFirst {
+            case l: org.apache.spark.sql.execution.LogicalRDD =>
+              l.rdd.unpersist(false); ()
+          }.getOrElse(())
         val (historical, newPairs) = Queries.mergeFixture(spark, sfDir)
         results("q45_merge_only") = median((1 to 3).map { i =>
           if (i > 1) Thread.sleep(500)
-          timed { graft.operators.Dedup.mergeComponents(historical, newPairs); () }
+          var merged: org.apache.spark.sql.DataFrame = null
+          val t = timed {
+            merged = graft.operators.Dedup.mergeComponents(historical, newPairs)
+            ()
+          }
+          releaseMaterialized(merged)
+          t
         })
+        releaseMaterialized(historical)
         newPairs.unpersist(blocking = false)
       } catch {
         case e: Throwable =>
@@ -586,11 +607,16 @@ object Bench {
     // Write the identical JSON to a file beside the repo root, overwritten
     // per run, so the record survives regardless of how stdout is captured.
     try {
-      val out = new java.io.File(
+      // Files.write, not PrintWriter: PrintWriter suppresses
+      // write/close IOExceptions (it only sets an error flag), which
+      // could leave a silently-truncated artifact while the success
+      // line below still printed — the exact failure mode this file
+      // exists to prevent.
+      val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
-      val w = new java.io.PrintWriter(out, "UTF-8")
-      try w.println(jsonLine) finally w.close()
-      System.err.println(s"bench json also written to ${out.getAbsolutePath}")
+      java.nio.file.Files.write(out,
+        (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"bench json also written to ${out.toAbsolutePath}")
     } catch {
       case e: java.io.IOException =>
         System.err.println(s"bench json file write failed (stdout line above is complete): $e")

@@ -726,9 +726,17 @@ object Dedup {
     // components are exactly the existing clusters (self-loop rows keep
     // singletons), so components of existing-as-edges ∪ batch are the
     // merged components.
-    val nEndpoints = cleaned
-      .select(explode(array(col("a"), col("b"))).as("node")).distinct().count()
+    // cheap pre-gate first: endpoints <= 2 x rows, and `cleaned` is
+    // already persisted, so a row count (no shuffle) clears the common
+    // small-batch case without paying the explode+distinct job — the
+    // exact count only runs when the bound is actually in question
+    // (a per-micro-batch shuffle to detect a rare oversized batch
+    // would tax every fold)
     val maxBatch = new graft.core.GraftConf(existing.sparkSession).mergeMaxBatch
+    val nEndpoints =
+      if (2L * cleaned.count() <= maxBatch) -1L
+      else cleaned
+        .select(explode(array(col("a"), col("b"))).as("node")).distinct().count()
     if (nEndpoints > maxBatch) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"mergeComponents: batch has $nEndpoints distinct endpoints > " +

@@ -208,10 +208,14 @@ final class IvfIndex(
     * [[search]]'s normalize-the-query-first: `normalized=false` scores
     * raw/raw cosine dot/(|q||v|) — `exact=true` is then bit-identical
     * to the declarative `cosine_sim` plan and hash-matches the double
-    * cosine oracle (q48) — and a zero query scores 0 everywhere
-    * (where [[search]] maps it to e0). Ranks therefore match
-    * [[searchDs]] except on floating-point reassociation ties;
-    * IvfIndexSpec asserts id-set parity on separated data.
+    * cosine oracle (q48) — and a zero query in that mode scores 0
+    * everywhere (where [[search]] maps it to e0). In `normalized`
+    * mode the zero query maps to e0 for BOTH probe selection and
+    * scoring, matching search/searchDs. Duplicate qids stay
+    * independent results (per-row unique keying), as in
+    * [[searchMerged]] and `gemmQueries`. Ranks match [[searchDs]]
+    * except on floating-point reassociation ties; IvfIndexSpec
+    * asserts id-set parity on separated data.
     */
   def searchPacked[K](queries: org.apache.spark.sql.Dataset[(Long, Array[Float])],
                       k: Int, nProbe: Int = 0, normalized: Boolean = true,
@@ -230,23 +234,32 @@ final class IvfIndex(
     val kk = k
     val ex = exact
     val normStore = normalized
-    val probed = queries.rdd.flatMap { case (qid, v) =>
-      IvfIndex.probeIds(bcCent.value, v, np).map(c => (c, (qid, v)))
+    // keyed by a per-row unique id, NOT qid: duplicate qids in the
+    // batch must stay independent results (as searchMerged's
+    // per-position heaps and gemmQueries both keep them) — a
+    // reduceByKey on qid would silently merge their candidate sets.
+    // zipWithUniqueId is narrow (no shuffle, no count job).
+    val probed = queries.rdd.zipWithUniqueId().flatMap { case ((qid, v), uid) =>
+      // fail loudly on a mis-dimensioned query (same contract as
+      // `search`): dotPackedD iterates q.length over the packed slab,
+      // so a wrong-dim vector would silently read into the NEXT row
+      if (dimLocal > 0) require(v.length == dimLocal,
+        s"IvfIndex.searchPacked: query $qid has dim ${v.length}, index dim is $dimLocal")
+      // normalized mode: zero query -> e0 BEFORE probe selection, so
+      // probes and scores see the same vector (search/searchDs rule);
+      // cosine mode: raw/raw like gemmQueries (zero query -> score 0)
+      val pv =
+        if (normStore && Kn.normSqD(v) == 0.0) {
+          val e = new Array[Float](math.max(1, dimLocal)); e(0) = 1f; e
+        } else v
+      IvfIndex.probeIds(bcCent.value, pv, np).map(c => (c, (uid, qid, pv)))
     }
     val partials = packed.cogroup(probed, part).flatMap {
       case (_, (blocks, qs)) =>
         if (blocks.isEmpty || qs.isEmpty) Iterator.empty
         else {
           val qarr = qs.toArray
-          val qids = qarr.map(_._1)
-          // normalized mode: zero query -> e0 (write-time invariant rule);
-          // cosine mode: raw/raw like gemmQueries (zero query -> score 0)
-          val qvecs = qarr.map { x =>
-            val v = x._2
-            if (normStore && Kn.normSqD(v) == 0.0) {
-              val e = new Array[Float](math.max(1, dimLocal)); e(0) = 1f; e
-            } else v
-          }
+          val qvecs = qarr.map(_._3)
           val qnorms =
             if (normStore) null
             else qvecs.map(v => math.sqrt(Kn.normSqD(v)))
@@ -254,12 +267,14 @@ final class IvfIndex(
           blocks.foreach(b => BlockStore.scoreBlock(
             heaps, b.asInstanceOf[VecBlock[K]], qvecs, qnorms,
             Double.NegativeInfinity, ex))
-          qids.iterator.zip(heaps.iterator)
+          qarr.iterator.zip(heaps.iterator).map { case ((uid, qid, _), h) =>
+            (uid, (qid, h))
+          }
         }
     }
     val rows = partials
-      .reduceByKey((a, b) => { a.absorb(b); a })
-      .flatMap { case (qid, h) =>
+      .reduceByKey((a, b) => { a._2.absorb(b._2); a })
+      .flatMap { case (_, (qid, h)) =>
         h.sortedHits().iterator.zipWithIndex.map { case ((id, s), r) =>
           (qid, id, s, r + 1)
         }
@@ -298,8 +313,15 @@ final class IvfIndex(
     import graft.operators.{Kernels => Kn}
     val spark = assigned.sparkSession
     val np = math.min(if (nProbe > 0) nProbe else IvfIndex.defaultNProbe(nList), nList)
-    val (packed, _) = packedBuckets[K](normalized)
     val dimLocal = dim
+    // fail loudly on a mis-dimensioned query (same contract as
+    // `search`): dotPackedD iterates q.length over the packed slab, so
+    // a wrong-dim vector would silently read into the NEXT row
+    if (dimLocal > 0) queries.foreach { case (qid, v) =>
+      require(v.length == dimLocal,
+        s"IvfIndex.searchMerged: query $qid has dim ${v.length}, index dim is $dimLocal")
+    }
+    val (packed, _) = packedBuckets[K](normalized)
     // query prep matches searchPacked: zero -> e0 in normalized mode,
     // raw/raw cosine (zero query scores 0) otherwise
     val qids = queries.map(_._1)
@@ -313,13 +335,15 @@ final class IvfIndex(
       if (normalized) null
       else qvecs.map(v => math.sqrt(Kn.normSqD(v)))
     // driver-side probe inversion: cid -> indices of queries probing
-    // it. The probe scans (Q × nList × dim flops) run parallel over
+    // it. Probes use the PREPPED vector (zero -> e0) so probe
+    // selection and scoring see the same query, like search/searchDs.
+    // The probe scans (Q × nList × dim flops) run parallel over
     // queries — sequential they were most of this path's fixed
     // overhead (~0.4 s at 1000 × 316 × 1024); the inversion itself is
     // a cheap ordered loop.
     val probesPerQ = new Array[Array[Int]](queries.length)
     java.util.stream.IntStream.range(0, queries.length).parallel().forEach { i =>
-      probesPerQ(i) = IvfIndex.probeIds(centroids, queries(i)._2, np)
+      probesPerQ(i) = IvfIndex.probeIds(centroids, qvecs(i), np)
     }
     val inv = Array.fill(nList)(new scala.collection.mutable.ArrayBuffer[Int](4))
     var qi = 0

@@ -175,6 +175,33 @@ class IvfIndexSpec extends AnyFunSuite {
         normalized = false, exact = true)) ==
       bkey(ridx.searchPacked[Long](spark.createDataset(rq.toSeq), k = 5,
         nProbe = 2, normalized = false, exact = true)))
+
+    // duplicate qids stay independent results on BOTH paths (uid-keyed
+    // merge in searchPacked; per-position heaps in searchMerged), and
+    // a zero query in normalized mode maps to e0 for probe selection
+    // AND scoring on both
+    val dupQ = Array((7L, data(3)._2), (7L, data(90)._2),
+      (8L, new Array[Float](8)))
+    val dm = idx.searchMerged[Long](dupQ, k = 3, nProbe = 1)
+    val dp = idx.searchPacked[Long](spark.createDataset(dupQ.toSeq),
+      k = 3, nProbe = 1)
+    assert(dm.count() == 9 && dp.count() == 9) // 3 hits x 3 query rows
+    assert(bkey(dm) == bkey(dp))
+  }
+
+  test("searchPacked/searchMerged reject a mis-dimensioned query like search does") {
+    val idx = IvfIndex.build(clusteredData().toDF("vec_id", "vec"),
+      "vec_id", "vec", nList = 4)
+    val bad = Array((7L, Array.fill(5)(0.1f))) // index dim is 8
+    val em = intercept[IllegalArgumentException] {
+      idx.searchMerged[Long](bad, k = 3, nProbe = 1)
+    }
+    assert(em.getMessage.contains("dim 5") && em.getMessage.contains("index dim is 8"))
+    val ep = intercept[Exception] {
+      idx.searchPacked[Long](spark.createDataset(bad.toSeq), k = 3, nProbe = 1)
+        .count() // lazy: the per-row guard fires inside the job
+    }
+    assert(ep.getMessage != null && ep.getMessage.contains("dim 5"))
   }
 
   test("normalized=false store norm projects BELOW the probe join (one norm per store row)") {
