@@ -437,34 +437,39 @@ object Bench {
       // pipeline actually pays (SCALING.md's flat-per-batch claim).
       // mergeComponents materializes its result eagerly, so the timed
       // call covers the whole fold.
+      // each labeling is eagerly materialized — release the fixture's
+      // historical frame and every timed result (Dedup.releaseResult
+      // covers both the localCheckpoint default and checkpoint-dir
+      // sessions), or four corpus-sized labelings stay pinned in
+      // executor storage through the ANN recall section that follows
+      // and skew its cache behavior. Cleanup sits in `finally` blocks
+      // so a mid-median failure can't leak them either — the same leak
+      // class the ANN section's finally guards against.
+      var historical: org.apache.spark.sql.DataFrame = null
+      var newPairs: org.apache.spark.sql.DataFrame = null
       try {
-        // each labeling is eagerly materialized (localCheckpoint in
-        // this dir-less session) — release the fixture's historical
-        // frame and every timed result, or four corpus-sized labelings
-        // stay pinned in executor storage through the ANN recall
-        // section and skew its cache behavior
-        def releaseMaterialized(df: org.apache.spark.sql.DataFrame): Unit =
-          df.queryExecution.analyzed.collectFirst {
-            case l: org.apache.spark.sql.execution.LogicalRDD =>
-              l.rdd.unpersist(false); ()
-          }.getOrElse(())
-        val (historical, newPairs) = Queries.mergeFixture(spark, sfDir)
+        val fixture = Queries.mergeFixture(spark, sfDir)
+        historical = fixture._1
+        newPairs = fixture._2
         results("q45_merge_only") = median((1 to 3).map { i =>
           if (i > 1) Thread.sleep(500)
           var merged: org.apache.spark.sql.DataFrame = null
-          val t = timed {
-            merged = graft.operators.Dedup.mergeComponents(historical, newPairs)
-            ()
+          try {
+            timed {
+              merged = graft.operators.Dedup.mergeComponents(historical, newPairs)
+              ()
+            }
+          } finally {
+            if (merged != null) graft.operators.Dedup.releaseResult(merged)
           }
-          releaseMaterialized(merged)
-          t
         })
-        releaseMaterialized(historical)
-        newPairs.unpersist(blocking = false)
       } catch {
         case e: Throwable =>
           errors("q45_merge_only") =
             Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      } finally {
+        if (historical != null) graft.operators.Dedup.releaseResult(historical)
+        if (newPairs != null) newPairs.unpersist(blocking = false)
       }
     }
 
@@ -618,7 +623,11 @@ object Bench {
         (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"bench json also written to ${out.toAbsolutePath}")
     } catch {
-      case e: java.io.IOException =>
+      // NonFatal, not just IOException: Paths.get on a malformed
+      // SPARK_GRAFT_BENCH_OUT throws InvalidPathException (a
+      // RuntimeException), and the artifact write must never crash a
+      // bench whose stdout line is already complete
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"bench json file write failed (stdout line above is complete): $e")
     }
     spark.stop()

@@ -574,6 +574,21 @@ object Dedup {
   private[graft] def dropResultCheckpoint(df: DataFrame): Unit =
     deleteCheckpointFiles(df.sparkSession, checkpointFileOf(df))
 
+  /** Immediately release a frame returned by [[materializeResult]],
+    * whichever backing the session gave it: unpersist the LogicalRDD's
+    * storage blocks (the localCheckpoint default) AND delete reliable-
+    * checkpoint files (checkpoint-dir sessions). For callers — like the
+    * bench — that time a materialized result and then discard it, and
+    * must not rely on GC/ContextCleaner to free corpus-sized blocks.
+    * The frame is unreadable afterwards.
+    */
+  private[graft] def releaseResult(df: DataFrame): Unit = {
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach { r => r.unpersist(false); () }
+    deleteCheckpointFiles(df.sparkSession, checkpointFileOf(df))
+  }
+
   /** Best-effort delete of superseded checkpoint dirs (leak closure —
     * ADVICE r5/r6): failure to delete only re-opens the documented
     * leak, never breaks the computation, so errors are swallowed.

@@ -213,9 +213,16 @@ final class IvfIndex(
     * mode the zero query maps to e0 for BOTH probe selection and
     * scoring, matching search/searchDs. Duplicate qids stay
     * independent results (per-row unique keying), as in
-    * [[searchMerged]] and `gemmQueries`. Ranks match [[searchDs]]
-    * except on floating-point reassociation ties; IvfIndexSpec
-    * asserts id-set parity on separated data.
+    * [[searchMerged]] and `gemmQueries`. The per-row keys come from
+    * `zipWithUniqueId`, so their stability under partial stage retry
+    * rests on Spark's indeterminate-stage rollback (an order-unstable
+    * upstream — e.g. a round-robin repartition — marks the zipped map
+    * stage INDETERMINATE and a fetch failure re-runs it whole rather
+    * than mixing old and new keys); callers whose query Dataset has
+    * unstable ordering AND duplicate qids should localCheckpoint it
+    * first if they need retry-proof attribution. Ranks match
+    * [[searchDs]] except on floating-point reassociation ties;
+    * IvfIndexSpec asserts id-set parity on separated data.
     */
   def searchPacked[K](queries: org.apache.spark.sql.Dataset[(Long, Array[Float])],
                       k: Int, nProbe: Int = 0, normalized: Boolean = true,
