@@ -375,6 +375,41 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("releaseResult frees blocks (localCheckpoint mode) and files (checkpoint-dir mode)") {
+    // the bench's per-sample cleanup: must actually free a discarded
+    // materialized labeling under EITHER backing, immediately, without
+    // waiting on GC/ContextCleaner
+    def backingRdd(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.get
+    // localCheckpoint mode (the default: no checkpoint dir set)
+    val cc = Dedup.connectedComponents(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"))
+    val rdd = backingRdd(cc)
+    assert(rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    Dedup.releaseResult(cc)
+    assert(rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    // checkpoint-dir mode: the rdd-N files must be deleted too
+    val sc = spark.sparkContext
+    val ckptRoot = java.nio.file.Files.createTempDirectory("graft-ckpt-rel").toFile
+    sc.setCheckpointDir(ckptRoot.getAbsolutePath)
+    try {
+      val cc2 = Dedup.connectedComponents(Seq((4L, 5L)).toDF("a", "b"))
+      val file = backingRdd(cc2).getCheckpointFile
+      assert(file.isDefined)
+      assert(new java.io.File(new java.net.URI(file.get)).exists())
+      Dedup.releaseResult(cc2)
+      assert(!new java.io.File(new java.net.URI(file.get)).exists())
+    } finally {
+      sc.setCheckpointDir(null)
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete(); ()
+      }
+      del(ckptRoot)
+    }
+  }
+
   test("SessionTag: two live sessions in one JVM get distinct cache discriminators") {
     // the shared plan caches key on SessionTag — identityHashCode could
     // collide across live sessions and hand one session the other's
