@@ -531,6 +531,16 @@ object Queries {
     operators.CorpusClean.domainHistogram(salted, "doc_id", "text")
   }
 
+  /** Unigram LM cross-entropy (pipeline op, q52): per-doc mean
+    * -log2 p(tok) under the corpus's own unigram MLE — the
+    * perplexity-proxy quality filter
+    * ([[operators.CorpusClean.unigramCrossEntropy]]). Double math end
+    * to end, 6-dp rounded, so the DuckDB twin hash-matches.
+    */
+  def lmCrossEntropy(spark: SparkSession, dir: String): DataFrame =
+    operators.CorpusClean.unigramCrossEntropy(
+      t(spark, dir, "documents"), "doc_id", "text")
+
   /** Character-window chunking (pipeline op): the reference's other
     * chunker (bench/local_embedding_index.py fixed-size slices,
     * including its trailing-empty-chunk quirk on exact multiples).
@@ -782,6 +792,7 @@ object Queries {
     "q49_ann_ivf_merged" -> (annIvfMerged _),
     "q50_pii_redact" -> (piiRedact _),
     "q51_domain_hist" -> (domainHist _),
+    "q52_lm_crossent" -> (lmCrossEntropy _),
   )
 }
 
@@ -1284,5 +1295,16 @@ object Oracles {
         |       FROM salted),
         |d AS (SELECT DISTINCT doc_id, domain FROM d0)
         |SELECT domain, count(*) AS n_docs FROM d GROUP BY domain""".stripMargin,
+    "q52_lm_crossent" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS tok FROM w),
+        |dt AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+        |c AS (SELECT tok, sum(tf) AS c FROM dt GROUP BY tok),
+        |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c)
+        |SELECT dt.doc_id,
+        |  round(sum(CAST(dt.tf AS DOUBLE) * -log2(CAST(c.c AS DOUBLE) / n.n))
+        |        / sum(CAST(dt.tf AS DOUBLE)), 6) AS cross_entropy
+        |FROM dt JOIN c USING (tok) CROSS JOIN n
+        |GROUP BY dt.doc_id""".stripMargin,
   )
 }

@@ -151,6 +151,47 @@ object CorpusClean {
           .as("idf"))
   }
 
+  /** Per-document unigram cross-entropy against the corpus's own
+    * unigram language model — the perplexity-proxy quality signal
+    * CCNet-style pipelines filter on (docs whose token distribution
+    * is far from the corpus norm score HIGH; boilerplate and
+    * keyword-stuffed docs score LOW). Tokens are whitespace words
+    * (the q40/q41 convention); the LM is MLE over all token
+    * instances, so every doc token has corpus support and no
+    * smoothing is needed. Returns (doc_id, cross_entropy) for docs
+    * with at least one token, cross_entropy = mean over doc tokens of
+    * -log2 p(tok), 6-dp rounded.
+    *
+    * 100 TB shape: one corpus scan → per-(doc, tok) partial-aggregated
+    * counts (map-side combine collapses repeats before anything
+    * moves), then vocabulary counts as a window over tok ON TOP of
+    * that single lineage — a join formulation would make Catalyst
+    * recompute the token aggregate per branch (uncached subtrees are
+    * not reused; measured as three corpus scans) — and a 1-row corpus
+    * token total from a second, text-column-only scan that aggregates
+    * map-side to one row. Two column-pruned scans, three exchanges
+    * ((doc,tok) agg, tok window, doc final agg), no self-joins,
+    * nothing corpus × vocab, no global window.
+    */
+  def unigramCrossEntropy(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+    val docTok = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val withC = docTok.withColumn("c",
+      sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
+    val total = docs.select(
+      sum(size(split(trim(col(textCol)), "\\s+"))).cast("double").as("_n"))
+    withC.crossJoin(total)
+      .groupBy(col("doc_id"))
+      .agg(round(
+        sum(col("tf").cast("double") *
+          -log2(col("c").cast("double") / col("_n"))) /
+          sum(col("tf").cast("double")), 6).as("cross_entropy"))
+  }
+
   /** Hex threshold (8 lowercase digits) such that
     * `md5(id)[0,8) < threshold` holds for ~`rate` of uniformly hashed
     * ids; `rate >= 1` maps to a sentinel above every hex digit so all

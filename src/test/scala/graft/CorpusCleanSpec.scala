@@ -107,6 +107,22 @@ class CorpusCleanSpec extends AnyFunSuite {
     assert(got == Map("a.example.com" -> 2L, "b.example.org" -> 2L))
   }
 
+  test("unigramCrossEntropy matches the hand-computed corpus LM") {
+    import spark.implicits._
+    // corpus: a a b | c  -> counts a=2, b=1, c=1, N=4
+    // p(a)=1/2 (1 bit), p(b)=p(c)=1/4 (2 bits)
+    // d1: (2*1 + 1*2)/3 = 4/3;  d2: 2/1 = 2
+    val docs = Seq(("d1", "a a b"), ("d2", "c")).toDF("doc_id", "text")
+    val got = operators.CorpusClean.unigramCrossEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("d1" -> 1.333333, "d2" -> 2.0))
+    // uniform corpus: every doc scores exactly log2(vocab)
+    val unif = Seq(("u1", "x y"), ("u2", "z w")).toDF("doc_id", "text")
+    val g2 = operators.CorpusClean.unigramCrossEntropy(unif, "doc_id", "text")
+      .collect().map(r => r.getDouble(1))
+    assert(g2.forall(_ == 2.0))
+  }
+
   test("commonUnits counts distinct docs, not occurrences") {
     val units = Seq((1L, "x"), (1L, "x"), (1L, "x"), (2L, "x"), (1L, "y"))
       .toDF("doc_id", "u")
