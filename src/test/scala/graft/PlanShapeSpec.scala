@@ -76,6 +76,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
   }
 
+  test("unigramCrossEntropy plans two corpus scans and vocab counts as a window (no subtree recompute)") {
+    // q52's scale contract: per-(doc,tok) counts aggregate ONCE and
+    // vocabulary counts come from a window over that single lineage —
+    // the join formulation it replaces made Catalyst recompute the
+    // token aggregate per branch (three corpus scans). The only scans
+    // allowed are the token scan and the slim 1-row-total scan.
+    val plan = formatted(Queries.lmCrossEntropy(spark, dir))
+    val scans = """\(\d+\) Scan parquet""".r.findAllMatchIn(plan).size
+    assert(scans == 2, s"expected 2 corpus scans, got $scans:\n$plan")
+    assert(plan.contains("Window"), s"vocab counts must be a window:\n$plan")
+    val shuffles = """\(\d+\) Exchange\b""".r.findAllMatchIn(plan).size
+    // (doc,tok) agg + tok window + final doc agg + the 1-row total's
+    // partial->final exchange
+    assert(shuffles <= 4, s"expected <= 4 shuffles, got $shuffles:\n$plan")
+  }
+
   test("mergeComponents relabel join broadcasts the quotient side (never a components-table shuffle)") {
     // VERDICT r7 #3: the scale contract is one map-side pass over the
     // N-row components table against a batch-bounded quotient. The code
