@@ -128,6 +128,13 @@ object DedupScaleSmoke {
       val df = graft.operators.CorpusClean.repetitionStats(docs, "doc_id", "text")
       graft.Bench.forceSink(df); -1L
     }
+    timed("unigram cross-entropy") {
+      // q52's at-scale witness: 3M docs × 50 tokens over a 10k-word
+      // vocab — the (doc,tok) aggregate is the big frame (~150M rows
+      // pre-collapse), the window runs over 10k token partitions
+      graft.operators.CorpusClean
+        .unigramCrossEntropy(docs, "doc_id", "text").count()
+    }
     timed("hygiene pipeline e2e") {
       // full pre-tokenization chain over the 495k/5k train/eval split:
       // repetition gate (map-side) -> decontaminate (broadcast grams)
