@@ -162,29 +162,34 @@ object CorpusClean {
     * with at least one token, cross_entropy = mean over doc tokens of
     * -log2 p(tok), 6-dp rounded.
     *
-    * 100 TB shape: one corpus scan → per-(doc, tok) partial-aggregated
-    * counts (map-side combine collapses repeats before anything
-    * moves), then vocabulary counts as a window over tok ON TOP of
-    * that single lineage — a join formulation would make Catalyst
-    * recompute the token aggregate per branch (uncached subtrees are
-    * not reused; measured as three corpus scans) — and a 1-row corpus
-    * token total from a second, text-column-only scan that aggregates
-    * map-side to one row. Two column-pruned scans, three exchanges
-    * ((doc,tok) agg, tok window, doc final agg), no self-joins,
-    * nothing corpus × vocab, no global window.
+    * 100 TB shape: three column-pruned, fully parallel corpus scans —
+    * (1) per-(doc, tok) partial-aggregated counts (map-side combine
+    * collapses repeats before anything moves), (2) vocabulary counts
+    * from their OWN direct `groupBy(tok)` aggregation (partial agg
+    * collapses each partition to ≤ vocab rows; deriving them from the
+    * (doc,tok) lineage instead would either re-run that corpus-wide
+    * aggregate per branch — Catalyst does not reuse uncached
+    * subtrees — or need a `Window.partitionBy(tok)`, which funnels a
+    * stopword's rows — ~one per document on a Zipfian corpus —
+    * through ONE task, a straggler/OOM no AQE mitigation rescues),
+    * and (3) a 1-row corpus token total aggregated map-side from the
+    * text column. The (doc,tok) ⋈ vocab join hashes on tok: AQE
+    * broadcasts the vocab side when it fits and its skew-join
+    * splitting handles stopword-heavy partitions when it does not —
+    * the property the window formulation lacks. Nothing is
+    * corpus × vocab; every aggregation is partial.
     */
   def unigramCrossEntropy(docs: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
+    def toks = docs.select(col(idCol).as("doc_id"),
       explode(split(trim(col(textCol)), "\\s+")).as("tok"))
     val docTok = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val withC = docTok.withColumn("c",
-      sum(col("tf")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = docs.select(
       sum(size(split(trim(col(textCol)), "\\s+"))).cast("double").as("_n"))
-    withC.crossJoin(total)
+    docTok.join(counts, "tok")
+      .crossJoin(total)
       .groupBy(col("doc_id"))
       .agg(round(
         sum(col("tf").cast("double") *

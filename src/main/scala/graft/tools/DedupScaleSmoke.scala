@@ -131,9 +131,12 @@ object DedupScaleSmoke {
     timed("unigram cross-entropy") {
       // q52's at-scale witness: 3M docs × 50 tokens over a 10k-word
       // vocab — the (doc,tok) aggregate is the big frame (~150M rows
-      // pre-collapse), the window runs over 10k token partitions
-      graft.operators.CorpusClean
-        .unigramCrossEntropy(docs, "doc_id", "text").count()
+      // pre-collapse) joining a 10k-row vocab. forceSink, NOT count():
+      // count() lets Catalyst prune the entropy math, the vocab join,
+      // and the total scan, timing a plan that never does the work
+      val df = graft.operators.CorpusClean
+        .unigramCrossEntropy(docs, "doc_id", "text")
+      graft.Bench.forceSink(df); -1L
     }
     timed("hygiene pipeline e2e") {
       // full pre-tokenization chain over the 495k/5k train/eval split:
