@@ -123,6 +123,29 @@ class CorpusCleanSpec extends AnyFunSuite {
     assert(g2.forall(_ == 2.0))
   }
 
+  test("unigramCrossEntropy equals a driver-side reimplementation on random corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val docs = (0 until (2 + rng.nextInt(5))).map { i =>
+        val words = Array.fill(1 + rng.nextInt(12))("w" + rng.nextInt(6))
+        (s"d$i", words.mkString(" "))
+      }
+      // exact double reimplementation (same math, driver-side)
+      val toks = docs.flatMap { case (id, t) => t.trim.split("\\s+").map(id -> _) }
+      val c = toks.groupBy(_._2).map { case (w, xs) => w -> xs.size.toDouble }
+      val n = toks.size.toDouble
+      val want = toks.groupBy(_._1).map { case (id, xs) =>
+        val ce = xs.map { case (_, w) => -math.log(c(w) / n) / math.log(2.0) }.sum / xs.size
+        id -> BigDecimal(ce).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val got = operators.CorpusClean
+        .unigramCrossEntropy(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == want, s"trial $trial: $got != $want (docs=$docs)")
+    }
+  }
+
   test("commonUnits counts distinct docs, not occurrences") {
     val units = Seq((1L, "x"), (1L, "x"), (1L, "x"), (2L, "x"), (1L, "y"))
       .toDF("doc_id", "u")
