@@ -1,0 +1,162 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{VdbRecord, VdbStore}
+
+/** Ground-truth retrieval harness — the analog of the reference's
+  * `bench/hf_upserts.py` + `bench/hf_query.py:22-51` end-to-end flow.
+  *
+  * The reference embeds 1200 real (context, question, answer) rows with a
+  * sentence-transformer, upserts context embeddings with their metadata,
+  * saves the store, then queries with QUESTION embeddings — vectors that
+  * are near, but not identical to, the stored context vectors — and
+  * counts how often the top-1 hit is NOT the question's own source
+  * document ("total num of mismatches"). That validates retrieval on
+  * STRUCTURED embeddings end-to-end, where the batch benches only ever
+  * see uniform-random vectors.
+  *
+  * No embedding model ships in this environment, so the structure is
+  * planted deterministically instead of learned: documents are clustered
+  * points on the unit sphere (cluster center + per-doc noise — the shape
+  * of real embedding corpora, and of the reference's parity fixture in
+  * tests/test_task14_faiss_vs_numpy_results.py), and each query is its
+  * source document's vector plus a SMALLER perturbation (the
+  * question-vs-context relationship). Ground truth is the source doc's
+  * id by construction; with queryNoise < docNoise the exact path must
+  * return it at rank 1 for every query.
+  *
+  * The run drives the full production lifecycle, exactly like the
+  * reference pair of scripts: upsert (with metadata) → save → LOAD a
+  * fresh store from disk → query. Exact mismatches are asserted == 0 by
+  * RetrievalGroundTruthSpec; the ANN mismatch curve per nProbe is
+  * recorded in the bench artifact (`retrieval_mismatch`), with
+  * nProbe = nList as the exact-parity anchor (must also be 0).
+  */
+object RetrievalGroundTruth {
+
+  final case class Result(
+      nDocs: Int,
+      nQueries: Int,
+      exactMismatches: Int,
+      /** nProbe -> mismatch count through the ANN strategy. */
+      annMismatches: Seq[(Int, Int)],
+      annNList: Int)
+
+  /** Deterministic unit-norm clustered corpus + perturbed queries.
+    * Returns (docs, queries) where queries pair each query vector with
+    * its ground-truth source doc id.
+    */
+  private[graft] def corpus(
+      dim: Int,
+      nDocs: Int,
+      nClusters: Int,
+      nQueries: Int,
+      seed: Long): (IndexedSeq[(String, Array[Float])], IndexedSeq[(String, Array[Float])]) = {
+    val rng = new java.util.Random(seed)
+    def unitNoise(sigma: Double): Array[Double] =
+      Array.fill(dim)(rng.nextGaussian() * sigma)
+    def normalize(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / math.max(n, 1e-12)).toFloat)
+    }
+    val centers = IndexedSeq.fill(nClusters)(normalize(unitNoise(1.0)).map(_.toDouble))
+    // docNoise spreads docs inside a cluster; queryNoise perturbs a doc
+    // into its "question". queryNoise << docNoise keeps the source doc
+    // the unambiguous nearest neighbor (margin checked by the spec).
+    val docNoise = 0.35
+    val queryNoise = 0.10
+    val docs = (0 until nDocs).map { i =>
+      val c = centers(i % nClusters)
+      val v = unitNoise(docNoise)
+      var j = 0
+      while (j < dim) { v(j) += c(j); j += 1 }
+      (s"doc-$i", normalize(v))
+    }
+    val queries = (0 until nQueries).map { qi =>
+      // deterministic spread over the corpus (the reference samples 50
+      // random rows; determinism here keeps the artifact reproducible)
+      val src = (qi * 37) % nDocs
+      val base = docs(src)._2
+      val v = unitNoise(queryNoise)
+      var j = 0
+      while (j < dim) { v(j) += base(j); j += 1 }
+      (docs(src)._1, normalize(v))
+    }
+    (docs, queries)
+  }
+
+  /** Full lifecycle run. `savePath` must be a writable scratch dir; the
+    * store is saved there and re-loaded before any query runs.
+    */
+  def run(
+      spark: SparkSession,
+      savePath: String,
+      dim: Int = 128,
+      nDocs: Int = 1200,
+      nClusters: Int = 24,
+      nQueries: Int = 50,
+      nProbes: Seq[Int] = Seq.empty): Result = {
+    val (docs, queries) = corpus(dim, nDocs, nClusters, nQueries, seed = 20260813L)
+
+    // upsert with metadata (the reference stores context/question/answer
+    // beside the vector; a doc's meta travels through save/load and
+    // comes back on every hit)
+    val store = VdbStore.empty(spark, dim)
+    store.upsert(docs.map { case (id, v) =>
+      VdbRecord(id, v, s"""{"doc":"${id}","cluster":"${id.drop(4).toInt % nClusters}"}""")
+    })
+    store.save(savePath)
+
+    // fresh store from disk — the query side of the reference pair
+    // (hf_query.py opens storage_file="hfdata" written by hf_upserts.py)
+    val loaded = VdbStore.load(spark, savePath)
+    val qVecs = queries.map(_._2)
+
+    // exact path, reference parameters (top_k=5, better_than=0.2)
+    val exactHits = loaded.query(qVecs, topK = 5, betterThan = Some(0.2))
+    require(loaded.lastQueryStrategy.contains("exact"),
+      s"expected exact strategy, got ${loaded.lastQueryStrategy}")
+    def mismatches(hits: Seq[Seq[graft.core.VdbHit]]): Int =
+      hits.zip(queries).count { case (h, (truth, _)) =>
+        h.isEmpty || h.head.id != truth
+      }
+    val exactMis = mismatches(exactHits)
+
+    // ANN strategy per nProbe. Auto-mode nList is only resolved by the
+    // first build, so trigger it with a one-vector probe, then sweep:
+    // defaults cover sparse probing (1, 4), the engine default
+    // (nList/2), and nProbe = nList — the exact-parity anchor that must
+    // also report 0 mismatches.
+    loaded.enableAnn()
+    loaded.query(qVecs.take(1), topK = 1)
+    val nList = loaded.annInfo.nList
+    val probes =
+      (if (nProbes.nonEmpty) nProbes
+       else Seq(1, 4, graft.operators.IvfIndex.defaultNProbe(nList), nList))
+        .filter(_ >= 1).distinct.sorted
+    val annResults = probes.map { np =>
+      val hits = loaded.query(qVecs, topK = 5, nProbe = np)
+      require(loaded.lastQueryStrategy.contains("ann"),
+        s"expected ann strategy, got ${loaded.lastQueryStrategy}")
+      (np, mismatches(hits))
+    }
+    Result(nDocs, nQueries, exactMis, annResults, nList)
+  }
+
+  /** Standalone runner: prints one JSON-ish line for ad-hoc checks. */
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rgt").toString
+    val r = run(spark, s"$dir/store")
+    println(s"retrieval_mismatch exact=${r.exactMismatches} " +
+      r.annMismatches.map { case (np, m) => s"np$np=$m" }.mkString(" ") +
+      s" nList=${r.annNList} nQueries=${r.nQueries}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tools.RetrievalGroundTruth
+
+/** End-to-end ground-truth retrieval (the reference's bench/hf_query.py
+  * flow, reference bench/hf_query.py:22-51): structured clustered
+  * embeddings through upsert→save→load→query, asserting the mismatch
+  * invariants the bench artifact records.
+  */
+class RetrievalGroundTruthSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // Smaller than the bench shape (300 docs vs 1200, dim 64) so the spec
+  // stays in the suite's time budget; the geometry argument is
+  // scale-free (queryNoise << docNoise).
+  private lazy val result = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rgt-spec")
+    RetrievalGroundTruth.run(spark, s"$dir/store",
+      dim = 64, nDocs = 300, nClusters = 12, nQueries = 40)
+  }
+
+  test("exact strategy retrieves every query's source doc at rank 1") {
+    assert(result.exactMismatches == 0,
+      s"expected 0 exact mismatches, got ${result.exactMismatches}")
+    assert(result.nQueries == 40)
+  }
+
+  test("ANN at nProbe = nList is exact parity: 0 mismatches") {
+    val parity = result.annMismatches.collectFirst {
+      case (np, m) if np == result.annNList => m
+    }
+    assert(parity.contains(0),
+      s"nProbe=nList must match exact; curve=${result.annMismatches}")
+  }
+
+  test("ANN mismatch curve is monotone non-increasing in nProbe") {
+    val ms = result.annMismatches.sortBy(_._1).map(_._2)
+    assert(ms.zip(ms.tail).forall { case (a, b) => b <= a },
+      s"more probes can only help: ${result.annMismatches}")
+  }
+
+  test("corpus generator is deterministic and unit-norm") {
+    val (d1, q1) = RetrievalGroundTruth.corpus(32, 20, 4, 5, seed = 7L)
+    val (d2, _) = RetrievalGroundTruth.corpus(32, 20, 4, 5, seed = 7L)
+    assert(d1.map(_._2.toSeq) == d2.map(_._2.toSeq))
+    val n = math.sqrt(d1.head._2.map(x => x.toDouble * x).sum)
+    assert(math.abs(n - 1.0) < 1e-5)
+    // every query's ground truth is a real doc id
+    val ids = d1.map(_._1).toSet
+    assert(q1.forall(q => ids.contains(q._1)))
+  }
+}
