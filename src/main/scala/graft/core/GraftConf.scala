@@ -42,6 +42,16 @@ final class GraftConf(spark: SparkSession) {
   def annNProbeFor(nList: Int): Int =
     annNProbeOpt.getOrElse(graft.operators.IvfIndex.defaultNProbe(nList))
 
+  /** Batch-size threshold (rows) above which [[graft.operators.IvfIndex.searchDs]]
+    * routes through the packed-kernel path (VERDICT r9 next-round #3:
+    * the declarative row-join measured 40-54 ms/q at the 10M smoke
+    * vs 0.9-2.2 ms/q packed — nothing enforced the path-selection rule
+    * in code). 0 disables routing (always declarative).
+    */
+  def annDsRouteThreshold: Int =
+    opt("ann.dsroute.threshold", "GRAFT_ANN_DSROUTE_THRESHOLD").map(_.toInt)
+      .getOrElse(1024)
+
   /** Driver-side sample cap for the k-means fit. */
   def annSampleCap: Int =
     opt("ann.sample.cap", "GRAFT_ANN_SAMPLE_CAP").map(_.toInt).getOrElse(20000)
