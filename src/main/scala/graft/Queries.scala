@@ -1261,8 +1261,9 @@ object Oracles {
     "q49_ann_ivf_merged" ->
       topkOracle("vec_id >= 100 AND vec_id < 120", "true", 10, None),
     // same salting, same RE2-safe patterns in the same order, same
-    // placeholder-count arithmetic (see piiRedact / CorpusClean
-    // .PiiPatterns)
+    // stage-wise match counting (each pattern counted on its stage's
+    // input, so a literal placeholder in a source doc never counts —
+    // ADVICE r9; see piiRedact / CorpusClean.PiiPatterns)
     "q50_pii_redact" ->
       """WITH salted AS (
         |  SELECT doc_id, text
@@ -1270,19 +1271,24 @@ object Oracles {
         |    || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || (doc_id % 250) || '.1' ELSE '' END
         |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END AS text
         |  FROM documents),
-        |red AS (
+        |s1 AS (
         |  SELECT doc_id,
-        |    regexp_replace(regexp_replace(regexp_replace(text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
-        |  FROM salted)
+        |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM salted),
+        |s2 AS (
+        |  SELECT doc_id, c1,
+        |    len(regexp_extract_all(t1, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS c2,
+        |    regexp_replace(t1, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT doc_id, c1, c2,
+        |    len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS c3,
+        |    regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |  FROM s2)
         |SELECT doc_id, md5(redacted) AS redacted_md5,
-        |  CAST((length(redacted) - length(replace(redacted, '<EMAIL>', ''))) / 7
-        |     + (length(redacted) - length(replace(redacted, '<IP>', ''))) / 4
-        |     + (length(redacted) - length(replace(redacted, '<PHONE>', ''))) / 7
-        |    AS BIGINT) AS n_redactions
-        |FROM red""".stripMargin,
+        |  CAST(c1 + c2 + c3 AS BIGINT) AS n_redactions
+        |FROM s3""".stripMargin,
     // same salting, same RE2 extraction; docs counted once per domain
     "q51_domain_hist" ->
       """WITH salted AS (

@@ -220,29 +220,35 @@ object CorpusClean {
     *
     * Scale shape: the gated corpus subtree is referenced twice — once
     * as the anti-join row side, once exploded into grams for the
-    * contamination probe — so the scan + gate runs TWICE (Catalyst
-    * does not dedupe identical subplans, and persisting a 100 TB
-    * corpus is not an option); everything downstream is single-pass:
-    * keep-one is a row_number window over the content hash (same
-    * md5/min-id convention as [[Dedup.exact]] — one shuffle, no
-    * self-join), sampling is a broadcast join + map-side filter.
-    * Being a pure composition it is fully oracle-able: q39 runs the
-    * identical chain as DuckDB CTEs.
+    * contamination probe — and Catalyst does not dedupe identical
+    * subplans, so by DEFAULT the scan + gate runs twice (persisting a
+    * 100 TB corpus unasked is not this operator's call to make).
+    * Callers who can afford the storage opt in to a single corpus
+    * scan by passing `gated`: a pre-persisted [[repetitionGate]]
+    * frame, which both references then read from cache — the cache
+    * fill is the only scan (pinned in PlanShapeSpec). Everything
+    * downstream is single-pass: keep-one is a row_number window over
+    * the content hash (same md5/min-id convention as [[Dedup.exact]]
+    * — one shuffle, no self-join), sampling is a broadcast join +
+    * map-side filter. Being a pure composition it is fully
+    * oracle-able: q39 runs the identical chain as DuckDB CTEs.
     */
   def hygienePipeline(docs: DataFrame, evalSet: DataFrame,
                       idCol: String, textCol: String, strataCol: String,
                       rates: Map[String, Double],
                       maxDupFrac: Double = 0.5, contamN: Int = 13,
                       repN: Int = 2,
-                      broadcastEval: Boolean = true): DataFrame = {
+                      broadcastEval: Boolean = true,
+                      gated: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the repetition gate is per-row, so it fuses into the scan as a
     // map-side filter — joining back the repetitionStats frame would
-    // shuffle the whole corpus on id for nothing
-    val lowRep = docs.filter(
-      round(graft.functions.repetition_stats(
-          split(trim(col(textCol)), "\\s+"), repN).getField("dup_frac"), 6)
-        <= maxDupFrac)
+    // shuffle the whole corpus on id for nothing. An opted-in `gated`
+    // frame replaces the subtree wholesale (the caller already applied
+    // the gate, typically via repetitionGate(...).persist()) — its
+    // lifecycle (persist level, unpersist) stays with the caller.
+    val lowRep = gated.getOrElse(
+      repetitionGate(docs, textCol, maxDupFrac, repN))
     val clean = lowRep.join(
       contaminationHits(lowRep, evalSet, idCol, textCol, contamN,
           broadcastEval)
@@ -256,6 +262,18 @@ object CorpusClean {
     stratifiedSample(kept, idCol, strataCol, rates)
       .select(col(idCol), col(strataCol))
   }
+
+  /** The repetition quality gate as a standalone frame — step (1) of
+    * [[hygienePipeline]], exposed so sub-100TB callers can persist it
+    * once and pass it back as the pipeline's `gated` option, collapsing
+    * the pipeline's two corpus scans into one cache fill.
+    */
+  def repetitionGate(docs: DataFrame, textCol: String,
+                     maxDupFrac: Double = 0.5, repN: Int = 2): DataFrame =
+    docs.filter(
+      round(graft.functions.repetition_stats(
+          split(trim(col(textCol)), "\\s+"), repN).getField("dup_frac"), 6)
+        <= maxDupFrac)
 
   /** Deterministic stratified sampling for domain mixing: keep each
     * row with probability `rates(strata)`, decided by the first 8 hex
@@ -303,17 +321,23 @@ object CorpusClean {
     * columns.
     */
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
-    val redacted = PiiPatterns.foldLeft(col(textCol)) {
-      case (c, (pat, token)) => regexp_replace(c, pat, token)
-    }
-    val out = df.withColumn("redacted", redacted)
-    // occurrence count via literal (non-regex) replace — the same
-    // arithmetic any SQL engine can mirror exactly
-    val counts = PiiPatterns.map { case (_, token) =>
-      (length(col("redacted")) -
-        length(expr(s"replace(redacted, '$token', '')"))) / token.length
-    }
-    out.withColumn("n_redactions", counts.reduce(_ + _).cast("long"))
+    // Each pattern is counted on its stage's INPUT (matches about to be
+    // replaced), not inferred from placeholder occurrences in the
+    // output — a literal '<EMAIL>' already present in a source doc must
+    // not count as a redaction (ADVICE r9). Counting per STAGE (not all
+    // on the raw text) keeps the count aligned with what the sequential
+    // replace chain actually redacts: the email rule runs first exactly
+    // so the IP rule never sees an address's dotted domain, and the
+    // count must not re-see it either. Typed API throughout — no SQL
+    // string interpolation of caller identifiers.
+    val (redacted, counts) =
+      PiiPatterns.foldLeft((col(textCol), Seq.empty[org.apache.spark.sql.Column])) {
+        case ((c, cnts), (pat, token)) =>
+          (regexp_replace(c, pat, token),
+           cnts :+ size(regexp_extract_all(c, lit(pat), lit(0))))
+      }
+    df.withColumn("redacted", redacted)
+      .withColumn("n_redactions", counts.reduce(_ + _).cast("long"))
   }
 
   /** Domain histogram (pipeline op): extract every http(s) URL host
@@ -325,9 +349,12 @@ object CorpusClean {
     * oracle re-runs it verbatim.
     */
   def domainHistogram(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // typed regexp_extract_all, not an expr() string: a column name
+    // with spaces/dots/backticks must resolve as a column reference,
+    // never re-parse as SQL (ADVICE r9)
     df.select(col(idCol).as("_doc"),
-        explode(expr(
-          s"regexp_extract_all($textCol, 'https?://([A-Za-z0-9.-]+)', 1)"))
+        explode(regexp_extract_all(col(textCol),
+          lit("https?://([A-Za-z0-9.-]+)"), lit(1)))
           .as("domain"))
       .distinct()
       .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))

@@ -254,7 +254,14 @@ object StreamingOps {
           components =
             graft.operators.Dedup.mergeComponents(components, batch, aCol, bCol)
           onUpdate(components)
-          if (grace != null) graft.operators.Dedup.dropResultCheckpoint(grace)
+          // releaseResult, not dropResultCheckpoint: the latter frees
+          // reliable-checkpoint FILES only, so in the default
+          // localCheckpoint mode a long-lived sink retained one extra
+          // generation of corpus-sized storage blocks until GC got
+          // around to them (ADVICE r9). releaseResult unpersists blocks
+          // AND deletes files — deterministic release under both
+          // backings, same grace-window read guarantee.
+          if (grace != null) graft.operators.Dedup.releaseResult(grace)
           grace = if (ownsCurrent) prev else null
           ownsCurrent = true
         }

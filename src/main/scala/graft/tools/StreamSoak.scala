@@ -36,10 +36,12 @@ object StreamSoak {
       mem.toDF().toDF("a", "b"))
     val allPairs = scala.collection.mutable.Buffer[(Long, Long)]()
     (1 to nBatches).foreach { b =>
-      // 100 fresh chains + 100 bridges into earlier batches; batch 1 has
-      // no earlier batch, so it bridges into its own chain PARTNERS
-      // (+1 offset) — real edges, not the self-loops the b-1 formula
-      // degenerated to (ADVICE r8)
+      // 100 fresh chains + 100 bridges into earlier batches; batch 1
+      // has no earlier batch, so its "bridges" attach 100 fresh spur
+      // nodes (1, 3, ..., 199) to its chains — real edges, not the
+      // self-loops the b-1 formula degenerated to (ADVICE r8; the
+      // exact graph doesn't matter to the soak, the end cross-check
+      // recomputes expected components from allPairs either way)
       val bridgeBase = if (b == 1) 1L else (b - 1) * 10000L
       val pairs = (0 until 100).map { i =>
         (b * 10000L + i * 2, b * 10000L + i * 2 + 1)

@@ -95,6 +95,24 @@ class CorpusCleanSpec extends AnyFunSuite {
     assert(out("d5") == (("", 0L)))
   }
 
+  test("redactPii counts matches, not output placeholders (ADVICE r9)") {
+    import spark.implicits._
+    val docs = Seq(
+      // literal placeholder tokens in the SOURCE must not count
+      ("d1", "this doc says <EMAIL> and <IP> verbatim"),
+      // a token embedding a placeholder ('<IP>x') must not skew the sum
+      ("d2", "weird token <IP>x beside real 10.0.0.1"),
+      // sequential-stage semantics: the email rule consumes the dotted
+      // host before the IP rule ever sees it — one redaction, not two
+      ("d3", "mail a@10.0.0.1.example.com only")).toDF("doc_id", "text")
+    val out = operators.CorpusClean.redactPii(docs, "text")
+      .select("doc_id", "redacted", "n_redactions").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out("d1") == (("this doc says <EMAIL> and <IP> verbatim", 0L)))
+    assert(out("d2") == (("weird token <IP>x beside real <IP>", 1L)))
+    assert(out("d3") == (("mail <EMAIL> only", 1L)))
+  }
+
   test("domainHistogram counts documents per host, one per doc regardless of mentions") {
     import spark.implicits._
     val docs = Seq(

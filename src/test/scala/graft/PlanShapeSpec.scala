@@ -202,6 +202,55 @@ class PlanShapeSpec extends AnyFunSuite {
       s"repetition gate regressed to a join:\n$plan")
   }
 
+  test("hygiene pipeline single-scan opt-in: pre-persisted gate means one corpus scan") {
+    // VERDICT r9 next-round #4: the default pipeline reads the gated
+    // corpus twice (anti-join row side + contamination gram explode).
+    // With the caller-persisted repetitionGate frame passed as `gated`,
+    // both references must read the CACHE — zero parquet scans of the
+    // corpus in the executed plan (the one real scan is the cache
+    // fill, charged when the cache materializes).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // >= contamN (13) tokens: a shorter literal eval doc yields ZERO
+    // grams at constant-folding time and PropagateEmptyRelation deletes
+    // the whole contamination branch (plan would show 1 scan for the
+    // wrong reason)
+    val evalSet = Seq((900001L,
+      "benchmark eval passage one of a kind with enough tokens to form a thirteen gram"))
+      .toDF("doc_id", "text")
+    val rates = Queries.sampleRates
+    def corpusScans(df: org.apache.spark.sql.DataFrame): Int =
+      """\(\d+\) Scan parquet""".r.findAllMatchIn(formatted(df)).size
+    val defaultPlan = operators.CorpusClean.hygienePipeline(
+      docs, evalSet, "doc_id", "text", "source", rates)
+    assert(corpusScans(defaultPlan) == 2,
+      s"default pipeline reads the corpus twice:\n${formatted(defaultPlan)}")
+    val gate = operators.CorpusClean.repetitionGate(docs, "text").persist()
+    try {
+      gate.count() // cache fill — the single corpus scan
+      val opted = operators.CorpusClean.hygienePipeline(
+        docs, evalSet, "doc_id", "text", "source", rates,
+        gated = Some(gate))
+      val plan = formatted(opted)
+      // Both corpus references must be cache reads. The formatted text
+      // still contains ONE "(N) Scan parquet" detail entry — the
+      // cache-fill definition printed inside InMemoryRelation, with the
+      // same node id under both InMemoryTableScans — so the invariant
+      // is: >= 2 cache scans, exactly 1 (shared, definition-only)
+      // parquet entry, versus the default plan's 2 independent scans.
+      val cacheScans = "InMemoryTableScan".r.findAllMatchIn(plan).size
+      assert(cacheScans >= 2,
+        s"both corpus references must read the cache:\n$plan")
+      assert(corpusScans(opted) == 1,
+        s"only the shared cache-fill definition may mention parquet:\n$plan")
+      // same rows either way: the opt-in changes the plan, not results
+      val a = defaultPlan.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val b = opted.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(a == b)
+    } finally gate.unpersist()
+  }
+
   test("idfTable is lazy: constructing the frame triggers no Spark job") {
     // VERDICT r6 #3: the pre-r7 version ran an eager docs.count() at
     // call time — a full corpus scan fired during plan CONSTRUCTION,
