@@ -264,9 +264,49 @@ object Queries {
       t(spark, dir, "documents").withColumn("payload", col("text").cast("binary")),
       "doc_id", "payload")
 
+  /** Machine-checked invariant for the no-oracle ANN entries (VERDICT
+    * r9 next-round #7): the driver cannot hash-match an approximate
+    * result, but the entry can SELF-assert recall@10 against the exact
+    * path computed in-engine (nProbe = nList scans every list — exact
+    * by construction, the q47-q49 anchor). The floor is the
+    * structure-free expectation minus sampling slack: on vectors with
+    * no cluster structure IVF recall ≈ probed mass = nProbe/nList
+    * (bench `nprobe*` rows), and 20 queries × k=10 gives ~0.035 sd, so
+    * floor = nProbe/nList − 0.1 can only trip on a real regression.
+    * Checked once per (dir, params) key and cached — q26/q46 reuse one
+    * validation, and repeat bench passes don't re-pay the exact scan.
+    */
+  private val recallFloorChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private def assertRecallFloor(key: String, idx: operators.IvfIndex,
+      queries: Array[(Long, Array[Float])], k: Int): Double =
+    recallFloorChecked.computeIfAbsent(key, { _ =>
+      val np = operators.IvfIndex.defaultNProbe(idx.nList)
+      def top(nProbe: Int): Map[Long, Set[Long]] =
+        idx.search(queries, k, nProbe, normalized = false)
+          .select(col("qid"), col("id")).collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val exact = top(idx.nList)
+      val approx = top(np)
+      val perQ = queries.map { case (qid, _) =>
+        val ex = exact.getOrElse(qid, Set.empty[Long])
+        if (ex.isEmpty) 1.0
+        else approx.getOrElse(qid, Set.empty[Long]).count(ex).toDouble / ex.size
+      }
+      val recall = perQ.sum / math.max(1, perQ.length)
+      val floor = np.toDouble / idx.nList - 0.1
+      require(recall >= floor,
+        f"ANN recall floor violated for $key: recall@$k = $recall%.3f < " +
+          f"floor $floor%.3f (nProbe=$np, nList=${idx.nList})")
+      recall
+    })
+
   /** IVF approximate-nearest-neighbor search (O25-O27 analog). No DuckDB
     * oracle — ANN is approximate; exact-parity is asserted in
-    * IvfIndexSpec on separated data (test_task14 analog).
+    * IvfIndexSpec on separated data (test_task14 analog), and the entry
+    * self-asserts a recall@10 floor against the in-engine exact path
+    * (see [[assertRecallFloor]]) so its correctness row is a checked
+    * invariant, not a blank.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
@@ -278,6 +318,7 @@ object Queries {
     val idx = operators.IvfIndex.cached(s"$dir/embeddings#16")(
       operators.IvfIndex.build(emb, "vec_id", "embedding", nList = 16,
         normalized = false))
+    assertRecallFloor(s"$dir/embeddings#16@k10", idx, queries, 10)
     // default nProbe (nList/2 — recall@10 >= 0.8 even on structure-free
     // vectors; the bench records the exact number as nprobe_default)
     idx.search(queries, k = 10, normalized = false)
@@ -299,6 +340,11 @@ object Queries {
     val idx = operators.IvfIndex.cached(s"$dir/embeddings#16")(
       operators.IvfIndex.build(emb, "vec_id", "embedding", nList = 16,
         normalized = false))
+    // same invariant, same cache key as q26 (searchDs output is
+    // spec-pinned bit-identical to search, so one validation covers
+    // both entries)
+    assertRecallFloor(s"$dir/embeddings#16@k10", idx,
+      queries.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)), 10)
     idx.searchDs(queries, "vec_id", "embedding", k = 10, normalized = false)
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("id").as("vec_id"), round(col("score"), 6).as("score"))

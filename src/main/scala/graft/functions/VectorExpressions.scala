@@ -220,6 +220,74 @@ case class NearestCentroid(child: Expression, flat: Array[Double], dim: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Two-level (hierarchical) coarse assignment — the √N-killing scale
+  * path for the IVF build (VERDICT r9 next-round #5). The flat argmax
+  * pays k·dim flops per row (~8e12 at the 10M-row √N shape); this
+  * expression first scores the row against √k GROUP centers (a
+  * deterministic k-means over the centroids themselves), then runs the
+  * exact argmax only over the members of the `probeGroups` best groups
+  * — (√k + probeGroups·√k)·dim per row, an ~k/(√k·(1+probeGroups))
+  * reduction.
+  *
+  * DELIBERATELY APPROXIMATE, and a separate expression so
+  * `nearest_centroid`'s exact contract stays intact: a row whose true
+  * argmax centroid sits outside the probed groups buckets to its best
+  * probed centroid instead. That is the standard hierarchical/IMI
+  * coarse-quantizer trade — bucketing is a heuristic partition for ANN
+  * probing, searches select probe lists by full centroid dots either
+  * way, and nProbe = nList still degenerates to the exact scan
+  * whatever the bucketing (the oracle anchor q47-q49 is unaffected).
+  * Exactness pruning (branch-and-bound with Cauchy-Schwarz bounds) was
+  * measured first and does NOT work at this geometry: in 256-d the
+  * centroids are near-orthogonal, every group's radius rivals the
+  * inter-centroid gaps, and the bound never excludes a group (flat
+  * 13.1 s vs bounded 14.0 s at 1M × 1000 lists, clustered data).
+  *
+  * Determinism is part of the contract (the incremental-maintenance
+  * re-bucket must reproduce bit-equal buckets on fixed centroids):
+  * group fit is seeded LocalKMeans on the centroid array, group
+  * selection and member argmax break ties on the lowest index, and
+  * the per-row function is partitioning-independent — pinned in
+  * VectorFunctionsSpec.
+  */
+case class NearestCentroidHier(child: Expression, flat: Array[Double],
+    dim: Int, probeGroups: Int)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid_hier"
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroid_hier expects array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    NearestCentroid.nearestHier(v.asInstanceOf[ArrayData], flat, dim, isFloat,
+      NearestCentroid.planFor(flat, dim), probeGroups)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", flat, "double[]")
+    val pref = ctx.addReferenceObj("ncplan",
+      NearestCentroid.planFor(flat, dim),
+      classOf[NearestCentroid.TwoLevelPlan].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = graft.functions.NearestCentroid.nearestHier($a, $ref, $dim, $isFloat, $pref, $probeGroups);"
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object NearestCentroid {
   /** Shared by eval and codegen. Rows shorter than `dim` dot only their
     * prefix (mirrors the UDF it replaces); empty centroid set -> 0.
@@ -240,6 +308,184 @@ object NearestCentroid {
       c += 1
     }
     best
+  }
+
+  /** List count at or above which [[graft.operators.IvfIndex.assign]]
+    * selects the hierarchical path ([[NearestCentroidHier]]); below it
+    * the flat exact argmax is cheap enough that two levels only add
+    * overhead.
+    */
+  val TwoLevelThreshold = 256
+
+  /** Default probed-group count for k lists: √k groups exist; probing
+    * ~⅛ of them (min 2) keeps the wrong-bucket rate low on clustered
+    * data (AssignBench agreement measurements in SCALING.md) while
+    * retaining most of the flop reduction.
+    */
+  def defaultProbeGroups(k: Int): Int = {
+    val g = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+    math.max(2, (g + 7) / 8)
+  }
+
+  /** Precomputed group structure: √k group centers fit over the
+    * centroids themselves (deterministic seeded LocalKMeans) +
+    * per-group member ids (ascending index order).
+    */
+  final class TwoLevelPlan(
+      val groupFlat: Array[Double],
+      val members: Array[Array[Int]],
+      val dim: Int) extends Serializable {
+    def nGroups: Int = members.length
+  }
+
+  // Keyed by the centroid array INSTANCE (WeakHashMap compares arrays
+  // by identity): optimizer copies of one expression share their flat
+  // array, so the fit runs once per distinct centroid matrix and the
+  // entry dies with it.
+  private val planCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Array[Double], TwoLevelPlan]())
+
+  def planFor(flat: Array[Double], dim: Int): TwoLevelPlan = {
+    val cached = planCache.get(flat)
+    if (cached != null) return cached
+    val k = if (dim == 0) 0 else flat.length / dim
+    require(k > 0, "nearest_centroid_hier needs a non-empty centroid set")
+    // SPHERICAL grouping, because routing is by inner product: fitted
+    // centroid sets carry wildly varying norms (k-means blends of
+    // separated clusters land at norm 0.5-0.7 beside norm-1 dedicated
+    // centroids), and euclid-grouped raw centroids routed by IP
+    // systematically favor large-norm group centers — measured
+    // score_gap_mean 0.80 (AssignBench) before this fix. Grouping the
+    // centroid DIRECTIONS and renormalizing group centers makes the
+    // grouping metric and the routing metric the same, and a query's
+    // top groups are the directionally-aligned ones regardless of
+    // member norms; the exact member argmax then sees raw dots.
+    val dirs = Array.tabulate(k) { c =>
+      val v = java.util.Arrays.copyOfRange(flat, c * dim, (c + 1) * dim)
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += v(j) * v(j); j += 1 }
+      if (s > 0) {
+        val inv = 1.0 / math.sqrt(s)
+        j = 0
+        while (j < dim) { v(j) *= inv; j += 1 }
+      }
+      v
+    }
+    val g = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+    val groups = graft.operators.LocalKMeans.fit(dirs, g, maxIter = 8, seed = 42L)
+    // renormalize group centers (unit directions); an all-zero center
+    // stays zero and scores 0 for every query
+    groups.foreach { gc =>
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += gc(j) * gc(j); j += 1 }
+      if (s > 0) {
+        val inv = 1.0 / math.sqrt(s)
+        j = 0
+        while (j < dim) { gc(j) *= inv; j += 1 }
+      }
+    }
+    // member assignment by the SAME metric the router uses: max IP of
+    // the centroid DIRECTION against the unit group centers (ties ->
+    // lowest group index)
+    val memberOf = new Array[Int](k)
+    var c = 0
+    while (c < k) {
+      var best = 0
+      var bestS = Double.NegativeInfinity
+      var gi = 0
+      while (gi < groups.length) {
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += dirs(c)(j) * groups(gi)(j); j += 1 }
+        if (s > bestS) { bestS = s; best = gi }
+        gi += 1
+      }
+      memberOf(c) = best
+      c += 1
+    }
+    val buckets = Array.fill(groups.length)(new scala.collection.mutable.ArrayBuffer[Int]())
+    (0 until k).foreach(c => buckets(memberOf(c)) += c)
+    val groupFlat = new Array[Double](groups.length * dim)
+    (0 until groups.length).foreach(gi =>
+      System.arraycopy(groups(gi), 0, groupFlat, gi * dim, dim))
+    val built = new TwoLevelPlan(groupFlat, buckets.map(_.toArray), dim)
+    planCache.put(flat, built)
+    built
+  }
+
+  /** Hierarchical argmax: exact argmax restricted to the members of the
+    * `probeGroups` best groups by group-center inner product. Fully
+    * deterministic: group selection is (score desc, group idx asc),
+    * member argmax is (score, lowest index) — the flat scan's own tie
+    * rule — and the result is a pure per-row function, independent of
+    * partitioning and row order (spec-pinned).
+    */
+  def nearestHier(v: ArrayData, flat: Array[Double], dim: Int,
+                  isFloat: Boolean, plan: TwoLevelPlan, probeGroups: Int): Int = {
+    val k = if (dim == 0) 0 else flat.length / dim
+    if (k == 0) return 0
+    val n = math.min(dim, v.numElements())
+    val x = new Array[Double](n)
+    var j = 0
+    if (isFloat) while (j < n) { x(j) = v.getFloat(j); j += 1 }
+    else while (j < n) { x(j) = v.getDouble(j); j += 1 }
+    val g = plan.nGroups
+    val w = math.min(math.max(1, probeGroups), g)
+    // group scores
+    val gs = new Array[Double](g)
+    var gi = 0
+    while (gi < g) {
+      val off = gi * dim
+      var s = 0.0
+      j = 0
+      while (j < n) { s += plan.groupFlat(off + j) * x(j); j += 1 }
+      gs(gi) = s
+      gi += 1
+    }
+    // top-w groups: selection sort over the small group array — w and g
+    // are ~√k (≤ ~60 at 10M rows); ties break to the lower group index
+    // (strict > keeps the earlier index on equal scores)
+    val sel = new Array[Int](w)
+    val used = new Array[Boolean](g)
+    var si = 0
+    while (si < w) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      gi = 0
+      while (gi < g) {
+        if (!used(gi) && gs(gi) > bestS) { bestS = gs(gi); best = gi }
+        gi += 1
+      }
+      if (best < 0) { sel(si) = -1 } else { used(best) = true; sel(si) = best }
+      si += 1
+    }
+    var bestC = 0
+    var bestS = Double.NegativeInfinity
+    var first = true
+    si = 0
+    while (si < w) {
+      val gg = sel(si)
+      if (gg >= 0) {
+        val mem = plan.members(gg)
+        var mi = 0
+        while (mi < mem.length) {
+          val c = mem(mi)
+          val off = c * dim
+          var s = 0.0
+          j = 0
+          while (j < n) { s += flat(off + j) * x(j); j += 1 }
+          if (first || s > bestS || (s == bestS && c < bestC)) {
+            bestS = s; bestC = c; first = false
+          }
+          mi += 1
+        }
+      }
+      si += 1
+    }
+    bestC
   }
 }
 

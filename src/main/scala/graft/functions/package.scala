@@ -40,6 +40,24 @@ package object functions {
     col(NearestCentroid(expr(v), flat, dim))
   }
 
+  /** Hierarchical (two-level) coarse assignment: exact argmax over the
+    * members of the `probeGroups` best centroid groups — the
+    * deliberately-approximate √N-scale path [[graft.operators.IvfIndex.assign]]
+    * selects above [[NearestCentroid.TwoLevelThreshold]] lists. See
+    * [[NearestCentroidHier]] for the trade and determinism contract.
+    */
+  def nearest_centroid_hier(v: Column, centroids: Array[Array[Double]],
+                            probeGroups: Int): Column = {
+    val dim = if (centroids.isEmpty) 0 else centroids(0).length
+    val flat = new Array[Double](centroids.length * dim)
+    var i = 0
+    while (i < centroids.length) {
+      System.arraycopy(centroids(i), 0, flat, i * dim, dim)
+      i += 1
+    }
+    col(NearestCentroidHier(expr(v), flat, dim, probeGroups))
+  }
+
   /** Top-`n` max-inner-product centroid ids per row (score desc, id asc
     * on ties; element 0 == `nearest_centroid`) — IVF multi-assign for
     * boundary probing.

@@ -597,18 +597,35 @@ object IvfIndex {
   /** Assignment pass under FIXED centroids — the incremental-maintenance
     * primitive (reference `add_with_ids` analog). Argmax of the raw
     * inner product: per-row scale drops out, so un-normalized rows
-    * bucket identically to their normalized forms. The argmax is the
-    * codegen'd `nearest_centroid` expression — a store-sized pass with
-    * no per-row boxing (the round-2 version was a Scala UDF re-boxing
-    * every vector on every incremental refresh). `cacheAssigned=false`
-    * skips pinning the assignment (transient single-use indexes —
-    * callers that keep the index should cache).
+    * bucket identically to their normalized forms. The argmax is a
+    * codegen'd expression — a store-sized pass with no per-row boxing
+    * (the round-2 version was a Scala UDF re-boxing every vector on
+    * every incremental refresh). `cacheAssigned=false` skips pinning
+    * the assignment (transient single-use indexes — callers that keep
+    * the index should cache).
+    *
+    * Path selection (VERDICT r9 next-round #5): at or above
+    * [[graft.functions.NearestCentroid.TwoLevelThreshold]] lists the
+    * flat argmax's k·dim-per-row cost dominates the whole build (~447 s
+    * of the 452 s 10M-row build), so the pass switches to the
+    * two-level `nearest_centroid_hier` expression — √k group centers
+    * first, exact argmax inside the best ⌈√k/8⌉ groups. Deterministic
+    * bit-equal bucketing on fixed centroids either way (spec-pinned);
+    * -Dgraft.nc2l.disable=true forces the flat path (measurement
+    * escape hatch, tools/AssignBench).
     */
   def assign(store: DataFrame, centroids: Array[Array[Double]],
              idCol: String, vecCol: String,
              cacheAssigned: Boolean = true): IvfIndex = {
-    val withCid = store.withColumn("centroid_id",
-      graft.functions.nearest_centroid(col(vecCol), centroids))
+    import graft.functions.NearestCentroid
+    val useHier = centroids.length >= NearestCentroid.TwoLevelThreshold &&
+      !java.lang.Boolean.getBoolean("graft.nc2l.disable")
+    val cid =
+      if (useHier)
+        graft.functions.nearest_centroid_hier(col(vecCol), centroids,
+          NearestCentroid.defaultProbeGroups(centroids.length))
+      else graft.functions.nearest_centroid(col(vecCol), centroids)
+    val withCid = store.withColumn("centroid_id", cid)
     val assigned = if (cacheAssigned) withCid.cache() else withCid
     new IvfIndex(centroids, assigned, idCol, vecCol)
   }

@@ -167,6 +167,36 @@ class VdbStoreSpec extends AnyFunSuite {
     assert(u2 == 1 && i2 == 0 && s.count() == 2)
   }
 
+  test("BIGINT ids survive upsert -> query -> save -> load by value (VERDICT r9 #6)") {
+    // The full typed-key lifecycle for the README id deviation: integer
+    // ids canonicalize to strings but must survive BY VALUE through
+    // every stage — including 19-digit longs that a float/double hop
+    // would silently round (9007199254740993 = 2^53 + 1 is the classic
+    // casualty: it reads back as ...992 through a double).
+    import spark.implicits._
+    val ids = Seq(7L, 42L, 9007199254740993L, Long.MaxValue)
+    val vecs = Seq(Array(1f, 0f, 0f), Array(0f, 1f, 0f),
+      Array(0f, 0f, 1f), Array(1f, 1f, 0f))
+    val s = freshStore(3)
+    val (u, i) = s.upsertDF(
+      ids.zip(vecs).map { case (id, v) => (id, v, null: String) }
+        .toDF("_id_", "vector", "meta"))
+    assert(u == 0 && i == 4)
+    // query returns the values verbatim, castable back to the longs
+    val hit = s.queryOne(Array(0f, 0f, 1f), 1).head
+    assert(hit.id == "9007199254740993", s"2^53+1 must not round: ${hit.id}")
+    assert(hit.id.toLong == 9007199254740993L)
+    val dir = java.nio.file.Files.createTempDirectory("vdb-bigint").toString + "/s"
+    s.save(dir)
+    val back = core.VdbStore.load(spark, dir)
+    ids.foreach { id =>
+      val got = back.get(Seq(id.toString))
+      assert(got.nonEmpty && got.head.id.toLong == id,
+        s"id $id must round-trip save/load by value")
+    }
+    assert(back.get(Seq(Long.MaxValue.toString)).head.id.toLong == Long.MaxValue)
+  }
+
   test("vacuum drops tombstones (test_api_ergonomics.py)") {
     val s = freshStore(3)
     s.upsert(Seq(rec("a", Array(1f, 0f, 0f)), rec("b", Array(0f, 1f, 0f))))

@@ -73,6 +73,79 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("hierarchical assignment: deterministic bit-equal bucketing on fixed centroids") {
+    // VERDICT r9 next-round #5. The two-level path is deliberately
+    // approximate (its scaladoc owns that trade); what the spec pins:
+    // (1) on FIXED centroids the bucketing is bit-equal across runs and
+    // partitionings (a pure per-row function — the incremental
+    // re-bucket contract), (2) every centroid belongs to exactly one
+    // group, (3) on cluster-structured rows it agrees with the flat
+    // exact argmax almost everywhere, (4) IvfIndex.assign selects the
+    // hierarchical path at k >= 256 and the flat path below.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rng = new scala.util.Random(77)
+    val dim = 24
+    val k = 300
+    val cents: Array[Array[Double]] = Array.fill(k) {
+      val c = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    }
+    val flat = new Array[Double](k * dim)
+    (0 until k).foreach(c => System.arraycopy(cents(c), 0, flat, c * dim, dim))
+    val plan = NearestCentroid.planFor(flat, dim)
+    assert(plan.members.map(_.length).sum == k)
+    assert(plan.members.flatten.sorted.toSeq == (0 until k))
+
+    // cluster-structured rows: centroid + small noise (the data IVF
+    // exists for); flat-argmax agreement must be near-total
+    val w = NearestCentroid.defaultProbeGroups(k)
+    val rows = (0 until 3000).map { i =>
+      val c = cents(i % k)
+      (i.toLong, Array.tabulate(dim)(j => (c(j) + rng.nextGaussian() * 0.05).toFloat))
+    } ++ Seq((3000L, Array.fill(dim)(0f)), (3001L, Array.fill(dim / 2)(1f)))
+    var agree = 0
+    rows.foreach { case (_, v) =>
+      val ad = new GenericArrayData(v.map(Float.box))
+      val f = NearestCentroid.nearest(ad, flat, dim, true)
+      val h = NearestCentroid.nearestHier(ad, flat, dim, true, plan, w)
+      if (f == h) agree += 1
+    }
+    assert(agree >= (rows.size * 0.97).toInt,
+      s"hier/flat agreement too low on clustered rows: $agree/${rows.size}")
+
+    // determinism across partitionings: identical buckets, bit-equal
+    val df = rows.toDF("id", "vec")
+    def buckets(d: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      d.select(col("id"), nearest_centroid_hier(col("vec"), cents, w).as("cid"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b1 = buckets(df.repartition(7))
+    val b2 = buckets(df.repartition(3, col("id")))
+    assert(b1 == b2, "bucketing must be partitioning-independent")
+    // ...and bit-equal to the driver-side per-row function
+    rows.foreach { case (id, v) =>
+      val ad = new GenericArrayData(v.map(Float.box))
+      assert(b1(id) == NearestCentroid.nearestHier(ad, flat, dim, true, plan, w))
+    }
+
+    // IvfIndex.assign path selection: k=300 -> hierarchical buckets,
+    // k=100 -> flat buckets
+    val hierIdx = operators.IvfIndex.assign(df, cents, "id", "vec",
+      cacheAssigned = false)
+    val hierGot = hierIdx.assigned.select("id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hierGot == b1, "assign at k=300 must use the hierarchical path")
+    val flatIdx = operators.IvfIndex.assign(df, cents.take(100), "id", "vec",
+      cacheAssigned = false)
+    val flat100 = flat.take(100 * dim)
+    flatIdx.assigned.select("id", "centroid_id").collect().foreach { r =>
+      val ad = new GenericArrayData(
+        rows(r.getLong(0).toInt)._2.map(Float.box))
+      assert(r.getInt(1) == NearestCentroid.nearest(ad, flat100, dim, true),
+        "assign below the threshold must stay exact flat")
+    }
+  }
+
   test("expressions survive codegen in a realistic plan") {
     val df = (0 until 100).map(i => (i.toLong, Array.fill(8)(i.toFloat + 1)))
       .toDF("id", "v")
