@@ -279,16 +279,21 @@ object Queries {
   private val recallFloorChecked =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
   private def assertRecallFloor(key: String, idx: operators.IvfIndex,
-      queries: Array[(Long, Array[Float])], k: Int): Double =
+      queries: => Array[(Long, Array[Float])], k: Int): Double =
     recallFloorChecked.computeIfAbsent(key, { _ =>
+      // `queries` is by-name: on a cache hit NOTHING runs — in
+      // particular q46 must not pay a driver collect job inside its
+      // timed bench samples once q26/q46's first call validated the
+      // floor (round-10 self-review)
       val np = operators.IvfIndex.defaultNProbe(idx.nList)
+      val qs = queries
       def top(nProbe: Int): Map[Long, Set[Long]] =
-        idx.search(queries, k, nProbe, normalized = false)
+        idx.search(qs, k, nProbe, normalized = false)
           .select(col("qid"), col("id")).collect()
           .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
       val exact = top(idx.nList)
       val approx = top(np)
-      val perQ = queries.map { case (qid, _) =>
+      val perQ = qs.map { case (qid, _) =>
         val ex = exact.getOrElse(qid, Set.empty[Long])
         if (ex.isEmpty) 1.0
         else approx.getOrElse(qid, Set.empty[Long]).count(ex).toDouble / ex.size
@@ -332,6 +337,9 @@ object Queries {
     * output to [[annIvf]] (searchDs parity spec), registered separately
     * so the distributed path carries its own bench number (VERDICT r7
     * #6). Same index cache key as q26: whichever runs first builds.
+    * ("No driver collect" scopes to the SEARCH path; the one-time
+    * recall-floor validation collects its 20 queries on first call per
+    * dataset only — by-name arg, cache-hit calls run nothing.)
     */
   def annIvfDs(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")

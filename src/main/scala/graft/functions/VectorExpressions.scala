@@ -251,7 +251,7 @@ case class NearestCentroid(child: Expression, flat: Array[Double], dim: Int)
   * VectorFunctionsSpec.
   */
 case class NearestCentroidHier(child: Expression, flat: Array[Double],
-    dim: Int, probeGroups: Int)
+    dim: Int, probeGroups: Int, plan: NearestCentroid.TwoLevelPlan)
     extends UnaryExpression {
 
   override def nullIntolerant: Boolean = true
@@ -271,14 +271,19 @@ case class NearestCentroidHier(child: Expression, flat: Array[Double],
         s"nearest_centroid_hier expects array<float|double>, got $t")
   }
 
+  // The plan is a constructor FIELD (built once on the driver by the
+  // `nearest_centroid_hier` helper and serialized with the expression):
+  // a per-row planFor lookup would pay a synchronized map hit per row,
+  // and on codegen fallback each task's deserialized `flat` copy would
+  // miss the identity-keyed cache and REFIT the group k-means per task
+  // (round-10 self-review).
   override def nullSafeEval(v: Any): Any =
     NearestCentroid.nearestHier(v.asInstanceOf[ArrayData], flat, dim, isFloat,
-      NearestCentroid.planFor(flat, dim), probeGroups)
+      plan, probeGroups)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("centroids", flat, "double[]")
-    val pref = ctx.addReferenceObj("ncplan",
-      NearestCentroid.planFor(flat, dim),
+    val pref = ctx.addReferenceObj("ncplan", plan,
       classOf[NearestCentroid.TwoLevelPlan].getName)
     nullSafeCodeGen(ctx, ev, a => {
       s"${ev.value} = graft.functions.NearestCentroid.nearestHier($a, $ref, $dim, $isFloat, $pref, $probeGroups);"

@@ -55,7 +55,8 @@ package object functions {
       System.arraycopy(centroids(i), 0, flat, i * dim, dim)
       i += 1
     }
-    col(NearestCentroidHier(expr(v), flat, dim, probeGroups))
+    col(NearestCentroidHier(expr(v), flat, dim, probeGroups,
+      NearestCentroid.planFor(flat, dim)))
   }
 
   /** Top-`n` max-inner-product centroid ids per row (score desc, id asc

@@ -246,7 +246,11 @@ object CorpusClean {
     // shuffle the whole corpus on id for nothing. An opted-in `gated`
     // frame replaces the subtree wholesale (the caller already applied
     // the gate, typically via repetitionGate(...).persist()) — its
-    // lifecycle (persist level, unpersist) stays with the caller.
+    // lifecycle (persist level, unpersist) stays with the caller, and
+    // so do the gate's PARAMETERS: maxDupFrac/repN passed here are
+    // unused when `gated` is set (this method cannot see what
+    // threshold the caller gated at), so pass the same values to
+    // repetitionGate that you would have passed here.
     val lowRep = gated.getOrElse(
       repetitionGate(docs, textCol, maxDupFrac, repN))
     val clean = lowRep.join(

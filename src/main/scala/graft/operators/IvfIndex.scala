@@ -160,10 +160,18 @@ final class IvfIndex(
     // results (ranks can differ only on exact score ties). Routing is
     // schema-gated to the shapes whose semantics match exactly:
     // normalized stores (the un-normalized packed path scores a zero
-    // query 0 where this path maps it to e0), long qids, float query
-    // vectors (a double-vector batch would silently narrow), and
-    // long/int/string ids. The batch-size probe is a bounded
-    // limit+count — it never scans past the threshold.
+    // query 0 where this path maps it to e0, and pre-normalizing to
+    // float would shift scores by ulps vs the double qv here —
+    // un-normalized bulk callers use searchPacked directly), long
+    // qids, float query vectors (a double-vector batch would silently
+    // narrow), long/int/string ids, and DISTINCT qids: on duplicate
+    // qids this path's groupBy merges the duplicates' candidate sets
+    // into ONE k-row result while the packed path keeps each row
+    // independent, so duplicates must stay declarative (round-10
+    // self-review). The gate probe is one column-pruned
+    // count+countDistinct job over the qid column; callers looping
+    // tiny batches off an expensive upstream plan can pin
+    // graft.ann.dsroute.threshold=0 to skip it.
     val routeThreshold = new graft.core.GraftConf(assigned.sparkSession)
       .annDsRouteThreshold
     lastDsRoute = "declarative"
@@ -178,8 +186,12 @@ final class IvfIndex(
       val supported = idT == org.apache.spark.sql.types.LongType ||
         idT == org.apache.spark.sql.types.IntegerType ||
         idT == org.apache.spark.sql.types.StringType
-      if (supported &&
-          queries.select(qidCol).limit(routeThreshold).count() >= routeThreshold) {
+      val gate =
+        if (!supported) null
+        else queries.select(count(lit(1)).as("n"),
+          countDistinct(col(qidCol)).as("d")).head()
+      if (gate != null && gate.getLong(0) >= routeThreshold &&
+          gate.getLong(1) == gate.getLong(0)) {
         val spark = assigned.sparkSession
         import spark.implicits._
         val qds = queries.select(col(qidCol), col(qvecCol))

@@ -64,8 +64,14 @@ object RetrievalGroundTruth {
     // docNoise spreads docs inside a cluster; queryNoise perturbs a doc
     // into its "question". queryNoise << docNoise keeps the source doc
     // the unambiguous nearest neighbor (margin checked by the spec).
-    val docNoise = 0.35
-    val queryNoise = 0.10
+    // Both are TOTAL L2 norms: the per-coordinate sigma divides by
+    // sqrt(dim), or a "0.35" noise at dim=128 would really be a
+    // norm-3.96 blob drowning the unit centers — structure-free data
+    // mislabeled clustered, the exact failure this harness exists to
+    // stop measuring (round-10 self-review; AssignBench documents the
+    // same trap).
+    val docNoise = 0.35 / math.sqrt(dim.toDouble)
+    val queryNoise = 0.10 / math.sqrt(dim.toDouble)
     val docs = (0 until nDocs).map { i =>
       val c = centers(i % nClusters)
       val v = unitNoise(docNoise)

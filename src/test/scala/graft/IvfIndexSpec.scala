@@ -176,6 +176,15 @@ class IvfIndexSpec extends AnyFunSuite {
       idx.searchDs(bulkDf, "vec_id", "vec", k = 3, nProbe = 2,
         normalized = false).count()
       assert(idx.lastSearchDsPath == "declarative")
+      // duplicate qids never route: the declarative groupBy MERGES a
+      // duplicate qid's candidate sets into one k-row result; the
+      // packed path would return independent per-row results — a
+      // semantic change, so the gate requires distinct qids
+      val dup = bulk :+ (0L, data(5)._2)
+      idx.searchDs(dup.toDF("vec_id", "vec"), "vec_id", "vec",
+        k = 3, nProbe = 2).count()
+      assert(idx.lastSearchDsPath == "declarative",
+        "duplicate qids must stay on the declarative (merging) path")
     } finally spark.conf.unset("graft.ann.dsroute.threshold")
   }
 
