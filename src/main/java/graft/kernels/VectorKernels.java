@@ -112,6 +112,39 @@ public final class VectorKernels {
         out[0] = s0; out[1] = s1; out[2] = s2; out[3] = s3;
     }
 
+    // int8 path uses fixed 64-bit byte lanes -> 256-bit float lanes so the
+    // B2F convertShape is a single full-width part (part-number juggling
+    // for SPECIES_PREFERRED=512 isn't worth it: the q8 scan is
+    // bandwidth-bound and 8 bytes/step already streams 4x less data than
+    // the float path).
+    private static final jdk.incubator.vector.VectorSpecies<Byte> B8 =
+            jdk.incubator.vector.ByteVector.SPECIES_64;
+    private static final VectorSpecies<Float> F8 = FloatVector.SPECIES_256;
+
+    /** Dot of a float query against an int8-coded row at {@code off}
+     *  (row length = q.length); caller scales the result. */
+    public static float dotQ8(float[] q, byte[] codes, int off) {
+        int n = q.length;
+        int step = 16;
+        int upper2 = n - (n % step);
+        FloatVector a0 = FloatVector.zero(F8);
+        FloatVector a1 = FloatVector.zero(F8);
+        int i = 0;
+        for (; i < upper2; i += step) {
+            FloatVector c0 = (FloatVector) jdk.incubator.vector.ByteVector
+                    .fromArray(B8, codes, off + i)
+                    .convertShape(VectorOperators.B2F, F8, 0);
+            FloatVector c1 = (FloatVector) jdk.incubator.vector.ByteVector
+                    .fromArray(B8, codes, off + i + 8)
+                    .convertShape(VectorOperators.B2F, F8, 0);
+            a0 = FloatVector.fromArray(F8, q, i).fma(c0, a0);
+            a1 = FloatVector.fromArray(F8, q, i + 8).fma(c1, a1);
+        }
+        float s = a0.add(a1).reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) s += q[i] * codes[off + i];
+        return s;
+    }
+
     /**
      * Four dot products against one shared store vector: v is loaded
      * once per lane-step and reused across the 4 query rows, cutting

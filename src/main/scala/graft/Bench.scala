@@ -408,6 +408,69 @@ object Bench {
       // sweep that follows and skew its recorded medians
       if (annIdx != null) annIdx.unpersistAssigned()
     }
+    // ---- int8 scalar-quantized store at the same headline scale ----
+    // SQ8 (core.Q8Store) cuts the resident store 4x (1 byte/coord, 100 MB
+    // vs 400 MB at this shape) with the same shuffle-free treeAggregate
+    // scan. Recorded: quantize cost (one map over the packed blocks),
+    // the scan-only 1000q batch, the rescored batch (overfetch 4 — int8
+    // candidates re-ranked in full precision against the store), and
+    // recall@10 vs the exact path for both, so the bandwidth/recall
+    // trade is measured, not asserted.
+    var q8: graft.core.Q8Store[Long] = null
+    try {
+      import spark.implicits._
+      val quantizeSamples = scala.collection.mutable.Buffer[Double]()
+      (1 to 3).foreach { _ =>
+        canarySample()
+        if (q8 != null) q8.unpersist()
+        quantizeSamples += timed {
+          q8 = graft.core.Q8Store.fromBlockStore(store).persist()
+          q8.materialize()
+          ()
+        }
+      }
+      record("picovdb_q8_quantize", quantizeSamples.toSeq)
+      record("picovdb_q8_1000q", (1 to 3).map { _ =>
+        canarySample()
+        timed { q8.topKMerged(queries, topK); () }
+      })
+      // rescore joins candidates against the NORMALIZED rows the packed
+      // store was built from (store is normalize=true)
+      val storeDf = raw.toDF("vec_id", "vec")
+        .select($"vec_id", graft.functions.normalize_l2($"vec").as("vec"))
+      record("picovdb_q8_rescore_1000q", (1 to 3).map { _ =>
+        canarySample()
+        timed {
+          q8.rescoredTopK(queries, topK, 4, storeDf, "vec_id", "vec").count()
+          ()
+        }
+      })
+      val exactTopQ = CosineTopK.gemmBlocks(store, queries, topK)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      def recallOf(m: Map[Long, Set[Long]]): Double = {
+        val perQ = queries.map { case (qid, _) =>
+          val ex = exactTopQ.getOrElse(qid, Set.empty[Long])
+          if (ex.isEmpty) 1.0
+          else m.getOrElse(qid, Set.empty[Long]).count(ex).toDouble / ex.size
+        }
+        perQ.sum / math.max(1, perQ.length)
+      }
+      val scanTop = queries.map(_._1).zip(q8.topKMerged(queries, topK))
+        .map { case (qid, hits) => qid -> hits.map(_._1).toSet }.toMap
+      recalls("q8_scan") = recallOf(scanTop)
+      val resTop = q8.rescoredTopK(queries, topK, 4, storeDf, "vec_id", "vec")
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      recalls("q8_rescore_of4") = recallOf(resTop)
+    } catch {
+      case e: Throwable =>
+        errors("picovdb_q8") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    } finally {
+      if (q8 != null) q8.unpersist()
+    }
+
     // witness the ANN headline section too (it runs after the
     // post-cycle sample above; nothing else would record a burst here)
     canarySample()
@@ -703,7 +766,8 @@ object Bench {
     val canaryLayout =
       s"$headlineCanaryCount headline samples (one per cold cycle, one " +
       s"post-final-cycle witness, one per ANN build sample, one per ANN " +
-      s"query sample, one post-ANN-section witness)" +
+      s"query sample, one per q8 quantize/scan/rescore sample, one " +
+      s"post-ANN-section witness)" +
       (if (catalogCanaryCount > 0)
          s" then $catalogCanaryCount catalog-pass samples"
        else " (catalog sweep skipped: picovdb-only mode)")

@@ -794,6 +794,122 @@ object Queries {
       .select(col("user_id"), col("event_type"), col("value"))
   }
 
+  // ---- int8 scalar-quantized store entries (q55/q56) ----
+
+  /** Per-dataset quantized store, built once and cached (same LRU
+    * policy as the IVF index cache): one pack pass + one quantize map,
+    * no shuffle. Cosine mode — the raw testdata embeddings, original
+    * norms kept full-precision.
+    */
+  private val q8Cache =
+    new core.SessionLru[String, (SparkSession, core.Q8Store[Long])](
+      4, _._1, _._2.unpersist(false))
+  private def q8Store(spark: SparkSession, dir: String): core.Q8Store[Long] = {
+    import spark.implicits._
+    q8Cache.getOrBuild(s"$dir/embeddings#q8") {
+      val ds = t(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      val q8 = core.Q8Store.fromBlockStore(
+        core.BlockStore.fromDataset(ds, normalize = false)).persist()
+      q8.materialize()
+      (spark, q8)
+    }._2
+  }
+
+  /** Machine-checked invariant for the no-oracle q55 (the q26/q46
+    * pattern): recall@10 of the small-overfetch rescored path against
+    * the overfetch-all path (exact by construction — no candidate can
+    * be lost when every row survives the scan). Validated once per
+    * dataset and cached.
+    */
+  private val q8FloorChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private def assertQ8RecallFloor(key: String, spark: SparkSession,
+      dir: String, queries: Array[(Long, Array[Float])], k: Int,
+      overfetch: Int): Double =
+    q8FloorChecked.computeIfAbsent(key, { _ =>
+      import spark.implicits._
+      val emb = t(spark, dir, "embeddings")
+      val q8 = q8Store(spark, dir)
+      def top(of: Int): Map[Long, Set[Long]] =
+        q8.rescoredTopK(queries, k, of, emb, "vec_id", "embedding")
+          .select(col("qid"), col("id")).collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val exact = top(0)
+      val approx = top(overfetch)
+      val perQ = queries.map { case (qid, _) =>
+        val ex = exact.getOrElse(qid, Set.empty[Long])
+        if (ex.isEmpty) 1.0
+        else approx.getOrElse(qid, Set.empty[Long]).count(ex).toDouble / ex.size
+      }
+      val recall = perQ.sum / math.max(1, perQ.length)
+      require(recall >= 0.9,
+        f"q8 recall floor violated for $key: recall@$k = $recall%.3f < 0.9 " +
+          f"(overfetch=$overfetch)")
+      recall
+    })
+
+  /** Int8-quantized scan + exact rescore at realistic overfetch (the
+    * production shape: 4x less scan bandwidth, candidates re-ranked in
+    * full precision). Approximate by construction -> no DuckDB oracle;
+    * the entry self-asserts recall@10 >= 0.9 against the in-engine
+    * overfetch-all path (see [[assertQ8RecallFloor]]).
+    */
+  def q8Ann(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") >= 140 && col("vec_id") < 160)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    import spark.implicits._
+    assertQ8RecallFloor(s"$dir/embeddings#q8@k10of4", spark, dir, queries,
+      k = 10, overfetch = 4)
+    q8Store(spark, dir).rescoredTopK(queries, k = 10, overfetch = 4,
+        emb, "vec_id", "embedding")
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** Oracled exact-parity entry for the quantized machinery (the q47
+    * pattern: exact settings on approximate machinery): overfetch-all
+    * keeps every row through the int8 scan, so the full-precision
+    * rescore IS the exact top-k — hash-matched by the same DuckDB
+    * top-k oracle as q01. Proves quantize -> scan -> candidate ->
+    * rescore end-to-end with a green CORRECTNESS row.
+    */
+  def q8RescoreExact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") >= 120 && col("vec_id") < 140)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    import spark.implicits._
+    q8Store(spark, dir).rescoredTopK(queries, k = 10, overfetch = 0,
+        emb, "vec_id", "embedding")
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** Gap-based sessionization over events (pipeline op): 30-minute
+    * inactivity gap per user, per-session rollup. See
+    * [[operators.Sessionize]] for semantics and the 100 TB shape.
+    * Sessionizes on MICROSECOND timestamps (`ts div 1000`): the raw ts
+    * is nanos (nanosAsLong) but DuckDB's parquet reader truncates ns
+    * timestamps to µs, so both engines must see identical integers —
+    * the operator itself is unit-agnostic.
+    */
+  def sessionizeEvents(spark: SparkSession, dir: String): DataFrame =
+    operators.Sessionize.sessionStats(
+      t(spark, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us", "event_id", "value",
+      gap = 30L * 60 * 1000 * 1000)
+
+  /** Training-sequence packing bookkeeping (pipeline op): which documents
+    * start in which fixed-length training sequence, per shard. See
+    * [[operators.TextChunk.packSequences]].
+    */
+  def seqPack(spark: SparkSession, dir: String): DataFrame =
+    operators.TextChunk.packSequences(
+      t(spark, dir, "documents"), "doc_id", "text", seqLen = 2048, nShards = 8)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_topk_batch" -> (topkBatch _),
     "q02_topk_threshold" -> (topkThreshold _),
@@ -847,6 +963,10 @@ object Queries {
     "q50_pii_redact" -> (piiRedact _),
     "q51_domain_hist" -> (domainHist _),
     "q52_lm_crossent" -> (lmCrossEntropy _),
+    "q53_sessionize" -> (sessionizeEvents _),
+    "q54_seq_pack" -> (seqPack _),
+    "q55_q8_ann" -> (q8Ann _),
+    "q56_q8_rescore" -> (q8RescoreExact _),
   )
 }
 
@@ -1366,5 +1486,39 @@ object Oracles {
         |        / sum(CAST(dt.tf AS DOUBLE)), 6) AS cross_entropy
         |FROM dt JOIN c USING (tok) CROSS JOIN n
         |GROUP BY dt.doc_id""".stripMargin,
+    // epoch_us mirrors the µs ts both engines can agree on (DuckDB's
+    // parquet reader truncates ns timestamps to µs); 30 min gap
+    "q53_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us, value,
+        |    sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM e)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events, min(us) AS start_ts, max(us) AS end_ts,
+        |  round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    // same whitespace token convention as q13; start-bin attribution
+    "q54_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT shard, CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_bin,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    // q55 is approximate (no oracle; self-asserted recall floor).
+    // q56: overfetch-all rescore == exact top-k (same oracle shape as q01)
+    "q56_q8_rescore" -> topkOracle("vec_id >= 120 AND vec_id < 140", "true", 10, None),
   )
 }

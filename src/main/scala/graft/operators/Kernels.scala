@@ -91,6 +91,34 @@ object Kernels {
       out(2) = dotPackedScalar(q2, m, off); out(3) = dotPackedScalar(q3, m, off)
     }
 
+  // ---- int8-quantized row kernels (graft.core.Q8Block layout) ----
+
+  /** Dot of a float query against an int8-coded row at `off` (codes are
+    * `round(v/scale)`; caller multiplies the result by the row's scale).
+    * SIMD (byte->float convert + FMA) when available, 4-accumulator
+    * scalar otherwise. Approximate by construction — exact ranking comes
+    * from the rescore stage, never from this kernel.
+    */
+  def dotQ8F(q: Array[Float], codes: Array[Byte], off: Int): Float =
+    if (simdAvailable) graft.kernels.VectorKernels.dotQ8(q, codes, off)
+    else dotQ8Scalar(q, codes, off)
+
+  private def dotQ8Scalar(q: Array[Float], codes: Array[Byte], off: Int): Float = {
+    val n = q.length
+    var s0 = 0f; var s1 = 0f; var s2 = 0f; var s3 = 0f
+    var i = 0
+    val n4 = n - 3
+    while (i < n4) {
+      s0 += q(i) * codes(off + i)
+      s1 += q(i + 1) * codes(off + i + 1)
+      s2 += q(i + 2) * codes(off + i + 2)
+      s3 += q(i + 3) * codes(off + i + 3)
+      i += 4
+    }
+    while (i < n) { s0 += q(i) * codes(off + i); i += 1 }
+    (s0 + s1) + (s2 + s3)
+  }
+
   /** Sequential double-accumulated dot against a packed row — bit-identical
     * to the codegen'd DotProduct expression (same accumulation order), so
     * results can hash-match the declarative/oracle path.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-chunking ingest pipeline: overlapping token windows per document,
@@ -95,6 +96,50 @@ object TextChunk {
       .withColumn("n_chars", length(col("chunk_text")).cast("long"))
       .select(col("chunk_id"), col("doc_id"), col("chunk_idx"),
         col("n_chars"), col("chunk_text"))
+  }
+
+  /** Training-sequence packing (GPT-style concat-and-split): documents
+    * are deterministically sharded, concatenated in id order within each
+    * shard, and the token stream is split into fixed `seqLen` sequences;
+    * each document is attributed to the sequence bin where it STARTS
+    * (`seq_bin = floor(tokens_before_doc / seqLen)`). This is the
+    * bookkeeping a packed-pretraining pipeline needs — which documents
+    * land in which training sequence, and how full each sequence is —
+    * without materializing the concatenated text.
+    *
+    * Tokens are whitespace counts (`size(split(trim(text), '\s+'))`),
+    * the same convention as every text operator here, so the operator
+    * is exactly reproducible in SQL (the DuckDB oracle recomputes it).
+    *
+    * Scale shape (100 TB): one shuffle on the shard key, then one
+    * per-shard running sum (Exchange + Sort + WindowExec) and one
+    * partial-aggregated groupBy. Determinism requires an order within
+    * each shard — that per-shard sequential scan is inherent to
+    * reproducible packing, and `nShards` is the parallelism dial: set
+    * it to a small multiple of the cluster's cores (each shard is one
+    * independent training-data stream, the way large pretraining runs
+    * shard their corpus anyway).
+    *
+    * Output: (shard, seq_bin, n_docs, sum_tokens) — documents starting
+    * in each sequence bin and their total token mass (tokens of a doc
+    * count in its start bin; a doc longer than `seqLen` overflows into
+    * later bins' positions, which subsequent docs' start offsets
+    * already account for, so bins can exceed `seqLen` tokens exactly
+    * when a long doc spans them).
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    seqLen: Int = 2048, nShards: Int = 8): DataFrame = {
+    require(seqLen > 0 && nShards > 0,
+      s"need seqLen > 0 and nShards > 0, got seqLen=$seqLen nShards=$nShards")
+    val run = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol),
+        pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("_cum_", sum(col("n_tokens")).over(run))
+      .withColumn("seq_bin", expr(s"(_cum_ - n_tokens) div ${seqLen.toLong}"))
+      .groupBy(col("shard"), col("seq_bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
   }
 
   /** Full ingest: chunk -> embed -> upsert into `store`. `embed` maps the

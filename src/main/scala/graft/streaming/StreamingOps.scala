@@ -70,6 +70,24 @@ object StreamingOps {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Watermarked gap-session aggregation — the streaming twin of
+    * Queries.sessionizeEvents / operators.Sessionize (q53). Structured
+    * Streaming's `session_window` implements the same cut rule
+    * natively (a session extends while events arrive within `gap` of
+    * the previous one) with state bounded by open sessions and closed
+    * by the watermark; `ts` must be a TimestampType column. The batch
+    * operator stays the oracle-checked surface — streaming sessions
+    * close on watermark, so late data past it lands in NEW sessions by
+    * design (the documented semantic difference).
+    */
+  def sessionEventAgg(stream: DataFrame,
+                      gap: String = "30 minutes",
+                      watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
   /** Continuous corpus hygiene — the streaming twin of
     * `CorpusClean.hygienePipeline`, same stage order (repetition gate
     * → decontaminate → exact dedup → stratified sample) with every

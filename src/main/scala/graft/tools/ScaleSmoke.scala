@@ -75,6 +75,42 @@ object ScaleSmoke {
       CosineTopK.gemmQueries(store, qDs, 10, betterThan = Some(0.1)).count()
     }
 
+    // ---- Q8 phase (round 10): the int8-quantized twin at the same
+    // scale — quantize cost (one map), scan-only batch, rescored batch
+    // (overfetch 4), recall vs the float-exact path on a 100-query
+    // subsample. Runs while `store` is still cached so the recall
+    // anchor is cheap; adds ~n/4 bytes of persisted codes.
+    {
+      import org.apache.spark.sql.functions.col
+      var q8: graft.core.Q8Store[Long] = null
+      timed("q8 quantize") {
+        q8 = graft.core.Q8Store.fromBlockStore(store).persist()
+        q8.materialize()
+      }
+      timed("q8 scan 1000q top10") {
+        q8.topKMerged(queries, 10).length.toLong
+      }
+      val q8Df = raw.toDF("vec_id", "vec")
+        .select(col("vec_id"), graft.functions.normalize_l2(col("vec")).as("vec"))
+      timed("q8 rescore 1000q of4") {
+        q8.rescoredTopK(queries, 10, 4, q8Df, "vec_id", "vec").count()
+      }
+      val sample = queries.take(100)
+      val exactS = CosineTopK.gemmBlocks(store, sample, 10)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val scanS = sample.map(_._1).zip(q8.topKMerged(sample, 10))
+        .map { case (qid, h) => qid -> h.map(_._1).toSet }.toMap
+      val resS = q8.rescoredTopK(sample, 10, 4, q8Df, "vec_id", "vec")
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      def rc(m: Map[Long, Set[Long]]): Double = sample.map { case (qid, _) =>
+        m.getOrElse(qid, Set.empty[Long]).count(exactS(qid)).toDouble / 10
+      }.sum / sample.length
+      println(f"SMOKE q8 recall@10 scan/rescore   ${rc(scanS)}%.3f / ${rc(resS)}%.3f")
+      q8.unpersist()
+    }
+
     // ---- ANN phase (VERDICT r8 next-round #4): the Dataset-side IVF
     // search at the same scale as the exact phases — build at √N lists
     // on this store, searchDs a 100k-query Dataset, record wall +

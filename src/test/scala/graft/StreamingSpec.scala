@@ -280,6 +280,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("watermarked session-window aggregation matches the batch gap rule") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "value")
+    val agg = StreamingOps.sessionEventAgg(stream, "30 minutes", "2 hours")
+    // user 1: 10:00, 10:10 (same session), 11:00 (gap 50min -> new);
+    // user 2: one event
+    val t = (s: String) => java.sql.Timestamp.valueOf(s"2026-01-01 $s:00")
+    mem.addData((1L, t("10:00"), 1.0), (1L, t("10:10"), 2.0),
+      (1L, t("11:00"), 4.0), (2L, t("10:05"), 8.0))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sessagg")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("sessagg")
+      .select(col("user_id"), col("n_events"), col("sum_value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+  }
+
   test("streaming hygiene: gate, decontaminate, dedup, and sample across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
