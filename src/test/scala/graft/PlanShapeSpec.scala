@@ -58,6 +58,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joins(q21) == 2, s"q21 expected 2 joins:\n$q21")
   }
 
+  test("sessionize shuffles the events exactly once (windows + rollup share the key partitioning)") {
+    // q53's scale contract: one Exchange on the session key feeds the
+    // lag window, the running-sum window, AND the per-session rollup
+    // (HashPartitioning(user_id) satisfies the (user_id, session_seq)
+    // clustering, so the groupBy must not re-shuffle).
+    val plan = formatted(Queries.sessionizeEvents(spark, dir))
+    val exchanges = """\(\d+\) Exchange""".r.findAllMatchIn(plan).size
+    assert(exchanges == 1, s"q53 expected 1 exchange:\n$plan")
+    assert("""\(\d+\) Window""".r.findAllMatchIn(plan).size == 2)
+    assert(plan.contains("partial_count")) // map-side combine in the rollup
+  }
+
+  test("packSequences shuffles the docs exactly once (cumsum + bin rollup share the shard partitioning)") {
+    val plan = formatted(Queries.seqPack(spark, dir))
+    val exchanges = """\(\d+\) Exchange""".r.findAllMatchIn(plan).size
+    assert(exchanges == 1, s"q54 expected 1 exchange:\n$plan")
+    // token counting is pruned to the two referenced columns
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
   test("IVF probe join broadcasts probes and queries (never a store shuffle)") {
     // search's scale contract: the store side (assigned) is scanned in
     // place and the per-query probe/query frames broadcast onto it — a
