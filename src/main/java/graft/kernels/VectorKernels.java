@@ -145,6 +145,91 @@ public final class VectorKernels {
         return s;
     }
 
+    // wider q8 lanes when the host prefers 512-bit: 16 bytes -> 16
+    // floats per convert keeps the FMA width at parity with the float
+    // path's preferred species.
+    private static final jdk.incubator.vector.VectorSpecies<Byte> B16 =
+            jdk.incubator.vector.ByteVector.SPECIES_128;
+    private static final VectorSpecies<Float> F16 = FloatVector.SPECIES_512;
+    private static final boolean WIDE_Q8 =
+            FloatVector.SPECIES_PREFERRED.length() >= 16 &&
+            !"256".equals(System.getProperty("graft.simd.bits", ""));
+
+    /** 512-bit q8 4-dot: one 16-byte load + one B2F convert shared by 4
+     *  FMA rows per step. */
+    public static void dot4Q8Wide(float[] q0, float[] q1, float[] q2, float[] q3,
+                                  byte[] codes, int off, float[] out) {
+        int n = q0.length;
+        int step = 16;
+        int upper = n - (n % step);
+        FloatVector a0 = FloatVector.zero(F16);
+        FloatVector a1 = FloatVector.zero(F16);
+        FloatVector a2 = FloatVector.zero(F16);
+        FloatVector a3 = FloatVector.zero(F16);
+        int i = 0;
+        for (; i < upper; i += step) {
+            FloatVector c = (FloatVector) jdk.incubator.vector.ByteVector
+                    .fromArray(B16, codes, off + i)
+                    .convertShape(VectorOperators.B2F, F16, 0);
+            a0 = FloatVector.fromArray(F16, q0, i).fma(c, a0);
+            a1 = FloatVector.fromArray(F16, q1, i).fma(c, a1);
+            a2 = FloatVector.fromArray(F16, q2, i).fma(c, a2);
+            a3 = FloatVector.fromArray(F16, q3, i).fma(c, a3);
+        }
+        float s0 = a0.reduceLanes(VectorOperators.ADD);
+        float s1 = a1.reduceLanes(VectorOperators.ADD);
+        float s2 = a2.reduceLanes(VectorOperators.ADD);
+        float s3 = a3.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            float x = codes[off + i];
+            s0 += q0[i] * x; s1 += q1[i] * x; s2 += q2[i] * x; s3 += q3[i] * x;
+        }
+        out[0] = s0; out[1] = s1; out[2] = s2; out[3] = s3;
+    }
+
+    /** Preferred-width q8 4-dot dispatch. */
+    public static void dot4Q8Auto(float[] q0, float[] q1, float[] q2, float[] q3,
+                                  byte[] codes, int off, float[] out) {
+        if (WIDE_Q8) dot4Q8Wide(q0, q1, q2, q3, codes, off, out);
+        else dot4Q8(q0, q1, q2, q3, codes, off, out);
+    }
+
+    /** Four dots against one shared int8-coded row: the byte load AND
+     *  the B2F conversion happen once per lane-step and are reused
+     *  across the 4 query rows — the conversion is the q8 scan's extra
+     *  arithmetic vs the float path, so amortizing it 4x brings the
+     *  per-element compute back to ~FMA parity while keeping the 4x
+     *  bandwidth advantage. out[0..3] receive the unscaled sums. */
+    public static void dot4Q8(float[] q0, float[] q1, float[] q2, float[] q3,
+                              byte[] codes, int off, float[] out) {
+        int n = q0.length;
+        int step = 8;
+        int upper = n - (n % step);
+        FloatVector a0 = FloatVector.zero(F8);
+        FloatVector a1 = FloatVector.zero(F8);
+        FloatVector a2 = FloatVector.zero(F8);
+        FloatVector a3 = FloatVector.zero(F8);
+        int i = 0;
+        for (; i < upper; i += step) {
+            FloatVector c = (FloatVector) jdk.incubator.vector.ByteVector
+                    .fromArray(B8, codes, off + i)
+                    .convertShape(VectorOperators.B2F, F8, 0);
+            a0 = FloatVector.fromArray(F8, q0, i).fma(c, a0);
+            a1 = FloatVector.fromArray(F8, q1, i).fma(c, a1);
+            a2 = FloatVector.fromArray(F8, q2, i).fma(c, a2);
+            a3 = FloatVector.fromArray(F8, q3, i).fma(c, a3);
+        }
+        float s0 = a0.reduceLanes(VectorOperators.ADD);
+        float s1 = a1.reduceLanes(VectorOperators.ADD);
+        float s2 = a2.reduceLanes(VectorOperators.ADD);
+        float s3 = a3.reduceLanes(VectorOperators.ADD);
+        for (; i < n; i++) {
+            float x = codes[off + i];
+            s0 += q0[i] * x; s1 += q1[i] * x; s2 += q2[i] * x; s3 += q3[i] * x;
+        }
+        out[0] = s0; out[1] = s1; out[2] = s2; out[3] = s3;
+    }
+
     /**
      * Four dot products against one shared store vector: v is loaded
      * once per lane-step and reused across the 4 query rows, cutting

@@ -203,9 +203,18 @@ object Q8Store {
     new Q8Block[K](b.ids, codes, dim, scales, b.norms)
   }
 
-  /** Score one quantized block into the per-query heaps: ~512 KB code
-    * tiles stay cache-resident while all queries pass over them (the
-    * byte analog of [[BlockStore.scoreBlock]]'s tiling).
+  /** Score one quantized block into the per-query heaps.
+    *
+    * DRAM streams 1 byte/coordinate (the whole point); compute runs at
+    * the float path's FMA rate: each ~128 KB code tile is dequantized
+    * ONCE into a 512 KB float scratch (scale applied during the
+    * expansion — one multiply per element, amortized over every query
+    * in the batch), and the batch then streams the scratch with the
+    * same tiled dot4 kernels as [[BlockStore.scoreBlock]]. Direct
+    * per-query byte-FMA kernels (`Kernels.dotQ8F`/`dot4Q8F`) measured
+    * ~4x slower per element at batch sizes (the B2F convert repeats
+    * per query); they remain the right shape only for tiny batches and
+    * the error-bound spec.
     */
   private[core] def scoreBlock[K](
       heaps: Array[BoundedTopKG[K]],
@@ -222,23 +231,65 @@ object Q8Store {
     val vnorms = b.norms
     val invQ: Array[Double] =
       if (cosine) qnorms.map(qn => if (qn == 0.0) 0.0 else 1.0 / qn) else null
-    val tileRows = math.max(1, 524288 / math.max(1, dim)) // ~512 KB of codes
+    val out = new Array[Float](4)
+    // 512 KB float scratch per tile (128 KB of codes)
+    val tileRows = math.max(1, 524288 / math.max(4, dim * 4))
+    val scratch = new Array[Float](math.min(tileRows, rows) * dim)
     var t0 = 0
     while (t0 < rows) {
       val tEnd = math.min(t0 + tileRows, rows)
+      val nRows = tEnd - t0
+      var dr = 0
+      while (dr < nRows) {
+        val srcOff = (t0 + dr) * dim
+        val dstOff = dr * dim
+        val sc = scales(t0 + dr)
+        var i = 0
+        while (i < dim) { scratch(dstOff + i) = codes(srcOff + i) * sc; i += 1 }
+        dr += 1
+      }
       var qi = 0
+      val nq4 = nq - 3
+      while (qi < nq4) {
+        val q0 = qs(qi); val q1 = qs(qi + 1); val q2 = qs(qi + 2); val q3 = qs(qi + 3)
+        val h0 = heaps(qi); val h1 = heaps(qi + 1); val h2 = heaps(qi + 2); val h3 = heaps(qi + 3)
+        var r = 0
+        var off = 0
+        while (r < nRows) {
+          Kernels.dot4PackedF(q0, q1, q2, q3, scratch, off, out)
+          val row = t0 + r
+          var s0 = out(0).toDouble
+          var s1 = out(1).toDouble
+          var s2 = out(2).toDouble
+          var s3 = out(3).toDouble
+          if (cosine) {
+            val vn = vnorms(row)
+            val inv = if (vn == 0.0) 0.0 else 1.0 / vn
+            s0 = s0 * inv * invQ(qi)
+            s1 = s1 * inv * invQ(qi + 1)
+            s2 = s2 * inv * invQ(qi + 2)
+            s3 = s3 * inv * invQ(qi + 3)
+          }
+          h0.offer(s0, ids(row)); h1.offer(s1, ids(row))
+          h2.offer(s2, ids(row)); h3.offer(s3, ids(row))
+          r += 1
+          off += dim
+        }
+        qi += 4
+      }
       while (qi < nq) {
         val q = qs(qi)
         val h = heaps(qi)
-        var r = t0
-        var off = t0 * dim
-        while (r < tEnd) {
-          var s = (Kernels.dotQ8F(q, codes, off) * scales(r)).toDouble
+        var r = 0
+        var off = 0
+        while (r < nRows) {
+          val row = t0 + r
+          var s = Kernels.dotPackedF(q, scratch, off).toDouble
           if (cosine) {
-            val vn = vnorms(r)
+            val vn = vnorms(row)
             s = if (vn == 0.0) 0.0 else s * invQ(qi) / vn
           }
-          h.offer(s, ids(r))
+          h.offer(s, ids(row))
           r += 1
           off += dim
         }

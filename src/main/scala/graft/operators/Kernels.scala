@@ -119,6 +119,17 @@ object Kernels {
     (s0 + s1) + (s2 + s3)
   }
 
+  /** Four dots sharing one int8-coded row (conversion amortized 4x). */
+  def dot4Q8F(q0: Array[Float], q1: Array[Float], q2: Array[Float],
+              q3: Array[Float], codes: Array[Byte], off: Int,
+              out: Array[Float]): Unit =
+    if (simdAvailable)
+      graft.kernels.VectorKernels.dot4Q8(q0, q1, q2, q3, codes, off, out)
+    else {
+      out(0) = dotQ8Scalar(q0, codes, off); out(1) = dotQ8Scalar(q1, codes, off)
+      out(2) = dotQ8Scalar(q2, codes, off); out(3) = dotQ8Scalar(q3, codes, off)
+    }
+
   /** Sequential double-accumulated dot against a packed row — bit-identical
     * to the codegen'd DotProduct expression (same accumulation order), so
     * results can hash-match the declarative/oracle path.

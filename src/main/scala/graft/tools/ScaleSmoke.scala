@@ -53,6 +53,13 @@ object ScaleSmoke {
     timed("batch again") {
       CosineTopK.gemmBlocks(store, queries, 10, betterThan = Some(0.1)).count()
     }
+    // SPARK_GRAFT_SMOKE_Q8ONLY: stop after the q8 phase — the exact
+    // ingest/batch anchors plus the quantized twin, without re-paying
+    // the ~20-min distq/ANN phases whose numbers SCALING.md already
+    // records from the canonical 10M runs.
+    val q8Only = sys.env.contains("SPARK_GRAFT_SMOKE_Q8ONLY")
+
+    import spark.implicits._
     // Distributed query side at a batch size no driver array should
     // hold: fresh random query vectors (own seed, unrelated to the
     // stored rows) as a Dataset, never collected. The default scales
@@ -60,19 +67,20 @@ object ScaleSmoke {
     // silently append hours (work is nDistQ/1000 x the 1000-query
     // batch); the phase converts gemmQueries' P_q x P_s heap-shuffle
     // claim into a measured number.
-    import spark.implicits._
-    // clamp in Long BEFORE the Int cast: a tiny n makes the quotient
-    // exceed Int.MaxValue (wrap -> 1.4B-query hang / silent 1000)
-    val nDistQ = sys.env.get("SPARK_GRAFT_SMOKE_DISTQ").map(_.toInt)
-      .getOrElse(math.max(1000L,
-        math.min(100000L, 100000L * 1000000L / math.max(1, n))).toInt)
-    val qDs = spark.createDataset(
-      sc.range(0, nDistQ, 1, 24).map { i =>
-        val rng = new java.util.Random(i * 104729L)
-        (i, Array.fill(dim)(rng.nextFloat()))
-      })
-    timed(s"distq ${nDistQ}q top10") {
-      CosineTopK.gemmQueries(store, qDs, 10, betterThan = Some(0.1)).count()
+    if (!q8Only) {
+      // clamp in Long BEFORE the Int cast: a tiny n makes the quotient
+      // exceed Int.MaxValue (wrap -> 1.4B-query hang / silent 1000)
+      val nDistQ = sys.env.get("SPARK_GRAFT_SMOKE_DISTQ").map(_.toInt)
+        .getOrElse(math.max(1000L,
+          math.min(100000L, 100000L * 1000000L / math.max(1, n))).toInt)
+      val qDs = spark.createDataset(
+        sc.range(0, nDistQ, 1, 24).map { i =>
+          val rng = new java.util.Random(i * 104729L)
+          (i, Array.fill(dim)(rng.nextFloat()))
+        })
+      timed(s"distq ${nDistQ}q top10") {
+        CosineTopK.gemmQueries(store, qDs, 10, betterThan = Some(0.1)).count()
+      }
     }
 
     // ---- Q8 phase (round 10): the int8-quantized twin at the same
@@ -110,6 +118,7 @@ object ScaleSmoke {
       println(f"SMOKE q8 recall@10 scan/rescore   ${rc(scanS)}%.3f / ${rc(resS)}%.3f")
       q8.unpersist()
     }
+    if (q8Only) { spark.stop(); return }
 
     // ---- ANN phase (VERDICT r8 next-round #4): the Dataset-side IVF
     // search at the same scale as the exact phases — build at √N lists
