@@ -82,4 +82,11 @@ final class GraftConf(spark: SparkSession) {
     */
   def queryExact: Boolean =
     opt("query.exact", "GRAFT_QUERY_EXACT").exists(_.toBoolean)
+
+  /** Rescore overfetch for the q8 query strategy: the int8 scan keeps
+    * `k * overfetch` candidates per query before the full-precision
+    * rescore; <= 0 keeps every row (exact-parity test setting).
+    */
+  def q8Overfetch: Int =
+    opt("q8.overfetch", "GRAFT_Q8_OVERFETCH").map(_.toInt).getOrElse(4)
 }

@@ -98,6 +98,42 @@ final class VdbStore private (
   @volatile private var annMutationsSinceFit: Long = 0L
   @volatile private var annLastRebuildMode: String = "none"
 
+  // --- Q8 accelerator state (round 10): int8 scalar-quantized scan
+  // (graft.core.Q8Store) + full-precision rescore for unfiltered,
+  // unthresholded queries — the memory-bound analog of the ANN
+  // accelerator (candidate generation over a 4x smaller resident set
+  // instead of a pruned one). Lazy and store-version-cached like the
+  // packed block cache; mutations invalidate automatically.
+  @volatile private var q8Enabled = false
+  @volatile private var q8Cache: Option[(Long, Q8Store[String])] = None
+
+  /** Enable the quantized-scan strategy. Like the ANN bypass (O28),
+    * any ids/where/whereFn restriction and any `better_than` threshold
+    * route to the exact path; when BOTH accelerators are enabled, ANN
+    * wins (it prunes work, q8 only compresses it). Rescored hit scores
+    * are double-accumulated (the `graft.query.exact` precision), so
+    * under that conf the q8 strategy is bit-equal to the exact one on
+    * any data whose true top-k survives the `graft.q8.overfetch`
+    * candidate cut (spec-asserted on separated data).
+    */
+  def enableQ8(): Unit = { q8Enabled = true }
+
+  def disableQ8(): Unit = {
+    q8Enabled = false
+    q8Cache.foreach(_._2.unpersist(false))
+    q8Cache = None
+  }
+
+  private def q8Store(): Q8Store[String] = q8Cache match {
+    case Some((v, s)) if v == storeVersion => s
+    case old =>
+      val s = Q8Store.fromBlockStore(blockStore()).persist()
+      s.materialize()
+      q8Cache = Some((storeVersion, s))
+      old.foreach(_._2.unpersist(false))
+      s
+  }
+
   /** Enable the IVF accelerator; the index itself is built lazily on the
     * next unfiltered query (and refreshed when the store has mutated).
     * `nList <= 0` (and the no-arg overload) selects AUTO list count:
@@ -110,6 +146,13 @@ final class VdbStore private (
 
   /** Auto mode: √N-scaled nList, nList/2 default probes. */
   def enableAnn(): Unit = enableAnn(0)
+
+  /** Disable the IVF accelerator and release its cached index. */
+  def disableAnn(): Unit = {
+    annNList = None
+    annIndex.foreach(_.unpersistAssigned())
+    annIndex = None
+  }
 
   /** Introspection: (enabled, nList, lastRebuildMode, upToDate) — the
     * reference records `_last_faiss_rebuild_mode` the same way
@@ -382,8 +425,13 @@ final class VdbStore private (
     // their results deterministic.
     val unfiltered = ids.isEmpty && where.isEmpty && whereFn.isEmpty
     val ann = if (unfiltered && betterThan.isEmpty) refreshAnn() else None
+    // q8 follows the same bypass rules as ANN (incl. the conservative
+    // better_than deviation); ANN wins when both are enabled.
+    val useQ8 =
+      ann.isEmpty && q8Enabled && unfiltered && betterThan.isEmpty
     lastStrategy = Some(
       if (ann.isDefined) "ann"
+      else if (useQ8) "q8"
       else if (unfiltered) "exact"
       else "exact-filtered")
 
@@ -408,6 +456,16 @@ final class VdbStore private (
         // keeping a FAISS index beside its numpy matrix.
         idx.searchMerged[String](normQ, topK, probes,
             normalized = true, exact = conf.queryExact)
+          .select(col("qid"), col("id"), col("score"), col("rank"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
+      case None if useQ8 =>
+        // int8 scan -> k x graft.q8.overfetch candidates -> exact
+        // double rescore against the store (broadcast candidate join,
+        // no store shuffle). Scores are double-accumulated — identical
+        // to the exact strategy under graft.query.exact.
+        q8Store().rescoredTopK(queries, topK, conf.q8Overfetch,
+            active.select(col("_id_"), col("_vector_")), "_id_", "_vector_")
           .select(col("qid"), col("id"), col("score"), col("rank"))
           .collect()
           .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq

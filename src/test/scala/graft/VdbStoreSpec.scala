@@ -484,4 +484,43 @@ class VdbStoreSpec extends AnyFunSuite {
     val hit = s.queryOne(Array(0f, 1f, 0f), topK = 1).head
     assert(hit.id == "a" && hit.metaJson.contains("""{"v": 2}"""))
   }
+
+  test("q8 strategy: routed, bypassed like ANN, bit-equal to exact under query.exact, dirtied by mutation") {
+    val s = freshStore(4)
+    val recs = (0 until 80).map { i =>
+      val v = new Array[Float](4); v(i % 4) = 1f; v((i + 1) % 4) = 0.1f * (i % 3)
+      rec(s"r$i", v, s"""{"g": ${i % 4}}""")
+    }
+    s.upsert(recs)
+    // exact baseline under double scoring, BEFORE enabling q8
+    spark.conf.set("graft.query.exact", "true")
+    try {
+      val q = Array(1f, 0.05f, 0f, 0f)
+      val exact = s.queryOne(q, topK = 5)
+      assert(s.lastQueryStrategy.contains("exact"))
+      s.enableQ8()
+      val q8 = s.queryOne(q, topK = 5)
+      assert(s.lastQueryStrategy.contains("q8"))
+      // double-accumulated rescore == exact strategy under query.exact
+      assert(q8.map(h => (h.id, h.metrics)) == exact.map(h => (h.id, h.metrics)))
+      // bypass rules mirror ANN: filters and better_than take exact
+      s.queryOne(q, topK = 3, where = Some(get_json_object(col("meta"), "$.g") === "1"))
+      assert(s.lastQueryStrategy.contains("exact-filtered"))
+      s.queryOne(q, topK = 3, betterThan = Some(0.1))
+      assert(s.lastQueryStrategy.contains("exact"))
+      // ANN outranks q8 when both are enabled
+      s.enableAnn(nList = 4)
+      s.queryOne(q, topK = 3)
+      assert(s.lastQueryStrategy.contains("ann"))
+      s.disableAnn()
+      // mutation invalidates the cached codes: the new row is findable
+      s.upsert(Seq(rec("fresh", Array(0f, 0f, 0f, 1f), """{"g": 9}""")))
+      val after = s.queryOne(Array(0f, 0f, 0f, 1f), topK = 1)
+      assert(s.lastQueryStrategy.contains("q8"))
+      assert(after.head.id == "fresh")
+      s.disableQ8()
+      s.queryOne(q, topK = 3)
+      assert(s.lastQueryStrategy.contains("exact"))
+    } finally spark.conf.unset("graft.query.exact")
+  }
 }
