@@ -910,6 +910,14 @@ object Queries {
     operators.TextChunk.packSequences(
       t(spark, dir, "documents"), "doc_id", "text", seqLen = 2048, nShards = 8)
 
+  /** Deterministic bucketed corpus shuffle (pipeline op): the
+    * engine-reproducible training-order permutation. See
+    * [[operators.CorpusClean.corpusShuffle]].
+    */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    operators.CorpusClean.corpusShuffle(
+      t(spark, dir, "documents"), "doc_id", nBuckets = 64)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_topk_batch" -> (topkBatch _),
     "q02_topk_threshold" -> (topkThreshold _),
@@ -967,6 +975,7 @@ object Queries {
     "q54_seq_pack" -> (seqPack _),
     "q55_q8_ann" -> (q8Ann _),
     "q56_q8_rescore" -> (q8RescoreExact _),
+    "q57_corpus_shuffle" -> (corpusShuffle _),
   )
 }
 
@@ -1520,5 +1529,19 @@ object Oracles {
     // q55 is approximate (no oracle; self-asserted recall floor).
     // q56: overfetch-all rescore == exact top-k (same oracle shape as q01)
     "q56_q8_rescore" -> topkOracle("vec_id >= 120 AND vec_id < 140", "true", 10, None),
+    // same salted-md5 determinism trick as q38; first key byte -> bucket
+    "q57_corpus_shuffle" ->
+      """WITH s AS (
+        |  SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, h,
+        |    CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |        + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 64
+        |      AS BIGINT) AS bucket
+        |  FROM s)
+        |SELECT doc_id, bucket,
+        |  CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM b""".stripMargin,
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-hygiene operators a training-data pipeline runs between raw
@@ -342,6 +343,37 @@ object CorpusClean {
       }
     df.withColumn("redacted", redacted)
       .withColumn("n_redactions", counts.reduce(_ + _).cast("long"))
+  }
+
+  /** Deterministic corpus shuffle (training-order randomization): an
+    * engine-reproducible pseudo-random permutation of the corpus,
+    * BUCKETED so no global sort ever exists — the order a pretraining
+    * run reads its shards in. Each row gets an md5 shuffle key
+    * (salted, so re-shuffling with a new salt is a fresh permutation),
+    * a bucket from the key's first byte (buckets are the shard
+    * boundary: readers stream bucket by bucket), and its rank within
+    * the bucket. Same md5-keyed determinism trick as
+    * [[stratifiedSample]]: any engine reproduces the exact order.
+    *
+    * Scale shape (100 TB): one narrow projection (codegen md5), one
+    * shuffle on the bucket key, per-bucket sorts of corpus/nBuckets
+    * rows each — embarrassingly parallel, no driver traffic, no
+    * global sort. Output: (idCol, bucket, pos).
+    */
+  def corpusShuffle(df: DataFrame, idCol: String, nBuckets: Int = 64,
+                    salt: String = "shuf"): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= 256,
+      s"need 0 < nBuckets <= 256 (one key byte), got $nBuckets")
+    val keyed = df.select(col(idCol),
+      md5(concat(lit(salt + ":"), col(idCol).cast("string")).cast("binary"))
+        .as("_skey_"))
+      .withColumn("bucket",
+        (conv(substring(col("_skey_"), 1, 2), 16, 10).cast("long")
+          % nBuckets).as("bucket"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("_skey_"), col(idCol))
+    keyed.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("bucket"), col("pos"))
   }
 
   /** Domain histogram (pipeline op): extract every http(s) URL host

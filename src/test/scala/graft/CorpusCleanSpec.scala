@@ -171,4 +171,24 @@ class CorpusCleanSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq == Seq(("x", 2L)))
   }
+
+  test("corpusShuffle: valid bucketed permutation, deterministic, salt re-deals") {
+    val docs = (0L until 300L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    def shuffled(salt: String, parts: Int) =
+      CorpusClean.corpusShuffle(docs.repartition(parts), "doc_id",
+          nBuckets = 16, salt = salt)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = shuffled("shuf", 3)
+    // every doc exactly once; buckets in range; positions contiguous 1..n
+    assert(a.map(_._1).sorted.toSeq == (0L until 300L))
+    assert(a.forall(t => t._2 >= 0 && t._2 < 16))
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length))
+    }
+    // deterministic under a different input partitioning
+    assert(shuffled("shuf", 7).toSet == a.toSet)
+    // a new salt is a fresh permutation (not the identity mapping)
+    val b = shuffled("epoch2", 3)
+    assert(b.toSet != a.toSet)
+  }
 }
