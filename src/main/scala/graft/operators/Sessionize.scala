@@ -38,6 +38,12 @@ object Sessionize {
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
                  tieCol: String, gap: Long): DataFrame = {
     require(gap > 0, s"need gap > 0, got $gap")
+    // the output column and the two scratch columns must not silently
+    // clobber caller data (resolver is case-insensitive by default)
+    Seq("session_seq", "_prev_ts_", "_new_s_").foreach { c =>
+      require(!events.columns.exists(_.equalsIgnoreCase(c)),
+        s"input already has a '$c' column; rename it before sessionize")
+    }
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
