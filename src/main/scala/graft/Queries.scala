@@ -918,6 +918,24 @@ object Queries {
     operators.CorpusClean.corpusShuffle(
       t(spark, dir, "documents"), "doc_id", nBuckets = 64)
 
+  /** Corpus-mix rollup report (pipeline op): docs + token mass by
+    * (lang, source) with ROLLUP subtotals — the mixture dashboard a
+    * data-curation run reads before setting sampling rates (q38/q57
+    * consume exactly these margins). Grouping-sets surface: Spark
+    * plans one Expand + one partial-aggregated groupBy — still a
+    * single shuffle at 100 TB. Subtotal rows mark the rolled-up level
+    * with '(all)' so the hash compare has no NULL-ordering ambiguity.
+    */
+  def mixRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+        coalesce(col("source"), lit("(all)")).as("source"),
+        col("n_docs"), col("sum_tokens"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_topk_batch" -> (topkBatch _),
     "q02_topk_threshold" -> (topkThreshold _),
@@ -976,6 +994,7 @@ object Queries {
     "q55_q8_ann" -> (q8Ann _),
     "q56_q8_rescore" -> (q8RescoreExact _),
     "q57_corpus_shuffle" -> (corpusShuffle _),
+    "q58_mix_rollup" -> (mixRollup _),
   )
 }
 
@@ -1543,5 +1562,12 @@ object Oracles {
         |SELECT doc_id, bucket,
         |  CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS BIGINT) AS pos
         |FROM b""".stripMargin,
+    // ROLLUP null-markers coalesced to '(all)' on both sides
+    "q58_mix_rollup" ->
+      """SELECT coalesce(lang, '(all)') AS lang,
+        |  coalesce(source, '(all)') AS source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
   )
 }

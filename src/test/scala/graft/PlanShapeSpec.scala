@@ -78,6 +78,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
+  test("mix rollup is one Expand + one aggregation shuffle") {
+    val plan = formatted(Queries.mixRollup(spark, dir))
+    assert("""\(\d+\) Expand""".r.findAllMatchIn(plan).nonEmpty)
+    assert("""\(\d+\) Exchange""".r.findAllMatchIn(plan).size == 1,
+      s"q58 expected 1 exchange:\n$plan")
+    assert(plan.contains("partial_count"))
+  }
+
   test("IVF probe join broadcasts probes and queries (never a store shuffle)") {
     // search's scale contract: the store side (assigned) is scanned in
     // place and the per-query probe/query frames broadcast onto it — a
