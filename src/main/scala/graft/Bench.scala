@@ -703,6 +703,7 @@ object Bench {
       try {
         val r = graft.tools.RetrievalGroundTruth.run(spark, s"$dir/store")
         retrieval("exact") = r.exactMismatches.toDouble
+        retrieval("q8") = r.q8Mismatches.toDouble
         r.annMismatches.foreach { case (np, m) =>
           retrieval(s"ann_np$np") = m.toDouble
         }

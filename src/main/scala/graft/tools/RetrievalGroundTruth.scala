@@ -41,7 +41,9 @@ object RetrievalGroundTruth {
       exactMismatches: Int,
       /** nProbe -> mismatch count through the ANN strategy. */
       annMismatches: Seq[(Int, Int)],
-      annNList: Int)
+      annNList: Int,
+      /** Mismatches through the q8 strategy (int8 scan + rescore). */
+      q8Mismatches: Int = -1)
 
   /** Deterministic unit-norm clustered corpus + perturbed queries.
     * Returns (docs, queries) where queries pair each query vector with
@@ -129,6 +131,17 @@ object RetrievalGroundTruth {
       }
     val exactMis = mismatches(exactHits)
 
+    // q8 strategy on the same structured corpus (round 10): the int8
+    // scan + full-precision rescore must preserve end-to-end retrieval.
+    // Runs unthresholded (better_than bypasses q8 by design) and BEFORE
+    // enableAnn (ANN outranks q8 when both are on).
+    loaded.enableQ8()
+    val q8Hits = loaded.query(qVecs, topK = 5)
+    require(loaded.lastQueryStrategy.contains("q8"),
+      s"expected q8 strategy, got ${loaded.lastQueryStrategy}")
+    val q8Mis = mismatches(q8Hits)
+    loaded.disableQ8()
+
     // ANN strategy per nProbe. Auto-mode nList is only resolved by the
     // first build, so trigger it with a one-vector probe, then sweep:
     // defaults cover sparse probing (1, 4), the engine default
@@ -147,7 +160,7 @@ object RetrievalGroundTruth {
         s"expected ann strategy, got ${loaded.lastQueryStrategy}")
       (np, mismatches(hits))
     }
-    Result(nDocs, nQueries, exactMis, annResults, nList)
+    Result(nDocs, nQueries, exactMis, annResults, nList, q8Mis)
   }
 
   /** Standalone runner: prints one JSON-ish line for ad-hoc checks. */
@@ -161,6 +174,7 @@ object RetrievalGroundTruth {
     val dir = java.nio.file.Files.createTempDirectory("graft-rgt").toString
     val r = run(spark, s"$dir/store")
     println(s"retrieval_mismatch exact=${r.exactMismatches} " +
+      s"q8=${r.q8Mismatches} " +
       r.annMismatches.map { case (np, m) => s"np$np=$m" }.mkString(" ") +
       s" nList=${r.annNList} nQueries=${r.nQueries}")
     spark.stop()

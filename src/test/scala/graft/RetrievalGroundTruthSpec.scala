@@ -26,6 +26,11 @@ class RetrievalGroundTruthSpec extends AnyFunSuite {
     assert(result.nQueries == 40)
   }
 
+  test("q8 strategy (int8 scan + rescore) retrieves every source doc at rank 1") {
+    assert(result.q8Mismatches == 0,
+      s"expected 0 q8 mismatches, got ${result.q8Mismatches}")
+  }
+
   test("ANN at nProbe = nList is exact parity: 0 mismatches") {
     val parity = result.annMismatches.collectFirst {
       case (np, m) if np == result.annNList => m
