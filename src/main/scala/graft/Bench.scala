@@ -434,14 +434,12 @@ object Bench {
         canarySample()
         timed { q8.topKMerged(queries, topK); () }
       })
-      // rescore joins candidates against the NORMALIZED rows the packed
-      // store was built from (store is normalize=true)
-      val storeDf = raw.toDF("vec_id", "vec")
-        .select($"vec_id", graft.functions.normalize_l2($"vec").as("vec"))
+      // rescore reads fp32 bytes only for the candidate hits inside the
+      // co-resident source blocks (no store scan since round 11)
       record("picovdb_q8_rescore_1000q", (1 to 3).map { _ =>
         canarySample()
         timed {
-          q8.rescoredTopK(queries, topK, 4, storeDf, "vec_id", "vec").count()
+          q8.rescoredTopK(queries, topK, 4).count()
           ()
         }
       })
@@ -459,7 +457,7 @@ object Bench {
       val scanTop = queries.map(_._1).zip(q8.topKMerged(queries, topK))
         .map { case (qid, hits) => qid -> hits.map(_._1).toSet }.toMap
       recalls("q8_scan") = recallOf(scanTop)
-      val resTop = q8.rescoredTopK(queries, topK, 4, storeDf, "vec_id", "vec")
+      val resTop = q8.rescoredTopK(queries, topK, 4)
         .select("qid", "id").collect()
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
       recalls("q8_rescore_of4") = recallOf(resTop)

@@ -832,7 +832,7 @@ object Queries {
       val emb = t(spark, dir, "embeddings")
       val q8 = q8Store(spark, dir)
       def top(of: Int): Map[Long, Set[Long]] =
-        q8.rescoredTopK(queries, k, of, emb, "vec_id", "embedding")
+        q8.rescoredTopK(queries, k, of)
           .select(col("qid"), col("id")).collect()
           .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
       val exact = top(0)
@@ -863,8 +863,7 @@ object Queries {
     import spark.implicits._
     assertQ8RecallFloor(s"$dir/embeddings#q8@k10of4", spark, dir, queries,
       k = 10, overfetch = 4)
-    q8Store(spark, dir).rescoredTopK(queries, k = 10, overfetch = 4,
-        emb, "vec_id", "embedding")
+    q8Store(spark, dir).rescoredTopK(queries, k = 10, overfetch = 4)
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
@@ -882,8 +881,7 @@ object Queries {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     import spark.implicits._
-    q8Store(spark, dir).rescoredTopK(queries, k = 10, overfetch = 0,
-        emb, "vec_id", "embedding")
+    q8Store(spark, dir).rescoredTopK(queries, k = 10, overfetch = 0)
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }

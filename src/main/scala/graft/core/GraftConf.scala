@@ -85,8 +85,18 @@ final class GraftConf(spark: SparkSession) {
 
   /** Rescore overfetch for the q8 query strategy: the int8 scan keeps
     * `k * overfetch` candidates per query before the full-precision
-    * rescore; <= 0 keeps every row (exact-parity test setting).
+    * rescore. Must be positive on the store path — the keep-ALL-rows
+    * setting (`overfetch <= 0` on `Q8Store.rescoredTopK` directly) is
+    * an exact-parity TEST mode that sizes every per-query heap to the
+    * full store row count and would OOM executors on a large store;
+    * production callers wanting exact results should disable q8 and
+    * take the exact BlockStore scan instead.
     */
-  def q8Overfetch: Int =
-    opt("q8.overfetch", "GRAFT_Q8_OVERFETCH").map(_.toInt).getOrElse(4)
+  def q8Overfetch: Int = {
+    val of = opt("q8.overfetch", "GRAFT_Q8_OVERFETCH").map(_.toInt).getOrElse(4)
+    require(of > 0,
+      s"graft.q8.overfetch must be > 0 on the store query path (got $of); " +
+        "disable q8 for exact results instead of overfetch<=0")
+    of
+  }
 }

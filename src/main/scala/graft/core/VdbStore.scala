@@ -461,11 +461,10 @@ final class VdbStore private (
           .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
       case None if useQ8 =>
         // int8 scan -> k x graft.q8.overfetch candidates -> exact
-        // double rescore against the store (broadcast candidate join,
-        // no store shuffle). Scores are double-accumulated — identical
-        // to the exact strategy under graft.query.exact.
-        q8Store().rescoredTopK(queries, topK, conf.q8Overfetch,
-            active.select(col("_id_"), col("_vector_")), "_id_", "_vector_")
+        // double rescore (candidate-restricted pass over the fp32
+        // blocks, no store scan/shuffle). Scores are double-accumulated
+        // — identical to the exact strategy under graft.query.exact.
+        q8Store().rescoredTopK(queries, topK, conf.q8Overfetch)
           .select(col("qid"), col("id"), col("score"), col("rank"))
           .collect()
           .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq

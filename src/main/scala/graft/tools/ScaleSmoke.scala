@@ -98,10 +98,8 @@ object ScaleSmoke {
       timed("q8 scan 1000q top10") {
         q8.topKMerged(queries, 10).length.toLong
       }
-      val q8Df = raw.toDF("vec_id", "vec")
-        .select(col("vec_id"), graft.functions.normalize_l2(col("vec")).as("vec"))
       timed("q8 rescore 1000q of4") {
-        q8.rescoredTopK(queries, 10, 4, q8Df, "vec_id", "vec").count()
+        q8.rescoredTopK(queries, 10, 4).count()
       }
       val sample = queries.take(100)
       val exactS = CosineTopK.gemmBlocks(store, sample, 10)
@@ -109,7 +107,7 @@ object ScaleSmoke {
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
       val scanS = sample.map(_._1).zip(q8.topKMerged(sample, 10))
         .map { case (qid, h) => qid -> h.map(_._1).toSet }.toMap
-      val resS = q8.rescoredTopK(sample, 10, 4, q8Df, "vec_id", "vec")
+      val resS = q8.rescoredTopK(sample, 10, 4)
         .select("qid", "id").collect()
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
       def rc(m: Map[Long, Set[Long]]): Double = sample.map { case (qid, _) =>

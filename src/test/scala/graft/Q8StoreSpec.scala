@@ -55,8 +55,7 @@ class Q8StoreSpec extends AnyFunSuite {
 
     val q8 = Q8Store.fromBlockStore(
       BlockStore.fromDataset(df.as[(Long, Array[Float])], normalize = false))
-    val got = q8.rescoredTopK(queries, k = 10, overfetch = 0, df,
-        "vec_id", "embedding")
+    val got = q8.rescoredTopK(queries, k = 10, overfetch = 0)
       .select(col("qid"), col("rank").cast("long"), col("id"),
         round(col("score"), 9)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
@@ -80,7 +79,7 @@ class Q8StoreSpec extends AnyFunSuite {
     val q8 = Q8Store.fromBlockStore(
       BlockStore.fromDataset(df.as[(Long, Array[Float])], normalize = false))
     def ids(of: Int): Map[Long, Set[Long]] =
-      q8.rescoredTopK(queries, k = 10, overfetch = of, df, "vec_id", "embedding")
+      q8.rescoredTopK(queries, k = 10, overfetch = of)
         .select(col("qid"), col("id")).collect()
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     assert(ids(4) == ids(0)) // small overfetch == overfetch-all on separated data
@@ -108,7 +107,7 @@ class Q8StoreSpec extends AnyFunSuite {
     // normalized mode: rescoredTopK normalizes the raw queries once up
     // front — the same NormalizeL2 prep topKMerged runs — so raw
     // queries into both paths score identically
-    val got = q8.rescoredTopK(queries, k = 8, overfetch = 0, df, "vec_id", "embedding")
+    val got = q8.rescoredTopK(queries, k = 8, overfetch = 0)
       .select(col("qid"), col("id"), col("score")).collect()
       .map(r => (r.getLong(0), r.getLong(1),
         BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toSet
