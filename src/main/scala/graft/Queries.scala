@@ -17,6 +17,22 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Event timestamps as epoch MICROSECONDS, robust to how the testdata
+    * writer encoded the column. Historically `events.ts` was parquet
+    * NANOS (read as BIGINT nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong`); newer generations write
+    * timestamp[us] (TIMESTAMP_NTZ). DuckDB's `epoch_us(ts)` sees the
+    * same integers in both encodings (its parquet reader truncates ns
+    * to µs), so the oracles are encoding-agnostic — this helper makes
+    * the Spark side match. NTZ→LTZ cast is exact under the UTC session
+    * timezone every entrypoint sets.
+    */
+  private def tsMicros(df: DataFrame, tsCol: String): org.apache.spark.sql.Column =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$tsCol div 1000")
+      case _ => unix_micros(col(tsCol).cast("timestamp"))
+    }
+
   /** Shared top-k runner on the gemm path (packed BlockStore, one
     * shuffle-free treeAggregate pass, exact double scoring — bit-parity
     * with the declarative Window plan and the DuckDB oracle). The query
@@ -249,12 +265,16 @@ object Queries {
     operators.Dedup.winnowFingerprints(t(spark, dir, "documents"), "doc_id", "text")
 
   /** Tumbling-window event aggregation — the batch-equivalent of the
-    * Structured Streaming windowed agg (ts is raw nanos via nanosAsLong).
+    * Structured Streaming windowed agg (`ts` normalized to epoch µs via
+    * [[tsMicros]], so both the legacy nanos-as-long and the current
+    * timestamp[us] testdata encodings bucket identically).
     */
-  def eventWindows(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+  def eventWindows(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    ev.withColumn("ts_us", tsMicros(ev, "ts"))
+      .groupBy(expr("ts_us div 3600000000").as("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+  }
 
   /** Multimodal feature extraction over an opaque binary payload column
     * (stub decoder — see operators.Multimodal).
@@ -889,16 +909,18 @@ object Queries {
   /** Gap-based sessionization over events (pipeline op): 30-minute
     * inactivity gap per user, per-session rollup. See
     * [[operators.Sessionize]] for semantics and the 100 TB shape.
-    * Sessionizes on MICROSECOND timestamps (`ts div 1000`): the raw ts
-    * is nanos (nanosAsLong) but DuckDB's parquet reader truncates ns
-    * timestamps to µs, so both engines must see identical integers —
-    * the operator itself is unit-agnostic.
+    * Sessionizes on MICROSECOND timestamps (via [[tsMicros]]): DuckDB's
+    * parquet reader sees µs integers for both historical testdata
+    * encodings, so both engines agree — the operator itself is
+    * unit-agnostic.
     */
-  def sessionizeEvents(spark: SparkSession, dir: String): DataFrame =
+  def sessionizeEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
     operators.Sessionize.sessionStats(
-      t(spark, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      ev.withColumn("ts_us", tsMicros(ev, "ts")),
       "user_id", "ts_us", "event_id", "value",
       gap = 30L * 60 * 1000 * 1000)
+  }
 
   /** Training-sequence packing bookkeeping (pipeline op): which documents
     * start in which fixed-length training sequence, per shard. See
