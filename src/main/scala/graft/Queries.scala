@@ -823,7 +823,7 @@ object Queries {
     */
   private val q8Cache =
     new core.SessionLru[String, (SparkSession, core.Q8Store[Long])](
-      4, _._1, _._2.unpersist(false))
+      4, _._1, _._2.unpersist(false, cascadeSource = true))
   private def q8Store(spark: SparkSession, dir: String): core.Q8Store[Long] = {
     import spark.implicits._
     q8Cache.getOrBuild(s"$dir/embeddings#q8") {
@@ -849,7 +849,6 @@ object Queries {
       overfetch: Int): Double =
     q8FloorChecked.computeIfAbsent(key, { _ =>
       import spark.implicits._
-      val emb = t(spark, dir, "embeddings")
       val q8 = q8Store(spark, dir)
       def top(of: Int): Map[Long, Set[Long]] =
         q8.rescoredTopK(queries, k, of)

@@ -53,12 +53,31 @@ final class Q8Store[K](
     val normalized: Boolean,
     val source: BlockStore[K])(implicit ct: ClassTag[K], ord: Ordering[K]) {
 
-  def persist(): this.type = {
+  /** Persist the quantized blocks — and, when `cascadeSource` (the
+    * default) and the retained fp32 `source` is not already persisted,
+    * the source blocks too. [[rescoredTopK]] streams `source`
+    * per call: an unpersisted source silently recomputes its full pack
+    * lineage every rescore (ADVICE r11), which defeats the store
+    * entirely. Pass `cascadeSource = false` only when the caller
+    * manages the source's storage itself (the catalog's q8Cache does).
+    */
+  def persist(cascadeSource: Boolean = true): this.type = {
     blocks.persist(StorageLevel.MEMORY_ONLY)
+    if (cascadeSource &&
+        source.blocks.getStorageLevel == StorageLevel.NONE)
+      source.blocks.persist(StorageLevel.MEMORY_ONLY)
     this
   }
 
-  def unpersist(blocking: Boolean = false): Unit = blocks.unpersist(blocking)
+  /** Release the quantized blocks; `cascadeSource` also releases the
+    * fp32 source (only sensible when [[persist]] cascaded or the caller
+    * owns both).
+    */
+  def unpersist(blocking: Boolean = false,
+                cascadeSource: Boolean = false): Unit = {
+    blocks.unpersist(blocking)
+    if (cascadeSource) source.blocks.unpersist(blocking)
+  }
 
   /** Force the build; returns total row count. */
   def materialize(): Long =
@@ -145,28 +164,26 @@ final class Q8Store[K](
         queries.map { case (qid, v) => (qid, NormalizeL2.normalize(v)) }
       else queries
     val total = materialize()
-    require(total <= Int.MaxValue.toLong,
-      s"q8 rescore candidate cap overflow: store has $total rows > Int.MaxValue; " +
-        "use overfetch > 0 (bounded candidates) on stores this large")
-    val cap = if (overfetch <= 0) total.toInt
-              else math.min(k.toLong * overfetch, math.max(total, 1L)).toInt
+    // keep-ALL (overfetch <= 0) needs the whole store in one heap and is
+    // the exact-parity TEST setting only — the Int cap is inherent to it.
+    // The bounded production path computes its cap in Long and stays
+    // N-independent, so it must NOT be rejected on >2.1B-row stores
+    // (ADVICE r11).
+    val cap =
+      if (overfetch <= 0) {
+        require(total <= Int.MaxValue.toLong,
+          s"q8 keep-all rescore needs an Int candidate cap but the store has " +
+            s"$total rows; use overfetch > 0 (bounded candidates) at this size")
+        total.toInt
+      } else
+        math.min(math.min(k.toLong * overfetch, math.max(total, 1L)),
+          Int.MaxValue.toLong).toInt
     val approx = topKMerged(qs, cap, normalizeQueries = false)
-    // invert the candidate lists: id -> indices of the queries that kept it
-    val candMap = new java.util.HashMap[K, Array[Int]]()
-    var qi = 0
-    while (qi < approx.length) {
-      val hits = approx(qi)
-      var h = 0
-      while (h < hits.length) {
-        val id = hits(h)._1
-        val prev = candMap.get(id)
-        candMap.put(id,
-          if (prev == null) Array(qi)
-          else { val a = java.util.Arrays.copyOf(prev, prev.length + 1); a(prev.length) = qi; a })
-        h += 1
-      }
-      qi += 1
-    }
+    // invert the candidate lists: id -> indices of the queries that kept
+    // it, via growable buffers (ADVICE r11: per-hit Arrays.copyOf was
+    // quadratic when many queries keep the same id) behind a probe
+    // interface that avoids per-row key boxing for Long ids
+    val candMap = Q8Store.CandIndex.build[K](approx)
     val qvecs = qs.map(_._2)
     val qnorms: Array[Double] =
       if (!normalized) qvecs.map(v => math.sqrt(Kernels.normSqD(v))) else null
@@ -231,16 +248,18 @@ object Q8Store {
     new Q8Store[K](bs.blocks.map(quantize[K]), bs.normalized, bs)
 
   /** Rescore one fp32 block against the broadcast candidate set: probe
-    * each row id (O(1) hash), and only on a hit read the row's vector
-    * to compute the exact double score for each query that kept it —
-    * `dotPackedD` (sequential double, DotProduct-expression parity) and
-    * in cosine mode the same `dot / (|q| * |v|)` zero-guarded division
-    * as `cosine_sim` / the exact engine's scoreBlock.
+    * each row id (O(1) hash, no boxing for Long ids — the probe
+    * dispatches to the primitive-key index when one was built), and only
+    * on a hit read the row's vector to compute the exact double score
+    * for each query that kept it — `dotPackedD` (sequential double,
+    * DotProduct-expression parity) and in cosine mode the same
+    * `dot / (|q| * |v|)` zero-guarded division as `cosine_sim` / the
+    * exact engine's scoreBlock.
     */
   private[core] def rescoreBlock[K](
       heaps: Array[BoundedTopKG[K]],
       b: VecBlock[K],
-      cands: java.util.HashMap[K, Array[Int]],
+      cands: CandIndex[K],
       qs: Array[Array[Float]],
       qnorms: Array[Double]): Unit = {
     val cosine = qnorms != null
@@ -249,25 +268,144 @@ object Q8Store {
     val dim = b.dim
     val rows = b.rows
     val vnorms = b.norms
-    var r = 0
-    while (r < rows) {
-      val wanted = cands.get(ids(r))
-      if (wanted != null) {
-        val off = r * dim
-        var w = 0
-        while (w < wanted.length) {
-          val qi = wanted(w)
-          var s = Kernels.dotPackedD(qs(qi), data, off)
-          if (cosine) {
-            val qn = qnorms(qi)
-            val vn = vnorms(r)
-            s = if (qn == 0.0 || vn == 0.0) 0.0 else s / (qn * vn)
-          }
-          heaps(qi).offer(s, ids(r))
-          w += 1
+    @inline def scoreHits(r: Int, wanted: IntBuf): Unit = {
+      val off = r * dim
+      var w = 0
+      while (w < wanted.len) {
+        val qi = wanted.arr(w)
+        var s = Kernels.dotPackedD(qs(qi), data, off)
+        if (cosine) {
+          val qn = qnorms(qi)
+          val vn = vnorms(r)
+          s = if (qn == 0.0 || vn == 0.0) 0.0 else s / (qn * vn)
         }
+        heaps(qi).offer(s, ids(r))
+        w += 1
       }
-      r += 1
+    }
+    cands match {
+      case lm: LongCandIndex =>
+        // monomorphic primitive-long probe: Array[Long] ids, no boxing
+        val lids = ids.asInstanceOf[Array[Long]]
+        var r = 0
+        while (r < rows) {
+          val wanted = lm.getLong(lids(r))
+          if (wanted != null) scoreHits(r, wanted)
+          r += 1
+        }
+      case _ =>
+        var r = 0
+        while (r < rows) {
+          val wanted = cands.get(ids(r))
+          if (wanted != null) scoreHits(r, wanted)
+          r += 1
+        }
+    }
+  }
+
+  /** Growable int list: amortized O(1) append (ADVICE r11 — the per-hit
+    * Arrays.copyOf rebuild was quadratic when many queries keep the
+    * same candidate id, e.g. near-duplicate query batches).
+    */
+  private[core] final class IntBuf extends Serializable {
+    var arr: Array[Int] = new Array[Int](4)
+    var len: Int = 0
+    def add(v: Int): Unit = {
+      if (len == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length << 1)
+      arr(len) = v
+      len += 1
+    }
+  }
+
+  /** Broadcast candidate index for the rescore pass: id -> indices of
+    * the queries whose quantized scan kept that id. Long-keyed stores
+    * (the common case: BIGINT ids) get an open-addressing primitive map
+    * so the per-row probe in [[rescoreBlock]] never boxes; other key
+    * types fall back to a HashMap.
+    */
+  private[core] sealed trait CandIndex[K] extends Serializable {
+    def get(id: K): IntBuf
+  }
+
+  private[core] final class MapCandIndex[K](
+      m: java.util.HashMap[K, IntBuf]) extends CandIndex[K] {
+    def get(id: K): IntBuf = m.get(id)
+  }
+
+  /** Linear-probing long->IntBuf map; slot occupancy = non-null value
+    * (so key 0 needs no sentinel). Capacity fixed at build (power of
+    * two, load factor <= 0.5).
+    */
+  private[core] final class LongCandIndex(capPow2: Int)
+      extends CandIndex[Long] {
+    private val mask = capPow2 - 1
+    private val keys = new Array[Long](capPow2)
+    private val vals = new Array[IntBuf](capPow2)
+    @inline private def slot(k: Long): Int = {
+      var h = k * -7046029254386353131L // splitmix64 odd multiplier
+      h ^= (h >>> 32)
+      h.toInt & mask
+    }
+    def add(k: Long, qi: Int): Unit = {
+      var i = slot(k)
+      while (vals(i) != null && keys(i) != k) i = (i + 1) & mask
+      if (vals(i) == null) { keys(i) = k; vals(i) = new IntBuf }
+      vals(i).add(qi)
+    }
+    def getLong(k: Long): IntBuf = {
+      var i = slot(k)
+      while (vals(i) != null) {
+        if (keys(i) == k) return vals(i)
+        i = (i + 1) & mask
+      }
+      null
+    }
+    def get(id: Long): IntBuf = getLong(id)
+  }
+
+  private[core] object CandIndex {
+    def build[K](approx: Array[Array[(K, Double)]]): CandIndex[K] = {
+      var totalHits = 0L
+      var firstId: Any = null
+      var qi = 0
+      while (qi < approx.length) {
+        val hits = approx(qi)
+        if (firstId == null && hits.nonEmpty) firstId = hits(0)._1
+        totalHits += hits.length
+        qi += 1
+      }
+      if (firstId.isInstanceOf[java.lang.Long]) {
+        // capacity: next pow2 >= 2x hit count (distinct ids <= hits)
+        var cap = 16
+        while (cap.toLong < totalHits * 2 && cap < (1 << 30)) cap <<= 1
+        val m = new LongCandIndex(cap)
+        var q = 0
+        while (q < approx.length) {
+          val hits = approx(q)
+          var h = 0
+          while (h < hits.length) {
+            m.add(hits(h)._1.asInstanceOf[java.lang.Long].longValue(), q)
+            h += 1
+          }
+          q += 1
+        }
+        m.asInstanceOf[CandIndex[K]]
+      } else {
+        val m = new java.util.HashMap[K, IntBuf]()
+        var q = 0
+        while (q < approx.length) {
+          val hits = approx(q)
+          var h = 0
+          while (h < hits.length) {
+            var buf = m.get(hits(h)._1)
+            if (buf == null) { buf = new IntBuf; m.put(hits(h)._1, buf) }
+            buf.add(q)
+            h += 1
+          }
+          q += 1
+        }
+        new MapCandIndex(m)
+      }
     }
   }
 
