@@ -10,9 +10,9 @@ package graft.tools
   */
 object FitBench {
   def main(args: Array[String]): Unit = {
-    val n = 20000
-    val k = 3162
-    val dim = 256
+    val n = sys.env.getOrElse("FITBENCH_N", "20000").toInt
+    val k = sys.env.getOrElse("FITBENCH_K", "3162").toInt
+    val dim = sys.env.getOrElse("FITBENCH_DIM", "256").toInt
     val rng = new java.util.Random(7)
     val sample = Array.fill(n)(Array.fill(dim)(rng.nextDouble()))
     (1 to 2).foreach { pass =>
