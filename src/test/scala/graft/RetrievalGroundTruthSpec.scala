@@ -45,6 +45,54 @@ class RetrievalGroundTruthSpec extends AnyFunSuite {
       s"more probes can only help: ${result.annMismatches}")
   }
 
+  // Text-featurized lifecycle (VERDICT r10 missing #1): hashing-trick
+  // n-gram features over the real testdata documents — anisotropic
+  // geometry, excerpt queries. sf0.001 documents (same 500-row table at
+  // every SF, TESTDATA.md).
+  private lazy val textResult = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rgt-text")
+    RetrievalGroundTruth.runTextFeaturized(spark, s"$dir/store",
+      "/root/testdata/sf0.001/documents.parquet", nQueries = 30)
+  }
+
+  test("text-featurized: exact and q8 retrieve every excerpt's source doc") {
+    assert(textResult.exactMismatches == 0,
+      s"expected 0 exact mismatches, got ${textResult.exactMismatches}")
+    assert(textResult.q8Mismatches == 0,
+      s"expected 0 q8 mismatches, got ${textResult.q8Mismatches}")
+    assert(textResult.nQueries == 30)
+  }
+
+  test("text-featurized: ANN parity at nProbe = nList, monotone curve") {
+    val parity = textResult.annMismatches.collectFirst {
+      case (np, m) if np == textResult.annNList => m
+    }
+    assert(parity.contains(0),
+      s"nProbe=nList must match exact; curve=${textResult.annMismatches}")
+    val ms = textResult.annMismatches.sortBy(_._1).map(_._2)
+    assert(ms.zip(ms.tail).forall { case (a, b) => b <= a },
+      s"more probes can only help: ${textResult.annMismatches}")
+  }
+
+  test("featurizer is deterministic, unit-norm, excerpt-stable") {
+    import graft.operators.TextFeaturize
+    val t = "the quick brown fox jumps over the lazy dog"
+    val a = TextFeaturize.featurize(t)
+    val b = TextFeaturize.featurize(t)
+    assert(a.toSeq == b.toSeq)
+    val n = math.sqrt(a.map(x => x.toDouble * x).sum)
+    assert(math.abs(n - 1.0) < 1e-5)
+    // an excerpt of the text stays closer to its source than to a
+    // different text (the retrieval premise)
+    val other = TextFeaturize.featurize("completely unrelated content about spark plans")
+    val ex = TextFeaturize.featurize(t.substring(8, 36))
+    def dot(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+    assert(dot(ex, a) > dot(ex, other))
+    // empty text: zero vector, no NaN
+    assert(TextFeaturize.featurize("").forall(_ == 0f))
+  }
+
   test("corpus generator is deterministic and unit-norm") {
     val (d1, q1) = RetrievalGroundTruth.corpus(32, 20, 4, 5, seed = 7L)
     val (d2, _) = RetrievalGroundTruth.corpus(32, 20, 4, 5, seed = 7L)
