@@ -32,7 +32,13 @@ object DedupScaleSmoke {
           ()
         }
       })
+    // optional phase filter for focused re-measurement:
+    // SPARK_GRAFT_SMOKE_PHASES="generate docs,hygiene" runs only phases
+    // whose name starts with one of the comma-separated prefixes
+    val phaseFilter = sys.env.get("SPARK_GRAFT_SMOKE_PHASES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def timed(name: String)(f: => Long): Unit = {
+      if (phaseFilter.exists(ps => !ps.exists(name.startsWith))) return
       Thread.sleep(300)
       val w0 = shuffleW.get()
       val t0 = System.nanoTime()
@@ -150,6 +156,27 @@ object DedupScaleSmoke {
         strat.filter(col("doc_id") % 100 === 99),
         "doc_id", "text", "src",
         (0 until 20).map(k => k.toString -> 0.2).toMap).count()
+    }
+    timed("hygiene gated e2e") {
+      // the single-scan opt-in (VERDICT r10 next-round #6): persist the
+      // repetition gate once, pass it back as `gated` — the cache fill
+      // is the only corpus scan; the pipeline's two gate references
+      // read from cache. Same parameters, same output rows as the
+      // default two-scan phase above.
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val strat = docs.withColumn("src",
+        pmod(col("doc_id"), lit(20)).cast("string"))
+      val train = strat.filter(col("doc_id") % 100 =!= 99)
+      val gate = graft.operators.CorpusClean
+        .repetitionGate(train, "text").persist()
+      try
+        graft.operators.CorpusClean.hygienePipeline(
+          train,
+          strat.filter(col("doc_id") % 100 === 99),
+          "doc_id", "text", "src",
+          (0 until 20).map(k => k.toString -> 0.2).toMap,
+          gated = Some(gate)).count()
+      finally gate.unpersist(false)
     }
     timed("stratified sample") {
       import org.apache.spark.sql.functions.pmod
