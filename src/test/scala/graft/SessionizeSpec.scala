@@ -75,6 +75,23 @@ class SessionizeSpec extends AnyFunSuite {
       (0L, 2L) -> ((1L, 5L))))  // doc 4 starts in bin 2
   }
 
+  test("packSequences derives its shard default from input parallelism") {
+    import spark.implicits._
+    // shard count IS the stage's parallelism (VERDICT r10 #7): the
+    // derived default must track the input's partition count, floored
+    // at the old fixed default of 8; an explicit value always wins
+    val docs = (0L until 64L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    def shards(df: org.apache.spark.sql.DataFrame, n: Int): Long =
+      TextChunk.packSequences(df.repartition(n), "doc_id", "text", 16)
+        .select("shard").distinct().count()
+    assert(shards(docs, 16) == 16)  // derived: 16 partitions -> 16 shards
+    assert(shards(docs, 2) == 8)    // floor: never below the old default
+    val explicit = TextChunk.packSequences(docs.repartition(16), "doc_id",
+        "text", 16, nShards = 4)
+      .select("shard").distinct().count()
+    assert(explicit == 4)           // explicit parameter wins
+  }
+
   test("packSequences shards independently and deterministically") {
     import spark.implicits._
     val docs = (0L until 40L).map(i => (i, ("w " * (1 + (i % 5).toInt)).trim))
