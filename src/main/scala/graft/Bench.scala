@@ -519,6 +519,31 @@ object Bench {
         }
         recalls(s"headline_np$np") = perQ.sum / math.max(1, perQ.length)
       }
+      // Monotonicity retry (round 12): more probes can only cost more,
+      // so median(np_i) > median(np_j) for np_i < np_j is physically
+      // impossible — it means np_i's whole sample window ran under
+      // contention (consistent-but-contaminated samples dodge the
+      // median/min suspect rule; this run's r12 artifact recorded np32
+      // 2.09 s over np158 1.57 s exactly that way). Resample the
+      // SMALLER-probe violator, additively, up to 2 rounds.
+      val npsSorted = Seq(8, 32, annIdx.nList / 2).distinct.sorted
+      (1 to 2).foreach { _ =>
+        npsSorted.sliding(2).foreach {
+          case Seq(lo, hi) =>
+            val (kLo, kHi) = (s"picovdb_ann_1000q_np$lo", s"picovdb_ann_1000q_np$hi")
+            if (results.contains(kLo) && results.contains(kHi) &&
+                results(kLo) > results(kHi)) {
+              retried += kLo
+              canarySample()
+              record(kLo, allSamples(kLo) :+ timed {
+                annIdx.searchMerged[Long](queries, k = topK, nProbe = lo,
+                  normalized = false).count()
+                ()
+              })
+            }
+          case _ => ()
+        }
+      }
     } catch {
       case e: Throwable =>
         errors("picovdb_ann") =
