@@ -519,6 +519,42 @@ object Bench {
         }
         recalls(s"headline_np$np") = perQ.sum / math.max(1, perQ.length)
       }
+      // IVF-SQ8 composition rows (round 12): the quantized-bucket pack
+      // is a one-time narrow map over the fp32 buckets (its own row),
+      // then the same 1000-query batch through the int8 bucket scan —
+      // scan-only and with the fp32 candidate rescore (overfetch 4).
+      record("picovdb_ann_q8_quantize", Seq(timed {
+        annIdx.searchMergedQ8[Long](queries.take(1), k = 1, nProbe = 1,
+          normalized = false).count()
+        ()
+      }))
+      def annQ8Sample(of: Int): Double = timed {
+        annIdx.searchMergedQ8[Long](queries, k = topK, nProbe = 32,
+          normalized = false, overfetch = of).count()
+        ()
+      }
+      record("picovdb_ann_q8_1000q_np32", (1 to 3).map { _ =>
+        canarySample()
+        annQ8Sample(0)
+      })
+      retryIfSuspect("picovdb_ann_q8_1000q_np32")(annQ8Sample(0))
+      record("picovdb_ann_q8_rescored_1000q_np32", (1 to 3).map { _ =>
+        canarySample()
+        annQ8Sample(4)
+      })
+      retryIfSuspect("picovdb_ann_q8_rescored_1000q_np32")(annQ8Sample(4))
+      // recall of the composed path vs the exact scan (same exactTop)
+      val q8ApproxIds = annIdx.searchMergedQ8[Long](queries, k = topK,
+          nProbe = 32, normalized = false, overfetch = 4)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val perQQ8 = queries.map { case (qid, _) =>
+        val ex = exactTop.getOrElse(qid, Set.empty[Long])
+        if (ex.isEmpty) 1.0
+        else q8ApproxIds.getOrElse(qid, Set.empty[Long]).count(ex).toDouble / ex.size
+      }
+      recalls("headline_ivfq8_np32_of4") = perQQ8.sum / math.max(1, perQQ8.length)
+
       // Monotonicity retry (round 12): more probes can only cost more,
       // so median(np_i) > median(np_j) for np_i < np_j is physically
       // impossible — it means np_i's whole sample window ran under

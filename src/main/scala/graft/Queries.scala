@@ -445,6 +445,37 @@ object Queries {
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Oracled IVF-SQ8 entry (q59, round 12): the two accelerators
+    * COMPOSED — [[operators.IvfIndex.searchMergedQ8]] scans int8
+    * bucket slabs (4x less bandwidth on the probed fraction), then
+    * rescores candidates against the co-resident fp32 buckets. At
+    * nProbe = nList every bucket is probed, and overfetch sized to the
+    * whole store means no candidate can be lost — the rescore's
+    * sequential-double arithmetic then makes the result exact by
+    * construction, so the standard DuckDB top-k oracle hash-matches
+    * the full quantize-buckets → int8-scan → fp32-rescore path
+    * (IvfIndexSpec pins bit-parity with searchMerged(exact) at partial
+    * probing too).
+    */
+  def annIvfQ8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") >= 160 && col("vec_id") < 180)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val idx = operators.IvfIndex.cached(s"$dir/embeddings#16")(
+      operators.IvfIndex.build(emb, "vec_id", "embedding", nList = 16,
+        normalized = false))
+    val k = 10
+    // covering overfetch: k * overfetch >= store rows, so the int8 cut
+    // cannot drop a true candidate at any SF's embedding count
+    val overfetch = (emb.count() / k + 1).toInt
+    idx.searchMergedQ8[Long](queries, k = k, nProbe = idx.nList,
+        normalized = false, overfetch = overfetch)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Text-chunking ingest (pipeline op): overlapping token windows over
     * each document — the chunk->embed->upsert flow's first stage
     * (operators.TextChunk; bench/st_embedding.py analog). Boundaries are
@@ -1003,6 +1034,7 @@ object Queries {
     "q45_merge_clusters" -> (mergeClusters _),
     "q46_ann_ivf_ds" -> (annIvfDs _),
     "q47_ann_ivf_exact" -> (annIvfExact _),
+    "q59_ann_ivf_q8" -> (annIvfQ8 _),
     "q48_ann_ivf_packed" -> (annIvfPacked _),
     "q49_ann_ivf_merged" -> (annIvfMerged _),
     "q50_pii_redact" -> (piiRedact _),
@@ -1481,6 +1513,11 @@ object Oracles {
     // cosine — same oracle shape (see annIvfMerged)
     "q49_ann_ivf_merged" ->
       topkOracle("vec_id >= 100 AND vec_id < 120", "true", 10, None),
+    // IVF-SQ8 composition at nProbe = nList + covering overfetch: int8
+    // candidate generation cannot drop a row, fp32 rescore is the exact
+    // arithmetic — same oracle shape (see annIvfQ8)
+    "q59_ann_ivf_q8" ->
+      topkOracle("vec_id >= 160 AND vec_id < 180", "true", 10, None),
     // same salting, same RE2-safe patterns in the same order, same
     // stage-wise match counting (each pattern counted on its stage's
     // input, so a literal placeholder in a source doc never counts —

@@ -256,7 +256,7 @@ object Q8Store {
     * `dot / (|q| * |v|)` zero-guarded division as `cosine_sim` / the
     * exact engine's scoreBlock.
     */
-  private[core] def rescoreBlock[K](
+  private[graft] def rescoreBlock[K](
       heaps: Array[BoundedTopKG[K]],
       b: VecBlock[K],
       cands: CandIndex[K],
@@ -307,7 +307,7 @@ object Q8Store {
     * Arrays.copyOf rebuild was quadratic when many queries keep the
     * same candidate id, e.g. near-duplicate query batches).
     */
-  private[core] final class IntBuf extends Serializable {
+  private[graft] final class IntBuf extends Serializable {
     var arr: Array[Int] = new Array[Int](4)
     var len: Int = 0
     def add(v: Int): Unit = {
@@ -323,11 +323,11 @@ object Q8Store {
     * so the per-row probe in [[rescoreBlock]] never boxes; other key
     * types fall back to a HashMap.
     */
-  private[core] sealed trait CandIndex[K] extends Serializable {
+  private[graft] sealed trait CandIndex[K] extends Serializable {
     def get(id: K): IntBuf
   }
 
-  private[core] final class MapCandIndex[K](
+  private[graft] final class MapCandIndex[K](
       m: java.util.HashMap[K, IntBuf]) extends CandIndex[K] {
     def get(id: K): IntBuf = m.get(id)
   }
@@ -336,7 +336,7 @@ object Q8Store {
     * (so key 0 needs no sentinel). Capacity fixed at build (power of
     * two, load factor <= 0.5).
     */
-  private[core] final class LongCandIndex(capPow2: Int)
+  private[graft] final class LongCandIndex(capPow2: Int)
       extends CandIndex[Long] {
     private val mask = capPow2 - 1
     private val keys = new Array[Long](capPow2)
@@ -363,7 +363,7 @@ object Q8Store {
     def get(id: Long): IntBuf = getLong(id)
   }
 
-  private[core] object CandIndex {
+  private[graft] object CandIndex {
     def build[K](approx: Array[Array[(K, Double)]]): CandIndex[K] = {
       var totalHits = 0L
       var firstId: Any = null
@@ -454,7 +454,7 @@ object Q8Store {
     * per query); they remain the right shape only for tiny batches and
     * the error-bound spec.
     */
-  private[core] def scoreBlock[K](
+  private[graft] def scoreBlock[K](
       heaps: Array[BoundedTopKG[K]],
       b: Q8Block[K],
       qs: Array[Array[Float]],

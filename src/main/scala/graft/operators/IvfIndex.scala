@@ -46,10 +46,20 @@ final class IvfIndex(
   @transient private lazy val packedCache =
     new java.util.concurrent.ConcurrentHashMap[(Boolean, Class[_]), (org.apache.spark.rdd.RDD[_], org.apache.spark.HashPartitioner)]()
 
+  /** Int8-quantized twins of the packed buckets (IVF-SQ8, round 12) —
+    * derived from [[packedBuckets]] via [[graft.core.Q8Store.quantize]],
+    * so they share its partitioner and cid keys; cached per
+    * (normalized, K) like the fp32 packs.
+    */
+  @transient private lazy val packedQ8Cache =
+    new java.util.concurrent.ConcurrentHashMap[(Boolean, Class[_]), org.apache.spark.rdd.RDD[_]]()
+
   def unpersistAssigned(): Unit = {
     assigned.unpersist(false)
     packedCache.forEach((_, v) => { v._1.unpersist(false); () })
     packedCache.clear()
+    packedQ8Cache.forEach((_, v) => { v.unpersist(false); () })
+    packedQ8Cache.clear()
   }
 
   /** Which path the most recent [[searchDs]] call took ("declarative"
@@ -475,6 +485,182 @@ final class IvfIndex(
         }.toSeq
       spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
     } finally bc.destroy()
+  }
+
+  /** IVF-SQ8 driver-batch top-k (round 12): [[searchMerged]]'s
+    * broadcast-down/heaps-up shape over INT8-quantized bucket slabs —
+    * the two accelerators composed. IVF prunes WHICH rows are scanned
+    * (nProbe/nList of the store), SQ8 compresses HOW each scanned row
+    * is held (1 byte/coord): the probed fraction now streams 4x fewer
+    * bytes, so at 100 TB the per-batch scan set drops from
+    * probed-mass x 4 bytes/coord to probed-mass x 1.
+    *
+    * `overfetch <= 0`: scan-only — approximate int8 scores (the same
+    * per-row error bound as [[graft.core.Q8Store]]), candidate
+    * generation quality measured, not asserted. `overfetch > 0`: the
+    * int8 scan keeps `k * overfetch` candidates per query, then ONE
+    * more treeAggregate over the co-resident fp32 buckets rescores
+    * only candidate hits (broadcast id->queries probe, fp32 bytes
+    * touched O(Q*k*overfetch*dim)) with the exact engine's
+    * sequential-double arithmetic — at overfetch covering the probed
+    * rows the result is bit-equal to `searchMerged(exact = true)` at
+    * the same nProbe (spec-pinned; the q59 catalog entry hash-matches
+    * the DuckDB oracle through this path at nProbe = nList).
+    *
+    * Query prep, probe selection, duplicate-qid independence, tie
+    * rule, and output shape all match [[searchMerged]]. Nothing
+    * shuffles; both passes are depth-2 treeAggregates.
+    */
+  def searchMergedQ8[K](queries: Array[(Long, Array[Float])], k: Int,
+                        nProbe: Int = 0, normalized: Boolean = true,
+                        overfetch: Int = 0)(
+      implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
+      rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)],
+      outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
+    import graft.core.{BoundedTopKG, Q8Block, Q8Store, VecBlock}
+    import graft.operators.{Kernels => Kn}
+    val spark = assigned.sparkSession
+    val np = math.min(if (nProbe > 0) nProbe else IvfIndex.defaultNProbe(nList), nList)
+    val dimLocal = dim
+    if (dimLocal > 0) queries.foreach { case (qid, v) =>
+      require(v.length == dimLocal,
+        s"IvfIndex.searchMergedQ8: query $qid has dim ${v.length}, index dim is $dimLocal")
+    }
+    val q8Packed = packedQ8Buckets[K](normalized)
+    val qids = queries.map(_._1)
+    // query prep matches searchMerged: zero -> e0 in normalized mode,
+    // raw/raw cosine (zero query scores 0) otherwise
+    val qvecs = queries.map { q =>
+      val v = q._2
+      if (normalized && Kn.normSqD(v) == 0.0) {
+        val e = new Array[Float](math.max(1, dimLocal)); e(0) = 1f; e
+      } else v
+    }
+    val qnorms =
+      if (normalized) null
+      else qvecs.map(v => math.sqrt(Kn.normSqD(v)))
+    val probesPerQ = new Array[Array[Int]](queries.length)
+    java.util.stream.IntStream.range(0, queries.length).parallel().forEach { i =>
+      probesPerQ(i) = IvfIndex.probeIds(centroids, qvecs(i), np)
+    }
+    val inv = Array.fill(nList)(new scala.collection.mutable.ArrayBuffer[Int](4))
+    var qi = 0
+    while (qi < queries.length) {
+      probesPerQ(qi).foreach(c => inv(c) += qi)
+      qi += 1
+    }
+    val cidToQ: Array[Array[Int]] = inv.map(_.toArray)
+    // scan-only keeps k; rescored keeps k*overfetch candidates per query
+    val scanK =
+      if (overfetch <= 0) k
+      else math.min(math.max(k.toLong * overfetch, k.toLong), Int.MaxValue.toLong).toInt
+    val bc = spark.sparkContext.broadcast((qvecs, qnorms, cidToQ))
+    val kk = scanK
+    val localOrd = ord
+    val merged =
+      try {
+        q8Packed.treeAggregate(null: Array[BoundedTopKG[K]])(
+          seqOp = (acc, pair) => {
+            val (qv, qn, c2q) = bc.value
+            val heaps = if (acc != null) acc
+                        else Array.fill(qv.length)(new BoundedTopKG[K](kk)(localOrd))
+            val cid = pair._1
+            val idxs = if (cid >= 0 && cid < c2q.length) c2q(cid)
+                       else Array.emptyIntArray
+            if (idxs.length > 0) {
+              val subQ = new Array[Array[Float]](idxs.length)
+              val subH = new Array[BoundedTopKG[K]](idxs.length)
+              val subN = if (qn == null) null else new Array[Double](idxs.length)
+              var i = 0
+              while (i < idxs.length) {
+                subQ(i) = qv(idxs(i))
+                subH(i) = heaps(idxs(i))
+                if (subN != null) subN(i) = qn(idxs(i))
+                i += 1
+              }
+              Q8Store.scoreBlock(subH, pair._2, subQ, subN)
+            }
+            heaps
+          },
+          combOp = (a, b) =>
+            if (a == null) b
+            else if (b == null) a
+            else {
+              var i = 0
+              while (i < a.length) { a(i).absorb(b(i)); i += 1 }
+              a
+            },
+          depth = 2)
+      } finally bc.destroy()
+    def emit(heaps: Array[BoundedTopKG[K]], outK: Int): DataFrame = {
+      val rows: Seq[(Long, K, Double, Int)] =
+        if (heaps == null) Seq.empty
+        else heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.sortedHits().iterator.take(outK).zipWithIndex.map {
+            case ((id, s), r) => (qids(i), id, s, r + 1)
+          }
+        }.toSeq
+      spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
+    }
+    if (overfetch <= 0) return emit(merged, k)
+    // rescore pass: invert candidates, probe the co-resident fp32
+    // buckets, exact sequential-double scores for candidate hits only
+    val approx: Array[Array[(K, Double)]] =
+      if (merged == null) Array.fill(queries.length)(Array.empty[(K, Double)])
+      else merged.map(_.sortedHits())
+    val candMap = Q8Store.CandIndex.build[K](approx)
+    val (fpPacked0, _) = packedBuckets[K](normalized)
+    // candidates only live in probed buckets (each row is assigned to
+    // exactly one centroid) — skip unprobed buckets outright, so the
+    // rescore never even id-probes the un-probed (1 - nProbe/nList)
+    // fraction of the store
+    val probedCids = {
+      val s = new java.util.BitSet(nList)
+      cidToQ.zipWithIndex.foreach { case (qs, c) => if (qs.nonEmpty) s.set(c) }
+      s
+    }
+    val fpPacked = fpPacked0.filter(pair => probedCids.get(pair._1))
+    val bc2 = spark.sparkContext.broadcast((candMap, qvecs, qnorms))
+    val kk2 = k
+    val rescored =
+      try {
+        fpPacked.treeAggregate(null: Array[BoundedTopKG[K]])(
+          seqOp = (acc, pair) => {
+            val (cands, qv, qn) = bc2.value
+            val heaps = if (acc != null) acc
+                        else Array.fill(qv.length)(new BoundedTopKG[K](kk2)(localOrd))
+            Q8Store.rescoreBlock(heaps, pair._2, cands, qv, qn)
+            heaps
+          },
+          combOp = (a, b) =>
+            if (a == null) b
+            else if (b == null) a
+            else {
+              var i = 0
+              while (i < a.length) { a(i).absorb(b(i)); i += 1 }
+              a
+            },
+          depth = 2)
+      } finally bc2.destroy()
+    emit(rescored, k)
+  }
+
+  /** Quantized twins of [[packedBuckets]] — one narrow map per build,
+    * cached and persisted like the fp32 packs. Eagerly materialized for
+    * the same task-wave-race reason.
+    */
+  private def packedQ8Buckets[K](normalized: Boolean)(
+      implicit ct: scala.reflect.ClassTag[K],
+      rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)])
+      : org.apache.spark.rdd.RDD[(Int, graft.core.Q8Block[K])] = {
+    val cached = packedQ8Cache.computeIfAbsent((normalized, ct.runtimeClass), { _ =>
+      val (fp, _) = packedBuckets[K](normalized)
+      val q8 = fp.mapValues(graft.core.Q8Store.quantize[K])
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      q8.count()
+      q8
+    })
+    cached.asInstanceOf[org.apache.spark.rdd.RDD[(Int, graft.core.Q8Block[K])]]
   }
 
   /** Build (or fetch) the centroid-keyed packed buckets: one store
