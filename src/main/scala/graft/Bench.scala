@@ -923,6 +923,7 @@ object Bench {
         r.annMismatches.foreach { case (np, m) =>
           retrieval(s"ann_np$np") = m.toDouble
         }
+        retrieval("ann_q8_npdef") = r.composedMismatches.toDouble
         retrieval("n_queries") = r.nQueries.toDouble
         retrieval("n_list") = r.annNList.toDouble
         // text-featurized block (VERDICT r10 missing #1): the same
@@ -936,6 +937,7 @@ object Bench {
         rt.annMismatches.foreach { case (np, m) =>
           retrieval(s"tf_ann_np$np") = m.toDouble
         }
+        retrieval("tf_ann_q8_npdef") = rt.composedMismatches.toDouble
         retrieval("tf_n_queries") = rt.nQueries.toDouble
         retrieval("tf_n_list") = rt.annNList.toDouble
       } finally {

@@ -430,7 +430,8 @@ final class VdbStore private (
     val useQ8 =
       ann.isEmpty && q8Enabled && unfiltered && betterThan.isEmpty
     lastStrategy = Some(
-      if (ann.isDefined) "ann"
+      if (ann.isDefined && q8Enabled) "ann+q8"
+      else if (ann.isDefined) "ann"
       else if (useQ8) "q8"
       else if (unfiltered) "exact"
       else "exact-filtered")
@@ -438,6 +439,21 @@ final class VdbStore private (
     val queries = vectors.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toArray
     // (qid, id, score, rank) on the driver — Q x k rows either way
     val ranked: Seq[(Long, String, Double, Int)] = ann match {
+      case Some(idx) if q8Enabled =>
+        // composed IVF-SQ8 strategy (round 12): IVF prunes the probed
+        // fraction, the int8 bucket slabs cut its scan bandwidth 4x,
+        // and the fp32 rescore over the co-resident buckets re-ranks
+        // the k x graft.q8.overfetch survivors with the exact engine's
+        // sequential-double arithmetic — so like the flat q8 strategy
+        // the scores are always double-accumulated (graft.query.exact
+        // has nothing left to flip on the rescore side).
+        val probes = if (nProbe > 0) nProbe else conf.annNProbeFor(idx.nList)
+        val normQ = queries.map { case (i, v) => (i, NormalizeL2.normalize(v)) }
+        idx.searchMergedQ8[String](normQ, topK, probes,
+            normalized = true, overfetch = conf.q8Overfetch)
+          .select(col("qid"), col("id"), col("score"), col("rank"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
       case Some(idx) =>
         // explicit arg > graft.ann.nprobe conf > nList/2 recall-first
         // default for THIS index's list count (VERDICT r6 #5)

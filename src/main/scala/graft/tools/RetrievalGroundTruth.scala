@@ -43,7 +43,10 @@ object RetrievalGroundTruth {
       annMismatches: Seq[(Int, Int)],
       annNList: Int,
       /** Mismatches through the q8 strategy (int8 scan + rescore). */
-      q8Mismatches: Int = -1)
+      q8Mismatches: Int = -1,
+      /** Mismatches through the composed ann+q8 strategy at the
+        * default nProbe (round 12). */
+      composedMismatches: Int = -1)
 
   /** Deterministic unit-norm clustered corpus + perturbed queries.
     * Returns (docs, queries) where queries pair each query vector with
@@ -160,7 +163,14 @@ object RetrievalGroundTruth {
         s"expected ann strategy, got ${loaded.lastQueryStrategy}")
       (np, mismatches(hits))
     }
-    Result(nDocs, nQueries, exactMis, annResults, nList, q8Mis)
+    // composed IVF-SQ8 strategy (round 12): both accelerators on, the
+    // engine routes int8 bucket scan + fp32 rescore; default nProbe
+    loaded.enableQ8()
+    val composedHits = loaded.query(qVecs, topK = 5)
+    require(loaded.lastQueryStrategy.contains("ann+q8"),
+      s"expected ann+q8 strategy, got ${loaded.lastQueryStrategy}")
+    val composedMis = mismatches(composedHits)
+    Result(nDocs, nQueries, exactMis, annResults, nList, q8Mis, composedMis)
   }
 
   /** Text-featurized variant (VERDICT r10 "what's missing" #1): the
@@ -255,7 +265,13 @@ object RetrievalGroundTruth {
         s"expected ann strategy, got ${loaded.lastQueryStrategy}")
       (np, mismatches(hits))
     }
-    Result(docs.length, queries.length, exactMis, annResults, nList, q8Mis)
+    loaded.enableQ8()
+    val composedHits = loaded.query(qVecs, topK = 5)
+    require(loaded.lastQueryStrategy.contains("ann+q8"),
+      s"expected ann+q8 strategy, got ${loaded.lastQueryStrategy}")
+    val composedMis = mismatches(composedHits)
+    Result(docs.length, queries.length, exactMis, annResults, nList, q8Mis,
+      composedMis)
   }
 
   /** Standalone runner: prints one JSON-ish line for ad-hoc checks. */

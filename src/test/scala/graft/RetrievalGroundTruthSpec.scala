@@ -31,6 +31,11 @@ class RetrievalGroundTruthSpec extends AnyFunSuite {
       s"expected 0 q8 mismatches, got ${result.q8Mismatches}")
   }
 
+  test("composed ann+q8 strategy retrieves every source doc at default nProbe") {
+    assert(result.composedMismatches == 0,
+      s"expected 0 ann+q8 mismatches, got ${result.composedMismatches}")
+  }
+
   test("ANN at nProbe = nList is exact parity: 0 mismatches") {
     val parity = result.annMismatches.collectFirst {
       case (np, m) if np == result.annNList => m
@@ -60,6 +65,8 @@ class RetrievalGroundTruthSpec extends AnyFunSuite {
       s"expected 0 exact mismatches, got ${textResult.exactMismatches}")
     assert(textResult.q8Mismatches == 0,
       s"expected 0 q8 mismatches, got ${textResult.q8Mismatches}")
+    assert(textResult.composedMismatches == 0,
+      s"expected 0 ann+q8 mismatches, got ${textResult.composedMismatches}")
     assert(textResult.nQueries == 30)
   }
 

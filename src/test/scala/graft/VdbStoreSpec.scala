@@ -508,10 +508,14 @@ class VdbStoreSpec extends AnyFunSuite {
       assert(s.lastQueryStrategy.contains("exact-filtered"))
       s.queryOne(q, topK = 3, betterThan = Some(0.1))
       assert(s.lastQueryStrategy.contains("exact"))
-      // ANN outranks q8 when both are enabled
+      // both enabled -> the composed IVF-SQ8 strategy (round 12):
+      // int8 bucket scan for candidates inside the probed lists, fp32
+      // rescore — on this well-separated fixture the hits match the
+      // exact path (the q59/IvfIndexSpec parity argument)
       s.enableAnn(nList = 4)
-      s.queryOne(q, topK = 3)
-      assert(s.lastQueryStrategy.contains("ann"))
+      val composed = s.queryOne(q, topK = 3)
+      assert(s.lastQueryStrategy.contains("ann+q8"))
+      assert(composed.map(_.id) == exact.take(3).map(_.id))
       s.disableAnn()
       // mutation invalidates the cached codes: the new row is findable
       s.upsert(Seq(rec("fresh", Array(0f, 0f, 0f, 1f), """{"g": 9}""")))
