@@ -570,6 +570,10 @@ object Bench {
             if (results.contains(kLo) && results.contains(kHi) &&
                 results(kLo) > results(kHi)) {
               retried += kLo
+              // spacing like every other retry path: the premise is a
+              // contention burst owned np_lo's window — resampling
+              // inside the same burst burns the budget for nothing
+              Thread.sleep(1000)
               canarySample()
               record(kLo, allSamples(kLo) :+ timed {
                 annIdx.searchMerged[Long](queries, k = topK, nProbe = lo,
@@ -612,12 +616,16 @@ object Bench {
         }
       }
       record("picovdb_q8_quantize", quantizeSamples.toSeq)
-      retryIfSuspect("picovdb_q8_quantize")(timed {
+      retryIfSuspect("picovdb_q8_quantize") {
+        // unpersist OUTSIDE the timed region, like the main samples —
+        // or the retry measures extra work and can't clear the flag
         q8.unpersist()
-        q8 = graft.core.Q8Store.fromBlockStore(store).persist()
-        q8.materialize()
-        ()
-      })
+        timed {
+          q8 = graft.core.Q8Store.fromBlockStore(store).persist()
+          q8.materialize()
+          ()
+        }
+      }
       def q8ScanSample(): Double = timed { q8.topKMerged(queries, topK); () }
       record("picovdb_q8_1000q", (1 to 3).map { _ =>
         canarySample()
@@ -765,8 +773,13 @@ object Bench {
             try record(name, allSamples(name) :+ timed { force(fn(spark, sfDir)) })
             catch {
               case e: Throwable =>
-                errors(name) = "retry pass failed: " +
-                  Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+                // the entry ALREADY has a valid recorded median from the
+                // main passes — writing `errors` here would make the
+                // artifact claim measured-and-errored at once. Keep the
+                // record (and its suspect flag); note the transient only
+                // in the run log.
+                System.err.println(s"bench retry for $name failed (record kept): " +
+                  Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
             }
           }
         }

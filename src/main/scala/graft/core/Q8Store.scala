@@ -59,7 +59,10 @@ final class Q8Store[K](
     * per call: an unpersisted source silently recomputes its full pack
     * lineage every rescore (ADVICE r11), which defeats the store
     * entirely. Pass `cascadeSource = false` only when the caller
-    * manages the source's storage itself (the catalog's q8Cache does).
+    * manages the source's storage itself (e.g. `VdbStore`, whose
+    * `blockStore()` persists before handing the source over; the
+    * catalog's q8Cache RELIES on the cascade — default persist, and
+    * eviction via `unpersist(cascadeSource = true)`).
     */
   def persist(cascadeSource: Boolean = true): this.type = {
     blocks.persist(StorageLevel.MEMORY_ONLY)
@@ -183,7 +186,7 @@ final class Q8Store[K](
     // it, via growable buffers (ADVICE r11: per-hit Arrays.copyOf was
     // quadratic when many queries keep the same id) behind a probe
     // interface that avoids per-row key boxing for Long ids
-    val candMap = Q8Store.CandIndex.build[K](approx)
+    val candMap = Q8Store.CandIndex.build[K](approx, maxDistinct = total)
     val qvecs = qs.map(_._2)
     val qnorms: Array[Double] =
       if (!normalized) qvecs.map(v => math.sqrt(Kernels.normSqD(v))) else null
@@ -346,10 +349,20 @@ object Q8Store {
       h ^= (h >>> 32)
       h.toInt & mask
     }
+    private var used = 0
     def add(k: Long, qi: Int): Unit = {
       var i = slot(k)
       while (vals(i) != null && keys(i) != k) i = (i + 1) & mask
-      if (vals(i) == null) { keys(i) = k; vals(i) = new IntBuf }
+      if (vals(i) == null) {
+        // full-table guard: without it a capacity-ceiling build would
+        // linear-probe forever on the insert that can't fit
+        used += 1
+        require(used <= mask,
+          s"LongCandIndex full: > $mask distinct candidate ids at capacity " +
+            s"${mask + 1}; bound the candidate set (overfetch > 0)")
+        keys(i) = k
+        vals(i) = new IntBuf
+      }
       vals(i).add(qi)
     }
     def getLong(k: Long): IntBuf = {
@@ -364,7 +377,13 @@ object Q8Store {
   }
 
   private[graft] object CandIndex {
-    def build[K](approx: Array[Array[(K, Double)]]): CandIndex[K] = {
+    /** `maxDistinct`: caller-known bound on distinct candidate ids
+      * (e.g. the store row count) — without it a keep-all build over Q
+      * queries would size the table from Q x N total hits instead of
+      * the N distinct ids they share (a ~2Q-times oversized broadcast).
+      */
+    def build[K](approx: Array[Array[(K, Double)]],
+                 maxDistinct: Long = Long.MaxValue): CandIndex[K] = {
       var totalHits = 0L
       var firstId: Any = null
       var qi = 0
@@ -375,9 +394,10 @@ object Q8Store {
         qi += 1
       }
       if (firstId.isInstanceOf[java.lang.Long]) {
-        // capacity: next pow2 >= 2x hit count (distinct ids <= hits)
+        // capacity: next pow2 >= 2x the distinct-id bound
+        val distinctBound = math.min(totalHits, maxDistinct)
         var cap = 16
-        while (cap.toLong < totalHits * 2 && cap < (1 << 30)) cap <<= 1
+        while (cap.toLong < distinctBound * 2 && cap < (1 << 30)) cap <<= 1
         val m = new LongCandIndex(cap)
         var q = 0
         while (q < approx.length) {

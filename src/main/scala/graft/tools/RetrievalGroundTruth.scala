@@ -210,19 +210,40 @@ object RetrievalGroundTruth {
 
     // uniqueness screen: a doc whose grams heavily overlap another's is
     // an ambiguous target (the corpus is the dedup fixture); queries
-    // come from unambiguous docs, deterministically strided
+    // come from unambiguous docs, deterministically strided. Only a
+    // candidate pool of 8x the needed queries is screened (against the
+    // WHOLE corpus) — the full D^2 pairwise pass cost minutes of
+    // driver time once the testdata regeneration scaled documents 10x.
     val grams = texts.map { case (id, t) => (id, TextFeaturize.gramSet(t)) }
-    val unambiguous = grams.zipWithIndex.filter { case ((_, g), i) =>
-      grams.indices.forall { j =>
-        i == j || {
+    val poolSize = math.min(texts.length, nQueries * 8)
+    def ambiguous(i: Int): Boolean = {
+      val g = grams(i)._2
+      grams.indices.exists { j =>
+        j != i && {
           val o = grams(j)._2
-          val inter = g.count(o.contains)
-          inter.toDouble / (g.size + o.size - inter) < maxJaccard
+          // size prefilter: intersection <= min size, so Jaccard can
+          // only reach the threshold when min/(|g|+|o|-min) does
+          val minSz = math.min(g.size, o.size)
+          minSz.toDouble / (g.size + o.size - minSz) >= maxJaccard && {
+            val inter = g.count(o.contains)
+            inter.toDouble / (g.size + o.size - inter) >= maxJaccard
+          }
         }
       }
-    }.map(_._2)
+    }
+    val ambiguousFlags = new Array[Boolean](poolSize)
+    java.util.stream.IntStream.range(0, poolSize).parallel()
+      .forEach(i => ambiguousFlags(i) = ambiguous(i))
+    val unambiguous = (0 until poolSize).filterNot(ambiguousFlags)
+    require(unambiguous.nonEmpty,
+      s"text-featurized screen rejected every candidate doc (pool=$poolSize, " +
+        s"maxJaccard=$maxJaccard) — corpus too duplicate-dense for excerpt queries")
+    // stride coprime with the pool size, so the query set never
+    // collapses onto a cycle of 1-2 documents when 37 | length
+    val stride = Iterator.from(37)
+      .find(s => BigInt(s).gcd(BigInt(unambiguous.length)) == 1).get
     val queryIdx = (0 until nQueries).map(qi =>
-      unambiguous((qi * 37) % unambiguous.length))
+      unambiguous((qi * stride) % unambiguous.length))
     val queries = queryIdx.map { i =>
       val (id, t) = texts(i)
       val from = (t.length * (1 - excerptFrac) / 2).toInt

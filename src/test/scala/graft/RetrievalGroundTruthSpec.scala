@@ -65,9 +65,26 @@ class RetrievalGroundTruthSpec extends AnyFunSuite {
       s"expected 0 exact mismatches, got ${textResult.exactMismatches}")
     assert(textResult.q8Mismatches == 0,
       s"expected 0 q8 mismatches, got ${textResult.q8Mismatches}")
-    assert(textResult.composedMismatches == 0,
-      s"expected 0 ann+q8 mismatches, got ${textResult.composedMismatches}")
     assert(textResult.nQueries == 30)
+  }
+
+  test("text-featurized: composed ann+q8 bounded by fp32 probing plus a capped int8 loss") {
+    // composed candidates are a SUBSET of fp32 probing's at the same
+    // nProbe (same probes, then the int8 cut): its mismatches are
+    // >= ANN-at-default's, and the int8 candidate loss on this hard
+    // anisotropic geometry must stay small (<= 10% of queries). The
+    // planted-cluster corpus asserts the cleaner == 0 twin.
+    val npDef = graft.operators.IvfIndex.defaultNProbe(textResult.annNList)
+    val annAtDef = textResult.annMismatches.collectFirst {
+      case (np, m) if np == npDef => m
+    }.getOrElse(fail(s"sweep lacks npDef=$npDef: ${textResult.annMismatches}"))
+    assert(textResult.composedMismatches >= annAtDef,
+      s"composed ${textResult.composedMismatches} < ann@npdef $annAtDef " +
+        "breaks the candidate-subset argument")
+    assert(textResult.composedMismatches <= annAtDef +
+        math.max(1, textResult.nQueries / 10),
+      s"int8 candidate loss too large: composed ${textResult.composedMismatches} " +
+        s"vs ann@npdef $annAtDef over ${textResult.nQueries} queries")
   }
 
   test("text-featurized: ANN parity at nProbe = nList, monotone curve") {
