@@ -75,16 +75,4 @@ object TextFeaturize {
                        n: Int = 3, seed: Long = 42L): Iterator[(K, Array[Float])] =
     rows.map { case (id, text) => (id, featurize(text, dim, n, seed)) }
 
-  /** Character n-gram set (for the harness's query-doc uniqueness
-    * screen — docs whose gram set heavily overlaps another doc's are
-    * ambiguous retrieval targets by construction).
-    */
-  private[graft] def gramSet(text: String, n: Int = 3): Set[Long] = {
-    if (text.length < n) return Set(fnv1a(text, 0, text.length, 42L))
-    val b = Set.newBuilder[Long]
-    var i = 0
-    val last = text.length - n
-    while (i <= last) { b += fnv1a(text, i, i + n, 42L); i += 1 }
-    b.result()
-  }
 }

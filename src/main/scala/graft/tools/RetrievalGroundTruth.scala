@@ -186,11 +186,12 @@ object RetrievalGroundTruth {
     * Queries are EXCERPTS (the middle `excerptFrac` of each source
     * doc's text, the question-vs-context relationship), so the query
     * vector is near but not equal to its doc's. Ground truth is the
-    * source doc. The corpus deliberately contains near-duplicates
-    * (it's the dedup fixture), which are ambiguous retrieval targets
-    * by construction — query docs are screened to those whose 3-gram
-    * Jaccard overlap with every other doc is < `maxJaccard`
-    * (deterministic screen, recorded in the result's nQueries).
+    * source doc, made unambiguous BY CONSTRUCTION: query docs are
+    * screened (deterministically, driver-side) to those whose excerpt
+    * vector retrieves the doc itself with a cosine margin over every
+    * other corpus doc — so exact/q8 mismatches measure the engine's
+    * retrieval round-trip, not the featurizer's discrimination, while
+    * the ANN curves keep their full information.
     */
   def runTextFeaturized(
       spark: SparkSession,
@@ -198,8 +199,7 @@ object RetrievalGroundTruth {
       docsParquet: String,
       dim: Int = 256,
       nQueries: Int = 50,
-      excerptFrac: Double = 0.6,
-      maxJaccard: Double = 0.5): Result = {
+      excerptFrac: Double = 0.6): Result = {
     import org.apache.spark.sql.functions.col
     import graft.operators.TextFeaturize
     val texts = spark.read.parquet(docsParquet)
@@ -208,48 +208,52 @@ object RetrievalGroundTruth {
       .sortBy(_._1)
     val docs = texts.map { case (id, t) => (id, TextFeaturize.featurize(t, dim)) }
 
-    // uniqueness screen: a doc whose grams heavily overlap another's is
-    // an ambiguous target (the corpus is the dedup fixture); queries
-    // come from unambiguous docs, deterministically strided. Only a
-    // candidate pool of 8x the needed queries is screened (against the
-    // WHOLE corpus) — the full D^2 pairwise pass cost minutes of
-    // driver time once the testdata regeneration scaled documents 10x.
-    val grams = texts.map { case (id, t) => (id, TextFeaturize.gramSet(t)) }
-    val poolSize = math.min(texts.length, nQueries * 8)
-    def ambiguous(i: Int): Boolean = {
-      val g = grams(i)._2
-      grams.indices.exists { j =>
-        j != i && {
-          val o = grams(j)._2
-          // size prefilter: intersection <= min size, so Jaccard can
-          // only reach the threshold when min/(|g|+|o|-min) does
-          val minSz = math.min(g.size, o.size)
-          minSz.toDouble / (g.size + o.size - minSz) >= maxJaccard && {
-            val inter = g.count(o.contains)
-            inter.toDouble / (g.size + o.size - inter) >= maxJaccard
-          }
-        }
-      }
+    // Unambiguity screen, in FEATURE space: a query doc qualifies only
+    // when its excerpt vector's nearest corpus doc is the doc itself,
+    // with a cosine margin over the runner-up. The corpus is the dedup
+    // fixture — near-duplicates are ambiguous retrieval targets by
+    // construction, and a gram-Jaccard proxy screen proved leaky at
+    // 5,000 docs (2/50 excerpts resolved to a sub-threshold neighbor).
+    // Screening on the actual retrieval geometry makes ground truth
+    // unambiguous BY CONSTRUCTION — like the planted-cluster corpus —
+    // so exact/q8 mismatches measure the ENGINE (upsert→save→load→
+    // query round-trip), not the featurizer's discrimination. The
+    // approximate strategies' curves stay fully informative. Only a
+    // bounded pool (8x the needed queries) is screened, each against
+    // the WHOLE corpus, in parallel: O(pool × D × dim) driver flops.
+    def excerptVec(t: String): Array[Float] = {
+      val from = (t.length * (1 - excerptFrac) / 2).toInt
+      val until = math.min(t.length, from + math.max(1, (t.length * excerptFrac).toInt))
+      TextFeaturize.featurize(t.substring(from, until), dim)
     }
-    val ambiguousFlags = new Array[Boolean](poolSize)
-    java.util.stream.IntStream.range(0, poolSize).parallel()
-      .forEach(i => ambiguousFlags(i) = ambiguous(i))
-    val unambiguous = (0 until poolSize).filterNot(ambiguousFlags)
+    val margin = 0.02
+    val poolSize = math.min(texts.length, nQueries * 8)
+    val okFlags = new Array[Boolean](poolSize)
+    java.util.stream.IntStream.range(0, poolSize).parallel().forEach { i =>
+      val ev = excerptVec(texts(i)._2)
+      var best = -2.0; var bestJ = -1; var second = -2.0
+      var j = 0
+      while (j < docs.length) {
+        val v = docs(j)._2
+        var s = 0.0; var c = 0
+        while (c < dim) { s += ev(c).toDouble * v(c); c += 1 }
+        if (s > best) { second = best; best = s; bestJ = j }
+        else if (s > second) second = s
+        j += 1
+      }
+      okFlags(i) = bestJ == i && best - second >= margin
+    }
+    val unambiguous = (0 until poolSize).filter(okFlags)
     require(unambiguous.nonEmpty,
       s"text-featurized screen rejected every candidate doc (pool=$poolSize, " +
-        s"maxJaccard=$maxJaccard) — corpus too duplicate-dense for excerpt queries")
+        s"margin=$margin) — corpus too duplicate-dense for excerpt queries")
     // stride coprime with the pool size, so the query set never
     // collapses onto a cycle of 1-2 documents when 37 | length
     val stride = Iterator.from(37)
       .find(s => BigInt(s).gcd(BigInt(unambiguous.length)) == 1).get
     val queryIdx = (0 until nQueries).map(qi =>
       unambiguous((qi * stride) % unambiguous.length))
-    val queries = queryIdx.map { i =>
-      val (id, t) = texts(i)
-      val from = (t.length * (1 - excerptFrac) / 2).toInt
-      val until = math.min(t.length, from + math.max(1, (t.length * excerptFrac).toInt))
-      (id, TextFeaturize.featurize(t.substring(from, until), dim))
-    }
+    val queries = queryIdx.map { i => (texts(i)._1, excerptVec(texts(i)._2)) }
 
     val store = VdbStore.empty(spark, dim)
     store.upsert(docs.toIndexedSeq.map { case (id, v) =>
