@@ -645,6 +645,97 @@ final class IvfIndex(
     emit(rescored, k)
   }
 
+  /** Bulk (Dataset-query) IVF-SQ8 top-k (round 12): [[searchPacked]]'s
+    * probe-shuffle shape over the int8 bucket slabs — the composed
+    * analog for query batches too large for a driver array. Because
+    * the quantized and fp32 bucket RDDs share one partitioner, the
+    * int8 candidate scan and the fp32 rescore FUSE into a single
+    * cogroup pass: per probed bucket, scan the q8 slabs into
+    * `k*overfetch`-bounded heaps, then rescore those candidates from
+    * the CO-LOCATED fp32 blocks of the same bucket — no second job,
+    * no extra shuffle, fp32 bytes touched only on candidate hits.
+    *
+    * The candidate cut is per-bucket (each probed bucket keeps its own
+    * `k*overfetch` per query) — a SUPERSET of the global cut
+    * [[searchMergedQ8]] applies, so recall can only match or exceed
+    * the merged path at equal overfetch, and at covering overfetch
+    * the rescored result is bit-equal to `searchPacked(exact=true)`
+    * (spec-pinned). `overfetch <= 0` returns the scan-only
+    * approximate ranking. Query prep, duplicate-qid independence
+    * (uid-keyed merge), tie rule, and output shape match
+    * [[searchPacked]].
+    */
+  def searchPackedQ8[K](queries: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                        k: Int, nProbe: Int = 0, normalized: Boolean = true,
+                        overfetch: Int = 0)(
+      implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
+      rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)],
+      outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
+    import graft.core.{BoundedTopKG, Q8Block, Q8Store, VecBlock}
+    import graft.operators.{Kernels => Kn}
+    val spark = assigned.sparkSession
+    val sc = spark.sparkContext
+    val np = math.min(if (nProbe > 0) nProbe else IvfIndex.defaultNProbe(nList), nList)
+    val (fpPacked, part) = packedBuckets[K](normalized)
+    val q8Packed = packedQ8Buckets[K](normalized)
+    val bcCent = sc.broadcast(centroids)
+    val dimLocal = dim
+    val kk = k
+    val scanK =
+      if (overfetch <= 0) k
+      else math.min(math.max(k.toLong * overfetch, k.toLong), Int.MaxValue.toLong).toInt
+    val doRescore = overfetch > 0
+    val normStore = normalized
+    val probed = queries.rdd.zipWithUniqueId().flatMap { case ((qid, v), uid) =>
+      if (dimLocal > 0) require(v.length == dimLocal,
+        s"IvfIndex.searchPackedQ8: query $qid has dim ${v.length}, index dim is $dimLocal")
+      val pv =
+        if (normStore && Kn.normSqD(v) == 0.0) {
+          val e = new Array[Float](math.max(1, dimLocal)); e(0) = 1f; e
+        } else v
+      IvfIndex.probeIds(bcCent.value, pv, np).map(c => (c, (uid, qid, pv)))
+    }
+    val partials = q8Packed.cogroup(fpPacked, probed, part).flatMap {
+      case (_, (q8Blocks, fpBlocks, qs)) =>
+        if (q8Blocks.isEmpty || qs.isEmpty) Iterator.empty
+        else {
+          val qarr = qs.toArray
+          val qvecs = qarr.map(_._3)
+          val qnorms =
+            if (normStore) null
+            else qvecs.map(v => math.sqrt(Kn.normSqD(v)))
+          // int8 candidate scan over this bucket's quantized slabs
+          val scanHeaps = Array.fill(qarr.length)(new BoundedTopKG[K](scanK))
+          q8Blocks.foreach(b =>
+            Q8Store.scoreBlock(scanHeaps, b.asInstanceOf[Q8Block[K]], qvecs, qnorms))
+          val outHeaps =
+            if (!doRescore) scanHeaps
+            else {
+              // fused rescore: candidates of THIS bucket probed against
+              // the co-located fp32 blocks of the same bucket
+              val approx = scanHeaps.map(_.sortedHits())
+              val cands = Q8Store.CandIndex.build[K](approx)
+              val heaps = Array.fill(qarr.length)(new BoundedTopKG[K](kk))
+              fpBlocks.foreach(b =>
+                Q8Store.rescoreBlock(heaps, b.asInstanceOf[VecBlock[K]], cands,
+                  qvecs, qnorms))
+              heaps
+            }
+          qarr.iterator.zip(outHeaps.iterator).map { case ((uid, qid, _), h) =>
+            (uid, (qid, h))
+          }
+        }
+    }
+    val rows = partials
+      .reduceByKey((a, b) => { a._2.absorb(b._2); a })
+      .flatMap { case (_, (qid, h)) =>
+        h.sortedHits().iterator.take(kk).zipWithIndex.map { case ((id, s), r) =>
+          (qid, id, s, r + 1)
+        }
+      }
+    spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
+  }
+
   /** Quantized twins of [[packedBuckets]] — one narrow map per build,
     * cached and persisted like the fp32 packs. Eagerly materialized for
     * the same task-wave-race reason.

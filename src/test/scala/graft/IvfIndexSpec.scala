@@ -282,6 +282,53 @@ class IvfIndexSpec extends AnyFunSuite {
       exact = true)))
   }
 
+  test("searchPackedQ8 (bulk IVF-SQ8): fused rescore bit-equal to searchPacked exact") {
+    val data = clusteredData()
+    val idx = IvfIndex.build(data.toDF("vec_id", "vec"), "vec_id", "vec", nList = 4)
+    val queries = data.filter(_._1 % 17 == 0).toArray
+    val qds = spark.createDataset(queries.toSeq)
+    def bkey(res: org.apache.spark.sql.DataFrame) =
+      res.select("qid", "rank", "id", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    def idkey(res: org.apache.spark.sql.DataFrame) =
+      res.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // covering overfetch -> per-bucket candidate cut keeps everything,
+    // fused fp32 rescore is the exact arithmetic: bit-equal to
+    // searchPacked(exact) at the same probes
+    Seq(2, 4).foreach { np =>
+      assert(bkey(idx.searchPackedQ8[Long](qds, k = 5, nProbe = np,
+          overfetch = 1000)) ==
+        bkey(idx.searchPacked[Long](qds, k = 5, nProbe = np, exact = true)),
+        s"fused rescore parity failed at nProbe=$np")
+    }
+    // realistic overfetch: exact ids on separated data; scan-only too
+    assert(idkey(idx.searchPackedQ8[Long](qds, k = 5, nProbe = 2, overfetch = 4)) ==
+      idkey(idx.searchPacked[Long](qds, k = 5, nProbe = 2, exact = true)))
+    assert(idkey(idx.searchPackedQ8[Long](qds, k = 5, nProbe = 2)) ==
+      idkey(idx.searchPacked[Long](qds, k = 5, nProbe = 2)))
+    // cosine mode (un-normalized store)
+    val rng = new scala.util.Random(47)
+    val rdata = (0 until 100).map { i =>
+      (i.toLong, Array.fill(8)((rng.nextFloat() - 0.5f) * 3f))
+    }
+    val ridx = IvfIndex.build(rdata.toDF("vec_id", "vec"), "vec_id", "vec",
+      nList = 4, normalized = false)
+    val rq = spark.createDataset(rdata.filter(_._1 % 23 == 0))
+    assert(bkey(ridx.searchPackedQ8[Long](rq, k = 5, nProbe = 4,
+        normalized = false, overfetch = 1000)) ==
+      bkey(ridx.searchPacked[Long](rq, k = 5, nProbe = 4,
+        normalized = false, exact = true)))
+    // duplicate qids stay independent (uid-keyed merge)
+    val dupQ = spark.createDataset(Seq((7L, data(3)._2), (7L, data(90)._2),
+      (8L, new Array[Float](8))))
+    val dq8 = idx.searchPackedQ8[Long](dupQ, k = 3, nProbe = 1, overfetch = 1000)
+    assert(dq8.count() == 9)
+    assert(bkey(dq8) == bkey(idx.searchPacked[Long](dupQ, k = 3, nProbe = 1,
+      exact = true)))
+  }
+
   test("searchPacked/searchMerged reject a mis-dimensioned query like search does") {
     val idx = IvfIndex.build(clusteredData().toDF("vec_id", "vec"),
       "vec_id", "vec", nList = 4)
