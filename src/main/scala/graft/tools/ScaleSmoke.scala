@@ -204,6 +204,30 @@ object ScaleSmoke {
       approxP.getOrElse(qid, Set.empty[Long]).count(exactTop(qid)).toDouble / 10
     }.sum / sampleQ.length
     println(f"SMOKE ann packed recall@10        $recallP%.3f  (same probes)")
+    // composed bulk twin (round 12): int8 bucket slabs + fused fp32
+    // rescore in the same cogroup — the probed fraction streams 4x
+    // fewer candidate-generation bytes at identical probes
+    timed(s"ann q8 pack buckets") {
+      idx.searchPackedQ8[Long](spark.createDataset(Seq((0L, annQVec(0)))),
+        k = 1, nProbe = 1, normalized = false).count()
+    }
+    timed(s"ann searchPackedQ8 ${nAnnQ}q np=$nProbe scan") {
+      idx.searchPackedQ8[Long](annQTyped, k = 10, nProbe = nProbe,
+        normalized = false).count()
+    }
+    timed(s"ann searchPackedQ8 ${nAnnQ}q np=$nProbe of4") {
+      idx.searchPackedQ8[Long](annQTyped, k = 10, nProbe = nProbe,
+        normalized = false, overfetch = 4).count()
+    }
+    val approxQ8 = idx.searchPackedQ8[Long](
+        spark.createDataset(sampleQ.toSeq), k = 10, nProbe = nProbe,
+        normalized = false, overfetch = 4)
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recallQ8 = sampleQ.map { case (qid, _) =>
+      approxQ8.getOrElse(qid, Set.empty[Long]).count(exactTop(qid)).toDouble / 10
+    }.sum / sampleQ.length
+    println(f"SMOKE ann q8 rescored recall@10   $recallQ8%.3f  (same probes, of4)")
     spark.stop()
   }
 }
