@@ -986,6 +986,76 @@ object Queries {
         coalesce(col("source"), lit("(all)")).as("source"),
         col("n_docs"), col("sum_tokens"))
 
+  /** Backward as-of join (pipeline op): click->purchase attribution —
+    * each purchase event joined to the same user's most recent click at
+    * or before the purchase time. The operator Spark lacks natively
+    * (a time-inequality join plans as BroadcastNestedLoop); see
+    * [[operators.AsOfJoin]] for the union + carry-forward shape (one
+    * Exchange + one Sort, no candidate explosion). Deterministic ties:
+    * max click time, then max click id — mirrored by the oracle's
+    * `ORDER BY cus DESC, click_id DESC ... rn = 1`.
+    */
+  def asofAttrib(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val e = ev.withColumn("us", tsMicros(ev, "ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("us").as("click_us"))
+    operators.AsOfJoin.backward(purchases, clicks,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "us", rightTime = "click_us",
+        leftCols = Seq("event_id", "user_id", "us"),
+        rightPayload = Seq("click_id", "click_us"), tieBreak = "click_id")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(col("us") - col("click_us"), lit(-1L)).as("gap_us"))
+  }
+
+  /** Bucketed range join (pipeline op): pairs of events by the same
+    * user within one hour of each other, each emitted exactly once.
+    * See [[operators.RangeJoin]] — the epsilon-join blocking that turns
+    * Spark's nested-loop inequality join into a shuffle equi-join on
+    * (key, time-bucket).
+    */
+  def rangePairs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    operators.RangeJoin.selfWithin(
+        ev.withColumn("us", tsMicros(ev, "ts")),
+        keyCol = "user_id", idCol = "event_id", tsCol = "us",
+        delta = 3600L * 1000 * 1000)
+      .select(col("user_id"), col("event_id_a"), col("event_id_b"),
+        col("gap").as("gap_us"))
+  }
+
+  /** Temperature-based corpus mixing (pipeline op): per-(lang, source)
+    * sampling weights proportional to tokens^0.5 (the standard
+    * "temperature" reweighting that up-samples small domains), and the
+    * per-domain sampling rate that spends a budget of half the total
+    * token mass. One groupBy + a 1-row broadcast of the normalizers —
+    * the same two-shuffle shape as q42/q58; q38's stratified sampler
+    * and q57's shuffle consume exactly these rates at scale. All float
+    * math in double with sqrt (not pow) so both engines bit-agree
+    * before the round(6).
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val g = t(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+    val tot = g.agg(sum(sqrt(col("tokens").cast("double"))).as("z"),
+      sum(col("tokens")).cast("double").as("total"))
+    val w = sqrt(col("tokens").cast("double")) / col("z")
+    g.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
+        round(w, 6).as("weight"),
+        round(least(lit(1.0),
+          lit(0.5) * col("total") * w / col("tokens").cast("double")), 6)
+          .as("sample_rate"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_topk_batch" -> (topkBatch _),
     "q02_topk_threshold" -> (topkThreshold _),
@@ -1046,6 +1116,9 @@ object Queries {
     "q56_q8_rescore" -> (q8RescoreExact _),
     "q57_corpus_shuffle" -> (corpusShuffle _),
     "q58_mix_rollup" -> (mixRollup _),
+    "q60_asof_join" -> (asofAttrib _),
+    "q61_range_join" -> (rangePairs _),
+    "q62_temperature_mix" -> (temperatureMix _),
   )
 }
 
@@ -1625,5 +1698,45 @@ object Oracles {
         |  count(*) AS n_docs,
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens
         |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+    // naive point-in-time join + rn=1 window: the oracle prunes the
+    // pair explosion AFTER materializing it (fine at sf0.01); the
+    // Spark side never materializes it (AsOfJoin carry-forward)
+    "q60_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id, p.user_id, c.click_id, p.us - c.cus AS gap_us,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |                           ORDER BY c.cus DESC, c.click_id DESC) AS rn
+        |      FROM p LEFT JOIN c
+        |        ON p.user_id = c.user_id AND c.cus <= p.us)
+        |SELECT event_id, user_id, coalesce(click_id, -1) AS click_id,
+        |  coalesce(gap_us, -1) AS gap_us
+        |FROM j WHERE rn = 1""".stripMargin,
+    // naive inequality join (fine at sf0.01); the Spark side blocks on
+    // (user, time-bucket) so the same pairs come out of an equi-join
+    "q61_range_join" ->
+      """SELECT a.user_id, a.event_id AS event_id_a, b.event_id AS event_id_b,
+        |  abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 3600000000""".stripMargin,
+    // sqrt on both sides (pow(x, 0.5) is not guaranteed bit-identical);
+    // integer sums cast to BIGINT before compare, floats rounded to 6
+    "q62_temperature_mix" ->
+      """WITH d AS (SELECT lang, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |g AS (SELECT lang, source, count(*) AS n_docs,
+        |        CAST(sum(n_tokens) AS BIGINT) AS tokens
+        |      FROM d GROUP BY 1, 2),
+        |tot AS (SELECT sum(sqrt(CAST(tokens AS DOUBLE))) AS z,
+        |          CAST(sum(tokens) AS DOUBLE) AS total FROM g)
+        |SELECT lang, source, n_docs, tokens,
+        |  round(sqrt(CAST(tokens AS DOUBLE)) / z, 6) AS weight,
+        |  round(least(1.0, 0.5 * total * (sqrt(CAST(tokens AS DOUBLE)) / z)
+        |              / CAST(tokens AS DOUBLE)), 6) AS sample_rate
+        |FROM g CROSS JOIN tot""".stripMargin,
   )
 }

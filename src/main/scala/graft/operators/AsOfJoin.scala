@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: attach to each left row the most recent right
+  * row of the same key whose time is <= the left row's time (classic
+  * point-in-time / attribution join; absent from both the reference —
+  * picovdb has no event surface — and from Spark's built-in operator
+  * set, which plans a time-inequality join as a BroadcastNestedLoop).
+  *
+  * Spark-first shape: instead of a range join (candidate explosion:
+  * every left row pairs with ALL earlier right rows before the window
+  * prunes to one), tag both inputs, UNION them, and run one
+  * carry-forward window per key — `last(rightPayload, ignoreNulls)`
+  * over rows ordered by (time, side, tieBreak). Each right row is
+  * touched once; the physical plan is a single Exchange on the key +
+  * one Sort, i.e. exactly the distributed merge that a native as-of
+  * operator (DuckDB `ASOF JOIN`, pandas `merge_asof`) performs, with
+  * no intermediate pair blow-up.
+  *
+  * Determinism: at equal times the right row sorts before the left row
+  * (side 0 < 1, so `<=` is inclusive), and right rows tied on time are
+  * resolved by `tieBreak` ascending — the LAST (max tieBreak) wins,
+  * matching an `ORDER BY t DESC, tieBreak DESC ... rn = 1` oracle.
+  *
+  * Scale shape (100 TB): one hash shuffle on the key, per-key
+  * sequential scans, zero driver traffic. Parallelism follows key
+  * cardinality; a single hot key serializes its own partition, which
+  * is inherent to order-sensitive semantics, not to this plan. No
+  * state beyond the sort buffer; AQE is free to coalesce or split the
+  * post-shuffle partitions.
+  */
+object AsOfJoin {
+
+  /** Left rows (columns `leftCols`) plus the matched right payload
+    * columns (null when the key has no right row at or before the left
+    * time). `timeCol` must be present and comparable on both sides;
+    * `tieBreak` is a right-side column ordering ties deterministically.
+    */
+  def backward(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               leftCols: Seq[String], rightPayload: Seq[String],
+               tieBreak: String): DataFrame = {
+    val scratch = Seq("_k_", "_t_", "_side_", "_tb_", "_l_", "_r_", "_m_")
+    scratch.foreach { c =>
+      require(!leftCols.exists(_.equalsIgnoreCase(c)) &&
+        !rightPayload.exists(_.equalsIgnoreCase(c)),
+        s"'$c' collides with an as-of scratch column; rename it first")
+    }
+    require(rightPayload.contains(tieBreak) || right.columns.contains(tieBreak),
+      s"tieBreak '$tieBreak' must be a right-side column")
+
+    import org.apache.spark.sql.types.StructType
+    val lType = StructType(leftCols.map(c => left.schema(left.schema.fieldIndex(c))))
+    val rType = StructType(rightPayload.map(c => right.schema(right.schema.fieldIndex(c))))
+    // A null _r_ on left-tagged rows is what ignoreNulls skips; the
+    // explicit null casts pin the struct types so the union sides agree.
+    val rSide = right.select(
+      col(rightKey).as("_k_"), col(rightTime).as("_t_"),
+      lit(0).as("_side_"), col(tieBreak).cast("long").as("_tb_"),
+      lit(null).cast(lType).as("_l_"),
+      struct(rightPayload.map(col): _*).as("_r_"))
+    val lSide = left.select(
+      col(leftKey).as("_k_"), col(leftTime).as("_t_"),
+      lit(1).as("_side_"), lit(Long.MaxValue).as("_tb_"),
+      struct(leftCols.map(col): _*).as("_l_"),
+      lit(null).cast(rType).as("_r_"))
+
+    val w = Window.partitionBy(col("_k_"))
+      .orderBy(col("_t_"), col("_side_"), col("_tb_"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = rSide.unionByName(lSide)
+      .withColumn("_m_", last(col("_r_"), ignoreNulls = true).over(w))
+      .filter(col("_side_") === 1)
+    matched.select(
+      leftCols.map(c => col(s"_l_.$c").as(c)) ++
+        rightPayload.map(c => col(s"_m_.$c").as(c)): _*)
+  }
+}

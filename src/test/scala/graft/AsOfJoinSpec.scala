@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** Hand-computed cases for the two join operators Spark lacks natively:
+  * backward as-of join (q60) and the bucketed epsilon range join (q61).
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("asof backward picks latest right row at-or-before, ties by tieBreak") {
+    import spark.implicits._
+    val left = Seq(
+      (10L, 1L, 100L), // key 1 @100: rights at 50, 100 -> inclusive pick @100
+      (11L, 1L, 60L),  // key 1 @60: right @50
+      (12L, 1L, 40L),  // key 1 @40: no right at/before -> null
+      (13L, 2L, 500L), // key 2 @500: two rights tied @500 -> max tieBreak 901
+      (14L, 3L, 10L))  // key 3: no rights at all -> null
+      .toDF("event_id", "user_id", "us")
+    val right = Seq(
+      (800L, 1L, 50L), (801L, 1L, 100L), (802L, 1L, 101L), // 802 is future
+      (900L, 2L, 500L), (901L, 2L, 500L))
+      .toDF("click_id", "user_id", "click_us")
+    val out = AsOfJoin.backward(left, right,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "us", rightTime = "click_us",
+        leftCols = Seq("event_id", "user_id", "us"),
+        rightPayload = Seq("click_id", "click_us"), tieBreak = "click_id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out == Map(10L -> 801L, 11L -> 800L, 12L -> -1L,
+      13L -> 901L, 14L -> -1L))
+  }
+
+  test("asof backward rejects scratch-name collisions") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, 3L)).toDF("_k_", "user_id", "us")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(df, df, "user_id", "user_id", "us", "us",
+        Seq("_k_", "us"), Seq("us"), tieBreak = "us")
+    }
+  }
+
+  test("range selfWithin finds each pair exactly once, incl. cross-bucket") {
+    import spark.implicits._
+    // delta = 10; buckets are [0,10), [10,20), ...
+    val rows = Seq(
+      (1L, 100L, 3L),   // pairs with 101 (gap 8, cross-bucket), 102 (gap 9)
+      (1L, 101L, 11L),
+      (1L, 102L, 12L),  // pairs with 101 (gap 1)
+      (1L, 103L, 25L),  // pairs with nothing (gap 13 to 102)
+      (2L, 200L, 3L),   // other key: no cross-key pairs
+      (1L, 104L, 3L))   // same ts as 100: gap 0 pair, plus 101/102
+      .toDF("user_id", "event_id", "us")
+    val got = RangeJoin.selfWithin(rows, "user_id", "event_id", "us", delta = 10L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (100L, 101L, 8L), (100L, 102L, 9L), (100L, 104L, 0L),
+      (101L, 102L, 1L), (101L, 104L, 8L), (102L, 104L, 9L)))
+  }
+
+  test("range selfWithin emits no duplicates when both rows share a bucket") {
+    import spark.implicits._
+    val rows = Seq((1L, 1L, 5L), (1L, 2L, 6L)).toDF("k", "id", "t")
+    val got = RangeJoin.selfWithin(rows, "k", "id", "t", delta = 100L).collect()
+    assert(got.length == 1 && got.head.getLong(3) == 1L)
+  }
+}

@@ -86,6 +86,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"))
   }
 
+  test("as-of join is one Exchange + carry-forward window (no join node, no pair explosion)") {
+    // q60's scale contract: the union + last(ignoreNulls) formulation
+    // must plan as a single hash Exchange on the key feeding one Window
+    // — never a join operator (a time-inequality join would plan as
+    // BroadcastNestedLoop and explode candidate pairs).
+    val plan = formatted(Queries.asofAttrib(spark, dir))
+    val exchanges = """\(\d+\) Exchange""".r.findAllMatchIn(plan).size
+    assert(exchanges == 1, s"q60 expected 1 exchange:\n$plan")
+    assert("""\(\d+\) Window""".r.findAllMatchIn(plan).size == 1)
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"q60 must not plan a nested-loop join:\n$plan")
+  }
+
+  test("range join blocks to an equi-join (never a nested loop)") {
+    // q61's scale contract: the (key, time-bucket) blocking turns the
+    // |dt| <= delta predicate into a shuffle equi-join; the raw
+    // inequality predicate alone would plan as BroadcastNestedLoop.
+    val plan = formatted(Queries.rangePairs(spark, dir))
+    assert("""\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)""".r
+      .findAllMatchIn(plan).nonEmpty, s"q61 expected an equi-join:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"q61 must not plan a nested-loop join:\n$plan")
+  }
+
+  test("temperature mix broadcasts the 1-row normalizer (no corpus re-shuffle)") {
+    val plan = formatted(Queries.temperatureMix(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"q62 normalizer must broadcast:\n$plan")
+    assert(plan.contains("partial_count")) // map-side combine in the domain agg
+  }
+
   test("IVF probe join broadcasts probes and queries (never a store shuffle)") {
     // search's scale contract: the store side (assigned) is scanned in
     // place and the per-query probe/query frames broadcast onto it — a
