@@ -36,15 +36,40 @@ object AsOfJoin {
 
   /** Left rows (columns `leftCols`) plus the matched right payload
     * columns (null when the key has no right row at or before the left
-    * time). `timeCol` must be present and comparable on both sides;
-    * `tieBreak` is a right-side column ordering ties deterministically.
+    * time, or none within `tolerance`). Time columns must be numeric
+    * (any unit — the catalog uses epoch µs); `tieBreak` is a
+    * right-side column ordering equal-time rights deterministically.
+    * `tolerance` (same unit as time) nulls out matches further than
+    * that from the left row — pandas `merge_asof(tolerance=...)`.
     */
   def backward(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
                leftCols: Seq[String], rightPayload: Seq[String],
-               tieBreak: String): DataFrame = {
-    val scratch = Seq("_k_", "_t_", "_side_", "_tb_", "_l_", "_r_", "_m_")
+               tieBreak: String, tolerance: Option[Long] = None): DataFrame =
+    asof(left, right, leftKey, rightKey, leftTime, rightTime,
+      leftCols, rightPayload, tieBreak, tolerance, forward = false)
+
+  /** Forward as-of join: the EARLIEST right row at or after each left
+    * row's time (ties by MIN tieBreak) — `merge_asof
+    * (direction='forward')`. Same single-Exchange carry-forward plan,
+    * running over time reversed.
+    */
+  def forward(left: DataFrame, right: DataFrame,
+              leftKey: String, rightKey: String,
+              leftTime: String, rightTime: String,
+              leftCols: Seq[String], rightPayload: Seq[String],
+              tieBreak: String, tolerance: Option[Long] = None): DataFrame =
+    asof(left, right, leftKey, rightKey, leftTime, rightTime,
+      leftCols, rightPayload, tieBreak, tolerance, forward = true)
+
+  private def asof(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTime: String, rightTime: String,
+                   leftCols: Seq[String], rightPayload: Seq[String],
+                   tieBreak: String, tolerance: Option[Long],
+                   forward: Boolean): DataFrame = {
+    val scratch = Seq("_k_", "_t_", "_side_", "_tb_", "_l_", "_r_", "_m_", "_mt_")
     scratch.foreach { c =>
       require(!leftCols.exists(_.equalsIgnoreCase(c)) &&
         !rightPayload.exists(_.equalsIgnoreCase(c)),
@@ -69,14 +94,35 @@ object AsOfJoin {
       struct(leftCols.map(col): _*).as("_l_"),
       lit(null).cast(rType).as("_r_"))
 
+    // forward = backward over reversed time; tie direction flips too
+    // (forward picks the EARLIEST qualifying right, MIN tieBreak), so
+    // negate both sort keys rather than flipping the frame. Right rows
+    // still sort before left at equal time, keeping the match inclusive.
+    val timeKey = if (forward) negate(col("_t_")) else col("_t_")
+    val tieKey = if (forward) negate(col("_tb_")) else col("_tb_")
+    if (forward) {
+      import org.apache.spark.sql.types.NumericType
+      val lt = left.schema(left.schema.fieldIndex(leftTime)).dataType
+      require(lt.isInstanceOf[NumericType],
+        s"forward as-of needs a numeric time column, got $lt")
+    }
     val w = Window.partitionBy(col("_k_"))
-      .orderBy(col("_t_"), col("_side_"), col("_tb_"))
+      .orderBy(timeKey, col("_side_"), tieKey)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = rSide.unionByName(lSide)
       .withColumn("_m_", last(col("_r_"), ignoreNulls = true).over(w))
+      .withColumn("_mt_",
+        last(when(col("_side_") === 0, col("_t_")), ignoreNulls = true).over(w))
       .filter(col("_side_") === 1)
+    val keep = tolerance match {
+      case Some(tol) =>
+        require(tol >= 0, s"need tolerance >= 0, got $tol")
+        col("_mt_").isNotNull && abs(col("_t_") - col("_mt_")) <= tol
+      case None => col("_m_").isNotNull
+    }
+    val payload = when(keep, col("_m_"))
     matched.select(
       leftCols.map(c => col(s"_l_.$c").as(c)) ++
-        rightPayload.map(c => col(s"_m_.$c").as(c)): _*)
+        rightPayload.map(c => payload.getField(c).as(c)): _*)
   }
 }

@@ -35,6 +35,42 @@ class AsOfJoinSpec extends AnyFunSuite {
       13L -> 901L, 14L -> -1L))
   }
 
+  test("asof forward picks earliest right at-or-after, ties by MIN tieBreak") {
+    import spark.implicits._
+    val left = Seq(
+      (10L, 1L, 100L), // rights at 100 (inclusive), 150 -> pick @100
+      (11L, 1L, 101L), // right @150
+      (12L, 1L, 200L), // nothing at/after -> null
+      (13L, 2L, 500L)) // two rights tied @500 -> MIN tieBreak 900
+      .toDF("event_id", "user_id", "us")
+    val right = Seq(
+      (800L, 1L, 100L), (801L, 1L, 150L), (802L, 1L, 50L), // 802 is past
+      (900L, 2L, 500L), (901L, 2L, 500L))
+      .toDF("click_id", "user_id", "click_us")
+    val out = AsOfJoin.forward(left, right, "user_id", "user_id",
+        "us", "click_us", Seq("event_id"), Seq("click_id"), "click_id")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out == Map(10L -> 800L, 11L -> 801L, 12L -> -1L, 13L -> 900L))
+  }
+
+  test("asof tolerance nulls out matches beyond the max gap") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 300L)).toDF("id", "k", "t")
+    val right = Seq((7L, 1L, 90L)).toDF("rid", "k", "rt")
+    def run(tol: Option[Long]) =
+      AsOfJoin.backward(left, right, "k", "k", "t", "rt",
+          Seq("id"), Seq("rid"), "rid", tolerance = tol)
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+    // no tolerance: both lefts match the @90 right (gaps 10 and 210)
+    assert(run(None) == Map(1L -> 7L, 2L -> 7L))
+    // tolerance 50: only the gap-10 match survives
+    assert(run(Some(50L)) == Map(1L -> 7L, 2L -> -1L))
+  }
+
   test("asof backward rejects scratch-name collisions") {
     import spark.implicits._
     val df = Seq((1L, 2L, 3L)).toDF("_k_", "user_id", "us")
