@@ -1056,6 +1056,48 @@ object Queries {
           .as("sample_rate"))
   }
 
+  private val hybridTerms = Seq("dup", "vector", "query")
+
+  /** BM25 keyword retrieval (pipeline op, q63): Okapi BM25 with the
+    * Lucene idf over the whitespace token convention, top 20 docs for
+    * a 3-term query mixing one rare discriminator ("dup") with two
+    * common terms. See [[operators.Lexical.bm25]] — tf shuffle pruned
+    * to query-term tokens, df + normalizer broadcast, TakeOrdered
+    * top-k (never a global sort).
+    */
+  def bm25TopDocs(spark: SparkSession, dir: String): DataFrame = {
+    val scored = operators.Lexical.bm25(
+      t(spark, dir, "documents"), "doc_id", "text", hybridTerms)
+    val top = scored.orderBy(desc("score"), col("doc_id")).limit(20)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** Hybrid search via reciprocal-rank fusion (pipeline op, q64): the
+    * BM25 ranking (q63's scorer, top 100) fused with the exact cosine
+    * ranking of a query embedding over the aligned embeddings table
+    * (top 100), rrf = sum of 1/(60+rank); top 20 by fused score. The
+    * production vector-store pattern the embedding-only reference
+    * lacks. Rankings are deterministic (score desc, id) so the fusion
+    * is exactly SQL-reproducible.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val lexTop = operators.Lexical.bm25(
+        t(spark, dir, "documents"), "doc_id", "text", hybridTerms)
+      .orderBy(desc("score"), col("doc_id")).limit(100)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    val vecTop = topkGemm(spark, dir, col("vec_id") === 7, None, k = 100)
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    operators.Lexical.rrfFuse(Seq(lexTop, vecTop), "doc_id", "rank")
+      .orderBy(desc("rrf_score"), col("doc_id")).limit(20)
+      .select(col("doc_id"), round(col("rrf_score"), 6).as("rrf_score"),
+        col("n_lists"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_topk_batch" -> (topkBatch _),
     "q02_topk_threshold" -> (topkThreshold _),
@@ -1119,6 +1161,8 @@ object Queries {
     "q60_asof_join" -> (asofAttrib _),
     "q61_range_join" -> (rangePairs _),
     "q62_temperature_mix" -> (temperatureMix _),
+    "q63_bm25" -> (bm25TopDocs _),
+    "q64_hybrid_rrf" -> (hybridRrf _),
   )
 }
 
@@ -1738,5 +1782,60 @@ object Oracles {
         |  round(least(1.0, 0.5 * total * (sqrt(CAST(tokens AS DOUBLE)) / z)
         |              / CAST(tokens AS DOUBLE)), 6) AS sample_rate
         |FROM g CROSS JOIN tot""".stripMargin,
+    // Okapi BM25, Lucene idf ln(1+(N-df+.5)/(df+.5)), k1=1.2 b=0.75
+    // (constants pre-folded identically on both sides: 2.2 = k1+1,
+    // 0.25 = 1-b); same whitespace token convention as q13/q54;
+    // rank on the UNROUNDED score, ties by doc_id
+    "q63_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM toks),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |t AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+        |dt AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM t WHERE tok IN ('dup', 'vector', 'query') GROUP BY 1, 2),
+        |dft AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM dt GROUP BY 1),
+        |scored AS (
+        |  SELECT dt.doc_id,
+        |    sum(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) * dt.tf * 2.2
+        |        / (dt.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+        |  FROM dt JOIN dft f USING (tok) JOIN dl d USING (doc_id)
+        |  CROSS JOIN stats s GROUP BY 1),
+        |top AS (SELECT doc_id, score,
+        |          row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |        FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(score, 6) AS score
+        |FROM top""".stripMargin,
+    // BM25 top-100 + exact-cosine top-100 (query = vec_id 7) fused
+    // with rrf k=60; embeddings.vec_id is doc-aligned (TESTDATA)
+    "q64_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM toks),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |t AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+        |dt AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM t WHERE tok IN ('dup', 'vector', 'query') GROUP BY 1, 2),
+        |dft AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM dt GROUP BY 1),
+        |scored AS (
+        |  SELECT dt.doc_id,
+        |    sum(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) * dt.tf * 2.2
+        |        / (dt.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+        |  FROM dt JOIN dft f USING (tok) JOIN dl d USING (doc_id)
+        |  CROSS JOIN stats s GROUP BY 1),
+        |lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |        FROM scored ORDER BY score DESC, doc_id LIMIT 100),
+        |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7),
+        |vs AS (SELECT e.vec_id AS doc_id,
+        |         list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+        |                                CAST(e.embedding AS DOUBLE[])) AS score
+        |       FROM q CROSS JOIN embeddings e),
+        |vec AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |        FROM vs ORDER BY score DESC, doc_id LIMIT 100),
+        |u AS (SELECT * FROM lex UNION ALL SELECT * FROM vec),
+        |f AS (SELECT doc_id, sum(1.0 / (60 + rank)) AS rrf, count(*) AS n
+        |      FROM u GROUP BY 1)
+        |SELECT doc_id, round(rrf, 6) AS rrf_score, CAST(n AS BIGINT) AS n_lists
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

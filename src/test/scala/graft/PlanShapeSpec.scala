@@ -117,6 +117,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("partial_count")) // map-side combine in the domain agg
   }
 
+  test("bm25 top-k is TakeOrdered with broadcast df/normalizer joins") {
+    // q63's scale contract: the term-df table and the 1-row (N, avgdl)
+    // normalizer broadcast onto the (doc, term) tf lineage, and the
+    // global top-20 is TakeOrderedAndProject — never a full sort.
+    val plan = formatted(Queries.bm25TopDocs(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), s"q63 wants TakeOrdered:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"q63 df join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("IVF probe join broadcasts probes and queries (never a store shuffle)") {
     // search's scale contract: the store side (assigned) is scanned in
     // place and the per-query probe/query frames broadcast onto it — a
