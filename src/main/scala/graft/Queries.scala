@@ -1039,7 +1039,10 @@ object Queries {
     * math in double with sqrt (not pow) so both engines bit-agree
     * before the round(6).
     */
-  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared q62/q65 rate table: per-(lang, source) domain stats plus
+    * the rounded temperature weight and budgeted sampling rate.
+    */
+  private def temperatureRates(spark: SparkSession, dir: String): DataFrame = {
     val g = t(spark, dir, "documents")
       .select(col("lang"), col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
@@ -1054,6 +1057,30 @@ object Queries {
         round(least(lit(1.0),
           lit(0.5) * col("total") * w / col("tokens").cast("double")), 6)
           .as("sample_rate"))
+  }
+
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureRates(spark, dir)
+
+  /** Temperature sampling end-to-end (pipeline op, q65): the q62 rates
+    * joined back onto the corpus (broadcast — the rate table is one
+    * row per domain) and applied with the deterministic hash sampler
+    * ([[operators.CorpusClean.sampleByRate]], q38's convention with a
+    * data-derived per-row rate); per-domain kept-mass report. The
+    * rates are ROUNDED to 6 dp before thresholding on both engines, so
+    * the keep set is exactly reproducible.
+    */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val rates = temperatureRates(spark, dir)
+      .select(col("lang"), col("source"), col("sample_rate"))
+    val joined = d.join(broadcast(rates), Seq("lang", "source"))
+    operators.CorpusClean.sampleByRate(joined, "doc_id", "sample_rate")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"),
+        min(col("doc_id")).as("min_id"))
   }
 
   private val hybridTerms = Seq("dup", "vector", "query")
@@ -1163,6 +1190,7 @@ object Queries {
     "q62_temperature_mix" -> (temperatureMix _),
     "q63_bm25" -> (bm25TopDocs _),
     "q64_hybrid_rrf" -> (hybridRrf _),
+    "q65_temperature_sample" -> (temperatureSample _),
   )
 }
 
@@ -1837,5 +1865,28 @@ object Oracles {
         |      FROM u GROUP BY 1)
         |SELECT doc_id, round(rrf, 6) AS rrf_score, CAST(n AS BIGINT) AS n_lists
         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    // q62's rates (rounded to 6 dp BEFORE thresholding, so both
+    // engines threshold the same double) applied with the q38 hash
+    // convention, numerically: first 8 md5 hex digits as a long vs
+    // floor(rate * 2^32)
+    "q65_temperature_sample" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |g AS (SELECT lang, source, CAST(sum(n_tokens) AS BIGINT) AS tokens
+        |      FROM d GROUP BY 1, 2),
+        |tot AS (SELECT sum(sqrt(CAST(tokens AS DOUBLE))) AS z,
+        |          CAST(sum(tokens) AS DOUBLE) AS total FROM g),
+        |r AS (SELECT lang, source,
+        |        round(least(1.0, 0.5 * total * (sqrt(CAST(tokens AS DOUBLE)) / z)
+        |                    / CAST(tokens AS DOUBLE)), 6) AS rate
+        |      FROM g CROSS JOIN tot),
+        |kept AS (SELECT d.lang, d.source, d.doc_id, d.n_tokens
+        |         FROM d JOIN r USING (lang, source)
+        |         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |             < CAST(floor(r.rate * 4294967296.0) AS BIGINT))
+        |SELECT lang, source, count(*) AS n_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens, min(doc_id) AS min_id
+        |FROM kept GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -198,6 +198,22 @@ object CorpusClean {
           sum(col("tf").cast("double")), 6).as("cross_entropy"))
   }
 
+  /** Rate-driven deterministic sampler: keep rows whose 32-bit hash
+    * fraction falls below a PER-ROW rate column — the dynamic-rate twin
+    * of [[stratifiedSample]] (whose rates are a static driver-side
+    * map), for rates that are themselves data-derived (e.g. the q62
+    * temperature-mixing rates joined back onto the corpus). Same
+    * md5-of-id-string convention, numeric compare: the first 8 hex
+    * digits parsed as a long against `floor(rate * 2^32)`. Zero
+    * shuffle — a codegen filter on whatever lineage carries the rate.
+    * Rates at or above 1.0 keep every row.
+    */
+  def sampleByRate(df: DataFrame, idCol: String, rateCol: String): DataFrame =
+    df.filter(
+      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") <
+        floor(col(rateCol).cast("double") * lit(4294967296.0)).cast("long"))
+
   /** Hex threshold (8 lowercase digits) such that
     * `md5(id)[0,8) < threshold` holds for ~`rate` of uniformly hashed
     * ids; `rate >= 1` maps to a sentinel above every hex digit so all

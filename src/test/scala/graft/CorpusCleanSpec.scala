@@ -192,6 +192,29 @@ class CorpusCleanSpec extends AnyFunSuite {
     assert(b.toSet != a.toSet)
   }
 
+  test("sampleByRate keeps the hash-threshold fraction, per-row rates, edges") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val docs = (0L until 4000L).map(i => (i, i % 2)).toDF("doc_id", "par")
+    def kept(rateOf: org.apache.spark.sql.Column): Long =
+      CorpusClean.sampleByRate(docs.withColumn("r", rateOf), "doc_id", "r").count()
+    assert(kept(lit(1.0)) == 4000L)  // rate >= 1 keeps everything
+    assert(kept(lit(0.0)) == 0L)     // rate 0 keeps nothing
+    val half = kept(lit(0.5))        // ~rate-accurate on uniform hashes
+    assert(half > 1800 && half < 2200, s"rate 0.5 kept $half of 4000")
+    // per-row rates: evens at 1.0, odds at 0.0 -> exactly the evens
+    val mixed = CorpusClean.sampleByRate(
+      docs.withColumn("r", when(col("par") === 0, 1.0).otherwise(0.0)),
+      "doc_id", "r")
+    assert(mixed.count() == 2000L &&
+      mixed.filter(col("par") =!= 0).count() == 0L)
+    // nested: every doc kept at 0.3 is also kept at 0.6 (same hash axis)
+    val k3 = CorpusClean.sampleByRate(docs.withColumn("r", lit(0.3)), "doc_id", "r")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k6 = CorpusClean.sampleByRate(docs.withColumn("r", lit(0.6)), "doc_id", "r")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k3.subsetOf(k6))
+  }
+
   test("corpusShuffle derives its bucket default from input parallelism") {
     // bucket count bounds the per-bucket rank window's parallelism
     // (VERDICT r10 #7): derived default tracks input partitions within
