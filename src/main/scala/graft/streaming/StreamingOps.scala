@@ -287,6 +287,61 @@ object StreamingOps {
     ComponentsSink(writer, () => components)
   }
 
+  /** Streaming point-in-time enrichment: the continuous twin of
+    * [[graft.operators.AsOfJoin.backward]] (q60). Reference rows
+    * (`kind == rightKind`) and probe rows (any other kind) arrive on
+    * one keyed stream; `flatMapGroupsWithState` keeps ONE (time, id)
+    * tuple per key — the latest reference row seen so far — and emits
+    * each probe row enriched with it (-1 sentinels before the first
+    * reference). Within a micro-batch rows are processed in event-time
+    * order with references sorting before probes at equal times
+    * (exactly the batch operator's inclusive `<=` + max-tieBreak
+    * rule); ACROSS micro-batches the semantics are
+    * latest-known-reference (processing order) — a reference arriving
+    * a batch later than a probe does not retro-enrich it, and a probe
+    * arriving after a newer reference is enriched with that newer one
+    * even if its own event time is older (gap_us < 0 flags exactly
+    * this). That is the standard streaming-enrichment contract; full
+    * event-time retro-correction would need unbounded buffering.
+    *
+    * Scale: state is one tuple per key (vs the batch sort's full
+    * per-key history), partitioned by the state store — the same
+    * horizontal scaling story as [[dedupStream]].
+    *
+    * Input columns: (event_id long, user_id long, us long, kind
+    * string). Output: (event_id, user_id, us, ref_id, gap_us).
+    */
+  def asofEnrichStream(stream: DataFrame, rightKind: String = "click")
+    : org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import stream.sparkSession.implicits._
+    val rows = stream.select(col("event_id").cast("long"),
+        col("user_id").cast("long"), col("us").cast("long"),
+        col("kind").cast("string"))
+      .as[(Long, Long, Long, String)]
+    rows.groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[(Long, Long)]) =>
+          val sorted = it.toIndexedSeq.sortBy { case (id, _, us, kind) =>
+            (us, if (kind == rightKind) 0 else 1, id)
+          }
+          var cur = state.getOption // (ref time, ref id), monotone per key
+          val out = IndexedSeq.newBuilder[(Long, Long, Long, Long, Long)]
+          sorted.foreach { case (id, u, us, kind) =>
+            if (kind == rightKind) {
+              if (cur.forall(c => c._1 < us || (c._1 == us && c._2 < id)))
+                cur = Some((us, id))
+            } else cur match {
+              case Some((rus, rid)) => out += ((id, u, us, rid, us - rus))
+              case None => out += ((id, u, us, -1L, -1L))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup with CUSTOM STATE: keyed by content hash,
     * `flatMapGroupsWithState` keeps one boolean of state per key and
     * emits only the FIRST occurrence of each distinct content across

@@ -84,6 +84,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(all == Set(("d1", "alpha beta"), ("d2", "gamma"), ("d5", "delta")))
   }
 
+  test("streaming as-of enrichment: event-time within a batch, latest-known across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val stream = mem.toDF().toDF("event_id", "user_id", "us", "kind")
+    val enriched = graft.streaming.StreamingOps.asofEnrichStream(stream)
+
+    // one long-lived query; state carries across its micro-batches
+    val q = enriched.toDF("event_id", "user_id", "us", "ref_id", "gap_us")
+      .writeStream.outputMode("append").format("memory").queryName("asofq")
+      .start()
+    try {
+      // batch 1, all user 1: purchase@40 (id 10: before any click -> -1),
+      // click@50 (800), purchase@60 (11) and click@60 (801): at the tied
+      // time the reference sorts first, so 11 sees 801 with gap 0
+      mem.addData((800L, 1L, 50L, "click"), (10L, 1L, 40L, "purchase"),
+        (11L, 1L, 60L, "purchase"), (801L, 1L, 60L, "click"))
+      q.processAllAvailable()
+      val b1 = spark.table("asofq").as[(Long, Long, Long, Long, Long)]
+        .collect().map(r => r._1 -> ((r._4, r._5))).toMap
+      assert(b1 == Map(10L -> ((-1L, -1L)), 11L -> ((801L, 0L))))
+
+      // batch 2: state carries click 801@60 across batches; a LATE probe
+      // with older event time (us=55) still gets the newer reference and
+      // a negative gap flags it — the documented processing-order rule
+      mem.addData((12L, 1L, 100L, "purchase"), (13L, 1L, 55L, "purchase"),
+        (20L, 2L, 10L, "purchase"))
+      q.processAllAvailable()
+      val b2 = spark.table("asofq").as[(Long, Long, Long, Long, Long)]
+        .collect().map(r => r._1 -> ((r._4, r._5))).toMap
+      assert(b2 == Map(10L -> ((-1L, -1L)), 11L -> ((801L, 0L)),
+        12L -> ((801L, 40L)), 13L -> ((801L, -5L)),
+        20L -> ((-1L, -1L)))) // user 2 has no reference state
+    } finally q.stop()
+  }
+
   test("componentsSink maintains cluster ids incrementally across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
