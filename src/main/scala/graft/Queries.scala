@@ -1125,6 +1125,27 @@ object Queries {
         col("n_lists"))
   }
 
+  /** MMR diversified retrieval (q66): fetch 20 exact-cosine candidates
+    * per query, greedily re-rank to 5 with λ = 0.75 (λ and 1−λ both
+    * exact binary doubles, so both engines score identically). See
+    * [[operators.Mmr]]; the DuckDB oracle unrolls the 5 greedy steps
+    * as chained CTEs over the same candidate and pairwise-sim tables.
+    */
+  def mmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") >= 30 && col("vec_id") < 40)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cand = CosineTopK.gemm(emb, "vec_id", "embedding", queries, 20,
+        None, normalized = false, exact = true)
+      .join(emb.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+    operators.Mmr.diversify(cand, "qid", "id", "score", "embedding",
+        k = 5, lambda = 0.75)
+      .toDF("qid", "rank", "vec_id", "mmr")
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("mmr"), 6).as("mmr"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_topk_batch" -> (topkBatch _),
     "q02_topk_threshold" -> (topkThreshold _),
@@ -1191,6 +1212,7 @@ object Queries {
     "q63_bm25" -> (bm25TopDocs _),
     "q64_hybrid_rrf" -> (hybridRrf _),
     "q65_temperature_sample" -> (temperatureSample _),
+    "q66_mmr_diversify" -> (mmrDiversify _),
   )
 }
 
@@ -1888,5 +1910,52 @@ object Oracles {
         |SELECT lang, source, count(*) AS n_kept,
         |  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens, min(doc_id) AS min_id
         |FROM kept GROUP BY 1, 2""".stripMargin,
+    // MMR greedy unrolled: sel1 = argmax lam*rel; step i picks argmax
+    // lam*rel - (1-lam)*max(sim to selected) over the rest; ties by
+    // vec_id. lam = 0.75 so 0.75/0.25 are exact binary on both engines.
+    "q66_mmr_diversify" -> {
+      val steps = (2 to 5).map { i =>
+        val prev = (1 until i).map(j => s"SELECT qid, vec_id FROM sel$j")
+          .mkString(" UNION ALL ")
+        s"""u$i AS ($prev),
+           |rem$i AS (SELECT c.qid, c.vec_id, c.rel FROM cand c
+           |          LEFT JOIN u$i u ON c.qid = u.qid AND c.vec_id = u.vec_id
+           |          WHERE u.vec_id IS NULL),
+           |sc$i AS (SELECT r.qid, r.vec_id,
+           |           0.75 * r.rel - 0.25 * max(p.sim) AS mmr
+           |         FROM rem$i r
+           |         JOIN pair p ON p.qid = r.qid AND p.ca = r.vec_id
+           |         JOIN u$i u ON u.qid = p.qid AND u.vec_id = p.cb
+           |         GROUP BY r.qid, r.vec_id, r.rel),
+           |sel$i AS (SELECT qid, vec_id, mmr FROM (
+           |  SELECT qid, vec_id, mmr,
+           |    row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, vec_id) AS rn
+           |  FROM sc$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 5).map(i =>
+        s"SELECT qid, CAST($i AS BIGINT) AS rank, vec_id, round(mmr, 6) AS mmr FROM sel$i")
+        .mkString("\n UNION ALL ")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+         |           WHERE vec_id >= 30 AND vec_id < 40),
+         |s AS (SELECT q.qid, e.vec_id, e.embedding,
+         |        list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+         |                               CAST(e.embedding AS DOUBLE[])) AS rel
+         |      FROM q CROSS JOIN embeddings e),
+         |cand AS (SELECT qid, vec_id, embedding, rel FROM (
+         |  SELECT qid, vec_id, embedding, rel,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+         |  FROM s) WHERE rn <= 20),
+         |pair AS (SELECT a.qid, a.vec_id AS ca, b.vec_id AS cb,
+         |           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                                  CAST(b.embedding AS DOUBLE[])) AS sim
+         |         FROM cand a JOIN cand b
+         |           ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+         |sel1 AS (SELECT qid, vec_id, mmr FROM (
+         |  SELECT qid, vec_id, 0.75 * rel AS mmr,
+         |    row_number() OVER (PARTITION BY qid ORDER BY 0.75 * rel DESC, vec_id) AS rn
+         |  FROM cand) WHERE rn = 1),
+         |$steps
+         |$out""".stripMargin
+    },
   )
 }
