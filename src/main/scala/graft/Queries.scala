@@ -1146,6 +1146,27 @@ object Queries {
         round(col("mmr"), 6).as("mmr"))
   }
 
+  /** Exact percentile profile (pipeline op, q67): per-source doc-length
+    * p50/p90/p99 plus token-count mean — the distribution dashboard a
+    * curation run reads before setting chunk/packing parameters. Exact
+    * interpolated percentiles (`percentile`, one sort-based aggregate
+    * per group — ~docs-per-source rows per task, no global sort), NOT
+    * approx_percentile: at 100 TB the exact form is still one shuffle
+    * of (source, n_chars) pairs, and only the exact form is
+    * engine-reproducible (DuckDB `quantile_cont` has the same
+    * (n-1)p interpolation). Floats rounded to 6 dp as usual.
+    */
+  def percentileProfile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("source"), col("n_chars"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"),
+        round(expr("percentile(n_chars, 0.99)"), 6).as("p99_chars"),
+        round(avg(col("n_tokens")), 6).as("mean_tokens"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_topk_batch" -> (topkBatch _),
     "q02_topk_threshold" -> (topkThreshold _),
@@ -1213,6 +1234,7 @@ object Queries {
     "q64_hybrid_rrf" -> (hybridRrf _),
     "q65_temperature_sample" -> (temperatureSample _),
     "q66_mmr_diversify" -> (mmrDiversify _),
+    "q67_percentiles" -> (percentileProfile _),
   )
 }
 
@@ -1957,5 +1979,14 @@ object Oracles {
          |$steps
          |$out""".stripMargin
     },
+    // exact interpolated percentiles: Spark `percentile` and DuckDB
+    // `quantile_cont` share the (n-1)p linear-interpolation definition
+    "q67_percentiles" ->
+      """SELECT source, count(*) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+        |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+        |  round(quantile_cont(n_chars, 0.99), 6) AS p99_chars,
+        |  round(avg(len(string_split_regex(trim(text), '\s+'))), 6) AS mean_tokens
+        |FROM documents GROUP BY source""".stripMargin,
   )
 }

@@ -75,8 +75,12 @@ object AsOfJoin {
         !rightPayload.exists(_.equalsIgnoreCase(c)),
         s"'$c' collides with an as-of scratch column; rename it first")
     }
-    require(rightPayload.contains(tieBreak) || right.columns.contains(tieBreak),
+    require(right.columns.contains(tieBreak),
       s"tieBreak '$tieBreak' must be a right-side column")
+    val overlap = leftCols.map(_.toLowerCase).toSet
+      .intersect(rightPayload.map(_.toLowerCase).toSet)
+    require(overlap.isEmpty,
+      s"leftCols and rightPayload share names $overlap — alias one side first")
 
     import org.apache.spark.sql.types.StructType
     val lType = StructType(leftCols.map(c => left.schema(left.schema.fieldIndex(c))))

@@ -38,7 +38,11 @@ object RangeJoin {
     require(delta > 0, s"need delta > 0, got $delta")
     val base = df.select(col(keyCol).as("_k_"), col(idCol).as("_id_"),
       col(tsCol).cast("long").as("_t_"))
-    val bucket = floor(col("_t_") / delta)
+    // floor-division in LONG arithmetic: floor(t / delta) via double
+    // division silently mis-buckets once |t| exceeds 2^53 (epoch NANOS
+    // are ~1.7e18 today). pmod is non-negative, so (t - pmod) is the
+    // exact floor multiple for negative t too, and `div` is exact.
+    val bucket = expr(s"(_t_ - pmod(_t_, ${delta}L)) div ${delta}L")
     // replicated side: a row can meet partners in its own bucket or
     // either neighbor; the probe side stays single-bucket so each
     // qualifying pair co-locates in exactly one (key, bucket) cell

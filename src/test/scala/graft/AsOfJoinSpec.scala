@@ -98,6 +98,20 @@ class AsOfJoinSpec extends AnyFunSuite {
       (101L, 102L, 1L), (101L, 104L, 8L), (102L, 104L, 9L)))
   }
 
+  test("range selfWithin buckets exactly at epoch-nanos magnitudes (> 2^53)") {
+    import spark.implicits._
+    // 1.7e18 exceeds double's exact-integer range: a floor(t/delta)
+    // computed in double arithmetic mis-buckets here; the long
+    // floor-division must keep pairs and gaps exact
+    val t0 = 1699999999999999999L
+    val d = 10000000000L // 10 s in nanos
+    val rows = Seq((1L, 1L, t0), (1L, 2L, t0 + d - 1), (1L, 3L, t0 + d + 2))
+      .toDF("k", "id", "t")
+    val got = RangeJoin.selfWithin(rows, "k", "id", "t", delta = d)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 2L, d - 1), (2L, 3L, 3L)))
+  }
+
   test("range selfWithin emits no duplicates when both rows share a bucket") {
     import spark.implicits._
     val rows = Seq((1L, 1L, 5L), (1L, 2L, 6L)).toDF("k", "id", "t")
