@@ -1167,6 +1167,16 @@ object Queries {
         round(expr("percentile(n_chars, 0.99)"), 6).as("p99_chars"),
         round(avg(col("n_tokens")), 6).as("mean_tokens"))
 
+  /** Cross-document repeated-span removal (pipeline op, q68): every
+    * corpus-duplicated 5-token span keeps its first occurrence and is
+    * cut everywhere else — suffix-dedup-style span-level dedup (vs
+    * q12's whole-doc and q36's line-level rules). See
+    * [[operators.Dedup.spanDedup]]. Output hashes the cleaned text so
+    * the oracle checks the REBUILT document byte-for-byte.
+    */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.spanDedup(t(spark, dir, "documents"), "doc_id", "text", n = 5)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_topk_batch" -> (topkBatch _),
     "q02_topk_threshold" -> (topkThreshold _),
@@ -1235,6 +1245,7 @@ object Queries {
     "q65_temperature_sample" -> (temperatureSample _),
     "q66_mmr_diversify" -> (mmrDiversify _),
     "q67_percentiles" -> (percentileProfile _),
+    "q68_span_dedup" -> (spanDedup _),
   )
 }
 
@@ -1988,5 +1999,33 @@ object Oracles {
         |  round(quantile_cont(n_chars, 0.99), 6) AS p99_chars,
         |  round(avg(len(string_split_regex(trim(text), '\s+'))), 6) AS mean_tokens
         |FROM documents GROUP BY source""".stripMargin,
+    // same 5-token spans (1-based list slicing here, 0-based on the
+    // Spark side — each engine internally consistent); first occurrence
+    // = min (doc, pos) via rn; a token is dropped iff covered by any
+    // redundant start; clean text = kept tokens joined by single spaces
+    "q68_span_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS g
+        |      FROM w, unnest(range(1, len(w) - 3)) AS t(i)),
+        |r AS (SELECT doc_id, i FROM (
+        |  SELECT doc_id, i,
+        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+        |  FROM g) WHERE rn > 1),
+        |tok AS (SELECT doc_id, i, w[i] AS t
+        |        FROM w, unnest(range(1, len(w) + 1)) AS u(i)),
+        |dropped AS (SELECT DISTINCT t.doc_id, t.i FROM tok t
+        |            JOIN r ON t.doc_id = r.doc_id
+        |                  AND t.i BETWEEN r.i AND r.i + 4),
+        |kept AS (SELECT t.doc_id, t.i, t.t FROM tok t
+        |         LEFT JOIN dropped d ON t.doc_id = d.doc_id AND t.i = d.i
+        |         WHERE d.i IS NULL),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |          string_agg(t, ' ' ORDER BY i) AS clean
+        |        FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+        |  CAST(len(w.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(a.clean, '')) AS clean_md5
+        |FROM w LEFT JOIN agg a USING (doc_id)""".stripMargin,
   )
 }

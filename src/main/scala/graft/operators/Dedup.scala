@@ -858,4 +858,63 @@ object Dedup {
       .select(col("node").as(idCol))
     df.join(doomed, Seq(idCol), "left_anti")
   }
+
+  /** Cross-document repeated-SPAN removal (suffix-dedup style, after
+    * Lee et al. "Deduplicating Training Data Makes Language Models
+    * Better"): every word position starts an `n`-token shingle; a
+    * shingle occurring more than once corpus-wide keeps its FIRST
+    * occurrence (min (doc, pos)) and every other occurrence's n-token
+    * span is dropped from its document. Positional rule, deliberately
+    * greedy: a token is removed if ANY redundant span covers it, even
+    * when a canonical span also does — the mechanism is what the
+    * operator demonstrates; span-optimal variants change only the mask
+    * step.
+    *
+    * Scale shape: shingles are one projected pass (tokens × 1 rows,
+    * `transform` over the token array — no per-position explode until
+    * the shuffle); ONE groupBy on the shingle hash computes count and
+    * canonical occurrence together (`min(struct(doc, pos))` — no
+    * window over gram partitions); redundant starts shuffle back to
+    * their documents (rows ∝ duplicated positions only) and the mask +
+    * rebuild is per-doc array work, O(len · dup-starts-in-doc). Three
+    * shuffles total, each bounded by corpus tokens, none quadratic.
+    *
+    * Output per doc: (doc_id, n_tokens, n_removed, clean_md5) where
+    * clean_md5 hashes the kept tokens re-joined with single spaces.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                n: Int = 5): DataFrame = {
+    require(n >= 2, s"need span length >= 2, got $n")
+    val toks = wordsOf(df, idCol, textCol)
+    // (doc, pos, gram) for every position with a full n-token window;
+    // gram text md5'd early so the shuffle carries 32-byte keys, not
+    // raw n-token strings
+    val grams = toks
+      .filter(size(col("w")) >= n) // sequence(0, negative) descends
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> " +
+          s"md5(cast(concat_ws(' ', slice(w, i + 1, $n)) as binary)))"))
+        .as(Seq("pos", "g")))
+    val redundant = grams
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("c") > 1)
+      .join(grams, Seq("g"))
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    toks.join(redundant, Seq("doc_id"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), expr("cast(array() as array<int>)")))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        expr(s"filter(transform(w, (t, i) -> struct(t AS t, i AS i)), " +
+          s"s -> NOT exists(starts, st -> st <= s.i AND s.i < st + $n))")
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        md5(expr("concat_ws(' ', transform(kept, x -> x.t))").cast("binary"))
+          .as("clean_md5"))
+  }
 }

@@ -433,4 +433,28 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(cc == Map("1" -> "1", "doc-x" -> "1"))
   }
+
+  test("spanDedup keeps first span occurrence, cuts the rest, skips short docs") {
+    import spark.implicits._
+    def md5s(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val docs = Seq(
+      (1L, "a b c d e x"), // canonical "a b c d e" @0 -> untouched
+      (2L, "z a b c d e"), // redundant @1 -> keeps "z"
+      (3L, "a b c d e"),   // redundant @0 -> fully removed
+      (4L, "q r s"),       // shorter than n -> untouched
+      (5L, "a b c d e f")) // greedy: unique "b c d e f" @1 still loses
+                           // its 0..4 overlap with the redundant span
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "doc_id", "text", n = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((6L, 0L, md5s("a b c d e x"))))
+    assert(got(2L) == ((6L, 5L, md5s("z"))))
+    assert(got(3L) == ((5L, 5L, md5s(""))))
+    assert(got(4L) == ((3L, 0L, md5s("q r s"))))
+    assert(got(5L) == ((6L, 5L, md5s("f"))))
+  }
 }
