@@ -1092,15 +1092,20 @@ object Queries {
     * to query-term tokens, df + normalizer broadcast, TakeOrdered
     * top-k (never a global sort).
     */
-  def bm25TopDocs(spark: SparkSession, dir: String): DataFrame = {
-    val scored = operators.Lexical.bm25(
-      t(spark, dir, "documents"), "doc_id", "text", hybridTerms)
-    val top = scored.orderBy(desc("score"), col("doc_id")).limit(20)
-    top.withColumn("rank",
+  /** Shared q63/q64 ranking idiom: TakeOrdered top-n by (score desc,
+    * doc_id), then a 1-based rank over the same order (the window runs
+    * on n rows, after the limit).
+    */
+  private def rankedTop(scored: DataFrame, n: Int): DataFrame =
+    scored.orderBy(desc("score"), col("doc_id")).limit(n)
+      .withColumn("rank",
         row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+
+  def bm25TopDocs(spark: SparkSession, dir: String): DataFrame =
+    rankedTop(operators.Lexical.bm25(
+        t(spark, dir, "documents"), "doc_id", "text", hybridTerms), 20)
       .select(col("rank").cast("long").as("rank"), col("doc_id"),
         round(col("score"), 6).as("score"))
-  }
 
   /** Hybrid search via reciprocal-rank fusion (pipeline op, q64): the
     * BM25 ranking (q63's scorer, top 100) fused with the exact cosine
@@ -1111,11 +1116,8 @@ object Queries {
     * is exactly SQL-reproducible.
     */
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val lexTop = operators.Lexical.bm25(
-        t(spark, dir, "documents"), "doc_id", "text", hybridTerms)
-      .orderBy(desc("score"), col("doc_id")).limit(100)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+    val lexTop = rankedTop(operators.Lexical.bm25(
+        t(spark, dir, "documents"), "doc_id", "text", hybridTerms), 100)
       .select(col("doc_id"), col("rank"))
     val vecTop = topkGemm(spark, dir, col("vec_id") === 7, None, k = 100)
       .select(col("vec_id").as("doc_id"), col("rank"))

@@ -81,6 +81,19 @@ object AsOfJoin {
       .intersect(rightPayload.map(_.toLowerCase).toSet)
     require(overlap.isEmpty,
       s"leftCols and rightPayload share names $overlap — alias one side first")
+    // up-front type checks: the carry-forward sort, the tolerance
+    // subtraction, and the forward negation all need plain numerics —
+    // failing here beats an opaque analysis error deep in the plan
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType, ShortType}
+    Seq(leftTime -> left, rightTime -> right).foreach { case (c, side) =>
+      val dt = side.schema(side.schema.fieldIndex(c)).dataType
+      require(dt.isInstanceOf[NumericType],
+        s"as-of time column '$c' must be numeric (epoch micros/nanos), got $dt")
+    }
+    val tbType = right.schema(right.schema.fieldIndex(tieBreak)).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(tbType),
+      s"tieBreak '$tieBreak' must be an integral column (it is compared " +
+        s"as a long), got $tbType")
 
     import org.apache.spark.sql.types.StructType
     val lType = StructType(leftCols.map(c => left.schema(left.schema.fieldIndex(c))))
@@ -104,12 +117,6 @@ object AsOfJoin {
     // still sort before left at equal time, keeping the match inclusive.
     val timeKey = if (forward) negate(col("_t_")) else col("_t_")
     val tieKey = if (forward) negate(col("_tb_")) else col("_tb_")
-    if (forward) {
-      import org.apache.spark.sql.types.NumericType
-      val lt = left.schema(left.schema.fieldIndex(leftTime)).dataType
-      require(lt.isInstanceOf[NumericType],
-        s"forward as-of needs a numeric time column, got $lt")
-    }
     val w = Window.partitionBy(col("_k_"))
       .orderBy(timeKey, col("_side_"), tieKey)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -872,12 +872,16 @@ object Dedup {
     *
     * Scale shape: shingles are one projected pass (tokens × 1 rows,
     * `transform` over the token array — no per-position explode until
-    * the shuffle); ONE groupBy on the shingle hash computes count and
-    * canonical occurrence together (`min(struct(doc, pos))` — no
-    * window over gram partitions); redundant starts shuffle back to
-    * their documents (rows ∝ duplicated positions only) and the mask +
-    * rebuild is per-doc array work, O(len · dup-starts-in-doc). Three
-    * shuffles total, each bounded by corpus tokens, none quadratic.
+    * the shuffle), built ONCE: redundancy comes from a row_number
+    * window over the gram-hash partitioning (a groupBy + join-back
+    * would rebuild the shingle lineage a second time — Catalyst does
+    * not reuse uncached subtrees). Redundant starts then shuffle back
+    * to their documents (rows ∝ duplicated positions only) and the
+    * mask + rebuild is per-doc array work, O(len · dup-starts-in-doc).
+    * Three shuffles total, each bounded by corpus tokens, none
+    * quadratic; a pathologically frequent gram concentrates its
+    * occurrences in one window partition exactly as it would in the
+    * equivalent groupBy.
     *
     * Output per doc: (doc_id, n_tokens, n_removed, clean_md5) where
     * clean_md5 hashes the kept tokens re-joined with single spaces.
@@ -895,14 +899,13 @@ object Dedup {
         s"transform(sequence(0, size(w) - $n), i -> " +
           s"md5(cast(concat_ws(' ', slice(w, i + 1, $n)) as binary)))"))
         .as(Seq("pos", "g")))
+    // rn > 1 ⟺ duplicated AND not the canonical (min doc, pos)
+    // occurrence — one window, shingle lineage evaluated once
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("doc_id"), col("pos"))
     val redundant = grams
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("c"),
-        min(struct(col("doc_id"), col("pos"))).as("first"))
-      .filter(col("c") > 1)
-      .join(grams, Seq("g"))
-      .filter(!(col("doc_id") === col("first.doc_id") &&
-        col("pos") === col("first.pos")))
+      .withColumn("_rn_", row_number().over(wg))
+      .filter(col("_rn_") > 1)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
     toks.join(redundant, Seq("doc_id"), "left")

@@ -50,7 +50,10 @@ object Mmr {
       .as[(Long, Long, Double, Array[Float])]
       .groupByKey(_._1)
       .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
-        val cs = it.toArray.sortBy(c => (-c._3, c._2))
+        // NaN rel can never win `s > bestScore` — drop such candidates
+        // up front rather than dereference best = -1 later
+        val cs = it.filterNot(c => java.lang.Double.isNaN(c._3))
+          .toArray.sortBy(c => (-c._3, c._2))
         val n = cs.length
         val picked = new Array[Boolean](n)
         val maxSim = new Array[Double](n) // max sim to the selected set
