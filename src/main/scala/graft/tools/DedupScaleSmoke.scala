@@ -104,6 +104,13 @@ object DedupScaleSmoke {
       val df = graft.operators.Dedup.exact(docs, "doc_id", "text")
       graft.Bench.forceSink(df); -1L
     }
+    timed("span dedup (5-gram)") {
+      // n tokens -> ~46 gram rows/doc through one window on the gram
+      // hash; the 1% perturbed copies share long spans with their
+      // source, so real redundant starts exist corpus-wide
+      val df = graft.operators.Dedup.spanDedup(docs, "doc_id", "text", n = 5)
+      graft.Bench.forceSink(df); -1L
+    }
     timed("decontaminate vs 5k eval") {
       // the 1% perturbed copies as the "benchmark" split: each shares
       // long token runs with its train-side source, so ~all 5k eval
