@@ -71,6 +71,43 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(run(Some(50L)) == Map(1L -> 7L, 2L -> -1L))
   }
 
+  test("asof backward equals per-row brute force on random data with heavy ties") {
+    import spark.implicits._
+    val rng = new scala.util.Random(4242)
+    // 200 lefts + 300 rights over 6 keys and a tiny time domain (0..29)
+    // so equal-time ties and multi-candidate matches are common
+    val left = (0 until 200).map(i => (i.toLong, rng.nextInt(6).toLong, rng.nextInt(30).toLong))
+    val right = (0 until 300).map(i => (1000L + i, rng.nextInt(6).toLong, rng.nextInt(30).toLong))
+    val got = AsOfJoin.backward(
+        left.toDF("event_id", "user_id", "us"),
+        right.toDF("click_id", "user_id", "click_us"),
+        "user_id", "user_id", "us", "click_us",
+        Seq("event_id"), Seq("click_id"), "click_id")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    val want = left.map { case (id, k, t) =>
+      val c = right.filter(r => r._2 == k && r._3 <= t)
+      id -> (if (c.isEmpty) -1L else c.maxBy(r => (r._3, r._1))._1)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("range selfWithin equals brute force on random data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(77)
+    val rows = (0 until 250).map(i =>
+      (rng.nextInt(5).toLong, i.toLong, rng.nextInt(100).toLong))
+    val got = RangeJoin.selfWithin(rows.toDF("k", "id", "t"), "k", "id", "t",
+        delta = 7L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      a <- rows; b <- rows
+      if a._1 == b._1 && a._2 < b._2 && math.abs(a._3 - b._3) <= 7
+    } yield (a._2, b._2)).toSet
+    assert(got == want)
+  }
+
   test("asof backward rejects scratch-name collisions") {
     import spark.implicits._
     val df = Seq((1L, 2L, 3L)).toDF("_k_", "user_id", "us")
