@@ -88,6 +88,36 @@ object StreamingOps {
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
+  /** Watermarked stream-stream range join — the streaming twin of
+    * [[graft.operators.RangeJoin.selfWithin]] (q61), and deliberately
+    * the one place the batch blocking trick is NOT needed: Structured
+    * Streaming's stream-stream join natively supports time-interval
+    * conditions and uses exactly the watermark to bound both join
+    * states (each side buffers only rows within watermark + delta).
+    * Self-join of an event stream: pairs of same-key events within
+    * `delta`, each emitted once (`a.event_id < b.event_id`). `ts` must
+    * be TimestampType; both watermarks must match for state cleanup.
+    * Late data past the watermark silently misses pairs — the batch
+    * operator remains the oracle-checked surface.
+    */
+  def rangeJoinStream(stream: DataFrame, delta: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    val a = stream.select(col("user_id").as("a_user"),
+        col("event_id").as("event_id_a"), col("ts").as("ts_a"))
+      .withWatermark("ts_a", watermark)
+    val b = stream.select(col("user_id").as("b_user"),
+        col("event_id").as("event_id_b"), col("ts").as("ts_b"))
+      .withWatermark("ts_b", watermark)
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("event_id_a") < col("event_id_b") &&
+        col("ts_b") >= col("ts_a") - expr(s"INTERVAL $delta") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $delta"))
+      .select(col("a_user").as("user_id"), col("event_id_a"),
+        col("event_id_b"),
+        abs(unix_micros(col("ts_a")) - unix_micros(col("ts_b"))).as("gap_us"))
+  }
+
   /** Continuous corpus hygiene — the streaming twin of
     * `CorpusClean.hygienePipeline`, same stage order (repetition gate
     * → decontaminate → exact dedup → stratified sample) with every

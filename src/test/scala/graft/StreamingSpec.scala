@@ -120,6 +120,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream range join pairs same-key events within delta") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val base = 1700000000000L // ms
+    def ts(sec: Long) = new java.sql.Timestamp(base + sec * 1000)
+    val stream = mem.toDF().toDF("user_id", "event_id", "ts")
+    val joined = graft.streaming.StreamingOps.rangeJoinStream(
+      stream, delta = "10 seconds", watermark = "1 minute")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("rangepairs").start()
+    try {
+      mem.addData((1L, 1L, ts(0)), (1L, 2L, ts(5)), (1L, 3L, ts(30)),
+        (2L, 4L, ts(6)), (1L, 5L, ts(33)))
+      q.processAllAvailable()
+      val got = spark.table("rangepairs")
+        .select("event_id_a", "event_id_b", "gap_us")
+        .as[(Long, Long, Long)].collect().toSet
+      // (1,2) gap 5s; (3,5) gap 3s; nothing crosses users or the 10s delta
+      assert(got == Set((1L, 2L, 5000000L), (3L, 5L, 3000000L)))
+    } finally q.stop()
+  }
+
   test("componentsSink maintains cluster ids incrementally across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
