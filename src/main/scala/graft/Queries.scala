@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.CosineTopK
@@ -1179,6 +1179,69 @@ object Queries {
   def spanDedup(spark: SparkSession, dir: String): DataFrame =
     operators.Dedup.spanDedup(t(spark, dir, "documents"), "doc_id", "text", n = 5)
 
+  /** Rounded-to-6dp q14 quality score — the shared scalar for the
+    * selection ops below. Rounded BEFORE it is used as a sort key so
+    * both engines agree on ties exactly (the same reason q14 rounds
+    * its output).
+    */
+  private def qualityExpr: Column = round(
+    least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.5 +
+      (expr("size(filter(split(trim(text), '\\\\s+'), x -> x IN ('the','a','and','of','to')))").cast("double") /
+        size(split(trim(col("text")), "\\s+")).cast("double")) * 0.5,
+    6)
+
+  /** Token-budget curation (pipeline op, q69): keep the
+    * highest-quality documents until 60% of the corpus' tokens are
+    * spent — the "select the best T tokens for the next pretraining
+    * run" step, executed by [[operators.Select.budgetSelectDesc]]'s
+    * histogram-threshold pass instead of the global-sort window the
+    * oracle uses. Budget derives from the corpus itself (0.6 x total
+    * tokens), so the entry is scale-free.
+    */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"), qualityExpr.as("q"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val total = scored.agg(sum(col("n_tokens"))).first().getLong(0)
+    operators.Select.budgetSelectDesc(scored, "q", "doc_id", "n_tokens",
+      budget = math.floor(0.6 * total).toLong)
+  }
+
+  /** Per-language quota balancing (pipeline op, q70): exactly 40 docs
+    * per language, picked by deterministic md5 rank — the corpus
+    * language-balancing step. [[operators.Select.groupQuota]] runs the
+    * per-group histogram threshold, so a 90%-of-corpus language never
+    * funnels through one window task.
+    */
+  def groupQuotaSample(spark: SparkSession, dir: String): DataFrame =
+    operators.Select.groupQuota(
+        t(spark, dir, "documents").select(col("lang"), col("doc_id")),
+        "lang", "doc_id", quota = 40L)
+
+  /** Exactly-N deterministic global sample (pipeline op, q72):
+    * `ORDER BY md5(id), id LIMIT 137` semantics without the global
+    * sort ([[operators.Select.exactSampleN]]).
+    */
+  def exactSample(spark: SparkSession, dir: String): DataFrame =
+    operators.Select.exactSampleN(
+      t(spark, dir, "documents").select(col("doc_id"), col("source")),
+      "doc_id", n = 137L)
+
+  /** Bigram PMI phrase table (pipeline op, q71):
+    * [[operators.Lexical.pmiBigrams]] over the corpus, min count 5.
+    */
+  def pmiTable(spark: SparkSession, dir: String): DataFrame =
+    operators.Lexical.pmiBigrams(t(spark, dir, "documents"), "text",
+      minCount = 5L)
+
+  /** Inverted-index posting lists (retrieval op, q73):
+    * [[operators.Lexical.invertedIndex]] — df >= 3, first 8 postings
+    * per term.
+    */
+  def invertedIndexPostings(spark: SparkSession, dir: String): DataFrame =
+    operators.Lexical.invertedIndex(t(spark, dir, "documents"),
+      "doc_id", "text", maxPostings = 8, minDf = 3L)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_topk_batch" -> (topkBatch _),
     "q02_topk_threshold" -> (topkThreshold _),
@@ -1248,6 +1311,11 @@ object Queries {
     "q66_mmr_diversify" -> (mmrDiversify _),
     "q67_percentiles" -> (percentileProfile _),
     "q68_span_dedup" -> (spanDedup _),
+    "q69_token_budget" -> (tokenBudgetSelect _),
+    "q70_group_quota" -> (groupQuotaSample _),
+    "q71_pmi_bigrams" -> (pmiTable _),
+    "q72_exact_sample" -> (exactSample _),
+    "q73_inverted_index" -> (invertedIndexPostings _),
   )
 }
 
@@ -2029,5 +2097,58 @@ object Oracles {
         |  CAST(len(w.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
         |  md5(coalesce(a.clean, '')) AS clean_md5
         |FROM w LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // q69: the oracle is the global-sort window the Spark side
+    // deliberately avoids; cum is integral so `cum <= 0.6*sum` equals
+    // the Spark side's floor'd long budget.
+    "q69_token_budget" ->
+      """WITH scored AS (SELECT doc_id,
+        |  round(least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.5 +
+        |    (CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                          x -> x IN ('the','a','and','of','to'))) AS DOUBLE) /
+        |     CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)) * 0.5,
+        |  6) AS q,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |FROM documents),
+        |tot AS (SELECT 0.6 * sum(n_tokens) AS budget FROM scored),
+        |w AS (SELECT doc_id, q, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY q DESC, doc_id) AS cum
+        |      FROM scored)
+        |SELECT doc_id, q, n_tokens FROM w, tot WHERE cum <= budget""".stripMargin,
+    "q70_group_quota" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 40""".stripMargin,
+    "q71_pmi_bigrams" ->
+      """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |uc AS (SELECT tok, count(*) AS c FROM
+        |         (SELECT unnest(w) AS tok FROM w) GROUP BY tok),
+        |nu AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM uc),
+        |bc AS (SELECT a, b, count(*) AS c_ab FROM
+        |         (SELECT w[i] AS a, w[i+1] AS b
+        |          FROM w, unnest(range(1, len(w))) AS t(i)) GROUP BY a, b),
+        |nb AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS nb FROM bc)
+        |SELECT bc.a, bc.b, bc.c_ab,
+        |  round(ln((bc.c_ab / nb.nb) /
+        |    ((ua.c / nu.nu) * (ub.c / nu.nu))), 6) AS pmi
+        |FROM bc
+        |JOIN uc ua ON bc.a = ua.tok
+        |JOIN uc ub ON bc.b = ub.tok
+        |CROSS JOIN nb CROSS JOIN nu
+        |WHERE bc.c_ab >= 5""".stripMargin,
+    "q72_exact_sample" ->
+      """SELECT doc_id, source FROM documents
+        |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 137""".stripMargin,
+    "q73_inverted_index" ->
+      """WITH td AS (SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |    FROM documents)),
+        |r AS (SELECT term, doc_id,
+        |        row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY term) AS df
+        |      FROM td)
+        |SELECT term, CAST(df AS BIGINT) AS df, doc_id, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE df >= 3 AND rk <= 8""".stripMargin,
   )
 }

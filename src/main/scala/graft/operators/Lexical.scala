@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lexical retrieval + rank fusion: the keyword half of hybrid search
@@ -66,5 +67,74 @@ object Lexical {
       .agg(sum(lit(1.0) / (lit(kRrf.toDouble) + col("_r_"))).as("rrf_score"),
         count(lit(1)).as("n_lists"))
       .select(col("_id_").as(idCol), col("rrf_score"), col("n_lists"))
+  }
+
+  /** Pointwise mutual information over adjacent-token bigrams — the
+    * standard phrase-mining signal (word2vec's phrase pass, Mikolov
+    * et al. 2013 uses the same count ratio). PMI(a,b) =
+    * ln( (c(a,b)/N_bigrams) / ((c(a)/N_unigrams) * (c(b)/N_unigrams)) ).
+    *
+    * Scale shape (100 TB): two token-key aggregations (unigram and
+    * bigram counts — both map-side partial, shuffle volume is the
+    * distinct-gram space, not the corpus), two shuffle joins of the
+    * bigram table against the unigram counts (AQE broadcasts the
+    * unigram side when the vocab is small), and two 1-row broadcast
+    * normalizers. No windows, no sorts, no driver data.
+    *
+    * Returns (a, b, c_ab, pmi) for bigrams with c_ab >= minCount;
+    * pmi rounded to 6 dp. Tokenization is the q13 whitespace
+    * convention, so the whole table is DuckDB-reproducible (q71).
+    */
+  def pmiBigrams(docs: DataFrame, textCol: String,
+                 minCount: Long = 5L): DataFrame = {
+    val toks = docs.select(split(trim(col(textCol)), "\\s+").as("_ts_"))
+    val uni = toks.select(explode(col("_ts_")).as("_tok_"))
+      .groupBy(col("_tok_")).agg(count(lit(1)).as("_c_"))
+    val nu = uni.agg(sum(col("_c_")).cast("double").as("_nu_"))
+    // adjacent pairs without a UDF: zip the array against its shift
+    val n1 = greatest(size(col("_ts_")) - 1, lit(0))
+    val big = toks.select(explode(arrays_zip(
+        slice(col("_ts_"), lit(1), n1).as("a"),
+        slice(col("_ts_"), lit(2), n1).as("b")))
+        .as("_p_"))
+      .select(col("_p_.a").as("a"), col("_p_.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val nb = big.agg(sum(col("c_ab")).cast("double").as("_nb_"))
+    val ua = uni.select(col("_tok_").as("a"), col("_c_").as("_ca_"))
+    val ub = uni.select(col("_tok_").as("b"), col("_c_").as("_cb_"))
+    big.filter(col("c_ab") >= minCount)
+      .join(ua, "a").join(ub, "b")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log((col("c_ab") / col("_nb_")) /
+          ((col("_ca_") / col("_nu_")) * (col("_cb_") / col("_nu_")))), 6)
+          .as("pmi"))
+  }
+
+  /** Posting-list build (the batch half of a search index): for every
+    * term with document frequency >= minDf, the df and the first
+    * `maxPostings` doc ids ascending, as exploded (term, df, doc_id,
+    * rk) rows.
+    *
+    * Scale shape (100 TB): one distinct-(term, doc) aggregation
+    * (map-side partial), then a single term-partitioned window that
+    * ranks each term's postings — the same per-term sorted-merge any
+    * inverted-index builder (Lucene segment merge) performs, with
+    * shuffle keyed on the term. Stopword-degree skew is bounded by
+    * `maxPostings`: AQE splits oversized term partitions, and the
+    * rank filter discards past the cap. No global sort, no driver
+    * data.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int = 8, minDf: Long = 3L): DataFrame = {
+    val td = docs.select(col(idCol).as("_id_"),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .groupBy(col("term"), col("_id_")).agg(count(lit(1)).as("_tf_"))
+    val w = Window.partitionBy(col("term")).orderBy(col("_id_"))
+    val wc = Window.partitionBy(col("term"))
+    td.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("df", count(lit(1)).over(wc))
+      .filter(col("df") >= minDf && col("rk") <= maxPostings)
+      .select(col("term"), col("df"), col("_id_").as("doc_id"), col("rk"))
   }
 }

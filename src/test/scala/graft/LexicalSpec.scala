@@ -42,4 +42,50 @@ class LexicalSpec extends AnyFunSuite {
     assert(math.abs(got(2L)._1 - (1.0 / 62 + 1.0 / 61)) < 1e-12 && got(2L)._2 == 2L)
     assert(math.abs(got(3L)._1 - 1.0 / 62) < 1e-12 && got(3L)._2 == 1L)
   }
+
+  test("pmiBigrams matches the hand-computed count ratio") {
+    import spark.implicits._
+    // corpus: "a b a b" + "a b c" -> bigrams: (a,b)x3, (b,a)x1, (b,c)x1
+    // NB=5; unigrams: a=3, b=3, c=1; NU=7
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = Lexical.pmiBigrams(docs, "text", minCount = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(("a", "b")))
+    val (c, pmi) = got(("a", "b"))
+    assert(c == 3L)
+    val want = math.log((3.0 / 5.0) / ((3.0 / 7.0) * (3.0 / 7.0)))
+    assert(math.abs(pmi - BigDecimal(want).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+
+  test("pmiBigrams drops single-token docs and counts totals pre-filter") {
+    import spark.implicits._
+    // "z" contributes no bigram but its unigram inflates NU;
+    // minCount filters output only, not the normalizers
+    val docs = Seq((1L, "a a"), (2L, "z")).toDF("doc_id", "text")
+    val got = Lexical.pmiBigrams(docs, "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // NB=1, NU=3, c(a)=2: pmi = ln((1/1)/((2/3)^2))
+    val want = math.log(1.0 / ((2.0 / 3.0) * (2.0 / 3.0)))
+    assert(got.keySet == Set(("a", "a")))
+    assert(math.abs(got(("a", "a")) - BigDecimal(want).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+
+  test("invertedIndex caps postings, ranks by doc id, and applies minDf") {
+    import spark.implicits._
+    val docs = Seq((5L, "x y"), (3L, "x y x"), (9L, "x z"), (1L, "x"))
+      .toDF("doc_id", "text")
+    val rows = Lexical.invertedIndex(docs, "doc_id", "text",
+        maxPostings = 3, minDf = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // term x: df=4 but only first 3 postings (1,3,5); term y: df=2; z dropped
+    val x = rows.filter(_._1 == "x").sortBy(_._4)
+    assert(x.map(t => (t._3, t._4)).toSeq == Seq((1L, 1L), (3L, 2L), (5L, 3L)))
+    assert(x.forall(_._2 == 4L))
+    val y = rows.filter(_._1 == "y").sortBy(_._4)
+    assert(y.map(t => (t._3, t._4)).toSeq == Seq((3L, 1L), (5L, 2L)))
+    assert(rows.forall(_._1 != "z"))
+  }
 }
