@@ -76,39 +76,59 @@ object Lexical {
     *
     * Scale shape (100 TB): two token-key aggregations (unigram and
     * bigram counts — both map-side partial, shuffle volume is the
-    * distinct-gram space, not the corpus), two shuffle joins of the
-    * bigram table against the unigram counts (AQE broadcasts the
-    * unigram side when the vocab is small), and two 1-row broadcast
-    * normalizers. No windows, no sorts, no driver data.
+    * distinct-gram space, not the corpus) and two shuffle joins of
+    * the bigram table against the unigram counts (AQE broadcasts the
+    * unigram side when the vocab is small). Catalyst performs no
+    * common-subplan reuse across the join arms, so the unigram table
+    * is consumed three times (both join sides + its normalizer) and
+    * the bigram table twice — by default the two gram tables (vocab-
+    * sized, orders of magnitude below the corpus) are PERSISTED and
+    * the 1-row normalizers driver-computed, which holds the corpus at
+    * exactly TWO scans. `persistGrams = false` gives the fully-lazy
+    * plan (five corpus scans) for callers composing into a larger
+    * cached pipeline. The persisted-vs-lazy outputs are identical.
     *
     * Returns (a, b, c_ab, pmi) for bigrams with c_ab >= minCount;
     * pmi rounded to 6 dp. Tokenization is the q13 whitespace
     * convention, so the whole table is DuckDB-reproducible (q71).
     */
-  def pmiBigrams(docs: DataFrame, textCol: String,
-                 minCount: Long = 5L): DataFrame = {
+  def pmiBigrams(docs: DataFrame, textCol: String, minCount: Long = 5L,
+                 persistGrams: Boolean = true): DataFrame = {
     val toks = docs.select(split(trim(col(textCol)), "\\s+").as("_ts_"))
-    val uni = toks.select(explode(col("_ts_")).as("_tok_"))
+    val uni0 = toks.select(explode(col("_ts_")).as("_tok_"))
       .groupBy(col("_tok_")).agg(count(lit(1)).as("_c_"))
-    val nu = uni.agg(sum(col("_c_")).cast("double").as("_nu_"))
     // adjacent pairs without a UDF: zip the array against its shift
     val n1 = greatest(size(col("_ts_")) - 1, lit(0))
-    val big = toks.select(explode(arrays_zip(
+    val big0 = toks.select(explode(arrays_zip(
         slice(col("_ts_"), lit(1), n1).as("a"),
         slice(col("_ts_"), lit(2), n1).as("b")))
         .as("_p_"))
       .select(col("_p_.a").as("a"), col("_p_.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
-    val nb = big.agg(sum(col("c_ab")).cast("double").as("_nb_"))
+    val (uni, big) =
+      if (!persistGrams) (uni0, big0)
+      else (uni0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+            big0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // normalizers: totals over the (exact long) gram counts — driver
+    // scalars when persisted (also materializes the caches), 1-row
+    // broadcast frames when lazy
+    val (nuCol, nbCol) =
+      if (persistGrams)
+        (lit(uni.agg(sum(col("_c_"))).first().getLong(0).toDouble),
+         lit(big.agg(sum(col("c_ab"))).first().getLong(0).toDouble))
+      else (col("_nu_"), col("_nb_"))
     val ua = uni.select(col("_tok_").as("a"), col("_c_").as("_ca_"))
     val ub = uni.select(col("_tok_").as("b"), col("_c_").as("_cb_"))
-    big.filter(col("c_ab") >= minCount)
-      .join(ua, "a").join(ub, "b")
-      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
-      .select(col("a"), col("b"), col("c_ab"),
-        round(log((col("c_ab") / col("_nb_")) /
-          ((col("_ca_") / col("_nu_")) * (col("_cb_") / col("_nu_")))), 6)
-          .as("pmi"))
+    val joined = big.filter(col("c_ab") >= minCount).join(ua, "a").join(ub, "b")
+    val withTotals =
+      if (persistGrams) joined
+      else joined
+        .crossJoin(broadcast(big.agg(sum(col("c_ab")).cast("double").as("_nb_"))))
+        .crossJoin(broadcast(uni.agg(sum(col("_c_")).cast("double").as("_nu_"))))
+    withTotals.select(col("a"), col("b"), col("c_ab"),
+      round(log((col("c_ab") / nbCol) /
+        ((col("_ca_") / nuCol) * (col("_cb_") / nuCol))), 6)
+        .as("pmi"))
   }
 
   /** Posting-list build (the batch half of a search index): for every

@@ -73,6 +73,18 @@ class LexicalSpec extends AnyFunSuite {
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
   }
 
+  test("pmiBigrams lazy and persisted paths agree row-for-row") {
+    import spark.implicits._
+    val docs = Seq((1L, "p q p q r"), (2L, "q r q p"), (3L, "p p q"))
+      .toDF("doc_id", "text")
+    def rows(p: Boolean) =
+      Lexical.pmiBigrams(docs, "text", minCount = 1L, persistGrams = p)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    assert(rows(true) == rows(false))
+  }
+
   test("invertedIndex caps postings, ranks by doc id, and applies minDf") {
     import spark.implicits._
     val docs = Seq((5L, "x y"), (3L, "x y x"), (9L, "x z"), (1L, "x"))

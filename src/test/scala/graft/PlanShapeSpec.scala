@@ -364,4 +364,47 @@ class PlanShapeSpec extends AnyFunSuite {
       s.active.join(broadcast(ids.toDF("_id_")), Seq("_id_"), "left_semi"))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
+
+  test("token-budget select: full-keep branch is scan+filter, only the boundary bucket sorts") {
+    val plan = formatted(Queries.tokenBudgetSelect(spark, dir))
+    // exactly one per-row exchange (the boundary bucket into its window)
+    // — the full-keep branch must stay a map-side filter over the scan
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+    assert("\\(\\d+\\) Window".r.findAllIn(plan).size == 1)
+    assert(plan.contains("Union"))
+  }
+
+  test("group quota: cut table broadcasts; one group-partitioned boundary window") {
+    val plan = formatted(Queries.groupQuotaSample(spark, dir))
+    // detail-header form "(n) Op" counts each node once (tree lines
+    // render as "Op (n)")
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size == 2) // both branches join the cut table
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size == 1)
+    assert("\\(\\d+\\) Window".r.findAllIn(plan).size == 1)
+  }
+
+  test("pmi: persisted gram tables — the final plan reads only the caches") {
+    val plan = formatted(Queries.pmiTable(spark, dir))
+    // corpus scans happened once each while materializing the two gram
+    // caches; the returned plan reads the in-memory gram tables
+    // (ua, ub, filtered bigrams). The "Scan parquet" text inside
+    // InMemoryRelation details is cached-plan provenance, not a scan.
+    assert("\\(\\d+\\) InMemoryTableScan".r.findAllIn(plan).size == 3,
+      s"expected 3 cache reads, plan:\n$plan")
+    // driver-literal normalizers: the lazy path's 1-row crossJoins are
+    // gone from the persisted default
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+  }
+
+  test("inverted index: one corpus scan, term-keyed aggregate + one window") {
+    val plan = formatted(Queries.invertedIndexPostings(spark, dir))
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 1, s"plan:\n$plan")
+    // rank + df are two Window nodes over the SAME term partitioning —
+    // they must share one exchange (plus the distinct-pair aggregate's),
+    // never re-shuffle between windows
+    assert("\\(\\d+\\) Window".r.findAllIn(plan).size == 2)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size == 2, s"plan:\n$plan")
+  }
 }
