@@ -1234,6 +1234,14 @@ object Queries {
     operators.Lexical.pmiBigrams(t(spark, dir, "documents"), "text",
       minCount = 5L)
 
+  /** Bigram-LM cross-entropy with unigram backoff (pipeline op, q74):
+    * [[operators.CorpusClean.bigramCrossEntropy]] — the next model up
+    * from q52 on the perplexity-filter axis.
+    */
+  def bigramCrossEnt(spark: SparkSession, dir: String): DataFrame =
+    operators.CorpusClean.bigramCrossEntropy(
+      t(spark, dir, "documents"), "doc_id", "text")
+
   /** Inverted-index posting lists (retrieval op, q73):
     * [[operators.Lexical.invertedIndex]] — df >= 3, first 8 postings
     * per term.
@@ -1316,6 +1324,7 @@ object Queries {
     "q71_pmi_bigrams" -> (pmiTable _),
     "q72_exact_sample" -> (exactSample _),
     "q73_inverted_index" -> (invertedIndexPostings _),
+    "q74_bigram_crossent" -> (bigramCrossEnt _),
   )
 }
 
@@ -2150,5 +2159,25 @@ object Oracles {
         |      FROM td)
         |SELECT term, CAST(df AS BIGINT) AS df, doc_id, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE df >= 3 AND rk <= 8""".stripMargin,
+    "q74_bigram_crossent" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |tr AS (SELECT doc_id, w[i] AS a, w[i+1] AS b
+        |       FROM w, unnest(range(1, len(w))) AS t(i)),
+        |dt AS (SELECT doc_id, a, b, count(*) AS tf FROM tr GROUP BY doc_id, a, b),
+        |bc AS (SELECT a, b, count(*) AS c_ab FROM tr GROUP BY a, b),
+        |pre AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_pre FROM bc GROUP BY a),
+        |uc AS (SELECT tok, count(*) AS c FROM
+        |         (SELECT unnest(w) AS tok FROM w) GROUP BY tok),
+        |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc)
+        |SELECT dt.doc_id,
+        |  round(sum(dt.tf * -log2(0.75 * dt_bc.c_ab / pre.c_pre +
+        |                          0.25 * ub.c / n.n)) / sum(dt.tf),
+        |        6) AS cross_entropy
+        |FROM dt
+        |JOIN bc dt_bc ON dt.a = dt_bc.a AND dt.b = dt_bc.b
+        |JOIN pre ON dt.a = pre.a
+        |JOIN uc ub ON dt.b = ub.tok
+        |CROSS JOIN n
+        |GROUP BY dt.doc_id""".stripMargin,
   )
 }

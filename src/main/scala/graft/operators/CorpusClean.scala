@@ -198,6 +198,71 @@ object CorpusClean {
           sum(col("tf").cast("double")), 6).as("cross_entropy"))
   }
 
+  /** Bigram LM cross-entropy with interpolated unigram backoff — the
+    * next model up from [[unigramCrossEntropy]] on the CCNet-style
+    * perplexity-filter axis (CCNet itself scores with a 5-gram
+    * KenLM; the interpolation idea is the same). Per document:
+    *
+    *   H(d) = -(1/T_d) Σ_transitions tf·log2( λ·c(a,b)/c_pre(a)
+    *                                          + (1-λ)·c(b)/N )
+    *
+    * over d's adjacent-token transitions (a,b), where c(a,b) is the
+    * corpus bigram count, c_pre(a) the count of a as a bigram PREFIX
+    * (so the conditional is a proper MLE: Σ_b p(b|a) = 1), c(b) the
+    * unigram count, N total tokens, λ = 0.75 (exact binary double,
+    * q66's convention). Backoff makes every transition's probability
+    * strictly positive, so no smoothing constant is needed. Returns
+    * (doc_id, cross_entropy) for docs with >= 2 tokens, 6-dp rounded.
+    *
+    * 100 TB shape: THREE column-pruned corpus scans, exactly q52's
+    * documented trade — (1) per-(doc, a, b) transition counts
+    * (map-side partial), (2) the corpus bigram table, (3) the
+    * unigram table. The corpus-level gram tables are vocab-sized and
+    * persisted by default (`persistGrams`, the q71 convention), so
+    * the prefix-count rollup and the 1-row total derive from the
+    * caches instead of re-running corpus lineage; the per-doc join
+    * hashes on the gram keys with AQE skew-splitting for stopword
+    * transitions. Nothing is corpus × vocab.
+    */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+                         lambda: Double = 0.75,
+                         persistGrams: Boolean = true): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda in (0,1), got $lambda")
+    def ts = split(trim(col(textCol)), "\\s+")
+    def n1 = greatest(size(ts) - 1, lit(0))
+    def transitions = explode(arrays_zip(
+      slice(ts, lit(1), n1).as("a"), slice(ts, lit(2), n1).as("b")))
+    val docTrans = docs.select(col(idCol).as("doc_id"), transitions.as("_p_"))
+      .select(col("doc_id"), col("_p_.a").as("a"), col("_p_.b").as("b"))
+      .groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val big0 = docs.select(transitions.as("_p_"))
+      .select(col("_p_.a").as("a"), col("_p_.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val uni0 = docs.select(explode(ts).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val (big, uni) =
+      if (!persistGrams) (big0, uni0)
+      else (big0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+            uni0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // prefix counts + corpus total: vocab-sized rollups OVER the gram
+    // tables (cached when persisted), never a fourth corpus scan
+    val pre = big.groupBy(col("a")).agg(sum(col("c_ab")).as("c_pre"))
+    val nTotal = uni.agg(sum(col("c")).cast("double").as("_n"))
+    val ub = uni.select(col("tok").as("b"), col("c").as("_cb_"))
+    docTrans
+      .join(big, Seq("a", "b"))
+      .join(pre, Seq("a"))
+      .join(ub, Seq("b"))
+      .crossJoin(broadcast(nTotal))
+      .groupBy(col("doc_id"))
+      .agg(round(
+        sum(col("tf").cast("double") *
+          -log2(lit(lambda) * col("c_ab").cast("double") / col("c_pre").cast("double") +
+            lit(1.0 - lambda) * col("_cb_").cast("double") / col("_n"))) /
+          sum(col("tf").cast("double")), 6).as("cross_entropy"))
+  }
+
   /** Rate-driven deterministic sampler: keep rows whose 32-bit hash
     * fraction falls below a PER-ROW rate column — the dynamic-rate twin
     * of [[stratifiedSample]] (whose rates are a static driver-side

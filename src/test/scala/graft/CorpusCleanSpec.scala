@@ -164,6 +164,39 @@ class CorpusCleanSpec extends AnyFunSuite {
     }
   }
 
+  test("bigramCrossEntropy matches the hand-computed interpolated LM") {
+    import spark.implicits._
+    // corpus: "x y x" | "y x" -> unigrams x=3, y=2, N=5
+    // transitions: d1 (x,y),(y,x); d2 (y,x) -> c(x,y)=1, c(y,x)=2
+    // prefix counts: x=1, y=2
+    // p(y|x) = .75*1/1 + .25*2/5 = 0.85; p(x|y) = .75*2/2 + .25*3/5 = 0.9
+    val docs = Seq(("d1", "x y x"), ("d2", "y x")).toDF("doc_id", "text")
+    val got = operators.CorpusClean.bigramCrossEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def b(x: Double) = -math.log(x) / math.log(2.0)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set("d1", "d2")) // no 1-token docs here; both have transitions
+    assert(math.abs(got("d1") - r6((b(0.85) + b(0.9)) / 2)) < 1e-9)
+    assert(math.abs(got("d2") - r6(b(0.9))) < 1e-9)
+  }
+
+  test("bigramCrossEntropy: single-token docs produce no row; lazy equals persisted") {
+    import spark.implicits._
+    val docs = Seq(("d1", "a a b a"), ("d2", "z"), ("d3", "b a")).toDF("doc_id", "text")
+    def run(p: Boolean) = operators.CorpusClean
+      .bigramCrossEntropy(docs, "doc_id", "text", persistGrams = p)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = run(true)
+    assert(got.keySet == Set("d1", "d3")) // "z" has no transition
+    assert(got == run(false))
+    // conditional is a proper MLE: a doc that IS the whole corpus save
+    // distinct suffixes scores below the unigram model on repeated grams
+    val uni = operators.CorpusClean.unigramCrossEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("d1") < uni("d1")) // bigram context sharpens "a a b a"
+  }
+
   test("commonUnits counts distinct docs, not occurrences") {
     val units = Seq((1L, "x"), (1L, "x"), (1L, "x"), (2L, "x"), (1L, "y"))
       .toDF("doc_id", "u")
