@@ -163,15 +163,9 @@ object Queries {
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws"))
 
   /** Quality score (pipeline op): length score + stopword ratio. */
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    docs.select(col("doc_id"),
-      round(
-        least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.5 +
-          (expr("size(filter(split(trim(text), '\\\\s+'), x -> x IN ('the','a','and','of','to')))").cast("double") /
-            size(split(trim(col("text")), "\\s+")).cast("double")) * 0.5,
-        6).as("quality"))
-  }
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), qualityExpr.as("quality"))
 
   /** Language-ID heuristic (pipeline op): marker-token vote. */
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
@@ -1202,9 +1196,10 @@ object Queries {
     val scored = t(spark, dir, "documents")
       .select(col("doc_id"), qualityExpr.as("q"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-    val total = scored.agg(sum(col("n_tokens"))).first().getLong(0)
-    operators.Select.budgetSelectDesc(scored, "q", "doc_id", "n_tokens",
-      budget = math.floor(0.6 * total).toLong)
+    // data-derived budget: the histogram pass supplies the corpus
+    // token total, so this is exactly two corpus scans
+    operators.Select.budgetSelectDescFraction(
+      scored, "q", "doc_id", "n_tokens", frac = 0.6)
   }
 
   /** Per-language quota balancing (pipeline op, q70): exactly 40 docs

@@ -243,8 +243,7 @@ object CorpusClean {
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val (big, uni) =
       if (!persistGrams) (big0, uni0)
-      else (big0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-            uni0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else (GramCache.cached(big0), GramCache.cached(uni0))
     // prefix counts + corpus total: vocab-sized rollups OVER the gram
     // tables (cached when persisted), never a fourth corpus scan
     val pre = big.groupBy(col("a")).agg(sum(col("c_ab")).as("c_pre"))

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Bounded lifecycle for the vocab-sized gram tables that
+  * [[Lexical.pmiBigrams]] and [[CorpusClean.bigramCrossEntropy]] pin:
+  * a bare `persist()` per invocation would accumulate one cache entry
+  * per distinct input frame for the life of the session (the repo
+  * convention is explicit lifecycle — CosineTopK's release handle,
+  * Dedup's SessionLru). Keyed by (session, semantic plan), so
+  * repeated invocations over the same input reuse one pinned table
+  * and the least-recently-used table is unpersisted past the cap.
+  *
+  * onDiscard is a NO-OP (Dedup's argument): Spark's CacheManager
+  * dedupes persist() by semantic plan, so a racing loser's DataFrame
+  * IS the winner's cache entry — unpersisting it would uncache the
+  * winner. Eviction still unpersists.
+  */
+private[operators] object GramCache {
+  final case class Entry(df: DataFrame, session: SparkSession)
+
+  private val lru = new graft.core.SessionLru[(String, Int), Entry](
+    maxEntries = 8, _.session, _.df.unpersist(false),
+    onDiscard = Some(_ => ()))
+
+  def cached(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val key = (graft.core.SessionTag.of(spark),
+      df.queryExecution.analyzed.semanticHash())
+    lru.getOrBuild(key) {
+      Entry(df.persist(StorageLevel.MEMORY_AND_DISK), spark)
+    }.df
+  }
+}

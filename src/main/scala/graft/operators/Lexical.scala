@@ -107,8 +107,7 @@ object Lexical {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
     val (uni, big) =
       if (!persistGrams) (uni0, big0)
-      else (uni0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-            big0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else (GramCache.cached(uni0), GramCache.cached(big0))
     // normalizers: totals over the (exact long) gram counts — driver
     // scalars when persisted (also materializes the caches), 1-row
     // broadcast frames when lazy
@@ -147,9 +146,11 @@ object Lexical {
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
                     maxPostings: Int = 8, minDf: Long = 3L): DataFrame = {
+    // distinct (term, doc) pairs — map-side partial aggregation, no
+    // payload columns through the term-keyed exchange
     val td = docs.select(col(idCol).as("_id_"),
         explode(split(trim(col(textCol)), "\\s+")).as("term"))
-      .groupBy(col("term"), col("_id_")).agg(count(lit(1)).as("_tf_"))
+      .select(col("term"), col("_id_")).distinct()
     val w = Window.partitionBy(col("term")).orderBy(col("_id_"))
     val wc = Window.partitionBy(col("term"))
     td.withColumn("rk", row_number().over(w).cast("long"))

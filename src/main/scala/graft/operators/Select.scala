@@ -56,21 +56,40 @@ object Select {
     * `bucket` must be a monotone coarsening of `order`: if bucket(r1)
     * < bucket(r2) then r1 precedes r2 in the intended order, and rows
     * that compare equal land in the same bucket (make it a function of
-    * the leading sort key only). Buckets are traversed ascending.
+    * the leading sort key only). Buckets are traversed ascending. A
+    * NULL bucket (e.g. md5 of a NULL id) coalesces to bucket 0,
+    * consistent with Spark's NULLS-FIRST ascending sort — rows with a
+    * NULL sort key are the earliest prefix, exactly where the window
+    * form puts them. NULL GROUP keys are a real group (null-safe
+    * join), matching `PARTITION BY`.
     *
-    * `weight` must be a non-negative integral column.
+    * `weight` must be a non-negative integral column; a NULL weight
+    * counts as 0 (SQL SUM semantics).
     */
   def thresholdSelect(df: DataFrame, bucket: Column, order: Seq[Column],
                       weight: Column, budget: Long,
                       groupCols: Seq[String] = Nil): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    thresholdSelectWith(df, bucket, order, weight, groupCols)(
+      (_, _) => budget)
+  }
+
+  /** Core: like [[thresholdSelect]] but the per-group budget is a
+    * function of (group key, group's total weight) — computed from
+    * the histogram pass, so data-derived budgets ("60% of corpus
+    * tokens") cost NO extra corpus scan.
+    */
+  def thresholdSelectWith(df: DataFrame, bucket: Column,
+                          order: Seq[Column], weight: Column,
+                          groupCols: Seq[String] = Nil)
+                         (budgetOf: (List[Any], Long) => Long): DataFrame = {
     require(order.nonEmpty, "need at least one order column")
-    val dfb = df.withColumn(B, bucket.cast("int"))
+    val dfb = df.withColumn(B, coalesce(bucket.cast("int"), lit(0)))
     val gcols = groupCols.map(col)
 
     // Pass 1: (group, bucket) weight histogram, driver-bounded.
     val hist = dfb.groupBy((gcols :+ col(B)): _*)
-      .agg(sum(weight.cast("long")).as("_w"))
+      .agg(coalesce(sum(weight.cast("long")), lit(0L)).as("_w"))
       .collect()
 
     // Driver prefix scan per group -> (boundary bucket, remaining
@@ -81,6 +100,8 @@ object Select {
     val cuts: Map[List[Any], Cut] = byGroup.map { case (g, rows) =>
       val sorted = rows.map(r => (r.getAs[Int](B), r.getAs[Long]("_w")))
         .sortBy(_._1)
+      val budget = budgetOf(g, sorted.iterator.map(_._2).sum)
+      require(budget >= 0, s"budget must be >= 0, got $budget for group $g")
       var cum = 0L
       var cut: Cut = (Int.MaxValue, 0L)
       var i = 0
@@ -112,18 +133,24 @@ object Select {
     } else {
       // Broadcast the per-group cut table; boundary window partitions
       // on the group, so only ~1/nBuckets of each group's rows sort.
+      // The join is NULL-SAFE (<=>) with renamed cut columns: a NULL
+      // group key is a real partition, as in the window form.
       val spark = df.sparkSession
       val cutRows = cuts.toSeq.map { case (g, (b, r)) =>
         org.apache.spark.sql.Row.fromSeq(g :+ b :+ r)
       }
-      val gSchema = groupCols.map(c => dfb.schema(c))
+      val gSchema = groupCols.map(c =>
+        dfb.schema(c).copy(name = "_cutg_" + c))
       val cutSchema = org.apache.spark.sql.types.StructType(
         gSchema :+
           org.apache.spark.sql.types.StructField("_cutb", org.apache.spark.sql.types.IntegerType) :+
           org.apache.spark.sql.types.StructField("_rem", org.apache.spark.sql.types.LongType))
       val cutDf = broadcast(
         spark.createDataFrame(spark.sparkContext.parallelize(cutRows, 1), cutSchema))
-      val joined = dfb.join(cutDf, groupCols)
+      val joinCond = groupCols.map(c => dfb(c) <=> cutDf("_cutg_" + c))
+        .reduce(_ && _)
+      val joined = dfb.join(cutDf, joinCond)
+        .drop(groupCols.map("_cutg_" + _): _*)
       val full = joined.filter(col(B) < col("_cutb"))
       val w = Window.partitionBy(gcols: _*).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -182,12 +209,33 @@ object Select {
                        weightCol: String, budget: Long,
                        lo: Double = 0.0, hi: Double = 1.0,
                        nBuckets: Int = 1 << 16): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    thresholdSelectWith(df, descBucket(scoreCol, lo, hi, nBuckets),
+      Seq(col(scoreCol).desc, col(idCol)), col(weightCol))((_, _) => budget)
+  }
+
+  /** [[budgetSelectDesc]] with a DATA-DERIVED budget: keep the best
+    * prefix holding `frac` of the TOTAL weight (e.g. "the
+    * highest-quality 60% of corpus tokens"). The total comes from the
+    * histogram pass — no extra corpus scan.
+    */
+  def budgetSelectDescFraction(df: DataFrame, scoreCol: String,
+                               idCol: String, weightCol: String,
+                               frac: Double,
+                               lo: Double = 0.0, hi: Double = 1.0,
+                               nBuckets: Int = 1 << 16): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac in [0,1], got $frac")
+    thresholdSelectWith(df, descBucket(scoreCol, lo, hi, nBuckets),
+      Seq(col(scoreCol).desc, col(idCol)), col(weightCol))(
+      (_, total) => math.floor(frac * total).toLong)
+  }
+
+  private def descBucket(scoreCol: String, lo: Double, hi: Double,
+                         nBuckets: Int): Column = {
     val span = hi - lo
     require(span > 0, "hi must exceed lo")
     // Monotone DESC mapping: higher score -> lower bucket.
     val frac = (lit(hi) - least(greatest(col(scoreCol), lit(lo)), lit(hi))) / lit(span)
-    val bucket = least(floor(frac * nBuckets), lit(nBuckets - 1)).cast("int")
-    thresholdSelect(df, bucket, Seq(col(scoreCol).desc, col(idCol)),
-      col(weightCol), budget)
+    least(floor(frac * nBuckets), lit(nBuckets - 1)).cast("int")
   }
 }

@@ -37,35 +37,52 @@ object SelectScaleSmoke {
       out
     }
 
+    // order-independent SET checksum: (count, sum of xxhash64(id)) —
+    // equal checksums mean the same selected id set with overwhelming
+    // probability, so the timed runs are verified, not just counted
+    def sig(d: org.apache.spark.sql.DataFrame): (Long, BigDecimal) = {
+      // decimal sum: ANSI mode would overflow a long sum of 2M hashes
+      val r = d.agg(count(lit(1)),
+        sum(xxhash64(col("id")).cast("decimal(38,0)"))).first()
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+
     // --- exact-N sample: threshold vs global-sort window ---
     val sampleN = n / 10
-    val tSel = timed(s"exactSampleN n/10")(
-      Select.exactSampleN(df, "id", sampleN).count())
+    val selDf = Select.exactSampleN(df, "id", sampleN)
+    val tSel = timed(s"exactSampleN n/10")(selDf.count())
     require(tSel == sampleN, s"exactSampleN returned $tSel, want $sampleN")
     // reference: ORDER BY md5 LIMIT n — Spark plans TakeOrdered, the
     // honest competitor (per-partition heap + driver merge of n rows)
-    val hRef = timed("orderBy(md5).limit reference")(
-      df.orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
-        .limit(sampleN.toInt).count())
+    val refDf = df.orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
+      .limit(sampleN.toInt)
+    val hRef = timed("orderBy(md5).limit reference")(refDf.count())
     require(hRef == sampleN)
+    require(sig(selDf) == sig(refDf), "exactSampleN set != limit-reference set")
 
     // --- token-budget select (quality desc, ~60% of weight) ---
     val total = df.agg(sum("w")).first().getLong(0)
     val budget = (0.6 * total).toLong
-    val bSel = timed("budgetSelectDesc 60%")(
-      Select.budgetSelectDesc(df, "q", "id", "w", budget).count())
+    val bDf = Select.budgetSelectDesc(df, "q", "id", "w", budget)
+    val bSel = timed("budgetSelectDesc 60%")(bDf.count())
     // reference: global window (the shape we refuse at scale)
     val win = Window.orderBy(col("q").desc, col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bWin = timed("global-window reference")(
-      df.withColumn("_c", sum(col("w")).over(win))
-        .filter(col("_c") <= budget).count())
+    val wDf = df.withColumn("_c", sum(col("w")).over(win))
+      .filter(col("_c") <= budget)
+    val bWin = timed("global-window reference")(wDf.count())
     require(bSel == bWin, s"budget select $bSel != window $bWin")
+    require(sig(bDf) == sig(wDf), "budget-select set != window set")
 
     // --- per-group quota over 11 groups ---
-    val gSel = timed("groupQuota 100k/group")(
-      Select.groupQuota(df, "g", "id", 100000L).count())
+    val gDf = Select.groupQuota(df, "g", "id", 100000L)
+    val gSel = timed("groupQuota 100k/group")(gDf.count())
     require(gSel == 11L * 100000L, s"groupQuota rows $gSel")
+    val gWin = Window.partitionBy(col("g")).orderBy(
+      md5(col("id").cast("string").cast("binary")), col("id"))
+    val gRef = df.withColumn("_rk", row_number().over(gWin))
+      .filter(col("_rk") <= 100000)
+    require(sig(gDf) == sig(gRef), "groupQuota set != per-group window set")
 
     spark.stop()
   }

@@ -86,6 +86,51 @@ class SelectSpec extends AnyFunSuite {
     assert(got.count(_._1 == "big") == 25)
   }
 
+  test("NULL group keys form a real partition, matching PARTITION BY") {
+    import spark.implicits._
+    val df = (0L until 120L)
+      .map(i => (i, if (i % 4 == 0) null else s"g${i % 3}"))
+      .toDF("id", "g").cache()
+    val got = Select.groupQuota(df, "g", "id", 10L)
+      .select("g", "id").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    val w = Window.partitionBy(col("g")).orderBy(
+      md5(col("id").cast("string").cast("binary")), col("id"))
+    val want = df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= 10)
+      .select("g", "id").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.count(_._1.isEmpty) == 10) // the NULL group fills its quota
+  }
+
+  test("NULL sort keys coalesce to the earliest bucket (Spark NULLS FIRST)") {
+    import spark.implicits._
+    // ids 0..49 plus 5 null-id rows; window form: NULLS FIRST means
+    // the null rows are the first prefix
+    val df = ((0L until 50L).map(i => (Some(i), 1L)) ++
+        Seq.fill(5)((Option.empty[Long], 1L)))
+      .toDF("id", "w").cache()
+    val (bucket, order) = Select.hashOrder("id", nHexChars = 2)
+    val got = Select.thresholdSelect(df, bucket, order, col("w"), 3L)
+      .collect().map(r => Option(r.get(0)))
+    // budget 3 < 5 null rows: everything kept is a null-id row
+    assert(got.length == 3 && got.forall(_.isEmpty))
+  }
+
+  test("budgetSelectDescFraction equals the fixed-budget form at the same total") {
+    import spark.implicits._
+    val df = (0L until 150L).map(i => (i, (i % 9).toDouble / 10.0, 1L + i % 4))
+      .toDF("id", "q", "w").cache()
+    val total = df.agg(sum("w")).first().getLong(0)
+    val fixed = Select.budgetSelectDesc(df, "q", "id", "w",
+        math.floor(0.6 * total).toLong)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val frac = Select.budgetSelectDescFraction(df, "q", "id", "w", 0.6)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(fixed == frac)
+  }
+
   test("budgetSelectDesc keeps the best-quality prefix with exact tie order") {
     import spark.implicits._
     // deliberately heavy ties in the score column
