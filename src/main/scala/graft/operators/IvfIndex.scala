@@ -865,9 +865,23 @@ object IvfIndex {
                    normalized: Boolean = true, maxIter: Int = 8): Array[Array[Double]] = {
     val total = store.count()
     val vecsDf = store.select(col(vecCol))
+    // CONTENT-derived Bernoulli sample: `df.sample` consumes a
+    // per-partition RNG in row order, and a post-shuffle partition's
+    // row order varies with fetch order across runs — so both sample
+    // membership and order were run-nondeterministic, and k-means++
+    // init with them (observed as an ANN-recall flap at nProbe=1 in
+    // the r12 bench). Hashing the vector itself makes membership a
+    // function of the DATA only (duplicate vectors sample together —
+    // acceptable for a fit sample); the driver-side lexicographic
+    // sort below makes the init order canonical regardless of
+    // collect order.
     val sampled =
       if (total <= sampleCap) vecsDf
-      else vecsDf.sample(withReplacement = false, sampleCap.toDouble / total, seed)
+      else {
+        val thr = ((sampleCap.toDouble / total) * (1L << 32)).toLong
+        vecsDf.filter(
+          pmod(xxhash64(col(vecCol), lit(seed)), lit(1L << 32)) < thr)
+      }
     val sample: Array[Array[Double]] = sampled.collect().map { r =>
       val v = r.getSeq[Float](0)
       val d = new Array[Double](v.length)
@@ -880,6 +894,18 @@ object IvfIndex {
       }
       d
     }
+    java.util.Arrays.sort(sample, new java.util.Comparator[Array[Double]] {
+      def compare(a: Array[Double], b: Array[Double]): Int = {
+        var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          val c = java.lang.Double.compare(a(i), b(i))
+          if (c != 0) return c
+          i += 1
+        }
+        Integer.compare(a.length, b.length)
+      }
+    })
     LocalKMeans.fit(sample, nList, maxIter, seed)
   }
 

@@ -578,4 +578,28 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(again.nonEmpty && again.map(_.id).forall(_ != "r0"))
     assert(s.lastQueryStrategy.contains("ann")) // rebuilt, back on the index
   }
+
+  test("fitCentroids is layout-independent: same centroids for any partitioning/order") {
+    // content-hash sampling + canonical driver-side sort: the fit must
+    // not depend on partition count, row order, or shuffle fetch order
+    // (the r12 bench observed an np1 recall flap from exactly this)
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 3000).map { i =>
+      val v = Array.fill(6)(rng.nextFloat())
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i.toLong, v.map(_ / n))
+    }
+    val base = rows.toDF("id", "vec")
+    val layouts = Seq(
+      base.repartition(7),
+      base.repartition(3, col("id")),
+      base.orderBy(col("id").desc).repartition(11))
+    val fits = layouts.map(df =>
+      IvfIndex.fitCentroids(df, "vec", nList = 8, sampleCap = 500))
+    val head = fits.head
+    fits.tail.foreach { f =>
+      assert(f.length == head.length)
+      f.zip(head).foreach { case (a, b) => assert(a.sameElements(b)) }
+    }
+  }
 }
