@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Distributed order-statistics selection: "take the best rows until a
   * budget is exhausted" WITHOUT a global sort.
@@ -13,36 +14,45 @@ import org.apache.spark.sql.functions._
   * `SUM(w) OVER (ORDER BY key) <= budget`, which at 100 TB means a
   * full-corpus range-partitioned sort (terabytes through one total
   * order) before a single row is kept. This operator replaces it with
-  * the classic two-pass threshold scheme used by distributed
+  * the classic multi-pass threshold scheme used by distributed
   * ORDER BY ... LIMIT implementations:
   *
   *  1. HISTOGRAM pass: each row maps to a coarse bucket (a monotone
-  *     quantization of the sort key, e.g. the top 16 bits of an md5
-  *     prefix, or `floor(quality * 64Ki)`); one `groupBy(bucket)` sums
-  *     the weights — a shuffle of at most `nBuckets` rows, collected
-  *     to the driver (bounded: 64Ki longs, same driver-boundedness
-  *     argument as the k-means sampleCap).
+  *     quantization of the sort key, e.g. the top 8 bits of an md5
+  *     prefix, or `floor(quality * 256)`); one `groupBy(bucket)` sums
+  *     the weights — a shuffle of at most nBuckets rows, collected
+  *     to the driver (bounded: the same driver-boundedness argument
+  *     as the k-means sampleCap).
   *  2. PREFIX scan on the driver finds the boundary bucket b*: every
   *     bucket strictly before b* fits inside the budget in full; b*
   *     itself only partially.
-  *  3. SELECT pass: rows in buckets < b* are kept with a map-side
-  *     filter (no shuffle, no sort); ONLY the boundary bucket's rows —
-  *     an expected 1/nBuckets of the data (~1.5 GB of a 100 TB corpus
-  *     at the 64Ki default) — go through an exact in-bucket window to
-  *     spend the remaining budget.
+  *  3. REFINE (optional further levels): the boundary bucket's rows —
+  *     an expected 1/nBuckets of the input — repeat (1)+(2) with a
+  *     finer bucketization and the remaining budget. Each level is a
+  *     map-side filter + a tiny histogram; no shuffles of row data.
+  *  4. SELECT pass: rows in buckets < b* at any level are kept with a
+  *     map-side filter (no shuffle, no sort); ONLY the final level's
+  *     boundary rows — 1/(nBuckets^levels) of the input, ~6 MB of a
+  *     100 TB corpus at two 256-way levels — go through an exact
+  *     in-bucket window to spend the remaining budget.
   *
-  * The result is row-for-row identical to the global window (the
+  * The result is row-for-row identical to the global window (each
   * bucket function is a monotone coarsening of the total order, so
   * cross-bucket order is already decided; the window re-establishes
   * the exact order only where it still matters). Equivalence against
-  * the window form is pinned in SelectSpec.
+  * the window form is pinned in SelectSpec, including multi-level.
   *
   * The same machinery runs per-group (`groupCols` non-empty) for
-  * per-language / per-domain quotas: the histogram keys on
+  * per-language / per-domain quotas: histograms key on
   * (group, bucket) — driver-bounded by nGroups x occupied buckets —
-  * and the boundary window partitions on the group, so a single giant
+  * and the final window partitions on the group, so a single giant
   * group ("en" at 90% of the corpus) never funnels through one task
-  * the way a plain `row_number() OVER (PARTITION BY lang)` does.
+  * the way a plain `row_number() OVER (PARTITION BY lang)` does: with
+  * two 256-way levels its window input is 1/65536 of the group.
+  *
+  * Each level's histogram re-filters from the source (levels are
+  * map-side filter scans — cheap, shuffle-free, and cache-friendly if
+  * the caller persisted the input); nothing is pinned internally.
   */
 object Select {
 
@@ -53,10 +63,13 @@ object Select {
     * `weight` sum stays <= `budget`. A row is kept iff the cumulative
     * weight INCLUDING it is within budget (the SQL-window semantics).
     *
-    * `bucket` must be a monotone coarsening of `order`: if bucket(r1)
-    * < bucket(r2) then r1 precedes r2 in the intended order, and rows
-    * that compare equal land in the same bucket (make it a function of
-    * the leading sort key only). Buckets are traversed ascending. A
+    * `buckets` are coarse-to-fine monotone coarsenings of `order`:
+    * for the first level, bucket(r1) < bucket(r2) implies r1 precedes
+    * r2 in the intended order; each later level needs the same
+    * property only WITHIN one parent bucket (a strict prefix
+    * refinement, e.g. 2 then 4 leading md5 hex chars, satisfies it
+    * globally). Rows that compare equal under `order` must land in
+    * the same bucket at every level. Buckets traverse ascending. A
     * NULL bucket (e.g. md5 of a NULL id) coalesces to bucket 0,
     * consistent with Spark's NULLS-FIRST ascending sort — rows with a
     * NULL sort key are the earliest prefix, exactly where the window
@@ -66,107 +79,152 @@ object Select {
     * `weight` must be a non-negative integral column; a NULL weight
     * counts as 0 (SQL SUM semantics).
     */
-  def thresholdSelect(df: DataFrame, bucket: Column, order: Seq[Column],
-                      weight: Column, budget: Long,
+  def thresholdSelect(df: DataFrame, buckets: Seq[Column],
+                      order: Seq[Column], weight: Column, budget: Long,
                       groupCols: Seq[String] = Nil): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
-    thresholdSelectWith(df, bucket, order, weight, groupCols)(
+    thresholdSelectWith(df, buckets, order, weight, groupCols)(
       (_, _) => budget)
   }
 
+  /** Single-level convenience overload. */
+  def thresholdSelect(df: DataFrame, bucket: Column, order: Seq[Column],
+                      weight: Column, budget: Long): DataFrame =
+    thresholdSelect(df, Seq(bucket), order, weight, budget)
+
   /** Core: like [[thresholdSelect]] but the per-group budget is a
     * function of (group key, group's total weight) — computed from
-    * the histogram pass, so data-derived budgets ("60% of corpus
-    * tokens") cost NO extra corpus scan.
+    * the first histogram pass, so data-derived budgets ("60% of
+    * corpus tokens") cost NO extra corpus scan.
     */
-  def thresholdSelectWith(df: DataFrame, bucket: Column,
+  def thresholdSelectWith(df: DataFrame, buckets: Seq[Column],
                           order: Seq[Column], weight: Column,
                           groupCols: Seq[String] = Nil)
                          (budgetOf: (List[Any], Long) => Long): DataFrame = {
     require(order.nonEmpty, "need at least one order column")
-    val dfb = df.withColumn(B, coalesce(bucket.cast("int"), lit(0)))
+    require(buckets.nonEmpty, "need at least one bucket level")
     val gcols = groupCols.map(col)
+    val wLong = weight.cast("long")
 
-    // Pass 1: (group, bucket) weight histogram, driver-bounded.
-    val hist = dfb.groupBy((gcols :+ col(B)): _*)
-      .agg(coalesce(sum(weight.cast("long")), lit(0L)).as("_w"))
-      .collect()
+    var work: DataFrame = df
+    var keeps: List[DataFrame] = Nil
+    // per-group remaining budget, carried across levels
+    var budgets: Map[List[Any], Long] = Map.empty
 
-    // Driver prefix scan per group -> (boundary bucket, remaining
-    // budget inside it). Groups whose total fits entirely get cut =
-    // (Int.MaxValue, 0): every bucket passes the strict filter.
-    type Cut = (Int, Long)
-    val byGroup = hist.groupBy(r => groupCols.map(r.getAs[Any]).toList)
-    val cuts: Map[List[Any], Cut] = byGroup.map { case (g, rows) =>
-      val sorted = rows.map(r => (r.getAs[Int](B), r.getAs[Long]("_w")))
-        .sortBy(_._1)
-      val budget = budgetOf(g, sorted.iterator.map(_._2).sum)
-      require(budget >= 0, s"budget must be >= 0, got $budget for group $g")
-      var cum = 0L
-      var cut: Cut = (Int.MaxValue, 0L)
-      var i = 0
-      var done = false
-      while (i < sorted.length && !done) {
-        val (b, w) = sorted(i)
-        if (cum + w > budget) { cut = (b, budget - cum); done = true }
-        else cum += w
-        i += 1
-      }
-      g -> cut
-    }
-
-    if (groupCols.isEmpty) {
-      val (cutB, remaining) = cuts.getOrElse(Nil, (Int.MaxValue, 0L))
-      val full = dfb.filter(col(B) < cutB)
-      // remaining == 0 still needs the window: zero-weight rows at the
-      // front of the boundary bucket are kept by the SQL-window form.
-      val boundary =
-        if (cutB == Int.MaxValue) None
-        else {
-          val w = Window.partitionBy(lit(0)).orderBy(order: _*)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          Some(dfb.filter(col(B) === cutB)
-            .withColumn("_cum", sum(weight.cast("long")).over(w))
-            .filter(col("_cum") <= remaining).drop("_cum"))
+    for ((bk, li) <- buckets.zipWithIndex) {
+      val dfb = work.withColumn(B, coalesce(bk.cast("int"), lit(0)))
+      val hist = dfb.groupBy((gcols :+ col(B)): _*)
+        .agg(coalesce(sum(wLong), lit(0L)).as("_w"))
+        .collect()
+      val byGroup = hist.groupBy(r => groupCols.map(r.getAs[Any]).toList)
+      val cuts: Map[List[Any], (Int, Long)] = byGroup.map { case (g, rows) =>
+        val sorted = rows.map(r => (r.getAs[Int](B), r.getAs[Long]("_w")))
+          .sortBy(_._1)
+        val budget =
+          if (li == 0) {
+            val b = budgetOf(g, sorted.iterator.map(_._2).sum)
+            require(b >= 0, s"budget must be >= 0, got $b for group $g")
+            b
+          } else budgets.getOrElse(g, 0L)
+        var cum = 0L
+        var cut = (Int.MaxValue, 0L)
+        var i = 0
+        var done = false
+        while (i < sorted.length && !done) {
+          val (b, w) = sorted(i)
+          if (cum + w > budget) { cut = (b, budget - cum); done = true }
+          else cum += w
+          i += 1
         }
-      boundary.fold(full)(full.unionByName(_)).drop(B)
-    } else {
-      // Broadcast the per-group cut table; boundary window partitions
-      // on the group, so only ~1/nBuckets of each group's rows sort.
-      // The join is NULL-SAFE (<=>) with renamed cut columns: a NULL
-      // group key is a real partition, as in the window form.
-      val spark = df.sparkSession
-      val cutRows = cuts.toSeq.map { case (g, (b, r)) =>
-        org.apache.spark.sql.Row.fromSeq(g :+ b :+ r)
+        // fully-fitting group: whole level keeps, nothing boundary —
+        // remaining budget is irrelevant (no rows survive to refine)
+        g -> cut
       }
-      val gSchema = groupCols.map(c =>
-        dfb.schema(c).copy(name = "_cutg_" + c))
-      val cutSchema = org.apache.spark.sql.types.StructType(
-        gSchema :+
-          org.apache.spark.sql.types.StructField("_cutb", org.apache.spark.sql.types.IntegerType) :+
-          org.apache.spark.sql.types.StructField("_rem", org.apache.spark.sql.types.LongType))
-      val cutDf = broadcast(
-        spark.createDataFrame(spark.sparkContext.parallelize(cutRows, 1), cutSchema))
-      val joinCond = groupCols.map(c => dfb(c) <=> cutDf("_cutg_" + c))
-        .reduce(_ && _)
-      val joined = dfb.join(cutDf, joinCond)
-        .drop(groupCols.map("_cutg_" + _): _*)
-      val full = joined.filter(col(B) < col("_cutb"))
-      val w = Window.partitionBy(gcols: _*).orderBy(order: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // bucket values are < Int.MaxValue, so fully-fitting groups
-      // (cut = MaxValue) contribute no boundary rows here.
-      val boundary = joined.filter(col(B) === col("_cutb"))
-        .withColumn("_cum", sum(weight.cast("long")).over(w))
-        .filter(col("_cum") <= col("_rem")).drop("_cum")
-      full.unionByName(boundary).drop(B, "_cutb", "_rem")
+      budgets = cuts.map { case (g, (_, rem)) => g -> rem }
+
+      if (groupCols.isEmpty) {
+        val (cutB, _) = cuts.getOrElse(Nil, (Int.MaxValue, 0L))
+        keeps ::= dfb.filter(col(B) < cutB).drop(B)
+        work =
+          if (cutB == Int.MaxValue) dfb.filter(lit(false)).drop(B)
+          else dfb.filter(col(B) === cutB).drop(B)
+      } else {
+        val joined = joinCuts(dfb, groupCols, cuts.map {
+          case (g, (b, _)) => g -> b
+        })
+        keeps ::= joined.filter(col(B) < col("_cutb")).drop(B, "_cutb")
+        // bucket values are < Int.MaxValue, so fully-fitting groups
+        // contribute no boundary rows here.
+        work = joined.filter(col(B) === col("_cutb")).drop(B, "_cutb")
+      }
     }
+
+    // Final exact window over the last boundary — remaining == 0 still
+    // needs it: zero-weight rows at the front of the boundary are kept
+    // by the SQL-window form.
+    val finals =
+      if (groupCols.isEmpty) {
+        val remaining = budgets.getOrElse(Nil, 0L)
+        val w = Window.partitionBy(lit(0)).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        work.withColumn("_cum", sum(wLong).over(w))
+          .filter(col("_cum") <= remaining).drop("_cum")
+      } else {
+        val joined = joinRem(work, groupCols, budgets)
+        val w = Window.partitionBy(gcols: _*).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        joined.withColumn("_cum", sum(wLong).over(w))
+          .filter(col("_cum") <= col("_rem")).drop("_cum", "_rem")
+      }
+    (finals :: keeps).reduce(_ unionByName _)
+  }
+
+  /** Broadcast a per-group int payload and null-safe-join it on the
+    * group columns as `_cutb` (NULL group keys are a real group).
+    */
+  private def joinCuts(dfb: DataFrame, groupCols: Seq[String],
+                       cut: Map[List[Any], Int]): DataFrame = {
+    val rows = cut.toSeq.map { case (g, b) => Row.fromSeq(g :+ b) }
+    joinPayload(dfb, groupCols, rows,
+      StructField("_cutb", IntegerType))
+  }
+
+  private def joinRem(dfb: DataFrame, groupCols: Seq[String],
+                      rem: Map[List[Any], Long]): DataFrame = {
+    val rows = rem.toSeq.map { case (g, r) => Row.fromSeq(g :+ r) }
+    joinPayload(dfb, groupCols, rows,
+      StructField("_rem", LongType))
+  }
+
+  private def joinPayload(dfb: DataFrame, groupCols: Seq[String],
+                          rows: Seq[Row], payload: StructField): DataFrame = {
+    val spark = dfb.sparkSession
+    val gSchema = groupCols.map(c => dfb.schema(c).copy(name = "_cutg_" + c))
+    val schema = StructType(gSchema :+ payload)
+    val cutDf = broadcast(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+    val cond = groupCols.map(c => dfb(c) <=> cutDf("_cutg_" + c))
+      .reduce(_ && _)
+    dfb.join(cutDf, cond).drop(groupCols.map("_cutg_" + _): _*)
   }
 
   /** Hex-hash ordering columns for deterministic sampling, matching
     * the q38 convention (md5 of the id rendered as a string): the full
     * 32-char lowercase hex compares identically to the 128-bit value,
-    * and its top 16 bits give the monotone bucket.
+    * and hex prefixes give nested monotone buckets — level i uses the
+    * first 2·i chars, so each level 256-way refines its parent.
+    */
+  def hashBuckets(idCol: String,
+                  nLevels: Int = 2): (Seq[Column], Seq[Column]) = {
+    require(nLevels >= 1 && nLevels <= 3, "1..3 levels (int-safe)")
+    val h = md5(col(idCol).cast("string").cast("binary"))
+    val buckets = (1 to nLevels).map(l =>
+      conv(substring(h, 1, 2 * l), 16, 10).cast("int"): Column)
+    (buckets, Seq(h, col(idCol)))
+  }
+
+  /** Single-level variant of [[hashBuckets]] (kept for callers that
+    * band rows themselves).
     */
   def hashOrder(idCol: String, nHexChars: Int = 4): (Column, Seq[Column]) = {
     require(nHexChars >= 1 && nHexChars <= 7, "1..7 hex chars (int-safe)")
@@ -177,26 +235,27 @@ object Select {
 
   /** Exactly-N deterministic global sample: the N rows with the
     * smallest md5(id) (ties by id). Equivalent to
-    * `ORDER BY md5(id::varchar), id LIMIT n` without the global sort.
+    * `ORDER BY md5(id::varchar), id LIMIT n` without the global sort;
+    * two 256-way levels leave 1/65536 of the rows for the final
+    * window.
     */
   def exactSampleN(df: DataFrame, idCol: String, n: Long): DataFrame = {
-    val (bucket, order) = hashOrder(idCol)
-    thresholdSelect(df, bucket, order, lit(1L), n)
+    val (buckets, order) = hashBuckets(idCol)
+    thresholdSelect(df, buckets, order, lit(1L), n)
   }
 
   /** Per-group exactly-`quota` deterministic sample (language /
     * domain balancing): within each group, the `quota` rows with the
     * smallest md5(id). Equivalent to
     * `row_number() OVER (PARTITION BY group ORDER BY md5(id), id) <= quota`
-    * with the boundary-bucket window as the only per-row sort.
+    * — two 256-way levels per group, so even a 90%-of-corpus group
+    * sorts only 1/65536 of its rows in the final window; the driver
+    * histograms stay nGroups x 256.
     */
   def groupQuota(df: DataFrame, groupCol: String, idCol: String,
                  quota: Long): DataFrame = {
-    // 256 buckets per group keeps the driver histogram at
-    // nGroups x 256 rows while still sorting only ~1/256 of each
-    // group through the boundary window.
-    val (bucket, order) = hashOrder(idCol, nHexChars = 2)
-    thresholdSelect(df, bucket, order, lit(1L), quota, Seq(groupCol))
+    val (buckets, order) = hashBuckets(idCol)
+    thresholdSelect(df, buckets, order, lit(1L), quota, Seq(groupCol))
   }
 
   /** Token-budget curation: order rows by (`scoreCol` DESC, id ASC) —
@@ -207,28 +266,35 @@ object Select {
     */
   def budgetSelectDesc(df: DataFrame, scoreCol: String, idCol: String,
                        weightCol: String, budget: Long,
-                       lo: Double = 0.0, hi: Double = 1.0,
-                       nBuckets: Int = 1 << 16): DataFrame = {
+                       lo: Double = 0.0, hi: Double = 1.0): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
-    thresholdSelectWith(df, descBucket(scoreCol, lo, hi, nBuckets),
+    thresholdSelectWith(df, descBuckets(scoreCol, lo, hi),
       Seq(col(scoreCol).desc, col(idCol)), col(weightCol))((_, _) => budget)
   }
 
   /** [[budgetSelectDesc]] with a DATA-DERIVED budget: keep the best
     * prefix holding `frac` of the TOTAL weight (e.g. "the
     * highest-quality 60% of corpus tokens"). The total comes from the
-    * histogram pass — no extra corpus scan.
+    * first histogram pass — no extra corpus scan.
     */
   def budgetSelectDescFraction(df: DataFrame, scoreCol: String,
                                idCol: String, weightCol: String,
                                frac: Double,
-                               lo: Double = 0.0, hi: Double = 1.0,
-                               nBuckets: Int = 1 << 16): DataFrame = {
+                               lo: Double = 0.0, hi: Double = 1.0): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0, s"frac in [0,1], got $frac")
-    thresholdSelectWith(df, descBucket(scoreCol, lo, hi, nBuckets),
+    thresholdSelectWith(df, descBuckets(scoreCol, lo, hi),
       Seq(col(scoreCol).desc, col(idCol)), col(weightCol))(
       (_, total) => math.floor(frac * total).toLong)
   }
+
+  /** Two nested DESC quantizations (256-way then 65536-way): the finer
+    * level's value is `parent*256 + child`, so it monotone-refines its
+    * parent bucket exactly.
+    */
+  private def descBuckets(scoreCol: String, lo: Double,
+                          hi: Double): Seq[Column] =
+    Seq(descBucket(scoreCol, lo, hi, 1 << 8),
+      descBucket(scoreCol, lo, hi, 1 << 16))
 
   private def descBucket(scoreCol: String, lo: Double, hi: Double,
                          nBuckets: Int): Column = {

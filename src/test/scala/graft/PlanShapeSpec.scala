@@ -378,10 +378,16 @@ class PlanShapeSpec extends AnyFunSuite {
   test("group quota: cut table broadcasts; one group-partitioned boundary window") {
     val plan = formatted(Queries.groupQuotaSample(spark, dir))
     // detail-header form "(n) Op" counts each node once (tree lines
-    // render as "Op (n)")
-    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size == 2) // both branches join the cut table
+    // render as "Op (n)"). Two 256-way levels: keep0 joins cuts0 (1),
+    // keep1 joins cuts0+cuts1 (2), final joins cuts0+cuts1+rem (3) —
+    // all six are BROADCAST joins of driver-built cut tables; the only
+    // per-row exchange is the final boundary window's, and its input
+    // is 1/65536 of each group.
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size == 6,
+      s"plan:\n$plan")
     assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size == 1)
     assert("\\(\\d+\\) Window".r.findAllIn(plan).size == 1)
+    assert("\\(\\d+\\) SortMergeJoin".r.findAllIn(plan).isEmpty)
   }
 
   test("pmi: persisted gram tables — the final plan reads only the caches") {
