@@ -26,7 +26,11 @@ object SelectScaleSmoke {
       .select(col("id"),
         (col("id") % 47).cast("double").divide(47.0).as("q"),
         (col("id") % 13 + 1).cast("long").as("w"),
-        concat(lit("g"), (col("id") % 11).cast("string")).as("g"))
+        // 90%-skewed groups: "big" holds 9/10 of rows — the giant-group
+        // case the per-group histogram + 2-level refine exists for
+        when(col("id") % 10 === 0,
+          concat(lit("g"), (col("id") % 7).cast("string")))
+          .otherwise(lit("big")).as("g"))
       .persist()
     println(s"SMOKE rows = ${df.count()}")
 
@@ -74,10 +78,10 @@ object SelectScaleSmoke {
     require(bSel == bWin, s"budget select $bSel != window $bWin")
     require(sig(bDf) == sig(wDf), "budget-select set != window set")
 
-    // --- per-group quota over 11 groups ---
+    // --- per-group quota: 7 small groups + one 90%-of-rows group ---
     val gDf = Select.groupQuota(df, "g", "id", 100000L)
-    val gSel = timed("groupQuota 100k/group")(gDf.count())
-    require(gSel == 11L * 100000L, s"groupQuota rows $gSel")
+    val gSel = timed("groupQuota 100k/group skewed")(gDf.count())
+    require(gSel == 8L * 100000L, s"groupQuota rows $gSel")
     val gWin = Window.partitionBy(col("g")).orderBy(
       md5(col("id").cast("string").cast("binary")), col("id"))
     val gRef = df.withColumn("_rk", row_number().over(gWin))
