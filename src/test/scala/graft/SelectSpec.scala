@@ -131,6 +131,35 @@ class SelectSpec extends AnyFunSuite {
     assert(fixed == frac)
   }
 
+  test("thresholdSelect equals the window on random corpora (seeded trials)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(271828)
+    for (trial <- 1 to 4) {
+      val n = 50 + rng.nextInt(300)
+      // random weights including zeros, random group fan-out
+      val rows = (0L until n.toLong).map { i =>
+        (i, rng.nextInt(5).toLong, s"g${rng.nextInt(1 + rng.nextInt(4))}")
+      }
+      val df = rows.toDF("id", "w", "g").cache()
+      val total = rows.map(_._2).sum
+      val budget = (rng.nextDouble() * total * 1.2).toLong
+      assert(hashSelect(df, budget) == windowSelect(df, budget),
+        s"trial $trial ungrouped, budget=$budget")
+      val quota = 1L + rng.nextInt(40)
+      val got = Select.groupQuota(df, "g", "id", quota)
+        .select("g", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val w = Window.partitionBy(col("g")).orderBy(
+        md5(col("id").cast("string").cast("binary")), col("id"))
+      val want = df.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= quota)
+        .select("g", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want, s"trial $trial grouped, quota=$quota")
+      df.unpersist()
+    }
+  }
+
   test("budgetSelectDesc keeps the best-quality prefix with exact tie order") {
     import spark.implicits._
     // deliberately heavy ties in the score column
