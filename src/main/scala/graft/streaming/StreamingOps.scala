@@ -372,6 +372,51 @@ object StreamingOps {
       }
   }
 
+  /** Streaming per-group token-budget gate: the continuous twin of the
+    * batch token-budget selection (q69 /
+    * [[graft.operators.Select.budgetSelectDesc]]). Documents arrive
+    * keyed by a group (source/domain); `flatMapGroupsWithState` keeps
+    * ONE long of state per group — tokens admitted so far — and emits
+    * a document iff its tokens still fit the group's budget
+    * (first-fit in processing order; within a micro-batch, doc-id
+    * order for determinism). Unlike the batch form there is no global
+    * quality ranking — a stream cannot rank against documents it has
+    * not seen — so the gate is the standard streaming-ingest
+    * admission contract: cap each source's token contribution,
+    * exactly (running + tokens <= budget), skip-and-continue so
+    * smaller later docs may still fit.
+    *
+    * Scale: one long of state per group in the state store; documents
+    * stream through their group's partition, nothing global.
+    *
+    * Input columns: (doc_id long, source string, n_tokens long).
+    * Output: (doc_id, source, n_tokens, cum_tokens) of admitted docs.
+    */
+  def budgetGateStream(stream: DataFrame, budgetPerGroup: Long)
+    : org.apache.spark.sql.Dataset[(Long, String, Long, Long)] = {
+    require(budgetPerGroup >= 0, s"budget must be >= 0, got $budgetPerGroup")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import stream.sparkSession.implicits._
+    val rows = stream.select(col("doc_id").cast("long"),
+        col("source").cast("string"), col("n_tokens").cast("long"))
+      .as[(Long, String, Long)]
+    rows.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val out = IndexedSeq.newBuilder[(Long, String, Long, Long)]
+          it.toIndexedSeq.sortBy(_._1).foreach { case (id, src, tok) =>
+            if (used + tok <= budgetPerGroup) {
+              used += tok
+              out += ((id, src, tok, used))
+            }
+          }
+          state.update(used)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup with CUSTOM STATE: keyed by content hash,
     * `flatMapGroupsWithState` keeps one boolean of state per key and
     * emits only the FIRST occurrence of each distinct content across

@@ -84,6 +84,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(all == Set(("d1", "alpha beta"), ("d2", "gamma"), ("d5", "delta")))
   }
 
+  test("budget gate admits per-group tokens first-fit across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF().toDF("doc_id", "source", "n_tokens")
+    val gate = graft.streaming.StreamingOps.budgetGateStream(stream, budgetPerGroup = 10L)
+
+    // batch 1: A uses 4+5=9 (doc 3's 6 skipped, doc 4's 1 still fits);
+    // B fits both
+    mem.addData((1L, "A", 4L), (2L, "A", 5L), (3L, "A", 6L), (4L, "A", 1L),
+      (10L, "B", 7L), (11L, "B", 3L))
+    val q = gate.toDF("doc_id", "source", "n_tokens", "cum")
+      .writeStream.outputMode("append").format("memory").queryName("gate1")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val b1 = spark.table("gate1").as[(Long, String, Long, Long)].collect().toSet
+    assert(b1 == Set((1L, "A", 4L, 4L), (2L, "A", 5L, 9L), (4L, "A", 1L, 10L),
+      (10L, "B", 7L, 7L), (11L, "B", 3L, 10L)))
+
+    // batch 2 (fresh checkpoint replays all): A is at 10 after batch 1,
+    // so every further A doc is rejected; group C starts fresh
+    mem.addData((5L, "A", 1L), (20L, "C", 9L))
+    val q2 = gate.toDF("doc_id", "source", "n_tokens", "cum")
+      .writeStream.outputMode("append").format("memory").queryName("gate2")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    val all = spark.table("gate2").as[(Long, String, Long, Long)].collect().toSet
+    assert(all == b1 + ((20L, "C", 9L, 9L))) // doc 5 rejected: A exhausted
+  }
+
   test("streaming as-of enrichment: event-time within a batch, latest-known across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
