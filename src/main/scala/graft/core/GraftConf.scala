@@ -52,6 +52,24 @@ final class GraftConf(spark: SparkSession) {
     opt("ann.dsroute.threshold", "GRAFT_ANN_DSROUTE_THRESHOLD").map(_.toInt)
       .getOrElse(1024)
 
+  /** Probe-fraction crossover for IVF search (the argsort-vs-
+    * argpartition crossover idea from the reference, pico_vdb.py:
+    * 160-167, applied one level up): when a search's requested
+    * nProbe covers at least this fraction of the lists, the probing
+    * machinery (per-query centroid scan, per-bucket query routing,
+    * subset heap views) costs as much as the pruning saves — measured
+    * at the 100k x 1024 headline, probing HALF the lists walls the
+    * same as the full exact scan. At or past the fraction every
+    * search path snaps nProbe to nList: the all-bucket scan, exact
+    * results, recall 1.0. >= 1.0 disables the snap (always probe as
+    * requested). Applied uniformly across searchMerged/searchPacked/
+    * search/searchDs and the q8 twins so cross-path parity holds at
+    * every nProbe.
+    */
+  def annExactScanFraction: Double =
+    opt("ann.exactscan.fraction", "GRAFT_ANN_EXACTSCAN_FRACTION")
+      .map(_.toDouble).getOrElse(0.5)
+
   /** Driver-side sample cap for the k-means fit. */
   def annSampleCap: Int =
     opt("ann.sample.cap", "GRAFT_ANN_SAMPLE_CAP").map(_.toInt).getOrElse(20000)

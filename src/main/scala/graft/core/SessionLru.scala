@@ -54,6 +54,21 @@ final class SessionLru[K, V](maxEntries: Int,
     while (it.hasNext) if (sessionOf(it.next()).sparkContext.isStopped) it.remove()
   }
 
+  /** Drop (and release via `onEvict`) every entry owned by `spark` —
+    * the explicit-invalidation handle for sessions that rewrite a
+    * cached value's input files in place.
+    */
+  def dropSession(spark: SparkSession): Unit = m.synchronized {
+    val it = m.values().iterator()
+    while (it.hasNext) {
+      val v = it.next()
+      if (sessionOf(v) eq spark) {
+        it.remove()
+        if (!spark.sparkContext.isStopped) onEvict(v)
+      }
+    }
+  }
+
   def getOrBuild(key: K)(mk: => V): V = {
     m.synchronized {
       sweepDead()

@@ -16,6 +16,16 @@ import org.apache.spark.storage.StorageLevel
   * dedupes persist() by semantic plan, so a racing loser's DataFrame
   * IS the winner's cache entry — unpersisting it would uncache the
   * winner. Eviction still unpersists.
+  *
+  * IMMUTABLE-INPUT ASSUMPTION (ADVICE r12): the key is the semantic
+  * PLAN, not the data — if the underlying files are rewritten within
+  * a session, cached callers (q71/q74 gram tables, bm25's per-doc
+  * frame) serve the counts read at first materialization while
+  * uncached queries see fresh data. That matches Spark's own
+  * `Dataset.persist` contract (a pinned table never re-reads its
+  * source); sessions that rewrite inputs in place should call
+  * [[invalidate]] — the explicit-lifecycle release handle, matching
+  * CosineTopK's convention.
   */
 private[operators] object GramCache {
   final case class Entry(df: DataFrame, session: SparkSession)
@@ -32,4 +42,10 @@ private[operators] object GramCache {
       Entry(df.persist(StorageLevel.MEMORY_AND_DISK), spark)
     }.df
   }
+
+  /** Drop every gram table pinned for `spark` (unpersists each).
+    * For sessions that rewrite input files in place — see the
+    * immutable-input note above.
+    */
+  def invalidate(spark: SparkSession): Unit = lru.dropSession(spark)
 }

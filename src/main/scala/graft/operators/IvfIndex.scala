@@ -69,6 +69,39 @@ final class IvfIndex(
   @volatile private var lastDsRoute: String = "declarative"
   def lastSearchDsPath: String = lastDsRoute
 
+  /** Probe strategy of the most recent search on this index:
+    * "probe(np=N)" (pruned IVF scan), "exact_snap(requested=N)" (the
+    * crossover below snapped the request to the all-list exact scan),
+    * or "exact_all_lists" (nProbe = nList was requested outright).
+    * Spec-pinned; the bench reads it to attribute np-sweep rows.
+    */
+  @volatile private var lastStrategyVar: String = ""
+  def lastSearchStrategy: String = lastStrategyVar
+
+  /** Resolve a requested nProbe, applying the probe-fraction crossover
+    * ([[graft.core.GraftConf.annExactScanFraction]]): past the
+    * fraction, per-bucket probe machinery costs as much as the
+    * pruning saves (measured: probing half the lists walls the same
+    * as the full scan at the 100k x 1024 headline), so the request
+    * snaps to nList — the all-bucket EXACT scan, recall 1.0. Every
+    * search path resolves through here, so cross-path parity at equal
+    * nProbe survives the snap. Driver-side only (GraftConf holds the
+    * session).
+    */
+  private def resolveNProbe(requested: Int): Int = {
+    val base = math.min(
+      if (requested > 0) requested else IvfIndex.defaultNProbe(nList), nList)
+    val frac = new graft.core.GraftConf(assigned.sparkSession).annExactScanFraction
+    if (base < nList && frac < 1.0 && base.toDouble >= frac * nList) {
+      lastStrategyVar = s"exact_snap(requested=$base)"
+      nList
+    } else {
+      lastStrategyVar =
+        if (base == nList) "exact_all_lists" else s"probe(np=$base)"
+      base
+    }
+  }
+
   /** Nearest-centroid ids for one query vector (driver-side; centroids
     * are tiny by construction). Inner-product order, matching the
     * assignment rule.
@@ -95,7 +128,7 @@ final class IvfIndex(
       require(v.length == dim,
         s"IvfIndex.search: query $qid has dim ${v.length}, index dim is $dim")
     }
-    val np = if (nProbe > 0) nProbe else IvfIndex.defaultNProbe(nList)
+    val np = resolveNProbe(nProbe)
     val spark = assigned.sparkSession
     import spark.implicits._
     // (qid, probe centroid) pairs — broadcast-joined against the store's
@@ -217,7 +250,7 @@ final class IvfIndex(
         }
       }
     }
-    val np = if (nProbe > 0) nProbe else IvfIndex.defaultNProbe(nList)
+    val np = resolveNProbe(nProbe)
     // Query-side preparation matches the driver path ([[search]])
     // bit-for-bit (ADVICE r7 — it used NormalizeL2, which works in
     // FLOAT precision and applied the zero->e0 rule only when
@@ -311,7 +344,7 @@ final class IvfIndex(
     import graft.operators.{Kernels => Kn}
     val spark = assigned.sparkSession
     val sc = spark.sparkContext
-    val np = math.min(if (nProbe > 0) nProbe else IvfIndex.defaultNProbe(nList), nList)
+    val np = resolveNProbe(nProbe)
     val (packed, part) = packedBuckets[K](normalized)
     val bcCent = sc.broadcast(centroids)
     val dimLocal = dim
@@ -396,7 +429,7 @@ final class IvfIndex(
     import graft.core.{BlockStore, BoundedTopKG}
     import graft.operators.{Kernels => Kn}
     val spark = assigned.sparkSession
-    val np = math.min(if (nProbe > 0) nProbe else IvfIndex.defaultNProbe(nList), nList)
+    val np = resolveNProbe(nProbe)
     val dimLocal = dim
     // fail loudly on a mis-dimensioned query (same contract as
     // `search`): dotPackedD iterates q.length over the packed slab, so
@@ -425,17 +458,28 @@ final class IvfIndex(
     // queries — sequential they were most of this path's fixed
     // overhead (~0.4 s at 1000 × 316 × 1024); the inversion itself is
     // a cheap ordered loop.
-    val probesPerQ = new Array[Array[Int]](queries.length)
-    java.util.stream.IntStream.range(0, queries.length).parallel().forEach { i =>
-      probesPerQ(i) = IvfIndex.probeIds(centroids, qvecs(i), np)
-    }
-    val inv = Array.fill(nList)(new scala.collection.mutable.ArrayBuffer[Int](4))
-    var qi = 0
-    while (qi < queries.length) {
-      probesPerQ(qi).foreach(c => inv(c) += qi)
-      qi += 1
-    }
-    val cidToQ: Array[Array[Int]] = inv.map(_.toArray)
+    //
+    // At np = nList (requested, or snapped by resolveNProbe's
+    // crossover) every query probes every bucket: skip the probe
+    // scan AND the per-bucket subset views entirely — cidToQ ships
+    // as null and the seqOp scores each block with the full query
+    // arrays, exactly the BlockStore.topKMerged shape over the same
+    // rows (same kernels, same heaps; bucket granularity only).
+    val cidToQ: Array[Array[Int]] =
+      if (np >= nList) null
+      else {
+        val probesPerQ = new Array[Array[Int]](queries.length)
+        java.util.stream.IntStream.range(0, queries.length).parallel().forEach { i =>
+          probesPerQ(i) = IvfIndex.probeIds(centroids, qvecs(i), np)
+        }
+        val inv = Array.fill(nList)(new scala.collection.mutable.ArrayBuffer[Int](4))
+        var qi = 0
+        while (qi < queries.length) {
+          probesPerQ(qi).foreach(c => inv(c) += qi)
+          qi += 1
+        }
+        inv.map(_.toArray)
+      }
     val bc = spark.sparkContext.broadcast((qvecs, qnorms, cidToQ))
     val kk = k
     val ex = exact
@@ -446,24 +490,30 @@ final class IvfIndex(
           val (qv, qn, c2q) = bc.value
           val heaps = if (acc != null) acc
                       else Array.fill(qv.length)(new BoundedTopKG[K](kk)(localOrd))
-          val cid = pair._1
-          val idxs = if (cid >= 0 && cid < c2q.length) c2q(cid)
-                     else Array.emptyIntArray
-          if (idxs.length > 0) {
-            // subset views share the global per-query heap objects, so
-            // scoreBlock's writes land in the right accumulators
-            val subQ = new Array[Array[Float]](idxs.length)
-            val subH = new Array[BoundedTopKG[K]](idxs.length)
-            val subN = if (qn == null) null else new Array[Double](idxs.length)
-            var i = 0
-            while (i < idxs.length) {
-              subQ(i) = qv(idxs(i))
-              subH(i) = heaps(idxs(i))
-              if (subN != null) subN(i) = qn(idxs(i))
-              i += 1
-            }
-            BlockStore.scoreBlock(subH, pair._2, subQ, subN,
+          if (c2q == null) {
+            // full scan: every query scores every bucket, no views
+            BlockStore.scoreBlock(heaps, pair._2, qv, qn,
               Double.NegativeInfinity, ex)
+          } else {
+            val cid = pair._1
+            val idxs = if (cid >= 0 && cid < c2q.length) c2q(cid)
+                       else Array.emptyIntArray
+            if (idxs.length > 0) {
+              // subset views share the global per-query heap objects, so
+              // scoreBlock's writes land in the right accumulators
+              val subQ = new Array[Array[Float]](idxs.length)
+              val subH = new Array[BoundedTopKG[K]](idxs.length)
+              val subN = if (qn == null) null else new Array[Double](idxs.length)
+              var i = 0
+              while (i < idxs.length) {
+                subQ(i) = qv(idxs(i))
+                subH(i) = heaps(idxs(i))
+                if (subN != null) subN(i) = qn(idxs(i))
+                i += 1
+              }
+              BlockStore.scoreBlock(subH, pair._2, subQ, subN,
+                Double.NegativeInfinity, ex)
+            }
           }
           heaps
         },
@@ -520,7 +570,7 @@ final class IvfIndex(
     import graft.core.{BoundedTopKG, Q8Block, Q8Store, VecBlock}
     import graft.operators.{Kernels => Kn}
     val spark = assigned.sparkSession
-    val np = math.min(if (nProbe > 0) nProbe else IvfIndex.defaultNProbe(nList), nList)
+    val np = resolveNProbe(nProbe)
     val dimLocal = dim
     if (dimLocal > 0) queries.foreach { case (qid, v) =>
       require(v.length == dimLocal,
@@ -675,7 +725,7 @@ final class IvfIndex(
     import graft.operators.{Kernels => Kn}
     val spark = assigned.sparkSession
     val sc = spark.sparkContext
-    val np = math.min(if (nProbe > 0) nProbe else IvfIndex.defaultNProbe(nList), nList)
+    val np = resolveNProbe(nProbe)
     val (fpPacked, part) = packedBuckets[K](normalized)
     val q8Packed = packedQ8Buckets[K](normalized)
     val bcCent = sc.broadcast(centroids)

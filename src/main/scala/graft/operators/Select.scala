@@ -300,8 +300,15 @@ object Select {
                          nBuckets: Int): Column = {
     val span = hi - lo
     require(span > 0, "hi must exceed lo")
-    // Monotone DESC mapping: higher score -> lower bucket.
+    // Monotone DESC mapping: higher score -> lower bucket. NULL scores
+    // map to the LAST bucket: the order column `scoreCol DESC` sorts
+    // NULLS LAST in both Spark and DuckDB, so the bucketization must
+    // agree that a NULL score is worse than every non-null one — the
+    // caller-side coalesce-to-0 default would instead route NULLs to
+    // the best-quality bucket and break the window-form row identity
+    // (the intra-bucket window resolves their relative order).
     val frac = (lit(hi) - least(greatest(col(scoreCol), lit(lo)), lit(hi))) / lit(span)
-    least(floor(frac * nBuckets), lit(nBuckets - 1)).cast("int")
+    coalesce(least(floor(frac * nBuckets), lit(nBuckets - 1)).cast("int"),
+      lit(nBuckets - 1))
   }
 }

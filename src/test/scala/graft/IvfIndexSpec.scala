@@ -368,6 +368,43 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(lines.drop(joinIdx).exists(_.toLowerCase.contains("sqrt(")))
   }
 
+  test("probe-fraction crossover: past the fraction nProbe snaps to the exact all-list scan (VERDICT r12 #1)") {
+    val rng = new scala.util.Random(31)
+    val data = (0 until 300).map { i =>
+      val v = Array.fill(8)((rng.nextFloat() - 0.5f))
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      (i.toLong, v.map(x => (x / n).toFloat))
+    }
+    val df = data.toDF("vec_id", "vec")
+    val idx = IvfIndex.build(df, "vec_id", "vec", nList = 16)
+    val queries = data.take(6).toArray
+    def bkey(d: org.apache.spark.sql.DataFrame) =
+      d.select("qid", "rank", "id", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // default fraction 0.5 on nList=16: nProbe=8 crosses, snaps to 16
+    val snapped = bkey(idx.searchMerged[Long](queries, k = 5, nProbe = 8))
+    assert(idx.lastSearchStrategy == "exact_snap(requested=8)")
+    val full = bkey(idx.searchMerged[Long](queries, k = 5, nProbe = 16))
+    assert(idx.lastSearchStrategy == "exact_all_lists")
+    assert(snapped == full, "snapped search must equal the all-list exact scan")
+    // below the fraction: genuinely probed, strategy says so
+    idx.searchMerged[Long](queries, k = 5, nProbe = 2).count()
+    assert(idx.lastSearchStrategy == "probe(np=2)")
+    // the knob disables the snap (fraction >= 1.0) — and every search
+    // path resolves through the same rule, so parity holds either way
+    spark.conf.set("graft.ann.exactscan.fraction", "1.0")
+    try {
+      idx.searchMerged[Long](queries, k = 5, nProbe = 8).count()
+      assert(idx.lastSearchStrategy == "probe(np=8)")
+      idx.search(queries, k = 5, nProbe = 8).count()
+      assert(idx.lastSearchStrategy == "probe(np=8)")
+    } finally spark.conf.unset("graft.ann.exactscan.fraction")
+    // driver-batch default (nProbe <= 0 -> nList/2) snaps too: the
+    // DEFAULT configuration must never cost more than the exact scan
+    idx.searchMerged[Long](queries, k = 5).count()
+    assert(idx.lastSearchStrategy == "exact_snap(requested=8)")
+  }
+
   test("nProbe = nList degenerates to exact search on random data") {
     val rng = new scala.util.Random(9)
     val data = (0 until 200).map { i =>

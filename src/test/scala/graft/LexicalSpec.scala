@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Lexical
 
@@ -30,6 +31,25 @@ class LexicalSpec extends AnyFunSuite {
     val got = Lexical.bm25(docs, "doc_id", "text", Seq("a"))
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(2L))
+  }
+
+  test("bm25 duplicate query terms score once; empty corpus yields empty result") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val once = Lexical.bm25(docs, "doc_id", "text", Seq("a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dup = Lexical.bm25(docs, "doc_id", "text", Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(once == dup)
+    val empty = docs.filter(col("doc_id") < 0L)
+    assert(Lexical.bm25(empty, "doc_id", "text", Seq("a")).count() == 0L)
+  }
+
+  test("pmiBigrams on an empty input yields an empty table on both paths (ADVICE r12)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Lexical.pmiBigrams(empty, "text", persistGrams = true).count() == 0L)
+    assert(Lexical.pmiBigrams(empty, "text", persistGrams = false).count() == 0L)
   }
 
   test("rrfFuse sums 1/(k+rank) across lists and counts memberships") {

@@ -117,14 +117,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("partial_count")) // map-side combine in the domain agg
   }
 
-  test("bm25 top-k is TakeOrdered with broadcast df/normalizer joins") {
-    // q63's scale contract: the term-df table and the 1-row (N, avgdl)
-    // normalizer broadcast onto the (doc, term) tf lineage, and the
-    // global top-20 is TakeOrderedAndProject — never a full sort.
+  test("bm25: single-tokenize scoring path — no joins, no shuffles below the top-k") {
+    // q63's scale contract (r13, VERDICT r12 wrong #3): tf per query
+    // term is computed ARRAY-side in one tokenize pass into a cached
+    // compact per-doc frame; N/avgdl/df collapse to one driver-read
+    // 1-row aggregate; scoring is a pure row-wise expression over the
+    // cached frame. The scoring plan must therefore contain NO join
+    // and NO exchange at all — the only ordering op is the global
+    // top-20 as TakeOrderedAndProject, never a full sort.
     val plan = formatted(Queries.bm25TopDocs(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"), s"q63 wants TakeOrdered:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"), s"q63 df join must broadcast:\n$plan")
-    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("Join"), s"q63 scoring path must be join-free:\n$plan")
+    assert(!"""\(\d+\) Exchange""".r.findAllMatchIn(plan).exists(_ => true),
+      s"q63 scoring path must be shuffle-free:\n$plan")
+    // one corpus source: the cached per-doc frame (InMemoryTableScan)
+    // — the raw parquet text column is not re-read per consumer
+    assert(plan.contains("InMemoryTableScan"),
+      s"q63 must score from the cached per-doc frame:\n$plan")
+  }
+
+  test("spanDedup: redundancy is an aggregate + join, never a per-gram window") {
+    // q68's scale contract (r13, VERDICT r12 wrong #4): the canonical
+    // occurrence comes from min(struct(doc,pos)) — a map-side-partial
+    // aggregate — joined back on the gram hash (AQE-skew-splittable),
+    // NOT a row_number window partitioned by gram: a boilerplate
+    // 5-gram repeated 10^8 times corpus-wide would funnel its whole
+    // occurrence list through one un-splittable window task.
+    val plan = formatted(Queries.spanDedup(spark, dir))
+    assert(!plan.contains("Window"),
+      s"q68 gram redundancy must not plan a window:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"q68 gram aggregate must partial-combine map-side:\n$plan")
   }
 
   test("IVF probe join broadcasts probes and queries (never a store shuffle)") {

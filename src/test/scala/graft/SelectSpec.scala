@@ -160,6 +160,28 @@ class SelectSpec extends AnyFunSuite {
     }
   }
 
+  test("budgetSelectDesc: NULL scores sort last, matching the window's NULLS LAST (ADVICE r12)") {
+    import spark.implicits._
+    // 40 scored rows + 6 NULL-score rows: `q DESC` sorts NULLS LAST in
+    // both Spark and DuckDB, so the threshold path must route NULL
+    // scores to the WORST bucket (selected only after every scored
+    // row), not coalesce them into the best one.
+    val df = ((0L until 40L).map(i => (i, Some((i % 8).toDouble / 10.0), 3L)) ++
+        (100L until 106L).map(i => (i, Option.empty[Double], 3L)))
+      .toDF("id", "q", "w").cache()
+    val win = Window.orderBy(col("q").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for (budget <- Seq(30L, 90L, 120L, 126L, 138L)) {
+      val got = Select.budgetSelectDesc(df, "q", "id", "w", budget)
+        .collect().map(_.getAs[Long]("id")).toSet
+      val want = df.withColumn("_cum", sum(col("w")).over(win))
+        .filter(col("_cum") <= budget)
+        .collect().map(_.getAs[Long]("id")).toSet
+      assert(got == want, s"budget=$budget")
+    }
+    df.unpersist()
+  }
+
   test("budgetSelectDesc keeps the best-quality prefix with exact tie order") {
     import spark.implicits._
     // deliberately heavy ties in the score column
