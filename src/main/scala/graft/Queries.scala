@@ -27,7 +27,7 @@ object Queries {
     * the Spark side match. NTZ→LTZ cast is exact under the UTC session
     * timezone every entrypoint sets.
     */
-  private def tsMicros(df: DataFrame, tsCol: String): org.apache.spark.sql.Column =
+  private[graft] def tsMicros(df: DataFrame, tsCol: String): org.apache.spark.sql.Column =
     df.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.LongType => expr(s"$tsCol div 1000")
       case _ => unix_micros(col(tsCol).cast("timestamp"))
