@@ -1,0 +1,97 @@
+package graft.core
+
+/** Driver-local serving replica — the point-query latency path.
+  *
+  * The distributed store's `queryOne` answers through a Spark job:
+  * correct, but a scheduler round-trip (tens of ms) dominates a single
+  * query at the reference's published 0.4 ms/query serving latency
+  * (picovdb README.md:75, HNSW efSearch=32 on an in-process store).
+  * That number is fundamentally an IN-PROCESS claim — no distributed
+  * engine answers a point query in 0.4 ms through a cluster scheduler
+  * — so the honest analog is this snapshot replica: the packed float32
+  * slabs (and, when the store's IVF index is fresh, its bucket
+  * structure + centroids) collected once to the serving process, then
+  * scored in-process with the SAME kernels, heap, tie rule, and
+  * threshold semantics as the distributed exact path (bit-parity
+  * spec-pinned in VdbStoreSpec).
+  *
+  * Scale contract: a replica is bounded by `maxRows` at build
+  * (default 2M rows ≈ 8 GB at 1024-d — a serving box, not a cluster);
+  * the 100 TB store itself stays distributed, and a serving tier holds
+  * replicas of the (bounded) slices it serves, exactly how vector
+  * stores deploy read replicas. The replica is an immutable SNAPSHOT
+  * (`version` tags the store version it was cut from): mutations to
+  * the source store do not flow in — rebuild to refresh, compare
+  * `version` against the store's to detect staleness.
+  */
+final class LocalReplica private[core] (
+    val dim: Int,
+    val version: Long,
+    centroids: Array[Array[Double]], // empty -> exact scans only
+    bucketBlocks: Array[Array[VecBlock[String]]], // aligned to centroids (or length 1)
+    metaOf: java.util.HashMap[String, String],
+    rowOf: java.util.HashMap[String, (VecBlock[String], Int)],
+    exactScore: Boolean) {
+
+  def size: Int = rowOf.size()
+  def nList: Int = centroids.length
+
+  /** O(1) point lookup (the `get` shape), no Spark job. */
+  def get(id: String, includeVector: Boolean = false): Option[VdbHit] = {
+    val slot = rowOf.get(id)
+    if (slot == null) None
+    else {
+      val vec =
+        if (!includeVector) None
+        else {
+          val (b, r) = slot
+          Some(java.util.Arrays.copyOfRange(b.data, r * b.dim, (r + 1) * b.dim))
+        }
+      Some(VdbHit(id, Double.NaN, Option(metaOf.get(id)), vec))
+    }
+  }
+
+  /** In-process top-k. `nProbe <= 0` (or no index on the replica)
+    * scans every bucket — the exact path; `nProbe > 0` prunes to the
+    * nearest IVF buckets like the distributed ANN strategy (same
+    * probe rule, [[graft.operators.IvfIndex.probeIds]]). Scoring is
+    * the shared [[BlockStore.scoreBlock]] kernel, so exact results
+    * match the distributed exact strategy hit-for-hit.
+    */
+  def queryOne(vector: Array[Float], topK: Int = 10,
+               betterThan: Option[Double] = None,
+               nProbe: Int = 0): Seq[VdbHit] = {
+    require(vector.length == dim,
+      s"query vector dim mismatch: expected $dim, got ${vector.length}")
+    val q = graft.functions.NormalizeL2.normalize(vector)
+    val threshold = betterThan.getOrElse(Double.NegativeInfinity)
+    val qs = Array(q)
+    val probed: Array[Int] =
+      if (nProbe <= 0 || centroids.isEmpty || nProbe >= bucketBlocks.length)
+        Array.range(0, bucketBlocks.length)
+      else graft.operators.IvfIndex.probeIds(centroids, q, nProbe)
+    val blocks: Array[VecBlock[String]] = probed.flatMap(bucketBlocks(_))
+    // parallel per-slab scoring (replicas pack bounded slabs exactly so
+    // a single query has parallel grain): per-slab heaps merged by
+    // absorb — per-(row, query) scores are slab-independent and the
+    // heap union is order-free, so this equals the sequential scan
+    val merged =
+      if (blocks.length < 2) {
+        val h = new BoundedTopKG[String](topK)
+        if (blocks.length == 1)
+          BlockStore.scoreBlock(Array(h), blocks(0), qs, null, threshold, exactScore)
+        h
+      } else {
+        val parts = new Array[BoundedTopKG[String]](blocks.length)
+        java.util.stream.IntStream.range(0, blocks.length).parallel().forEach { i =>
+          val h = new BoundedTopKG[String](topK)
+          BlockStore.scoreBlock(Array(h), blocks(i), qs, null, threshold, exactScore)
+          parts(i) = h
+        }
+        parts.reduce { (a, b) => a.absorb(b); a }
+      }
+    merged.sortedHits().map { case (id, s) =>
+      VdbHit(id, s, Option(metaOf.get(id)), None)
+    }.toSeq
+  }
+}

@@ -54,6 +54,33 @@ object VdbStoreBench {
       store.query(queries.toIndexedSeq, topK = 10, betterThan = Some(0.1)).size
     }
     println("timings: " + store.lastTimings.map { case (k, v) => f"$k=$v%.2fs" }.mkString(" "))
+
+    // ---- point-query serving (SCALING.md "point-query serving"):
+    // per-query latency of the distributed queryOne (scheduler-bound)
+    // vs the in-process LocalReplica, exact and IVF-pruned
+    def perQuery(name: String, reps: Int)(f: Array[Float] => Any): Unit = {
+      // warm once, then time `reps` sequential single queries
+      f(queries(0))
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < reps) { f(queries(i % queries.length)); i += 1 }
+      val ms = (System.nanoTime() - t0) / 1e6 / reps
+      println(f"VDBSERVE $name%-34s $ms%9.3f ms/query  (x$reps)")
+    }
+    perQuery("queryOne distributed warm", 20)(q =>
+      store.queryOne(q, topK = 10))
+    var rep: graft.core.LocalReplica = null
+    timed("localReplica build (no ANN)") { rep = store.localReplica(); rep.size }
+    perQuery("localReplica exact", 200)(q => rep.queryOne(q, topK = 10))
+    perQuery("localReplica get(id)", 10000)(_ => rep.get("id000042"))
+    store.enableAnn()
+    var repA: graft.core.LocalReplica = null
+    timed("localReplica build (ANN)") { repA = store.localReplica(); repA.size }
+    println(s"VDBSERVE replica nList=${repA.nList}")
+    Seq(4, 8, 32).foreach { np =>
+      perQuery(s"localReplica ivf np=$np", 500)(q =>
+        repA.queryOne(q, topK = 10, nProbe = np))
+    }
     spark.stop()
   }
 }

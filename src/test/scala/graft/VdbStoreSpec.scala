@@ -527,4 +527,52 @@ class VdbStoreSpec extends AnyFunSuite {
       assert(s.lastQueryStrategy.contains("exact"))
     } finally spark.conf.unset("graft.query.exact")
   }
+
+  test("localReplica: in-process queryOne/get match the distributed store; snapshot semantics") {
+    val rng = new scala.util.Random(77)
+    val s = freshStore(dim = 16)
+    val recs = (0 until 300).map { i =>
+      rec(f"r$i%04d", Array.fill(16)(rng.nextFloat() - 0.5f),
+        if (i % 3 == 0) s"""{"g": ${i % 5}}""" else null)
+    }
+    s.upsert(recs)
+    val rep = s.localReplica()
+    assert(rep.size == 300 && rep.nList == 0) // no ANN enabled -> exact-only
+    val queries = (0 until 5).map(_ => Array.fill(16)(rng.nextFloat() - 0.5f))
+    queries.foreach { q =>
+      val want = s.queryOne(q, topK = 7)
+      val got = rep.queryOne(q, topK = 7)
+      assert(got.map(h => (h.id, h.metrics)) == want.map(h => (h.id, h.metrics)))
+      assert(got.map(_.metaJson) == want.map(_.metaJson))
+      // better_than threshold parity too
+      val wantT = s.queryOne(q, topK = 7, betterThan = Some(0.2))
+      val gotT = rep.queryOne(q, topK = 7, betterThan = Some(0.2))
+      assert(gotT.map(h => (h.id, h.metrics)) == wantT.map(h => (h.id, h.metrics)))
+    }
+    // point lookup parity (get shape), vector round-trips normalized
+    val g = rep.get("r0003", includeVector = true).get
+    val dg = s.get(Seq("r0003"), includeVector = true).head
+    assert(g.metaJson == dg.metaJson)
+    assert(g.vector.get.toSeq == dg.vector.get.toSeq)
+    assert(rep.get("nope").isEmpty)
+    // snapshot: a later upsert does not flow into the cut replica
+    val v0 = rep.version
+    s.upsert(Seq(rec("late", Array.fill(16)(0.1f))))
+    assert(rep.get("late").isEmpty && rep.size == 300)
+    assert(s.localReplica().version > v0) // staleness detectable
+    // ANN-carrying replica: nProbe=nList scan equals the exact scan
+    s.enableAnn(nList = 8)
+    val repA = s.localReplica()
+    assert(repA.nList == 8)
+    val q = queries.head
+    assert(repA.queryOne(q, topK = 5, nProbe = 8).map(_.id) ==
+      repA.queryOne(q, topK = 5).map(_.id))
+    // pruned probes return a subset-quality ranking with sane scores
+    val pruned = repA.queryOne(q, topK = 5, nProbe = 2)
+    assert(pruned.nonEmpty && pruned.map(_.metrics).sliding(2).forall {
+      case Seq(a, b) => a >= b; case _ => true
+    })
+    // bound enforced
+    intercept[IllegalArgumentException](s.localReplica(maxRows = 10))
+  }
 }
