@@ -408,6 +408,11 @@ object Bench {
     // probe shuffle, and the treeAggregate path's only per-batch cost
     // is the probed fraction of the exact scan.
     val recalls = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // which probe strategy each np-sweep row actually ran (round 13:
+    // the probe-fraction crossover may snap a row to the exact
+    // all-list scan — the artifact must say so, not leave a reader
+    // inferring it from the recall column)
+    val annStrategies = scala.collection.mutable.LinkedHashMap[String, String]()
     var annIdx: graft.operators.IvfIndex = null
     try {
       import spark.implicits._
@@ -518,6 +523,7 @@ object Bench {
           else approx.getOrElse(qid, Set.empty[Long]).count(ex).toDouble / ex.size
         }
         recalls(s"headline_np$np") = perQ.sum / math.max(1, perQ.length)
+        annStrategies(s"np$np") = annIdx.lastSearchStrategy
       }
       // IVF-SQ8 composition rows (round 12): the quantized-bucket pack
       // is a one-time narrow map over the fp32 buckets (its own row),
@@ -1035,7 +1041,10 @@ object Bench {
       "(q23 simhash signatures, q26/q46 IVF build) record warm steady " +
       "state since r7; their one-time build cost is in the run log, not here.")
     val retriedJson = retried.map(jstr).mkString("[", ",", "]")
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$minsJson,"suspect":$suspectJson,"retried":$retriedJson,"ann_recall10":$rc,"retrieval_mismatch":$retrievalJson,"noise_canary":$canaryJson,"noise_canary_multi":$canaryMultiJson,"noise_flagged":$canaryFlagged,"canary_nominal_sec":${jnum(canaryNominal)},"canary_multi_nominal_sec":${jnum(canaryMultiNominal)},"notes":$notes,"errors":$es,"sf":${jstr(sfDir)}}"""
+    val annStrategyJson = annStrategies.map { case (k, v) =>
+      jstr(k) + ":" + jstr(v)
+    }.mkString("{", ",", "}")
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$minsJson,"suspect":$suspectJson,"retried":$retriedJson,"ann_recall10":$rc,"ann_strategy":$annStrategyJson,"retrieval_mismatch":$retrievalJson,"noise_canary":$canaryJson,"noise_canary_multi":$canaryMultiJson,"noise_flagged":$canaryFlagged,"canary_nominal_sec":${jnum(canaryNominal)},"canary_multi_nominal_sec":${jnum(canaryMultiNominal)},"notes":$notes,"errors":$es,"sf":${jstr(sfDir)}}"""
     println(jsonLine)
     // Durable artifact (VERDICT r8 next-round #1): the stdout line above is
     // the driver contract, but any finite tail capture can decapitate a

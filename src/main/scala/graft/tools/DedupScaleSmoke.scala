@@ -111,6 +111,20 @@ object DedupScaleSmoke {
       val df = graft.operators.Dedup.spanDedup(docs, "doc_id", "text", n = 5)
       graft.Bench.forceSink(df); -1L
     }
+    timed("span dedup skew (1M-dup gram)") {
+      // VERDICT r12 #4's adversarial case: ONE 5-gram repeated ~10^6
+      // times corpus-wide (every doc opens with the same boilerplate
+      // span). Under the old per-gram row_number window this funneled
+      // a million-row occurrence list through one un-splittable task;
+      // the min(struct)+count aggregate partial-combines it map-side
+      // and the join back AQE-splits. The smoke passes when wall stays
+      // in the same band as the unskewed span-dedup row above.
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val skewed = docs.withColumn("text",
+        concat(lit("all rights reserved legal notice "), col("text")))
+      val df = graft.operators.Dedup.spanDedup(skewed, "doc_id", "text", n = 5)
+      graft.Bench.forceSink(df); -1L
+    }
     timed("decontaminate vs 5k eval") {
       // the 1% perturbed copies as the "benchmark" split: each shares
       // long token runs with its train-side source, so ~all 5k eval
