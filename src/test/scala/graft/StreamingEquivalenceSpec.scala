@@ -87,6 +87,37 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     assert(snap(streamed) == snap(batchStore))
   }
 
+  test("chunkIngestSink replay equals one batch chunkEmbedUpsert (chunk ids are order-free)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // chunk ids are deterministic "<doc>#<idx>" and docs are distinct,
+    // so any arrival split merges to the batch result
+    val corpus = docs.select(col("doc_id"), col("text")).collect()
+    val embed: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => array(length(c).cast("float"), size(split(c, " ")).cast("float"), lit(1f))
+    val streamed = VdbStore.empty(spark, 3)
+    val mem = MemoryStream[(Long, String)]
+    val ck = java.nio.file.Files.createTempDirectory("ckeq").toString
+    new scala.util.Random(7).shuffle(corpus.toSeq).grouped(120).foreach { chunk =>
+      mem.addData(chunk.map(r => (r.getLong(0), r.getString(1))))
+      val q = StreamingOps.chunkIngestSink(
+          mem.toDF().toDF("doc_id", "text"), streamed, "doc_id", "text",
+          embed, chunkSize = 16, overlap = 4)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    val batchStore = VdbStore.empty(spark, 3)
+    graft.operators.TextChunk.chunkEmbedUpsert(batchStore, docs,
+      "doc_id", "text", embed, chunkSize = 16, overlap = 4)
+    def snap(s: VdbStore) = s.getAll(includeVector = true)
+      .map(h => (h.id, h.metaJson, h.vector.map(_.toVector).getOrElse(Vector.empty)))
+      .toSet
+    assert(streamed.count() == batchStore.count())
+    assert(snap(streamed) == snap(batchStore))
+    assert(streamed.count() > docs.count()) // multi-chunk docs exist
+  }
+
   test("dedupStream with id-ordered arrival equals batch exact dedup keep-one") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
