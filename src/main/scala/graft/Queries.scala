@@ -299,7 +299,14 @@ object Queries {
       // particular q46 must not pay a driver collect job inside its
       // timed bench samples once q26/q46's first call validated the
       // floor (round-10 self-review)
-      val np = operators.IvfIndex.defaultNProbe(idx.nList)
+      //
+      // Probe at QUARTER lists, deliberately below the round-13
+      // probe-fraction crossover (graft.ann.exactscan.fraction,
+      // default 0.5): the default nList/2 now snaps to the exact
+      // all-list scan, which would make this floor trivially true
+      // (recall 1.0 by construction) — the invariant must keep
+      // testing GENUINE probing, not the snap.
+      val np = math.max(1, idx.nList / 4)
       val qs = queries
       def top(nProbe: Int): Map[Long, Set[Long]] =
         idx.search(qs, k, nProbe, normalized = false)
@@ -338,9 +345,13 @@ object Queries {
       operators.IvfIndex.build(emb, "vec_id", "embedding", nList = 16,
         normalized = false))
     assertRecallFloor(s"$dir/embeddings#16@k10", idx, queries, 10)
-    // default nProbe (nList/2 — recall@10 >= 0.8 even on structure-free
-    // vectors; the bench records the exact number as nprobe_default)
-    idx.search(queries, k = 10, normalized = false)
+    // quarter-list nProbe, explicitly BELOW the round-13 probe-fraction
+    // crossover: the nList/2 default now snaps to the exact all-list
+    // scan (graft.ann.exactscan.fraction), which would make this
+    // "ann" catalog entry silently measure the exact path — the entry
+    // exists to time GENUINE probing (same np as the recall floor)
+    idx.search(queries, k = 10, nProbe = math.max(1, 16 / 4),
+        normalized = false)
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
@@ -367,7 +378,10 @@ object Queries {
     // both entries)
     assertRecallFloor(s"$dir/embeddings#16@k10", idx,
       queries.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)), 10)
-    idx.searchDs(queries, "vec_id", "embedding", k = 10, normalized = false)
+    // same explicit quarter-list nProbe as q26 (below the exactscan
+    // crossover) so the bit-parity claim keeps comparing PROBED runs
+    idx.searchDs(queries, "vec_id", "embedding", k = 10,
+        nProbe = math.max(1, 16 / 4), normalized = false)
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
