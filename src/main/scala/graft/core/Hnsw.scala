@@ -1,0 +1,329 @@
+package graft.core
+
+import graft.operators.Kernels
+
+/** In-process HNSW graph index (Malkov & Yashunin 2016,
+  * arXiv:1603.09320) over a packed float32 matrix — the serving-side
+  * answer to the reference's FAISS-HNSW headline (pico_vdb.py:169-212,
+  * M=32 efC=40: ~0.4 ms/query, build 50-110 s). IVF recall on
+  * STRUCTURE-FREE embeddings is bounded by probed mass (SCALING.md
+  * "ANN"); a navigable-small-world graph has no such bound, which is
+  * exactly the one capability gap the IVF analog left open. HNSW's
+  * pointer-chasing build is inherently sequential-ish and does NOT map
+  * to Spark's execution model (SURVEY §4.3) — so it lives here, on the
+  * driver-local serving replica, where the reference's own numbers
+  * live, and the DISTRIBUTED store keeps the IVF analog for batch.
+  *
+  * Deviations from the paper, all deliberate:
+  *  - similarity-max (inner product over unit vectors) instead of
+  *    distance-min — same traversal with comparisons flipped;
+  *  - deterministic level assignment: the level RNG is seeded per
+  *    node index, so the same input builds the same graph (spec-pinned
+  *    determinism; the paper's global RNG makes builds run-dependent);
+  *  - frozen-graph batched construction: nodes insert in fixed batches
+  *    whose candidate searches run in PARALLEL against the graph as of
+  *    the batch start (read-only), then links apply sequentially in
+  *    node order. Batch members don't see each other during search —
+  *    the standard bulk-build approximation; determinism is preserved
+  *    and the measured recall columns carry the effect. The first
+  *    `seedSequential` nodes insert one-by-one so early graphs are
+  *    connected.
+  *  - neighbor selection: the paper's distance-diversity heuristic
+  *    (select a candidate only if it is closer to the query than to
+  *    every already-selected neighbor) on layer 0, simple top-M above.
+  */
+final class Hnsw private (
+    val dim: Int,
+    data: Array[Float], // row-major, node i at offset i*dim
+    val n: Int,
+    m: Int,
+    levels: Array[Int],
+    // nbrs(node)(layer) = packed neighbor ids, count in nbrCnt
+    nbrs: Array[Array[Array[Int]]],
+    nbrCnt: Array[Array[Int]],
+    entry: Int,
+    maxLevel: Int) {
+
+  private def sim(q: Array[Float], node: Int): Double =
+    Kernels.dotPackedF(q, data, node * dim).toDouble
+
+  /** Best-first beam search on one layer (Algorithm 2, sim-max). */
+  private def searchLayer(q: Array[Float], ep: Int, epSim: Double,
+                          ef: Int, layer: Int): (Array[Int], Array[Double]) = {
+    val visited = new java.util.BitSet(n)
+    // candidates: max-heap by sim; results: min-heap by sim, size <= ef
+    val cand = new java.util.PriorityQueue[(Double, Int)](
+      (a, b) => java.lang.Double.compare(b._1, a._1))
+    val res = new java.util.PriorityQueue[(Double, Int)](
+      (a, b) => java.lang.Double.compare(a._1, b._1))
+    visited.set(ep)
+    cand.add((epSim, ep))
+    res.add((epSim, ep))
+    while (!cand.isEmpty) {
+      val c = cand.poll()
+      if (c._1 < res.peek()._1 && res.size >= ef) {
+        cand.clear()
+      } else {
+        val ns = nbrs(c._2)(layer)
+        val cnt = nbrCnt(c._2)(layer)
+        var i = 0
+        while (i < cnt) {
+          val e = ns(i)
+          if (!visited.get(e)) {
+            visited.set(e)
+            val se = sim(q, e)
+            if (res.size < ef || se > res.peek()._1) {
+              cand.add((se, e))
+              res.add((se, e))
+              if (res.size > ef) res.poll()
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    val out = new Array[(Double, Int)](res.size)
+    var i = out.length - 1
+    while (i >= 0) { out(i) = res.poll(); i -= 1 } // best-first order
+    (out.map(_._2), out.map(_._1))
+  }
+
+  /** Greedy descent through the upper layers to a layer-0 entry. */
+  private def descend(q: Array[Float], toLayer: Int): (Int, Double) = {
+    var ep = entry
+    var eps = sim(q, ep)
+    var lc = maxLevel
+    while (lc > toLayer) {
+      var improved = true
+      while (improved) {
+        improved = false
+        val ns = nbrs(ep)(lc)
+        val cnt = nbrCnt(ep)(lc)
+        var i = 0
+        while (i < cnt) {
+          val s = sim(q, ns(i))
+          if (s > eps) { eps = s; ep = ns(i); improved = true }
+          i += 1
+        }
+      }
+      lc -= 1
+    }
+    (ep, eps)
+  }
+
+  /** Top-k by cosine over unit vectors. `ef` is the layer-0 beam
+    * (efSearch); recall grows with it, k <= ef enforced.
+    */
+  def search(q: Array[Float], k: Int, ef: Int = 64): Array[(Int, Double)] = {
+    require(q.length == dim, s"query dim ${q.length} != index dim $dim")
+    if (n == 0) return Array.empty
+    val (ep, eps) = descend(q, 0)
+    val (ids, sims) = searchLayer(q, ep, eps, math.max(ef, k), 0)
+    ids.zip(sims).take(k)
+  }
+}
+
+object Hnsw {
+
+  /** Build over a packed matrix; `ids` row i lives at `data(i*dim)`.
+    * Deterministic for a fixed input order. `batch` > 1 runs each
+    * batch's candidate searches in parallel against the frozen graph.
+    */
+  def build(data: Array[Float], n: Int, dim: Int,
+            m: Int = 16, efConstruction: Int = 100,
+            batch: Int = 256, seedSequential: Int = 1024): Hnsw = {
+    require(n >= 0 && dim > 0 && data.length >= n * dim)
+    val mMax = m
+    val mMax0 = 2 * m
+    val mL = 1.0 / math.log(m.toDouble)
+    val levels = Array.tabulate(n) { i =>
+      // per-node deterministic level draw
+      val r = new java.util.Random(i * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+      val u = math.max(r.nextDouble(), 1e-12)
+      math.min((-math.log(u) * mL).toInt, 24)
+    }
+    val nbrs = Array.tabulate(n)(i =>
+      Array.tabulate(levels(i) + 1)(l =>
+        new Array[Int](if (l == 0) mMax0 else mMax)))
+    val nbrCnt = Array.tabulate(n)(i => new Array[Int](levels(i) + 1))
+    var entry = -1
+    var maxLevel = -1
+
+    def simIJ(a: Int, q: Array[Float]): Double =
+      Kernels.dotPackedF(q, data, a * dim).toDouble
+    def vec(i: Int): Array[Float] =
+      java.util.Arrays.copyOfRange(data, i * dim, (i + 1) * dim)
+
+    // read-only beam search against the CURRENT graph state (used both
+    // sequentially and from the frozen-batch parallel phase — the
+    // batch phase never mutates while searches run)
+    def searchLayerB(q: Array[Float], ep: Int, ef: Int,
+                     layer: Int): Array[(Double, Int)] = {
+      val visited = new java.util.BitSet(n)
+      val cand = new java.util.PriorityQueue[(Double, Int)](
+        (a, b) => java.lang.Double.compare(b._1, a._1))
+      val res = new java.util.PriorityQueue[(Double, Int)](
+        (a, b) => java.lang.Double.compare(a._1, b._1))
+      val eps = simIJ(ep, q)
+      visited.set(ep); cand.add((eps, ep)); res.add((eps, ep))
+      while (!cand.isEmpty) {
+        val c = cand.poll()
+        if (c._1 < res.peek()._1 && res.size >= ef) cand.clear()
+        else {
+          val ns = nbrs(c._2)(layer); val cnt = nbrCnt(c._2)(layer)
+          var i = 0
+          while (i < cnt) {
+            val e = ns(i)
+            if (!visited.get(e)) {
+              visited.set(e)
+              val se = simIJ(e, q)
+              if (res.size < ef || se > res.peek()._1) {
+                cand.add((se, e)); res.add((se, e))
+                if (res.size > ef) res.poll()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val out = new Array[(Double, Int)](res.size)
+      var i = out.length - 1
+      while (i >= 0) { out(i) = res.poll(); i -= 1 }
+      out // descending sim
+    }
+
+    def greedyDescend(q: Array[Float], toLayer: Int): Int = {
+      var ep = entry
+      var eps = simIJ(ep, q)
+      var lc = maxLevel
+      while (lc > toLayer) {
+        var improved = true
+        while (improved) {
+          improved = false
+          val ns = nbrs(ep)(lc); val cnt = nbrCnt(ep)(lc)
+          var i = 0
+          while (i < cnt) {
+            val s = simIJ(ns(i), q)
+            if (s > eps) { eps = s; ep = ns(i); improved = true }
+            i += 1
+          }
+        }
+        lc -= 1
+      }
+      ep
+    }
+
+    // paper Algorithm 4 (sim-max form) on layer 0; simple top-M above
+    def selectNeighbors(q: Array[Float], cands: Array[(Double, Int)],
+                        mSel: Int, diversify: Boolean): Array[Int] = {
+      if (!diversify || cands.length <= mSel) return cands.take(mSel).map(_._2)
+      val sel = new scala.collection.mutable.ArrayBuffer[Int](mSel)
+      var i = 0
+      while (i < cands.length && sel.length < mSel) {
+        val (sq, c) = cands(i)
+        val cv = vec(c)
+        var ok = true
+        var j = 0
+        while (ok && j < sel.length) {
+          if (simIJ(sel(j), cv) > sq) ok = false // closer to a selected than to q
+          j += 1
+        }
+        if (ok) sel += c
+        i += 1
+      }
+      // backfill with the best rejected if diversity starved the list
+      i = 0
+      while (sel.length < mSel && i < cands.length) {
+        if (!sel.contains(cands(i)._2)) sel += cands(i)._2
+        i += 1
+      }
+      sel.toArray
+    }
+
+    def link(a: Int, b: Int, layer: Int): Unit = {
+      val cap = if (layer == 0) mMax0 else mMax
+      val ns = nbrs(a)(layer)
+      val cnt = nbrCnt(a)(layer)
+      if (cnt < cap) {
+        ns(cnt) = b; nbrCnt(a)(layer) = cnt + 1
+      } else {
+        // prune: keep the cap best by sim to a (diversified on layer 0)
+        val av = vec(a)
+        val all = new Array[(Double, Int)](cnt + 1)
+        var i = 0
+        while (i < cnt) { all(i) = (simIJ(ns(i), av), ns(i)); i += 1 }
+        all(cnt) = (simIJ(b, av), b)
+        java.util.Arrays.sort(all,
+          (x: (Double, Int), y: (Double, Int)) =>
+            java.lang.Double.compare(y._1, x._1))
+        val kept = selectNeighbors(av, all, cap, diversify = layer == 0)
+        System.arraycopy(kept, 0, ns, 0, kept.length)
+        nbrCnt(a)(layer) = kept.length
+      }
+    }
+
+    // per-node insertion given precomputed layer-candidate lists
+    def applyInsert(i: Int,
+                    perLayer: Array[Array[(Double, Int)]]): Unit = {
+      val l = levels(i)
+      var lc = math.min(l, maxLevel)
+      while (lc >= 0) {
+        val w = perLayer(lc)
+        val sel = selectNeighbors(vec(i), w,
+          if (lc == 0) m else m, diversify = lc == 0)
+        var j = 0
+        while (j < sel.length) {
+          val nb = sel(j)
+          if (nb != i) {
+            link(i, nb, lc)
+            link(nb, i, lc)
+          }
+          j += 1
+        }
+        lc -= 1
+      }
+      if (l > maxLevel) { maxLevel = l; entry = i }
+    }
+
+    // candidate search for node i against the current graph
+    def candidatesFor(i: Int): Array[Array[(Double, Int)]] = {
+      val q = vec(i)
+      val l = levels(i)
+      val out = new Array[Array[(Double, Int)]](math.min(l, maxLevel) + 1)
+      var ep = greedyDescend(q, math.min(l, maxLevel))
+      var lc = math.min(l, maxLevel)
+      while (lc >= 0) {
+        val w = searchLayerB(q, ep, efConstruction, lc)
+        out(lc) = w
+        ep = w(0)._2
+        lc -= 1
+      }
+      out
+    }
+
+    var i = 0
+    // sequential seed phase
+    val seedN = math.min(seedSequential, n)
+    while (i < seedN) {
+      if (entry == -1) { entry = i; maxLevel = levels(i) }
+      else applyInsert(i, candidatesFor(i))
+      i += 1
+    }
+    // frozen-graph batches: parallel read-only searches, sequential links
+    while (i < n) {
+      val end = math.min(i + batch, n)
+      val cands = new Array[Array[Array[(Double, Int)]]](end - i)
+      val start = i
+      java.util.stream.IntStream.range(start, end).parallel().forEach { j =>
+        cands(j - start) = candidatesFor(j)
+      }
+      var j = start
+      while (j < end) {
+        applyInsert(j, cands(j - start))
+        j += 1
+      }
+      i = end
+    }
+    new Hnsw(dim, data, n, m, levels, nbrs, nbrCnt, entry, maxLevel)
+  }
+}

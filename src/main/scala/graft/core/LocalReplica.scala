@@ -36,6 +36,51 @@ final class LocalReplica private[core] (
   def size: Int = rowOf.size()
   def nList: Int = centroids.length
 
+  // ---- optional HNSW graph (round 13): graph-ANN recall class on the
+  // serving path — see Hnsw's scaladoc for why it lives HERE and not
+  // on the distributed store
+  @volatile private var hnswIdx: Hnsw = null
+  @volatile private var hnswIds: Array[String] = null
+
+  /** Build (idempotently) an HNSW graph over this replica's rows.
+    * Driver-side and deterministic; cost is the one-time build (the
+    * reference pays 50-110 s for the same store through FAISS — see
+    * the VDBSERVE rows for ours).
+    */
+  def buildHnsw(m: Int = 16, efConstruction: Int = 100): Unit =
+    if (hnswIdx == null) synchronized {
+      if (hnswIdx == null) {
+        val total = size
+        val flat = new Array[Float](total * dim)
+        val ids = new Array[String](total)
+        var off = 0
+        bucketBlocks.foreach(_.foreach { b =>
+          System.arraycopy(b.data, 0, flat, off * dim, b.rows * dim)
+          var r = 0
+          while (r < b.rows) { ids(off + r) = b.ids(r); r += 1 }
+          off += b.rows
+        })
+        hnswIds = ids
+        hnswIdx = Hnsw.build(flat, total, dim, m, efConstruction)
+      }
+    }
+
+  /** Graph-ANN top-k (requires [[buildHnsw]]); `ef` = efSearch beam.
+    * Same query prep and hit shape as [[queryOne]]; approximate by
+    * construction — recall floors are spec- and bench-measured.
+    */
+  def queryOneHnsw(vector: Array[Float], topK: Int = 10,
+                   ef: Int = 64): Seq[VdbHit] = {
+    require(hnswIdx != null, "call buildHnsw() first")
+    require(vector.length == dim,
+      s"query vector dim mismatch: expected $dim, got ${vector.length}")
+    val q = graft.functions.NormalizeL2.normalize(vector)
+    hnswIdx.search(q, topK, ef).map { case (node, s) =>
+      val id = hnswIds(node)
+      VdbHit(id, s, Option(metaOf.get(id)), None)
+    }.toSeq
+  }
+
   /** O(1) point lookup (the `get` shape), no Spark job. */
   def get(id: String, includeVector: Boolean = false): Option[VdbHit] = {
     val slot = rowOf.get(id)

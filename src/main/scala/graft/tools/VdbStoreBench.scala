@@ -81,6 +81,28 @@ object VdbStoreBench {
       perQuery(s"localReplica ivf np=$np", 500)(q =>
         repA.queryOne(q, topK = 10, nProbe = np))
     }
+    // HNSW graph on the same replica: build wall (the reference pays
+    // 50-110 s through FAISS for this store), per-query latency at the
+    // reference's efSearch=32 plus ef=64/128, and measured recall@10
+    // vs the exact scan on 200 queries (structure-free vectors — the
+    // adversarial case)
+    val hnswM = sys.env.get("SPARK_GRAFT_HNSW_M").map(_.toInt).getOrElse(16)
+    val hnswEfc = sys.env.get("SPARK_GRAFT_HNSW_EFC").map(_.toInt).getOrElse(100)
+    timed(s"hnsw build (M=$hnswM efC=$hnswEfc)") {
+      repA.buildHnsw(hnswM, hnswEfc); 0L
+    }
+    Seq(32, 64, 128).foreach { ef =>
+      perQuery(s"localReplica hnsw ef=$ef", 1000)(q =>
+        repA.queryOneHnsw(q, topK = 10, ef = ef))
+    }
+    val recallQs = queries.take(200)
+    Seq(32, 64, 128).foreach { ef =>
+      val per = recallQs.map { q =>
+        val want = repA.queryOne(q, topK = 10).map(_.id).toSet
+        repA.queryOneHnsw(q, topK = 10, ef = ef).map(_.id).count(want) / 10.0
+      }
+      println(f"VDBSERVE hnsw recall@10 ef=$ef%-3d ${per.sum / per.length}%.3f")
+    }
     spark.stop()
   }
 }
