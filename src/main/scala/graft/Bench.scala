@@ -675,6 +675,67 @@ object Bench {
       if (q8 != null) q8.unpersist()
     }
 
+    // ---- HNSW serving rows (round 13): the mirror of the reference's
+    // FAISS-HNSW rows (README.md:73-76,87-89: build 50-110 s, 0.4 ms
+    // single query, 0.1-0.16 s 1000-query batch — on the SAME uniform
+    // random 1024-d workload this section uses). The graph is
+    // driver-local by design (Hnsw scaladoc); data prep is untimed
+    // like the reference's pre-built numpy array. Build is ONE sample
+    // (a ~100 s row; medianing would triple the bench wall) — recall
+    // on uniform 1024-d is capped by distance concentration for any
+    // graph index, recorded in ann_recall10.hnsw_* (clustered-data
+    // recall ≈ 1.0 is measured in tools/HnswProbe + SCALING.md).
+    try {
+      def normU(v: Array[Float]): Array[Float] = {
+        val s = math.sqrt(v.map(x => x.toDouble * x).sum)
+        if (s == 0.0) { val e = new Array[Float](v.length); e(0) = 1f; e }
+        else v.map(x => (x / s).toFloat)
+      }
+      val flat = new Array[Float](n * dim)
+      val rows = raw.collect()
+      java.util.stream.IntStream.range(0, rows.length).parallel().forEach { i =>
+        System.arraycopy(normU(rows(i)._2), 0, flat, i * dim, dim)
+      }
+      val qNorm = queries.map { case (qid, v) => (qid, normU(v)) }
+      canarySample()
+      var hnsw: graft.core.Hnsw = null
+      record("picovdb_hnsw_build", Seq(timed {
+        hnsw = graft.core.Hnsw.build(flat, n, dim)
+        ()
+      }))
+      canarySample()
+      def hnswBatch(ef: Int): Double = timed {
+        var i = 0
+        while (i < qNorm.length) { hnsw.search(qNorm(i)._2, topK, ef); i += 1 }
+        ()
+      }
+      record("picovdb_hnsw_1000q_ef32", (1 to 3).map(_ => hnswBatch(32)))
+      retryIfSuspect("picovdb_hnsw_1000q_ef32")(hnswBatch(32))
+      // exact ground truth driver-side over the same flat matrix
+      val truth = new Array[Set[Long]](qNorm.length)
+      java.util.stream.IntStream.range(0, qNorm.length).parallel().forEach { qi =>
+        val top = new graft.core.BoundedTopKG[Long](topK)
+        var i = 0
+        while (i < n) {
+          top.offer(graft.operators.Kernels.dotPackedF(
+            qNorm(qi)._2, flat, i * dim).toDouble, rows(i)._1)
+          i += 1
+        }
+        truth(qi) = top.sortedHits().map(_._1).toSet
+      }
+      Seq(32, 128).foreach { ef =>
+        val per = qNorm.zipWithIndex.map { case ((_, q), qi) =>
+          hnsw.search(q, topK, ef)
+            .map(h => rows(h._1)._1).count(truth(qi)) / topK.toDouble
+        }
+        recalls(s"hnsw_ef$ef") = per.sum / math.max(1, per.length)
+      }
+    } catch {
+      case e: Throwable =>
+        errors("picovdb_hnsw") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    }
+
     // witness the ANN headline section too (it runs after the
     // post-cycle sample above; nothing else would record a burst here)
     canarySample()
