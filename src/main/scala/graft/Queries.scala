@@ -350,7 +350,7 @@ object Queries {
     // scan (graft.ann.exactscan.fraction), which would make this
     // "ann" catalog entry silently measure the exact path — the entry
     // exists to time GENUINE probing (same np as the recall floor)
-    idx.search(queries, k = 10, nProbe = math.max(1, 16 / 4),
+    idx.search(queries, k = 10, nProbe = math.max(1, idx.nList / 4),
         normalized = false)
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
@@ -381,7 +381,7 @@ object Queries {
     // same explicit quarter-list nProbe as q26 (below the exactscan
     // crossover) so the bit-parity claim keeps comparing PROBED runs
     idx.searchDs(queries, "vec_id", "embedding", k = 10,
-        nProbe = math.max(1, 16 / 4), normalized = false)
+        nProbe = math.max(1, idx.nList / 4), normalized = false)
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }

@@ -262,15 +262,19 @@ object Hnsw {
       }
     }
 
-    // per-node insertion given precomputed layer-candidate lists
+    // per-node insertion given precomputed layer-candidate lists.
+    // Link layers come from perLayer's OWN length, not the live
+    // maxLevel: candidatesFor sized it under the maxLevel at search
+    // time, and a batch-mate raising maxLevel in between would
+    // otherwise index past the array (review r13: two same-batch
+    // nodes both drawing levels above the frozen max).
     def applyInsert(i: Int,
                     perLayer: Array[Array[(Double, Int)]]): Unit = {
       val l = levels(i)
-      var lc = math.min(l, maxLevel)
+      var lc = perLayer.length - 1
       while (lc >= 0) {
         val w = perLayer(lc)
-        val sel = selectNeighbors(vec(i), w,
-          if (lc == 0) m else m, diversify = lc == 0)
+        val sel = selectNeighbors(vec(i), w, m, diversify = lc == 0)
         var j = 0
         while (j < sel.length) {
           val nb = sel(j)
@@ -309,9 +313,16 @@ object Hnsw {
       else applyInsert(i, candidatesFor(i))
       i += 1
     }
-    // frozen-graph batches: parallel read-only searches, sequential links
+    // frozen-graph batches: parallel read-only searches, sequential
+    // links. A batch never exceeds the CURRENT graph size: batch
+    // members can't see each other during search, so inserting more
+    // nodes than the frozen graph holds orphans most of them — their
+    // candidate set is the tiny frozen graph, whose nodes prune the
+    // flood of incoming links. Doubling up to `batch` restores
+    // connectivity for small seeds; a no-op at the default
+    // seedSequential (graph is already >= batch when batching starts).
     while (i < n) {
-      val end = math.min(i + batch, n)
+      val end = math.min(i + math.max(1, math.min(batch, i)), n)
       val cands = new Array[Array[Array[(Double, Int)]]](end - i)
       val start = i
       java.util.stream.IntStream.range(start, end).parallel().forEach { j =>

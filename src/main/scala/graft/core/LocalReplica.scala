@@ -51,6 +51,12 @@ final class LocalReplica private[core] (
     if (hnswIdx == null) synchronized {
       if (hnswIdx == null) {
         val total = size
+        // flat-matrix size must fit an Int-indexed array — fail loudly
+        // at the contract boundary when maxRows was raised past it
+        // (review r13: 3M x 1024-d wraps negative)
+        require(total.toLong * dim <= Int.MaxValue,
+          s"buildHnsw: $total rows x $dim dims exceeds a single JVM " +
+            "array — an HNSW replica caps at Int.MaxValue floats")
         val flat = new Array[Float](total * dim)
         val ids = new Array[String](total)
         var off = 0

@@ -27,11 +27,11 @@ import org.apache.spark.storage.StorageLevel
   * [[invalidate]] — the explicit-lifecycle release handle, matching
   * CosineTopK's convention.
   */
-private[operators] object GramCache {
-  final case class Entry(df: DataFrame, session: SparkSession)
+private[operators] final class PlanCache(maxEntries: Int) {
+  import PlanCache.Entry
 
   private val lru = new graft.core.SessionLru[(String, Int), Entry](
-    maxEntries = 8, _.session, _.df.unpersist(false),
+    maxEntries, _.session, _.df.unpersist(false),
     onDiscard = Some(_ => ()))
 
   def cached(df: DataFrame): DataFrame = {
@@ -43,9 +43,19 @@ private[operators] object GramCache {
     }.df
   }
 
-  /** Drop every gram table pinned for `spark` (unpersists each).
-    * For sessions that rewrite input files in place — see the
+  /** Drop every table pinned for `spark` (unpersists each). For
+    * sessions that rewrite input files in place — see the
     * immutable-input note above.
     */
   def invalidate(spark: SparkSession): Unit = lru.dropSession(spark)
+}
+
+private[operators] object PlanCache {
+  final case class Entry(df: DataFrame, session: SparkSession)
+}
+
+private[operators] object GramCache {
+  private val shared = new PlanCache(maxEntries = 8)
+  def cached(df: DataFrame): DataFrame = shared.cached(df)
+  def invalidate(spark: SparkSession): Unit = shared.invalidate(spark)
 }

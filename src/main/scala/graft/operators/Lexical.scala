@@ -9,15 +9,25 @@ import org.apache.spark.sql.functions._
   * ANN path with a BM25 ranker and fuse the two rankings — this is
   * that surface, Spark-first and exactly SQL-reproducible).
   *
-  * Scale shape (100 TB): BM25 is two aggregations — a (doc, term)
-  * partial-aggregated tf pass over the corpus scan (the query-term
-  * `isin` filter prunes the exploded tokens BEFORE the shuffle, so
-  * shuffle volume is O(matching doc-term pairs), not O(corpus tokens))
-  * and a tiny per-term df rollup that broadcasts back alongside the
-  * 1-row (N, avgdl) normalizer. Final top-k is TakeOrdered, never a
-  * global sort. RRF is a union + one groupBy on the doc id.
+  * Scale shape (100 TB): BM25 is ONE tokenize pass into a compact
+  * cached per-doc frame (tf per query term computed array-side — no
+  * explode, no shuffle), one 1-row stats+df aggregate, and a
+  * shuffle-free row-wise scoring expression. Final top-k is
+  * TakeOrdered, never a global sort. RRF is a union + one groupBy on
+  * the doc id.
   */
 object Lexical {
+
+  /** bm25's per-doc tf-frame cache — its OWN 2-entry LRU, deliberately
+    * separate from [[GramCache]] (review r13): the cache key embeds the
+    * query-term literals, so ad-hoc bm25 calls with varying terms each
+    * pin a corpus-ROW-sized frame; sharing the 8-entry gram LRU would
+    * let a burst of such queries evict the vocab-sized pmi /
+    * cross-entropy gram tables and pin up to 8 corpus-scale frames.
+    * Two entries bound the footprint (the catalog's q63+q64 share one)
+    * while repeat queries over the same (docs, terms) stay one-scan.
+    */
+  private[operators] val bm25Cache = new PlanCache(maxEntries = 2)
 
   /** Okapi BM25 scores (Lucene idf variant: ln(1 + (N-df+.5)/(df+.5)))
     * for documents matching at least one of `terms`, tokenized on
@@ -30,13 +40,17 @@ object Lexical {
     * counts every query term's tf ARRAY-side (a higher-order `filter`
     * per term — no explode, no shuffle), leaving a compact per-doc
     * frame (id, dl, tf vector) with the text column dropped. That
-    * frame is pinned through [[GramCache]] (MEMORY_AND_DISK, LRU — at
+    * frame is pinned through [[bm25Cache]] (MEMORY_AND_DISK, 2-entry LRU — at
     * 1B docs x 3 terms it is ~30 GB distributed vs the multi-TB
     * corpus), a single 1-row aggregate over it yields N, avgdl AND
     * every per-term df (terms are literals, so df needs no term-keyed
     * shuffle: df_i = sum(tf_i > 0)), and scoring is a pure row-wise
     * expression with driver-literal idfs. Total: one corpus scan,
     * zero shuffles on the scoring path, one 1-row driver collect.
+    *
+    * EAGER by design (a behavior change from the pre-r13 lazy form):
+    * the 1-row stats aggregate runs Spark jobs at call time — the
+    * price of driver-literal idfs and the join-free scoring plan.
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -47,7 +61,7 @@ object Lexical {
       size(ts).cast("double").as("_dl_"),
       array(qs.map(t =>
         size(filter(ts, tok => tok === lit(t))).cast("double")): _*).as("_tfs_"))
-    val perDoc = GramCache.cached(perDoc0)
+    val perDoc = Lexical.bm25Cache.cached(perDoc0)
     val aggs = Seq(count(lit(1)).cast("double").as("_n_"),
         avg(col("_dl_")).as("_avgdl_")) ++
       qs.indices.map(i => sum(when(element_at(col("_tfs_"), i + 1) > 0, 1L)

@@ -16,6 +16,10 @@ object AnnProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // disable the probe-fraction crossover: this tool exists to
+      // measure the GENUINELY PROBED path at every np (including
+      // nList/2, which the 0.5 default would snap to the exact scan)
+      .config("graft.ann.exactscan.fraction", "1.0")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

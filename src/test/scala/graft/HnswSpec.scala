@@ -71,6 +71,21 @@ class HnswSpec extends AnyFunSuite {
     assert(r128 >= r32, "recall must be monotone in ef")
   }
 
+  test("batch build survives two same-batch nodes raising maxLevel (review r13 AIOOBE)") {
+    // seedSequential=1 puts nearly everything in the batched phase;
+    // with the deterministic level draws, nodes 3 and 29 both draw
+    // level 1 over the frozen maxLevel 0 in the first batch — the old
+    // applyInsert indexed perLayer with the LIVE maxLevel and crashed
+    val rng = new scala.util.Random(3)
+    val data = Array.tabulate(400)(_ =>
+      normalize(Array.fill(8)(rng.nextFloat() - 0.5f)))
+    val idx = Hnsw.build(flat(data), data.length, dim = 8,
+      seedSequential = 1)
+    val q = data(100)
+    val got = idx.search(q, 5, ef = 64).map(_._1)
+    assert(got.nonEmpty && got.contains(100)) // finds itself
+  }
+
   test("build is deterministic: same input -> identical results") {
     val rng = new scala.util.Random(23)
     val data = Array.tabulate(600)(_ =>

@@ -49,7 +49,7 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "micro-batch timed out")
     }
     got.toSeq
   }
@@ -75,7 +75,7 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
           streamed)
         .option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "micro-batch timed out")
     }
 
     val batchStore = VdbStore.empty(spark, 3)
@@ -105,7 +105,7 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
           embed, chunkSize = 16, overlap = 4)
         .option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "micro-batch timed out")
     }
     val batchStore = VdbStore.empty(spark, 3)
     graft.operators.TextChunk.chunkEmbedUpsert(batchStore, docs,
