@@ -730,6 +730,45 @@ object Bench {
         }
         recalls(s"hnsw_ef$ef") = per.sum / math.max(1, per.length)
       }
+
+      // ---- sharded-HNSW rows (round 13, operators.HnswStore): the
+      // DISTRIBUTED graph path — one graph per slab, builds parallelize
+      // across cores/executors (the serving build above is one serial
+      // graph), queries broadcast down + heaps merge up a treeAggregate.
+      // Same uniform workload and ground truth; shard recall also rides
+      // the smaller per-shard graphs (each only has to surface its own
+      // true rows), recorded in ann_recall10.hnsw_shard_*.
+      canarySample()
+      var shardStore: graft.operators.HnswStore[Long] = null
+      try {
+        record("picovdb_hnsw_shard_build", Seq(timed {
+          shardStore = graft.operators.HnswStore.fromRDD(
+            spark, raw, normalize = true, numShards = parts)
+          shardStore.persist()
+          shardStore.materialize()
+          ()
+        }))
+        canarySample()
+        import spark.implicits._
+        def shardBatch(ef: Int): Double = timed {
+          shardStore.searchMerged(qNorm, topK, ef).count()
+          ()
+        }
+        record("picovdb_hnsw_shard_1000q_ef32",
+          (1 to 3).map(_ => shardBatch(32)))
+        retryIfSuspect("picovdb_hnsw_shard_1000q_ef32")(shardBatch(32))
+        val shardTop = shardStore.searchMerged(qNorm, topK, ef = 128)
+          .select("qid", "id").collect()
+          .groupBy(_.getLong(0)).view
+          .mapValues(_.map(_.getLong(1)).toSet).toMap
+        recalls("hnsw_shard_ef128") =
+          qNorm.zipWithIndex.map { case ((qid, _), qi) =>
+            shardTop.getOrElse(qid, Set.empty[Long])
+              .count(truth(qi)).toDouble / topK
+          }.sum / math.max(1, qNorm.length)
+      } finally {
+        if (shardStore != null) shardStore.unpersist()
+      }
     } catch {
       case e: Throwable =>
         errors("picovdb_hnsw") =

@@ -484,6 +484,97 @@ object Queries {
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Shared sharded-HNSW store for q75/q76 (and the bench rows): one
+    * graph per packed slab, built in-task — the DISTRIBUTED twin of the
+    * serving replica's driver-local graph (operators.HnswStore).
+    */
+  private def hnswStoreFor(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    operators.HnswStore.cached(s"$dir/embeddings#hnsw")(
+      operators.HnswStore.fromDataset[Long](
+        emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
+        normalize = false).persist())
+  }
+
+  /** Machine-checked invariant for the no-oracle q76 (the q26/q55
+    * pattern): recall@10 of the per-shard graph search vs the exact
+    * sharded scan, computed in-engine once per (dir, params) key. The
+    * floor is the HnswSpec structure-free expectation (>= 0.85 at
+    * ef=128 on random vectors) minus sampling slack for 20 queries —
+    * 0.8 can only trip on a real graph regression, while IVF at the
+    * same cost sits near probed-mass recall (q26's floor is 0.15).
+    */
+  private val hnswRecallChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private def assertHnswRecallFloor(key: String,
+      store: operators.HnswStore[Long],
+      queries: => Array[(Long, Array[Float])], k: Int, ef: Int,
+      spark: SparkSession): Double =
+    hnswRecallChecked.computeIfAbsent(key, { _ =>
+      import spark.implicits._
+      val qs = queries
+      def top(exact: Boolean): Map[Long, Set[Long]] =
+        store.searchMerged(qs, k, ef, exact = exact)
+          .select(col("qid"), col("id")).collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val exact = top(exact = true)
+      val approx = top(exact = false)
+      val perQ = qs.map { case (qid, _) =>
+        val ex = exact.getOrElse(qid, Set.empty[Long])
+        if (ex.isEmpty) 1.0
+        else approx.getOrElse(qid, Set.empty[Long]).count(ex).toDouble / ex.size
+      }
+      val recall = perQ.sum / math.max(1, perQ.length)
+      require(recall >= 0.8,
+        f"sharded-HNSW recall floor violated for $key: recall@$k = " +
+          f"$recall%.3f < 0.8 (ef=$ef)")
+      recall
+    })
+
+  /** Oracled sharded-HNSW exact entry (q75, round 13): the distributed
+    * graph store's packing + treeAggregate merge + ranking machinery run
+    * in EXACT mode — per-shard scoring ignores the graphs and uses the
+    * sequential-double cosine of the declarative path
+    * (BlockStore.scoreBlock), so the result is exact by construction
+    * and the standard DuckDB top-k oracle hash-matches (the q47/q49
+    * pattern: oracle the plumbing, recall-floor the approximation).
+    * Distinct query slice so the entry carries its own evidence.
+    */
+  def hnswShardExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") >= 180 && col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    hnswStoreFor(spark, dir).searchMerged(queries, k = 10, exact = true)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** Sharded-HNSW graph search (q76, round 13): per-shard beam search
+    * at ef=128 merged exactly — the distributed answer to the
+    * reference's HNSW recall on STRUCTURE-FREE embeddings, where IVF
+    * recall is bounded by probed mass (SCALING.md "ANN"). Approximate,
+    * so no DuckDB oracle; the entry self-asserts a recall@10 floor
+    * against the in-engine exact sharded scan
+    * ([[assertHnswRecallFloor]]), and HnswStoreSpec pins exact-parity
+    * and determinism.
+    */
+  def hnswShard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val store = hnswStoreFor(spark, dir)
+    assertHnswRecallFloor(s"$dir/embeddings#hnsw@k10ef128", store,
+      queries, 10, 128, spark)
+    store.searchMerged(queries, k = 10, ef = 128)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Text-chunking ingest (pipeline op): overlapping token windows over
     * each document — the chunk->embed->upsert flow's first stage
     * (operators.TextChunk; bench/st_embedding.py analog). Boundaries are
@@ -1334,6 +1425,8 @@ object Queries {
     "q72_exact_sample" -> (exactSample _),
     "q73_inverted_index" -> (invertedIndexPostings _),
     "q74_bigram_crossent" -> (bigramCrossEnt _),
+    "q75_hnsw_shard_exact" -> (hnswShardExact _),
+    "q76_hnsw_shard" -> (hnswShard _),
   )
 }
 
@@ -1806,6 +1899,12 @@ object Oracles {
     // arithmetic — same oracle shape (see annIvfQ8)
     "q59_ann_ivf_q8" ->
       topkOracle("vec_id >= 160 AND vec_id < 180", "true", 10, None),
+    // sharded-HNSW store in exact mode: per-shard scoring bypasses the
+    // graphs (sequential-double cosine, BlockStore.scoreBlock) and the
+    // treeAggregate merge is lossless — exact by construction, same
+    // oracle shape (see hnswShardExact; q76 stays no_oracle by design)
+    "q75_hnsw_shard_exact" ->
+      topkOracle("vec_id >= 180 AND vec_id < 200", "true", 10, None),
     // same salting, same RE2-safe patterns in the same order, same
     // stage-wise match counting (each pattern counted on its stage's
     // input, so a literal placeholder in a source doc never counts —

@@ -42,7 +42,7 @@ final class Hnsw private (
     nbrs: Array[Array[Array[Int]]],
     nbrCnt: Array[Array[Int]],
     entry: Int,
-    maxLevel: Int) {
+    maxLevel: Int) extends Serializable {
 
   private def sim(q: Array[Float], node: Int): Double =
     Kernels.dotPackedF(q, data, node * dim).toDouble

@@ -1,0 +1,300 @@
+package graft.operators
+
+import scala.reflect.ClassTag
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.{BlockStore, BoundedTopKG, Hnsw, VecBlock}
+
+/** One shard of the distributed graph-ANN store: the raw packed slab
+  * (ids + row-major float32 matrix + cosine norms — the exact-path
+  * substrate, shared with [[graft.core.BlockStore]]) plus an HNSW graph
+  * built over the UNIT-normalized rows. For stores written with the L2
+  * invariant the graph traverses the slab matrix itself; in cosine mode
+  * (raw rows) a normalized copy is packed next to it so graph
+  * similarity is true cosine while the exact path keeps the
+  * raw/raw-with-norms arithmetic the oracles hash-match.
+  */
+final class HnswShard[K](
+    val block: VecBlock[K],
+    val unit: Array[Float],
+    val graph: Hnsw) extends Serializable
+
+/** Distributed sharded-HNSW vector index: `RDD[HnswShard]`, one graph
+  * per bounded slab (≤ `maxBlockFloats` floats ≈ 128 MB), persisted
+  * deserialized like the BlockStore it mirrors.
+  *
+  * Why this exists: IVF recall on STRUCTURE-FREE embeddings is bounded
+  * by probed mass (nProbe/nList — SCALING.md "ANN"), and the
+  * driver-local [[graft.core.Hnsw]] replica answers that only for
+  * serving-sized stores (≤ Int.MaxValue floats on one JVM). This is the
+  * DISTRIBUTED answer, the standard sharded-graph architecture
+  * (FAISS-style shard-and-merge): graph quality lives per shard, scale
+  * lives in Spark partitioning.
+  *
+  * Scale model (100 TB): builds parallelize perfectly — one
+  * O(n·log n·m) graph construction per slab, no cross-shard edges, no
+  * shuffle (the pointer-chasing part that does NOT map to Spark's model
+  * stays inside one task's slab, reference pico_vdb.py:169-212 builds
+  * ONE such graph serially). Queries broadcast down, per-shard beam
+  * searches run locally, and bounded top-k heaps merge up a
+  * treeAggregate — candidate traffic is O(shards × Q × k), independent
+  * of N, identical to BlockStore.topKMerged. Sharded recall ≈ the
+  * per-shard graph recall (each shard must surface only ITS OWN true
+  * top-k rows; the exact union-merge loses nothing), so recall does not
+  * degrade as shards are added. The trade is per-query entry overhead
+  * O(shards × ef·log n_shard) — at scale keep shards slab-sized (10⁵-10⁶
+  * rows), not thousands of tiny graphs.
+  */
+final class HnswStore[K](
+    val spark: SparkSession,
+    val shards: RDD[HnswShard[K]],
+    val normalized: Boolean,
+    val m: Int = 16,
+    val efConstruction: Int = 100)(implicit ct: ClassTag[K], ord: Ordering[K]) {
+
+  def persist(): this.type = {
+    shards.persist(StorageLevel.MEMORY_ONLY)
+    this
+  }
+
+  def unpersist(blocking: Boolean = false): Unit = shards.unpersist(blocking)
+
+  /** Force the build; returns (total rows, shard count). */
+  def materialize(): (Long, Int) = {
+    val counts = shards.map(_.block.rows.toLong).collect()
+    (counts.sum, counts.length)
+  }
+
+  def dim: Int = shards.map(_.block.dim).first()
+
+  /** Segment-style incremental maintenance — the distributed analog of
+    * the reference's incremental index adds (O26): new rows become NEW
+    * shards, so only the new rows pay graph construction and existing
+    * shards (and their persist state) are untouched. [[searchMerged]]
+    * is shard-count-agnostic, so the returned store sees the union
+    * immediately. Repeated small appends accumulate small graphs whose
+    * per-query entry overhead grows with shard count — fold them with
+    * [[compact]] when that taxes the fan-out (the Lucene segment-merge
+    * pattern). The new shards are persisted here; `unpersist()` on the
+    * RETURNED store releases only the union handle — release the
+    * source stores through their own handles.
+    */
+  def append(rdd: RDD[(K, Array[Float])], numShards: Int = 0): HnswStore[K] = {
+    val extra = HnswStore.fromRDD(spark, rdd, normalize = normalized,
+      assumeNormalized = false, m = m, efConstruction = efConstruction,
+      numShards = numShards)
+    extra.persist()
+    new HnswStore[K](spark, shards.union(extra.shards), normalized,
+      m, efConstruction)
+  }
+
+  /** Re-pack every row into fresh slab-sized shards and rebuild their
+    * graphs — O(N·log N) construction total but perfectly parallel
+    * (one build per slab task). Exact-mode results are unchanged
+    * (spec-pinned: packing is scoring-order-free); graph recall
+    * typically improves over a long append tail (fewer, larger
+    * graphs). Rows pass through byte-identically: unit slabs re-pack
+    * under `assumeNormalized`, cosine slabs re-pack raw with norms
+    * recomputed by the same arithmetic.
+    */
+  def compact(numShards: Int = 0,
+              maxBlockFloats: Int = BlockStore.MaxBlockFloats): HnswStore[K] = {
+    val rows = shards.flatMap { sh =>
+      val b = sh.block
+      val d = b.dim
+      Iterator.tabulate(b.rows) { r =>
+        (b.ids(r),
+          java.util.Arrays.copyOfRange(b.data, r * d, (r + 1) * d))
+      }
+    }
+    // numShards=0 folds to the cluster's parallelism — inheriting the
+    // union's partitioning would rebuild the same fragmented layout
+    val target =
+      if (numShards > 0) numShards else shards.sparkContext.defaultParallelism
+    HnswStore.fromRDD(spark, rows, normalize = false,
+      assumeNormalized = normalized, m = m, efConstruction = efConstruction,
+      numShards = target, maxBlockFloats = maxBlockFloats)
+  }
+
+  /** Batch top-k as one shuffle-free job, the [[graft.core.BlockStore.topKMerged]]
+    * shape: broadcast the query matrix, per-shard bounded heaps, merge
+    * up a treeAggregate, rank on the driver (Q×k rows).
+    *
+    * `exact=true` ignores the graphs and scores every row with the
+    * sequential-double arithmetic of the declarative path
+    * (BlockStore.scoreBlock) — exact by construction, so the standard
+    * DuckDB top-k oracle hash-matches; this pins the shard packing,
+    * merge and ranking plumbing. `exact=false` runs the per-shard HNSW
+    * beam search at `ef` (recall grows with ef; the graph path is
+    * approximate — no oracle, recall-floor invariants instead).
+    *
+    * Cosine mode (un-normalized store): exact scores are
+    * dot/(|q|·|v|) via the stored norms; the graph path normalizes the
+    * query ONCE on the driver and traverses unit rows, so its scores
+    * are the same cosine up to float32 rounding.
+    */
+  def searchMerged(queries: Array[(Long, Array[Float])], k: Int,
+                   ef: Int = 64, exact: Boolean = false)(
+      implicit outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)])
+      : DataFrame = {
+    val qids = queries.map(_._1)
+    // query prep matches IvfIndex.searchMerged: zero -> e0 in
+    // normalized mode; raw kept (cosine norms alongside) otherwise
+    val qvecs = queries.map { q =>
+      val v = q._2
+      if (normalized && Kernels.normSqD(v) == 0.0) {
+        val e = new Array[Float](math.max(1, v.length)); e(0) = 1f; e
+      } else v
+    }
+    val qnorms: Array[Double] =
+      if (normalized) null else qvecs.map(v => math.sqrt(Kernels.normSqD(v)))
+    // unit queries for graph traversal (graph rows are unit); zero-norm
+    // cosine queries stay zero so every sim is 0, matching the exact
+    // path's zero-score convention
+    val qunits: Array[Array[Float]] =
+      if (normalized || exact) qvecs
+      else qvecs.zipWithIndex.map { case (v, i) =>
+        val n = qnorms(i)
+        if (n == 0.0) v
+        else {
+          val out = new Array[Float](v.length)
+          val inv = 1.0 / n
+          var j = 0
+          while (j < v.length) { out(j) = (v(j) * inv).toFloat; j += 1 }
+          out
+        }
+      }
+    val bc = shards.sparkContext.broadcast((qvecs, qnorms, qunits))
+    val kk = k
+    val efk = math.max(ef, k)
+    val ex = exact
+    val localOrd = ord
+    val merged =
+      try {
+        shards.treeAggregate(null: Array[BoundedTopKG[K]])(
+          seqOp = (acc, shard) => {
+            val (qv, qn, qu) = bc.value
+            val heaps = if (acc != null) acc
+                        else Array.fill(qv.length)(new BoundedTopKG[K](kk)(localOrd))
+            if (ex) {
+              BlockStore.scoreBlock(heaps, shard.block, qv, qn,
+                Double.NegativeInfinity, exact = true)
+            } else {
+              val ids = shard.block.ids
+              var qi = 0
+              while (qi < qu.length) {
+                val hits = shard.graph.search(qu(qi), kk, efk)
+                var h = 0
+                while (h < hits.length) {
+                  heaps(qi).offer(hits(h)._2, ids(hits(h)._1))
+                  h += 1
+                }
+                qi += 1
+              }
+            }
+            heaps
+          },
+          combOp = (a, b) =>
+            if (a == null) b
+            else if (b == null) a
+            else {
+              var i = 0
+              while (i < a.length) { a(i).absorb(b(i)); i += 1 }
+              a
+            },
+          depth = 2)
+      } finally bc.destroy()
+    val rows: Seq[(Long, K, Double, Int)] =
+      if (merged == null) Seq.empty
+      else merged.iterator.zipWithIndex.flatMap { case (h, i) =>
+        h.sortedHits().iterator.take(kk).zipWithIndex.map {
+          case ((id, s), r) => (qids(i), id, s, r + 1)
+        }
+      }.toSeq
+    spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
+  }
+}
+
+object HnswStore {
+
+  /** Pack (id, vector) rows into slab-sized shards and build one HNSW
+    * graph per shard — each build runs inside its own task, so shard
+    * builds parallelize across the cluster. `numShards > 0` repartitions
+    * first (round-robin) to set build parallelism / graph size;
+    * otherwise input partitioning decides (one graph per ≤128 MB slab).
+    *
+    * `normalize=true` applies the write-time L2 invariant while packing
+    * (graphs share the slab matrix); `assumeNormalized=true` for rows
+    * already unit-length; both false = cosine mode (raw slab + norms
+    * for the exact path, a unit copy for the graph).
+    */
+  def fromDataset[K: ClassTag: Ordering](
+      ds: Dataset[(K, Array[Float])],
+      normalize: Boolean,
+      assumeNormalized: Boolean = false,
+      m: Int = 16,
+      efConstruction: Int = 100,
+      numShards: Int = 0,
+      maxBlockFloats: Int = BlockStore.MaxBlockFloats): HnswStore[K] =
+    fromRDD(ds.sparkSession, ds.rdd, normalize, assumeNormalized,
+      m, efConstruction, numShards, maxBlockFloats)
+
+  def fromRDD[K: ClassTag: Ordering](
+      spark: SparkSession,
+      rdd0: RDD[(K, Array[Float])],
+      normalize: Boolean,
+      assumeNormalized: Boolean = false,
+      m: Int = 16,
+      efConstruction: Int = 100,
+      numShards: Int = 0,
+      maxBlockFloats: Int = BlockStore.MaxBlockFloats): HnswStore[K] = {
+    val rdd = if (numShards > 0) rdd0.repartition(numShards) else rdd0
+    val mm = m
+    val efc = efConstruction
+    val norm = normalize
+    val assume = assumeNormalized
+    val mbf = maxBlockFloats
+    val shards = rdd.mapPartitions { it =>
+      BlockStore.packPartition[K](it, norm, assume, mbf).map { block =>
+        val unit =
+          if (block.norms == null) block.data // already unit rows
+          else {
+            val dim = block.dim
+            val out = new Array[Float](block.data.length)
+            var r = 0
+            while (r < block.rows) {
+              val n = block.norms(r)
+              val off = r * dim
+              if (n == 0.0) {
+                // zero row -> e0, the NormalizeL2 write-time convention
+                if (dim > 0) out(off) = 1f
+              } else {
+                val inv = 1.0 / n
+                var j = 0
+                while (j < dim) {
+                  out(off + j) = (block.data(off + j) * inv).toFloat
+                  j += 1
+                }
+              }
+              r += 1
+            }
+            out
+          }
+        new HnswShard[K](block, unit,
+          Hnsw.build(unit, block.rows, block.dim, mm, efc))
+      }
+    }
+    new HnswStore[K](spark, shards, norm || assume, m, efConstruction)
+  }
+
+  // per-dataset store cache (amortizes repeated catalog/bench runs),
+  // same SessionLru policy as IvfIndex.cached
+  private val cache = new graft.core.SessionLru[String, HnswStore[Long]](
+    4, _.spark, _.unpersist())
+
+  def cached(key: String)(mk: => HnswStore[Long]): HnswStore[Long] =
+    cache.getOrBuild(key)(mk)
+}

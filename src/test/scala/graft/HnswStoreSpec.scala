@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.HnswStore
+
+/** Distributed sharded-HNSW store: exact-mode parity with the
+  * brute-force oracle, graph-mode recall across shards, cosine-mode
+  * norms, determinism, and empty/degenerate inputs.
+  */
+class HnswStoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def randData(n: Int, dim: Int, seed: Int,
+                       unit: Boolean): Seq[(Long, Array[Float])] = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val v = Array.fill(dim)(rng.nextFloat() - 0.5f)
+      if (unit) {
+        val nr = math.sqrt(v.map(x => x.toDouble * x).sum)
+        (i.toLong, v.map(x => (x / nr).toFloat))
+      } else (i.toLong, v)
+    }
+  }
+
+  /** Brute-force cosine top-k with the oracle's tie-break (score desc,
+    * id asc), double arithmetic.
+    */
+  private def brute(data: Seq[(Long, Array[Float])],
+                    queries: Seq[(Long, Array[Float])],
+                    k: Int): Map[Long, Seq[(Long, Double)]] =
+    queries.map { case (qid, q) =>
+      val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+      qid -> data.map { case (id, v) =>
+        val dot = q.zip(v).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        val vn = math.sqrt(v.map(x => x.toDouble * x).sum)
+        (id, if (qn == 0.0 || vn == 0.0) 0.0 else dot / (qn * vn))
+      }.sortBy { case (id, s) => (-s, id) }.take(k).toSeq
+    }.toMap
+
+  test("exact mode matches brute-force cosine across multiple shards") {
+    val data = randData(500, 16, seed = 7, unit = false)
+    val store = HnswStore.fromDataset[Long](
+      data.toDS(), normalize = false, numShards = 7)
+    val queries = data.take(10).toArray
+    val got = store.searchMerged(queries, k = 8, exact = true)
+      .select(col("qid"), col("rank"), col("id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val want = brute(data, queries.toSeq, 8)
+    assert(got.length == 10 * 8)
+    got.foreach { case (qid, rank, id, score) =>
+      val (wid, wscore) = want(qid)(rank - 1)
+      assert(id == wid, s"qid=$qid rank=$rank: got id $id want $wid")
+      assert(math.abs(score - wscore) < 1e-9,
+        s"qid=$qid rank=$rank: score $score vs $wscore")
+    }
+    store.unpersist()
+  }
+
+  test("graph search: high recall vs exact on unit data, recall grows with ef") {
+    val data = randData(1200, 16, seed = 11, unit = true)
+    val store = HnswStore.fromDataset[Long](
+      data.toDS(), normalize = false, assumeNormalized = true, numShards = 4)
+    val queries = data.filter(_._1 % 89 == 0).toArray
+    def recallAt(ef: Int): Double = {
+      val exact = store.searchMerged(queries, 10, exact = true)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val approx = store.searchMerged(queries, 10, ef = ef)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      queries.map { case (qid, _) =>
+        approx.getOrElse(qid, Set.empty[Long])
+          .count(exact(qid)).toDouble / exact(qid).size
+      }.sum / queries.length
+    }
+    val r32 = recallAt(32)
+    val r128 = recallAt(128)
+    assert(r128 >= 0.85, s"recall@10 at ef=128 was $r128")
+    assert(r128 >= r32 - 0.05, s"recall should not shrink with ef: $r32 -> $r128")
+    store.unpersist()
+  }
+
+  test("cosine mode: graph scores are true cosine (match exact within float32)") {
+    val data = randData(300, 8, seed = 23, unit = false) // RAW rows
+    val store = HnswStore.fromDataset[Long](
+      data.toDS(), normalize = false, numShards = 2)
+    val queries = data.take(5).toArray
+    val exact = store.searchMerged(queries, 3, exact = true)
+      .select("qid", "rank", "id", "score").collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val approx = store.searchMerged(queries, 3, ef = 300)
+      .select("qid", "rank", "id", "score").collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    // every graph hit that IS a true top-3 row must carry the same
+    // cosine score up to float32 rounding of the packed rows
+    var matched = 0
+    approx.foreach { case (key, s) =>
+      exact.get(key).foreach { es =>
+        assert(math.abs(s - es) < 1e-5, s"$key: graph $s vs exact $es")
+        matched += 1
+      }
+    }
+    assert(matched >= 10, s"graph found only $matched of 15 true top-3 rows")
+    store.unpersist()
+  }
+
+  test("sharding is recall-neutral: 1 shard vs 8 shards on the same data") {
+    val data = randData(800, 16, seed = 31, unit = true)
+    val queries = data.take(10).toArray
+    def recall(shards: Int): Double = {
+      val store = HnswStore.fromDataset[Long](
+        data.toDS(), normalize = false, assumeNormalized = true,
+        numShards = shards)
+      val exact = store.searchMerged(queries, 10, exact = true)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val approx = store.searchMerged(queries, 10, ef = 96)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val r = queries.map { case (qid, _) =>
+        approx.getOrElse(qid, Set.empty[Long])
+          .count(exact(qid)).toDouble / exact(qid).size
+      }.sum / queries.length
+      store.unpersist()
+      r
+    }
+    val r1 = recall(1)
+    val r8 = recall(8)
+    assert(r8 >= r1 - 0.1,
+      s"sharding degraded recall beyond slack: 1 shard $r1 vs 8 shards $r8")
+  }
+
+  test("zero-norm cosine query scores 0 on both paths; empty store is empty") {
+    val data = randData(50, 8, seed = 41, unit = false)
+    val store = HnswStore.fromDataset[Long](
+      data.toDS(), normalize = false, numShards = 2)
+    val zq = Array((99L, new Array[Float](8)))
+    val ex = store.searchMerged(zq, 3, exact = true).select("score").collect()
+    assert(ex.nonEmpty && ex.forall(_.getDouble(0) == 0.0))
+    val ap = store.searchMerged(zq, 3, ef = 50).select("score").collect()
+    assert(ap.forall(_.getDouble(0) == 0.0))
+    store.unpersist()
+
+    val empty = HnswStore.fromDataset[Long](
+      spark.emptyDataset[(Long, Array[Float])], normalize = false)
+    assert(empty.searchMerged(data.take(2).toArray, 3, exact = true).count() == 0)
+    assert(empty.searchMerged(data.take(2).toArray, 3, ef = 16).count() == 0)
+  }
+
+  test("append adds segment shards; exact results equal a fresh union build; compact folds them") {
+    val rngB = new scala.util.Random(67)
+    val base = randData(300, 8, seed = 61, unit = false)
+    val extra = (300 until 400).map { i =>
+      (i.toLong, Array.fill(8)(rngB.nextFloat() - 0.5f))
+    }
+    val store = HnswStore.fromDataset[Long](
+      base.toDS(), normalize = false, numShards = 3)
+    val (r0, s0) = store.materialize()
+    assert(r0 == 300 && s0 == 3)
+
+    val appended = store.append(
+      spark.sparkContext.parallelize(extra, 2))
+    val (r1, s1) = appended.materialize()
+    assert(r1 == 400 && s1 == 5, s"rows=$r1 shards=$s1")
+
+    val all = base ++ extra
+    val queries = Array(all(10), all(350), all(42), all(399))
+    val want = brute(all, queries.toSeq, 6)
+    def check(st: HnswStore[Long]): Unit = {
+      val got = st.searchMerged(queries, k = 6, exact = true)
+        .select(col("qid"), col("rank"), col("id")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      got.foreach { case (qid, rank, id) =>
+        assert(id == want(qid)(rank - 1)._1, s"qid=$qid rank=$rank id=$id")
+      }
+    }
+    check(appended)
+
+    val compacted = appended.compact(numShards = 2)
+    val (r2, s2) = compacted.materialize()
+    assert(r2 == 400 && s2 == 2, s"rows=$r2 shards=$s2")
+    check(compacted)
+    // graph path still serves k rows per query after the fold
+    val g = compacted.searchMerged(queries, k = 6, ef = 64)
+    assert(g.count() == queries.length * 6)
+    compacted.unpersist(); appended.unpersist(); store.unpersist()
+  }
+
+  test("graph search is deterministic across repeated calls") {
+    val data = randData(400, 16, seed = 53, unit = true)
+    val store = HnswStore.fromDataset[Long](
+      data.toDS(), normalize = false, assumeNormalized = true, numShards = 3)
+    val queries = data.take(6).toArray
+    def run() = store.searchMerged(queries, 5, ef = 64)
+      .select("qid", "rank", "id", "score").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(run() == run())
+    store.unpersist()
+  }
+}
