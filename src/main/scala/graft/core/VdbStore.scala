@@ -154,6 +154,53 @@ final class VdbStore private (
     annIndex = None
   }
 
+  // ---- sharded-HNSW accelerator (round 13, operators.HnswStore) ----
+  // The graph-ANN strategy — the closest structural analog of the
+  // reference's FAISS-HNSW (pico_vdb.py:169-212), distributed as one
+  // graph per packed slab. Opt-in like enableAnn and under the same
+  // O28 bypass rules; when both accelerators are enabled the graph
+  // wins (it is the recall-class upgrade). Maintenance is a lazy
+  // per-version REBUILD: slab graphs build in parallel tasks (~6 s at
+  // the 100k x 1024 headline, constant wall per core at scale), so
+  // the IVF incremental machinery has nothing to amortize here.
+  // Session-level by design — not persisted; a restored store
+  // re-enables and rebuilds deterministically. (Append-only ingest
+  // can maintain segments directly via HnswStore.append/compact.)
+  @volatile private var hnswParams: Option[(Int, Int)] = None
+  @volatile private var hnswCache: Option[(Long, graft.operators.HnswStore[String])] = None
+
+  /** Enable the sharded-HNSW strategy (reference knobs hnsw_m /
+    * hnsw_efc, pico_vdb.py:152-158).
+    */
+  def enableHnsw(m: Int = 16, efConstruction: Int = 100): Unit =
+    hnswParams = Some((m, efConstruction))
+
+  def disableHnsw(): Unit = {
+    hnswParams = None
+    hnswCache.foreach(_._2.unpersist())
+    hnswCache = None
+  }
+
+  private def refreshHnsw(): Option[graft.operators.HnswStore[String]] =
+    hnswParams.map { case (mM, efc) =>
+      hnswCache match {
+        case Some((v, st)) if v == storeVersion => st
+        case old =>
+          timed("hnsw_refresh") {
+            import spark.implicits._
+            val st = graft.operators.HnswStore.fromDataset(
+              active.select(col("_id_"), col("_vector_"))
+                .as[(String, Array[Float])],
+              normalize = false, assumeNormalized = true,
+              m = mM, efConstruction = efc).persist()
+            st.materialize()
+            hnswCache = Some((storeVersion, st))
+            old.foreach(_._2.unpersist())
+            st
+          }
+      }
+    }
+
   /** Introspection: (enabled, nList, lastRebuildMode, upToDate) — the
     * reference records `_last_faiss_rebuild_mode` the same way
     * (pico_vdb.py:884-921). `nList` reports the BUILT index's list
@@ -394,7 +441,8 @@ final class VdbStore private (
       where: Option[Column] = None,
       ids: Option[Seq[String]] = None,
       whereFn: Option[(String, String) => Boolean] = None,
-      nProbe: Int = 0): Seq[Seq[VdbHit]] = timed("query") {
+      nProbe: Int = 0,
+      efSearch: Int = 0): Seq[Seq[VdbHit]] = timed("query") {
     // reference's batch-shape message (pico_vdb.py:572-575)
     vectors.foreach { v =>
       require(v.length == dim,
@@ -424,13 +472,20 @@ final class VdbStore private (
     // candidates; routing thresholded queries to the exact path keeps
     // their results deterministic.
     val unfiltered = ids.isEmpty && where.isEmpty && whereFn.isEmpty
-    val ann = if (unfiltered && betterThan.isEmpty) refreshAnn() else None
+    // the graph strategy outranks IVF when both are enabled (same O28
+    // bypass rules; the conservative better_than deviation applies to
+    // every accelerator alike)
+    val hnsw = if (unfiltered && betterThan.isEmpty) refreshHnsw() else None
+    val ann =
+      if (hnsw.isEmpty && unfiltered && betterThan.isEmpty) refreshAnn()
+      else None
     // q8 follows the same bypass rules as ANN (incl. the conservative
     // better_than deviation); ANN wins when both are enabled.
     val useQ8 =
-      ann.isEmpty && q8Enabled && unfiltered && betterThan.isEmpty
+      hnsw.isEmpty && ann.isEmpty && q8Enabled && unfiltered && betterThan.isEmpty
     lastStrategy = Some(
-      if (ann.isDefined && q8Enabled) "ann+q8"
+      if (hnsw.isDefined) "hnsw"
+      else if (ann.isDefined && q8Enabled) "ann+q8"
       else if (ann.isDefined) "ann"
       else if (useQ8) "q8"
       else if (unfiltered) "exact"
@@ -438,7 +493,21 @@ final class VdbStore private (
 
     val queries = vectors.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toArray
     // (qid, id, score, rank) on the driver — Q x k rows either way
-    val ranked: Seq[(Long, String, Double, Int)] = ann match {
+    val ranked: Seq[(Long, String, Double, Int)] = if (hnsw.isDefined) {
+      // sharded-graph strategy: per-slab beam searches at efSearch
+      // (explicit arg > graft.hnsw.ef conf — the reference's
+      // ef_search kwarg, pico_vdb.py:716-730), heaps merged up a
+      // treeAggregate. Scores are float32 dots over unit rows — the
+      // reference's own FAISS scoring precision; graft.query.exact
+      // does not apply (the path is approximate by nature, and its
+      // exact sibling is the `exact` strategy below).
+      val ef = if (efSearch > 0) efSearch else conf.hnswEf
+      val normQ = queries.map { case (i, v) => (i, NormalizeL2.normalize(v)) }
+      hnsw.get.searchMerged(normQ, topK, ef)
+        .select(col("qid"), col("id"), col("score"), col("rank"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
+    } else ann match {
       case Some(idx) if q8Enabled =>
         // composed IVF-SQ8 strategy (round 12): IVF prunes the probed
         // fraction, the int8 bucket slabs cut its scan bandwidth 4x,
@@ -586,12 +655,14 @@ final class VdbStore private (
                betterThan: Option[Double] = None,
                where: Option[Column] = None,
                ids: Option[Seq[String]] = None,
-               whereFn: Option[(String, String) => Boolean] = None): Seq[VdbHit] = {
+               whereFn: Option[(String, String) => Boolean] = None,
+               efSearch: Int = 0): Seq[VdbHit] = {
     // reference's single-vector message (pico_vdb.py:566-569) — shapes
     // are typed in Scala, so only the dim check remains
     require(vector.length == dim,
       s"query vector dim mismatch: expected $dim, got ${vector.length}")
-    query(Seq(vector), topK, betterThan, where, ids, whereFn).head
+    query(Seq(vector), topK, betterThan, where, ids, whereFn,
+      efSearch = efSearch).head
   }
 
   // ---------------------------------------------------------------- delete

@@ -528,6 +528,48 @@ class VdbStoreSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.query.exact")
   }
 
+  test("hnsw strategy: routed, outranks ann, bypassed like ANN, dirtied by mutation") {
+    val s = freshStore(8)
+    // well-separated unit rows (the IvfIndexSpec fixture idea): graph
+    // search at modest ef is exact-equal here
+    val rng = new scala.util.Random(9)
+    val recs = (0 until 120).map { i =>
+      val v = new Array[Float](8)
+      v(i % 4 * 2) = 1f
+      (0 until 8).foreach(j => v(j) = v(j) + (rng.nextFloat() - 0.5f) * 0.05f)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      rec(f"h$i%03d", v.map(x => (x / n).toFloat), s"""{"g": ${i % 4}}""")
+    }
+    s.upsert(recs)
+    val q = recs(30).vector
+    val exact = s.queryOne(q, topK = 5)
+    assert(s.lastQueryStrategy.contains("exact"))
+    s.enableHnsw()
+    val viaGraph = s.queryOne(q, topK = 5, efSearch = 64)
+    assert(s.lastQueryStrategy.contains("hnsw"))
+    assert(viaGraph.map(_.id) == exact.map(_.id),
+      s"graph hits ${viaGraph.map(_.id)} vs exact ${exact.map(_.id)}")
+    // graph outranks IVF when both are on
+    s.enableAnn(nList = 4)
+    s.queryOne(q, topK = 3)
+    assert(s.lastQueryStrategy.contains("hnsw"))
+    s.disableAnn()
+    // O28 bypass rules: filters and better_than take the exact path
+    s.queryOne(q, topK = 3, where = Some(get_json_object(col("meta"), "$.g") === "1"))
+    assert(s.lastQueryStrategy.contains("exact-filtered"))
+    s.queryOne(q, topK = 3, betterThan = Some(0.1))
+    assert(s.lastQueryStrategy.contains("exact"))
+    // mutation invalidates the cached graphs: the new row is findable
+    val nv = new Array[Float](8); nv(1) = 1f
+    s.upsert(Seq(rec("fresh", nv, """{"g": 9}""")))
+    val after = s.queryOne(nv, topK = 1)
+    assert(s.lastQueryStrategy.contains("hnsw"))
+    assert(after.head.id == "fresh")
+    s.disableHnsw()
+    s.queryOne(q, topK = 3)
+    assert(s.lastQueryStrategy.contains("exact"))
+  }
+
   test("localReplica: in-process queryOne/get match the distributed store; snapshot semantics") {
     val rng = new scala.util.Random(77)
     val s = freshStore(dim = 16)
