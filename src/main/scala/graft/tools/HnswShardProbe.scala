@@ -81,7 +81,10 @@ object HnswShardProbe {
     }
 
     probe(shards)
-    probe(1)
+    // the near-serial comparison (numShards=1 still slab-bounds into a
+    // few graphs built in ONE task) only makes sense at the 100k
+    // headline; at 1M it is tens of minutes of single-task build
+    if (n <= 200000) probe(1)
     spark.stop()
   }
 }
