@@ -434,4 +434,103 @@ object StreamingOps {
       .as[(String, String)]
     firstSeenByContent(rows)(_._2, _._1)
   }
+
+  /** Continuous sharded-HNSW ingest: every micro-batch of (id, vector)
+    * rows becomes a NEW index segment (graph construction touches only
+    * the batch's rows — the [[graft.operators.HnswStore.append]]
+    * pattern driven by a stream), folded back into slab-sized graphs
+    * by the index's compaction threshold. Append-only by contract —
+    * redelivered micro-batches are skipped by batch id (the standard
+    * idempotent-foreachBatch rule), but two DIFFERENT batches carrying
+    * the same id both land; route updates/deletes through a VdbStore
+    * with `enableHnsw` instead, which rebuilds per version.
+    *
+    * `stream` needs (idCol, vecCol array<float>) columns.
+    */
+  def hnswSegmentSink(stream: DataFrame, index: HnswSegmentIndex,
+                      idCol: String, vecCol: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) index.ingest(batchId, batch, idCol, vecCol)
+      }
+}
+
+/** The continuously-maintained sharded-HNSW index behind
+  * [[StreamingOps.hnswSegmentSink]]: micro-batches append segments,
+  * `compactAtShards` bounds the query fan-out by folding them into
+  * slab-sized graphs (Lucene's segment-merge discipline). Searches see
+  * an atomic view: the `view` swap happens after the new segment (or
+  * the compacted store) is materialized, so a concurrent reader scores
+  * either the pre- or post-batch index, never a half-built one.
+  *
+  * `normalize=true` packs rows under the write-time L2 invariant (the
+  * VdbStore convention); false keeps raw rows + cosine norms. Exact
+  * mode results are segment-layout-free, so a streamed index
+  * frame-equals a batch-built store (StreamingEquivalenceSpec).
+  */
+final class HnswSegmentIndex(
+    spark: org.apache.spark.sql.SparkSession,
+    normalize: Boolean,
+    m: Int = 16,
+    efConstruction: Int = 100,
+    compactAtShards: Int = 64) {
+  import graft.operators.HnswStore
+
+  private var segments: Vector[HnswStore[String]] = Vector.empty
+  private var shardCounts: Vector[Int] = Vector.empty
+  private var lastBatchId: Long = -1L
+  @volatile private var viewVar: HnswStore[String] = null
+  @volatile private var compactionsVar: Int = 0
+
+  /** The current queryable store, if any batch has landed. */
+  def store: Option[HnswStore[String]] = Option(viewVar)
+  def shardCount: Int = shardCounts.sum
+  def compactions: Int = compactionsVar
+
+  private[streaming] def ingest(batchId: Long, batch: DataFrame,
+                                idCol: String, vecCol: String): Unit =
+    synchronized {
+      // idempotent-foreachBatch rule: a replayed (failed-and-retried)
+      // micro-batch reuses its batch id — appending it twice would
+      // duplicate rows in an append-only index
+      if (batchId <= lastBatchId) return
+      lastBatchId = batchId
+      import batch.sparkSession.implicits._
+      val rdd = batch
+        .select(col(idCol).cast("string"), col(vecCol))
+        .as[(String, Array[Float])].rdd
+      val seg = HnswStore.fromRDD(spark, rdd, normalize = normalize,
+        m = m, efConstruction = efConstruction).persist()
+      val (_, nsh) = seg.materialize()
+      segments :+= seg
+      shardCounts :+= nsh
+      refreshView()
+      if (shardCount > compactAtShards) compactNow()
+    }
+
+  private def refreshView(): Unit =
+    viewVar =
+      if (segments.size == 1) segments.head
+      else new HnswStore[String](spark,
+        spark.sparkContext.union(segments.map(_.shards)),
+        segments.head.normalized, m, efConstruction)
+
+  private def compactNow(): Unit = {
+    val folded = viewVar.compact().persist()
+    val (_, nsh) = folded.materialize()
+    segments.foreach(_.unpersist())
+    segments = Vector(folded)
+    shardCounts = Vector(nsh)
+    compactionsVar += 1
+    refreshView()
+  }
+
+  /** Release every live segment. */
+  def close(): Unit = synchronized {
+    segments.foreach(_.unpersist())
+    segments = Vector.empty
+    shardCounts = Vector.empty
+    viewVar = null
+  }
 }

@@ -253,4 +253,45 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     assert(got == want)
     assert(want.exists(_._3 >= 0L) && want.exists(_._3 == -1L))
   }
+
+  test("hnswSegmentSink replay equals a batch-built store in exact mode; compaction fires") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // append-only ids from the real embeddings fixture, shuffled
+    // batches: exact-mode results are segment-layout-free, so the
+    // streamed index must frame-equal one batch build over the corpus
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("string"), col("embedding"))
+      .as[(String, Array[Float])].collect()
+    val shuffled = new scala.util.Random(19).shuffle(emb.toSeq)
+    val index = new graft.streaming.HnswSegmentIndex(
+      spark, normalize = true, compactAtShards = 3)
+    val mem = MemoryStream[(String, Array[Float])]
+    val ck = java.nio.file.Files.createTempDirectory("ckeq").toString
+    shuffled.grouped(60).foreach { chunk =>
+      mem.addData(chunk)
+      val q = StreamingOps.hnswSegmentSink(
+          mem.toDF().toDF("id", "vec"), index, "id", "vec")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "micro-batch timed out")
+    }
+    assert(index.compactions >= 1,
+      s"fixture must exercise compaction (shards=${index.shardCount})")
+    assert(index.shardCount <= 4)
+
+    val queries = emb.take(12).zipWithIndex
+      .map { case ((_, v), i) => (i.toLong, v) }
+    val batchStore = graft.operators.HnswStore.fromDataset[String](
+      emb.toSeq.toDS().map(r => (r._1, r._2)), normalize = true, numShards = 2)
+    def snap(st: graft.operators.HnswStore[String]) =
+      st.searchMerged(queries, k = 10, exact = true)
+        .select("qid", "rank", "id", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    assert(snap(index.store.get) == snap(batchStore))
+    // graph mode sanity on the streamed index: full result set
+    assert(index.store.get.searchMerged(queries, 10, ef = 96).count() == 120)
+    batchStore.unpersist(); index.close()
+  }
 }
