@@ -306,8 +306,10 @@ object Hnsw {
     }
 
     var i = 0
-    // sequential seed phase
-    val seedN = math.min(seedSequential, n)
+    // sequential seed phase — at least ONE node: the batch phase
+    // descends from `entry`, and seedSequential=0 would leave it -1
+    // (negative packed-matrix offset on the first candidate search)
+    val seedN = math.min(math.max(seedSequential, 1), n)
     while (i < seedN) {
       if (entry == -1) { entry = i; maxLevel = levels(i) }
       else applyInsert(i, candidatesFor(i))

@@ -167,7 +167,16 @@ final class VdbStore private (
   // re-enables and rebuilds deterministically. (Append-only ingest
   // can maintain segments directly via HnswStore.append/compact.)
   @volatile private var hnswParams: Option[(Int, Int)] = None
-  @volatile private var hnswCache: Option[(Long, graft.operators.HnswStore[String])] = None
+  // (storeVersion, (m, efC), store): keyed on BOTH the version and the
+  // build params, so re-enabling with different m/efConstruction
+  // rebuilds instead of serving the old graphs (the refreshAnn
+  // prev.nList check's analog). hnswLock serializes the
+  // check-build-swap against concurrent queries and disableHnsw —
+  // an unsynchronized race would double-build and leak the loser's
+  // persisted shards (review r13).
+  private val hnswLock = new Object
+  @volatile private var hnswCache:
+    Option[(Long, (Int, Int), graft.operators.HnswStore[String])] = None
 
   /** Enable the sharded-HNSW strategy (reference knobs hnsw_m /
     * hnsw_efc, pico_vdb.py:152-158).
@@ -175,29 +184,31 @@ final class VdbStore private (
   def enableHnsw(m: Int = 16, efConstruction: Int = 100): Unit =
     hnswParams = Some((m, efConstruction))
 
-  def disableHnsw(): Unit = {
+  def disableHnsw(): Unit = hnswLock.synchronized {
     hnswParams = None
-    hnswCache.foreach(_._2.unpersist())
+    hnswCache.foreach(_._3.unpersist())
     hnswCache = None
   }
 
   private def refreshHnsw(): Option[graft.operators.HnswStore[String]] =
-    hnswParams.map { case (mM, efc) =>
-      hnswCache match {
-        case Some((v, st)) if v == storeVersion => st
-        case old =>
-          timed("hnsw_refresh") {
-            import spark.implicits._
-            val st = graft.operators.HnswStore.fromDataset(
-              active.select(col("_id_"), col("_vector_"))
-                .as[(String, Array[Float])],
-              normalize = false, assumeNormalized = true,
-              m = mM, efConstruction = efc).persist()
-            st.materialize()
-            hnswCache = Some((storeVersion, st))
-            old.foreach(_._2.unpersist())
-            st
-          }
+    hnswLock.synchronized {
+      hnswParams.map { params =>
+        hnswCache match {
+          case Some((v, p, st)) if v == storeVersion && p == params => st
+          case old =>
+            timed("hnsw_refresh") {
+              import spark.implicits._
+              val st = graft.operators.HnswStore.fromDataset(
+                active.select(col("_id_"), col("_vector_"))
+                  .as[(String, Array[Float])],
+                normalize = false, assumeNormalized = true,
+                m = params._1, efConstruction = params._2).persist()
+              st.materialize()
+              hnswCache = Some((storeVersion, params, st))
+              old.foreach(_._3.unpersist())
+              st
+            }
+        }
       }
     }
 

@@ -57,5 +57,15 @@ private[operators] object PlanCache {
 private[operators] object GramCache {
   private val shared = new PlanCache(maxEntries = 8)
   def cached(df: DataFrame): DataFrame = shared.cached(df)
-  def invalidate(spark: SparkSession): Unit = shared.invalidate(spark)
+
+  /** Flushes EVERY plan cache for `spark` — the gram tables here AND
+    * bm25's separate per-doc LRU ([[Lexical.bm25Cache]]), so the
+    * immutable-input note above keeps one release handle after the
+    * bm25 cache split (review r13: invalidating only the gram side
+    * would leave bm25 serving pre-rewrite tf/df counts).
+    */
+  def invalidate(spark: SparkSession): Unit = {
+    shared.invalidate(spark)
+    Lexical.bm25Cache.invalidate(spark)
+  }
 }

@@ -55,8 +55,14 @@ final class HnswStore[K](
     val m: Int = 16,
     val efConstruction: Int = 100)(implicit ct: ClassTag[K], ord: Ordering[K]) {
 
-  def persist(): this.type = {
-    shards.persist(StorageLevel.MEMORY_ONLY)
+  def persist(): this.type = persist(StorageLevel.MEMORY_ONLY)
+
+  /** Stream-derived stores should pass MEMORY_AND_DISK: a MEMORY_ONLY
+    * shard evicted under pressure recomputes through its lineage, and
+    * a foreachBatch micro-batch source may no longer be replayable.
+    */
+  def persist(level: StorageLevel): this.type = {
+    shards.persist(level)
     this
   }
 

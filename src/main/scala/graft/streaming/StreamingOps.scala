@@ -480,6 +480,14 @@ final class HnswSegmentIndex(
   private var segments: Vector[HnswStore[String]] = Vector.empty
   private var shardCounts: Vector[Int] = Vector.empty
   private var lastBatchId: Long = -1L
+  // shard count right after the last fold: the compaction trigger is
+  // GROWTH-based (shardCount > max(threshold, 2x last fold)), because
+  // the folded count is outside our control — slab bounding or the
+  // fold parallelism can leave it above compactAtShards, and a
+  // threshold-only trigger would then recompact the whole index on
+  // EVERY micro-batch (O(N) rebuild per batch, quadratic total; review
+  // r13)
+  private var lastCompactSize: Int = 0
   @volatile private var viewVar: HnswStore[String] = null
   @volatile private var compactionsVar: Int = 0
 
@@ -501,12 +509,14 @@ final class HnswSegmentIndex(
         .select(col(idCol).cast("string"), col(vecCol))
         .as[(String, Array[Float])].rdd
       val seg = HnswStore.fromRDD(spark, rdd, normalize = normalize,
-        m = m, efConstruction = efConstruction).persist()
+        m = m, efConstruction = efConstruction)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (_, nsh) = seg.materialize()
       segments :+= seg
       shardCounts :+= nsh
       refreshView()
-      if (shardCount > compactAtShards) compactNow()
+      if (shardCount > math.max(compactAtShards, 2 * lastCompactSize))
+        compactNow()
     }
 
   private def refreshView(): Unit =
@@ -517,11 +527,17 @@ final class HnswSegmentIndex(
         segments.head.normalized, m, efConstruction)
 
   private def compactNow(): Unit = {
-    val folded = viewVar.compact().persist()
+    // fold BELOW the trigger threshold (not to defaultParallelism,
+    // which can exceed it and re-trigger immediately); slab bounding
+    // may still force more graphs than requested — the growth-based
+    // trigger absorbs that
+    val folded = viewVar.compact(numShards = math.max(1, compactAtShards / 2))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (_, nsh) = folded.materialize()
     segments.foreach(_.unpersist())
     segments = Vector(folded)
     shardCounts = Vector(nsh)
+    lastCompactSize = nsh
     compactionsVar += 1
     refreshView()
   }

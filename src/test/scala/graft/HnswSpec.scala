@@ -86,6 +86,14 @@ class HnswSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.contains(100)) // finds itself
   }
 
+  test("seedSequential=0 is clamped to 1 (batch phase needs an entry point)") {
+    val rng = new scala.util.Random(5)
+    val data = Array.tabulate(300)(_ =>
+      normalize(Array.fill(8)(rng.nextFloat() - 0.5f)))
+    val idx = Hnsw.build(flat(data), data.length, dim = 8, seedSequential = 0)
+    assert(idx.search(data(7), 3, ef = 64).nonEmpty)
+  }
+
   test("build is deterministic: same input -> identical results") {
     val rng = new scala.util.Random(23)
     val data = Array.tabulate(600)(_ =>

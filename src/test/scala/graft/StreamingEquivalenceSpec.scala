@@ -278,6 +278,11 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     }
     assert(index.compactions >= 1,
       s"fixture must exercise compaction (shards=${index.shardCount})")
+    // growth-based trigger: 9 batches must NOT fold on every batch
+    // once the folded count sits at/above the threshold (the
+    // review-r13 recompaction loop — a loop here would show ~6+)
+    assert(index.compactions <= 3,
+      s"per-batch recompaction loop: ${index.compactions} folds")
     assert(index.shardCount <= 4)
 
     val queries = emb.take(12).zipWithIndex

@@ -565,6 +565,15 @@ class VdbStoreSpec extends AnyFunSuite {
     val after = s.queryOne(nv, topK = 1)
     assert(s.lastQueryStrategy.contains("hnsw"))
     assert(after.head.id == "fresh")
+    // re-enabling with DIFFERENT params rebuilds (cache keys on both
+    // version and (m, efC) — review r13): hnsw_refresh re-times
+    val tBefore = s.lastTimings.get("hnsw_refresh")
+    s.queryOne(q, topK = 3) // same params: cache hit, no re-time
+    assert(s.lastTimings.get("hnsw_refresh") == tBefore)
+    s.enableHnsw(m = 8, efConstruction = 40)
+    s.queryOne(q, topK = 3)
+    assert(s.lastTimings.get("hnsw_refresh") != tBefore,
+      "param change must rebuild the graphs")
     s.disableHnsw()
     s.queryOne(q, topK = 3)
     assert(s.lastQueryStrategy.contains("exact"))
