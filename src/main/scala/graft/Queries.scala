@@ -552,6 +552,24 @@ object Queries {
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Oracled Dataset-query sharded-HNSW entry (q77, round 13): the
+    * q48-for-the-graph-store — [[operators.HnswStore.searchPacked]]
+    * keeps the query side a Dataset end-to-end (packed query slabs ×
+    * graph shards, heap absorb in a reduceByKey — never a driver
+    * array), run in exact mode so the standard DuckDB top-k oracle
+    * hash-matches; HnswStoreSpec pins bit-parity with searchMerged in
+    * BOTH modes. Distinct query slice for its own evidence.
+    */
+  def hnswShardPacked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") >= 200 && col("vec_id") < 220)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    hnswStoreFor(spark, dir).searchPacked(queries, k = 10, exact = true)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Sharded-HNSW graph search (q76, round 13): per-shard beam search
     * at ef=128 merged exactly — the distributed answer to the
     * reference's HNSW recall on STRUCTURE-FREE embeddings, where IVF
@@ -1427,6 +1445,7 @@ object Queries {
     "q74_bigram_crossent" -> (bigramCrossEnt _),
     "q75_hnsw_shard_exact" -> (hnswShardExact _),
     "q76_hnsw_shard" -> (hnswShard _),
+    "q77_hnsw_shard_packed" -> (hnswShardPacked _),
   )
 }
 
@@ -1905,6 +1924,10 @@ object Oracles {
     // oracle shape (see hnswShardExact; q76 stays no_oracle by design)
     "q75_hnsw_shard_exact" ->
       topkOracle("vec_id >= 180 AND vec_id < 200", "true", 10, None),
+    // Dataset-query graph store in exact mode - same argument as q75,
+    // distinct slice (see hnswShardPacked)
+    "q77_hnsw_shard_packed" ->
+      topkOracle("vec_id >= 200 AND vec_id < 220", "true", 10, None),
     // same salting, same RE2-safe patterns in the same order, same
     // stage-wise match counting (each pattern counted on its stage's
     // input, so a literal placeholder in a source doc never counts —

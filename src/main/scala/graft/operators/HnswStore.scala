@@ -146,33 +146,8 @@ final class HnswStore[K](
                    ef: Int = 64, exact: Boolean = false)(
       implicit outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)])
       : DataFrame = {
-    val qids = queries.map(_._1)
-    // query prep matches IvfIndex.searchMerged: zero -> e0 in
-    // normalized mode; raw kept (cosine norms alongside) otherwise
-    val qvecs = queries.map { q =>
-      val v = q._2
-      if (normalized && Kernels.normSqD(v) == 0.0) {
-        val e = new Array[Float](math.max(1, v.length)); e(0) = 1f; e
-      } else v
-    }
-    val qnorms: Array[Double] =
-      if (normalized) null else qvecs.map(v => math.sqrt(Kernels.normSqD(v)))
-    // unit queries for graph traversal (graph rows are unit); zero-norm
-    // cosine queries stay zero so every sim is 0, matching the exact
-    // path's zero-score convention
-    val qunits: Array[Array[Float]] =
-      if (normalized || exact) qvecs
-      else qvecs.zipWithIndex.map { case (v, i) =>
-        val n = qnorms(i)
-        if (n == 0.0) v
-        else {
-          val out = new Array[Float](v.length)
-          val inv = 1.0 / n
-          var j = 0
-          while (j < v.length) { out(j) = (v(j) * inv).toFloat; j += 1 }
-          out
-        }
-      }
+    val (qids, qvecs, qnorms, qunits) =
+      HnswStore.prepQueries(queries, normalized, exact)
     val bc = shards.sparkContext.broadcast((qvecs, qnorms, qunits))
     val kk = k
     val efk = math.max(ef, k)
@@ -185,22 +160,7 @@ final class HnswStore[K](
             val (qv, qn, qu) = bc.value
             val heaps = if (acc != null) acc
                         else Array.fill(qv.length)(new BoundedTopKG[K](kk)(localOrd))
-            if (ex) {
-              BlockStore.scoreBlock(heaps, shard.block, qv, qn,
-                Double.NegativeInfinity, exact = true)
-            } else {
-              val ids = shard.block.ids
-              var qi = 0
-              while (qi < qu.length) {
-                val hits = shard.graph.search(qu(qi), kk, efk)
-                var h = 0
-                while (h < hits.length) {
-                  heaps(qi).offer(hits(h)._2, ids(hits(h)._1))
-                  h += 1
-                }
-                qi += 1
-              }
-            }
+            HnswStore.scoreShard(heaps, shard, qv, qn, qu, kk, efk, ex)
             heaps
           },
           combOp = (a, b) =>
@@ -222,9 +182,128 @@ final class HnswStore[K](
       }.toSeq
     spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
   }
+
+  /** Dataset-query twin of [[searchMerged]] — the gemmQueries shape,
+    * for query tables beyond driver memory: each query partition packs
+    * ONCE (persisted + materialized before the cartesian stage, so the
+    * first task wave doesn't race to re-pack it — the r6 lesson),
+    * every (query slab × graph shard) pair runs its beam searches (or
+    * the exact scoreBlock) into bounded heaps, heaps absorb per query
+    * partition in a reduceByKey, and ranked rows come out. Shuffle
+    * volume O(qparts × shards × k) candidate heaps — no pruning exists
+    * to exploit (a graph store probes every shard by design; IVF's
+    * searchPacked prunes to probed buckets instead). The packed query
+    * cache is left to the ContextCleaner, the gemmQueries default.
+    *
+    * Bit-identical to [[searchMerged]] at the same (k, ef, exact) —
+    * the per-(query, shard) work and the merge tie rule are the same
+    * code; only the reduction topology differs (spec-pinned).
+    */
+  def searchPacked(queries: Dataset[(Long, Array[Float])], k: Int,
+                   ef: Int = 64, exact: Boolean = false)(
+      implicit outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)])
+      : DataFrame = {
+    val kk = k
+    val efk = math.max(ef, k)
+    val ex = exact
+    val norm = normalized
+    val localOrd = ord
+    val qblocks = queries.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val arr = it.toArray
+      if (arr.isEmpty) Iterator.empty
+      else Iterator((pi, HnswStore.prepQueries(arr, norm, ex)))
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    qblocks.count()
+    if (shards.getStorageLevel != StorageLevel.NONE) materialize()
+    val partials = qblocks.cartesian(shards).map {
+      case ((pi, (qids, qvecs, qnorms, qunits)), shard) =>
+        val heaps =
+          Array.fill(qids.length)(new BoundedTopKG[K](kk)(localOrd))
+        HnswStore.scoreShard(heaps, shard, qvecs, qnorms, qunits, kk, efk, ex)
+        (pi, (qids, heaps))
+    }
+    val merged = partials.reduceByKey { (x, y) =>
+      val a = x._2; val b = y._2
+      var i = 0
+      while (i < a.length) { a(i).absorb(b(i)); i += 1 }
+      x
+    }
+    val rows = merged.flatMap { case (_, (qids, heaps)) =>
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.sortedHits().iterator.take(kk).zipWithIndex.map {
+          case ((id, s), r) => (qids(qi), id, s, r + 1)
+        }
+      }
+    }
+    spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
+  }
 }
 
 object HnswStore {
+
+  /** Shared query prep (searchMerged + searchPacked): zero -> e0 in
+    * normalized mode (the write-time invariant's convention); cosine
+    * mode keeps raw vectors + norms for exact scoring and derives unit
+    * copies for graph traversal (zero-norm queries stay zero so every
+    * sim is 0, matching the exact path's zero-score rule).
+    */
+  private[operators] def prepQueries(
+      queries: Array[(Long, Array[Float])],
+      normalized: Boolean,
+      exact: Boolean): (Array[Long], Array[Array[Float]], Array[Double],
+                        Array[Array[Float]]) = {
+    val qids = queries.map(_._1)
+    val qvecs = queries.map { q =>
+      val v = q._2
+      if (normalized && Kernels.normSqD(v) == 0.0) {
+        val e = new Array[Float](math.max(1, v.length)); e(0) = 1f; e
+      } else v
+    }
+    val qnorms: Array[Double] =
+      if (normalized) null else qvecs.map(v => math.sqrt(Kernels.normSqD(v)))
+    val qunits: Array[Array[Float]] =
+      if (normalized || exact) qvecs
+      else qvecs.zipWithIndex.map { case (v, i) =>
+        val n = qnorms(i)
+        if (n == 0.0) v
+        else {
+          val out = new Array[Float](v.length)
+          val inv = 1.0 / n
+          var j = 0
+          while (j < v.length) { out(j) = (v(j) * inv).toFloat; j += 1 }
+          out
+        }
+      }
+    (qids, qvecs, qnorms, qunits)
+  }
+
+  /** One shard's contribution to every query's heap: the exact
+    * sequential-double scoreBlock, or one beam search per query.
+    */
+  private[operators] def scoreShard[K](
+      heaps: Array[BoundedTopKG[K]],
+      shard: HnswShard[K],
+      qvecs: Array[Array[Float]],
+      qnorms: Array[Double],
+      qunits: Array[Array[Float]],
+      k: Int, ef: Int, exact: Boolean): Unit = {
+    if (exact) {
+      BlockStore.scoreBlock(heaps, shard.block, qvecs, qnorms,
+        Double.NegativeInfinity, exact = true)
+    } else {
+      val ids = shard.block.ids
+      var qi = 0
+      while (qi < qunits.length) {
+        val hits = shard.graph.search(qunits(qi), k, ef)
+        var h = 0
+        while (h < hits.length) {
+          heaps(qi).offer(hits(h)._2, ids(hits(h)._1))
+          h += 1
+        }
+        qi += 1
+      }
+    }
+  }
 
   /** Pack (id, vector) rows into slab-sized shards and build one HNSW
     * graph per shard — each build runs inside its own task, so shard

@@ -188,6 +188,25 @@ class HnswStoreSpec extends AnyFunSuite {
     compacted.unpersist(); appended.unpersist(); store.unpersist()
   }
 
+  test("searchPacked (Dataset queries) is bit-identical to searchMerged, both modes") {
+    val data = randData(400, 16, seed = 71, unit = false) // cosine mode
+    val store = HnswStore.fromDataset[Long](
+      data.toDS(), normalize = false, numShards = 5)
+    val queries = data.take(30).toArray
+    // 7 partitions over 30 queries: includes uneven + potentially
+    // empty partitions after the round-robin
+    val qds = queries.toSeq.toDS().repartition(7)
+    def frame(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("rank"), col("id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(frame(store.searchPacked(qds, 8, exact = true)) ==
+      frame(store.searchMerged(queries, 8, exact = true)))
+    assert(frame(store.searchPacked(qds, 8, ef = 64)) ==
+      frame(store.searchMerged(queries, 8, ef = 64)))
+    store.unpersist()
+  }
+
   test("graph search is deterministic across repeated calls") {
     val data = randData(400, 16, seed = 53, unit = true)
     val store = HnswStore.fromDataset[Long](
