@@ -479,6 +479,7 @@ final class HnswSegmentIndex(
 
   private var segments: Vector[HnswStore[String]] = Vector.empty
   private var shardCounts: Vector[Int] = Vector.empty
+  private var rowCounts: Vector[Long] = Vector.empty
   private var lastBatchId: Long = -1L
   // shard count right after the last fold: the compaction trigger is
   // GROWTH-based (shardCount > max(threshold, 2x last fold)), because
@@ -511,9 +512,10 @@ final class HnswSegmentIndex(
       val seg = HnswStore.fromRDD(spark, rdd, normalize = normalize,
         m = m, efConstruction = efConstruction)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val (_, nsh) = seg.materialize()
+      val (nrows, nsh) = seg.materialize()
       segments :+= seg
       shardCounts :+= nsh
+      rowCounts :+= nrows
       refreshView()
       if (shardCount > math.max(compactAtShards, 2 * lastCompactSize))
         compactNow()
@@ -527,17 +529,39 @@ final class HnswSegmentIndex(
         segments.head.normalized, m, efConstruction)
 
   private def compactNow(): Unit = {
-    // fold BELOW the trigger threshold (not to defaultParallelism,
-    // which can exceed it and re-trigger immediately); slab bounding
-    // may still force more graphs than requested — the growth-based
-    // trigger absorbs that
-    val folded = viewVar.compact(numShards = math.max(1, compactAtShards / 2))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (_, nsh) = folded.materialize()
-    segments.foreach(_.unpersist())
-    segments = Vector(folded)
-    shardCounts = Vector(nsh)
-    lastCompactSize = nsh
+    // TIERED fold (the LSM discipline, surfaced by HnswStreamSoak):
+    // refolding the WHOLE index at a fixed period is O(N) per fold and
+    // quadratic total work over a long stream. Fold only the
+    // accumulated TAIL (everything after the base segment — O(tail
+    // rows)); pull the base in only once the tail has grown to its
+    // size, so full refolds are geometrically spaced and total work is
+    // O(N log N). Either way the fold target sits BELOW the trigger
+    // threshold (not defaultParallelism, which can exceed it and
+    // re-trigger immediately); slab bounding may still force more
+    // graphs than requested — the growth-based trigger absorbs that.
+    val target = math.max(1, compactAtShards / 2)
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val tailOnly = segments.size >= 2 && rowCounts.tail.sum < rowCounts.head
+    if (tailOnly) {
+      val tail = segments.tail
+      val tailView = new HnswStore[String](spark,
+        spark.sparkContext.union(tail.map(_.shards)),
+        segments.head.normalized, m, efConstruction)
+      val folded = tailView.compact(numShards = target).persist(level)
+      val (nrows, nsh) = folded.materialize()
+      tail.foreach(_.unpersist())
+      segments = Vector(segments.head, folded)
+      shardCounts = Vector(shardCounts.head, nsh)
+      rowCounts = Vector(rowCounts.head, nrows)
+    } else {
+      val folded = viewVar.compact(numShards = target).persist(level)
+      val (nrows, nsh) = folded.materialize()
+      segments.foreach(_.unpersist())
+      segments = Vector(folded)
+      shardCounts = Vector(nsh)
+      rowCounts = Vector(nrows)
+    }
+    lastCompactSize = shardCounts.sum
     compactionsVar += 1
     refreshView()
   }
@@ -547,6 +571,7 @@ final class HnswSegmentIndex(
     segments.foreach(_.unpersist())
     segments = Vector.empty
     shardCounts = Vector.empty
+    rowCounts = Vector.empty
     viewVar = null
   }
 }

@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** hnswSegmentSink soak: N micro-batches (default 40) of `rows` 256-d
+  * vectors each through the REAL sink — the long-lived continuous-index
+  * deployment shape. Prints per-batch append wall, live segment/shard
+  * counts, compaction count, and persistent-RDD count every batch; the
+  * RDD count and shard count must stay BOUNDED (the compaction
+  * discipline) while append wall must track the BATCH size, not the
+  * accumulated index (segment builds never touch existing shards).
+  * Ends with an exact-vs-graph search sanity over the full index.
+  */
+object HnswStreamSoak {
+  def main(args: Array[String]): Unit = {
+    val nBatches = sys.env.get("SPARK_GRAFT_SOAK_BATCHES").map(_.toInt).getOrElse(40)
+    val rows = sys.env.get("SPARK_GRAFT_SOAK_ROWS").map(_.toInt).getOrElse(2500)
+    val dim = 256
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val sc = spark.sparkContext
+    sc.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    def unit(seed: Long): Array[Float] = {
+      val rng = new java.util.Random(seed * 0x9E3779B97F4A7C15L + 11)
+      val v = Array.fill(dim)(rng.nextFloat() - 0.5f)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+
+    val index = new graft.streaming.HnswSegmentIndex(
+      spark, normalize = false, compactAtShards = 16)
+    val mem = MemoryStream[(String, Array[Float])]
+    val ck = java.nio.file.Files.createTempDirectory("graft-hnsw-soak").toString
+    var total = 0L
+    (1 to nBatches).foreach { b =>
+      val batch = (0 until rows).map { i =>
+        val id = (b.toLong << 32) | i.toLong
+        (id.toString, unit(id))
+      }
+      mem.addData(batch)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamingOps.hnswSegmentSink(
+          mem.toDF().toDF("id", "vec"), index, "id", "vec")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(180000), s"batch $b timed out")
+      total += rows
+      val wall = (System.nanoTime() - t0) / 1e9
+      val persisted = sc.getPersistentRDDs.size
+      println(f"HNSWSOAK batch=$b%3d rows=$total%8d wall=$wall%6.2f s " +
+        f"shards=${index.shardCount}%3d compactions=${index.compactions}%2d " +
+        f"persistedRdds=$persisted%3d")
+      // one persisted RDD per live segment is the design: they
+      // accumulate to the compaction trigger (16) then fold to one —
+      // a LEAK is persisted counts that keep growing PAST the trigger
+      // (unpersist failures after compaction)
+      assert(persisted <= 24,
+        s"persistent-RDD leak: $persisted live after batch $b")
+      assert(index.shardCount <= 48,
+        s"compaction failed to bound shards: ${index.shardCount}")
+    }
+    // exact-vs-graph sanity over the accumulated index
+    val store = index.store.get
+    val queries = (0 until 50).map(i =>
+      (i.toLong, unit((1L << 32) | (i * 37).toLong))).toArray
+    def top(exact: Boolean, ef: Int): Map[Long, Set[String]] =
+      store.searchMerged(queries, 10, ef = ef, exact = exact)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val ex = top(exact = true, ef = 0)
+    val ap = top(exact = false, ef = 96)
+    val recall = queries.map { case (qid, _) =>
+      ap.getOrElse(qid, Set.empty[String]).count(ex(qid)).toDouble / ex(qid).size
+    }.sum / queries.length
+    println(f"HNSWSOAK final rows=$total recall@10(ef=96)=$recall%.3f " +
+      f"shards=${index.shardCount} compactions=${index.compactions}")
+    index.close()
+    spark.stop()
+  }
+}
