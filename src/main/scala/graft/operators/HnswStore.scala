@@ -208,13 +208,22 @@ final class HnswStore[K](
     val ex = exact
     val norm = normalized
     val localOrd = ord
+    // hard precondition, not gemmQueries' "caller's choice": an
+    // uncached BlockStore merely re-PACKS per query partition, but an
+    // uncached shard RDD re-runs the HNSW GRAPH BUILD (the dominant
+    // cost — ~6 s per 100k rows) once per query partition in the
+    // cartesian below (review r13)
+    require(shards.getStorageLevel != StorageLevel.NONE,
+      "searchPacked requires a persisted store (call .persist() and " +
+        "materialize once) — every query partition would otherwise " +
+        "rebuild every shard graph")
     val qblocks = queries.rdd.mapPartitionsWithIndex { (pi, it) =>
       val arr = it.toArray
       if (arr.isEmpty) Iterator.empty
       else Iterator((pi, HnswStore.prepQueries(arr, norm, ex)))
     }.persist(StorageLevel.MEMORY_AND_DISK)
     qblocks.count()
-    if (shards.getStorageLevel != StorageLevel.NONE) materialize()
+    materialize()
     val partials = qblocks.cartesian(shards).map {
       case ((pi, (qids, qvecs, qnorms, qunits)), shard) =>
         val heaps =

@@ -462,7 +462,10 @@ object StreamingOps {
   * slab-sized graphs (Lucene's segment-merge discipline). Searches see
   * an atomic view: the `view` swap happens after the new segment (or
   * the compacted store) is materialized, so a concurrent reader scores
-  * either the pre- or post-batch index, never a half-built one.
+  * either the pre- or post-batch index, never a half-built one — and
+  * folded-away segments are released one GENERATION late (next fold),
+  * so a reader's in-flight pre-fold view never loses its cached
+  * shards mid-query.
   *
   * `normalize=true` packs rows under the write-time L2 invariant (the
   * VdbStore convention); false keeps raw rows + cosine norms. Exact
@@ -480,6 +483,14 @@ final class HnswSegmentIndex(
   private var segments: Vector[HnswStore[String]] = Vector.empty
   private var shardCounts: Vector[Int] = Vector.empty
   private var rowCounts: Vector[Long] = Vector.empty
+  // one-generation reader grace window (the componentsSink discipline,
+  // ADVICE r9): a fold must NOT unpersist segments a concurrent
+  // reader's in-flight view may still be scoring — their lineage roots
+  // in micro-batches that may no longer be replayable. Folded-away
+  // segments retire here and are released on the NEXT fold (or close),
+  // by which time any query that started against the pre-fold view has
+  // long finished.
+  private var retired: Vector[HnswStore[String]] = Vector.empty
   private var lastBatchId: Long = -1L
   // shard count right after the last fold: the compaction trigger is
   // GROWTH-based (shardCount > max(threshold, 2x last fold)), because
@@ -542,6 +553,8 @@ final class HnswSegmentIndex(
     val target = math.max(1, compactAtShards / 2)
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val tailOnly = segments.size >= 2 && rowCounts.tail.sum < rowCounts.head
+    // release the PREVIOUS generation first, retire this fold's inputs
+    retired.foreach(_.unpersist())
     if (tailOnly) {
       val tail = segments.tail
       val tailView = new HnswStore[String](spark,
@@ -549,14 +562,14 @@ final class HnswSegmentIndex(
         segments.head.normalized, m, efConstruction)
       val folded = tailView.compact(numShards = target).persist(level)
       val (nrows, nsh) = folded.materialize()
-      tail.foreach(_.unpersist())
+      retired = tail
       segments = Vector(segments.head, folded)
       shardCounts = Vector(shardCounts.head, nsh)
       rowCounts = Vector(rowCounts.head, nrows)
     } else {
       val folded = viewVar.compact(numShards = target).persist(level)
       val (nrows, nsh) = folded.materialize()
-      segments.foreach(_.unpersist())
+      retired = segments
       segments = Vector(folded)
       shardCounts = Vector(nsh)
       rowCounts = Vector(nrows)
@@ -569,9 +582,11 @@ final class HnswSegmentIndex(
   /** Release every live segment. */
   def close(): Unit = synchronized {
     segments.foreach(_.unpersist())
+    retired.foreach(_.unpersist())
     segments = Vector.empty
     shardCounts = Vector.empty
     rowCounts = Vector.empty
+    retired = Vector.empty
     viewVar = null
   }
 }

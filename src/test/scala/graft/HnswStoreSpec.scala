@@ -191,7 +191,14 @@ class HnswStoreSpec extends AnyFunSuite {
   test("searchPacked (Dataset queries) is bit-identical to searchMerged, both modes") {
     val data = randData(400, 16, seed = 71, unit = false) // cosine mode
     val store = HnswStore.fromDataset[Long](
-      data.toDS(), normalize = false, numShards = 5)
+      data.toDS(), normalize = false, numShards = 5).persist()
+    // unpersisted store is a hard error, not a silent per-partition
+    // graph rebuild
+    val bare = HnswStore.fromDataset[Long](
+      data.toDS(), normalize = false, numShards = 2)
+    intercept[IllegalArgumentException] {
+      bare.searchPacked(data.take(3).toSeq.toDS(), 3, exact = true)
+    }
     val queries = data.take(30).toArray
     // 7 partitions over 30 queries: includes uneven + potentially
     // empty partitions after the round-robin
