@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, Float32LEBytes, L2NormSq, NormalizeL2,
+import graft.functions.{DotProduct, Float32LEBytes, L2NormSq, MinKIds, NormalizeL2,
   RepetitionStats, SimHash64, TopKByScore, VectorAvg, WinnowFps, WordNgramsDistinct}
 
 /** SparkSessionExtensions hook: makes the engine's codegen'd vector
@@ -77,6 +77,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKByScore].getName, "top_k_hits"),
       arity("top_k_hits", 3)(es =>
         TopKByScore(es(0), es(1), GraftExtensions.intArg("top_k_hits", es(2))))))
+    ext.injectFunction((
+      FunctionIdentifier("min_k_ids"),
+      new ExpressionInfo(classOf[MinKIds].getName, "min_k_ids"),
+      arity("min_k_ids", 2)(es =>
+        MinKIds(es(0), GraftExtensions.intArg("min_k_ids", es(1))))))
     ext.injectFunction((
       FunctionIdentifier("vector_avg"),
       new ExpressionInfo(classOf[VectorAvg].getName, "vector_avg"),

@@ -137,3 +137,125 @@ case class TopKByScore(
 
   override def prettyName: String = "top_k_hits"
 }
+
+/** Bounded-heap "first k ids" aggregate: per group, the k SMALLEST ids
+  * in ascending order — the posting-list truncation shape
+  * (`Lexical.invertedIndex`). A `row_number() OVER (PARTITION BY term
+  * ORDER BY id)` computes the same thing but funnels EVERY row of a
+  * group through one `WindowExec` task (AQE skew-splitting applies to
+  * shuffle joins, not window partitions — a stopword term in a 1B-doc
+  * corpus is one task ranking ~10⁹ rows to keep 8). Here each map
+  * partition keeps one k-bounded max-heap per group, partial heaps
+  * merge on the reduce side, and only k ids + the count ever cross the
+  * shuffle. Ids may be STRING, BIGINT or INT; output is
+  * array<id type> ascending.
+  */
+case class MinKIds(
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.PriorityQueue[Any]] {
+
+  require(k > 0, s"min_k_ids needs k > 0, got $k")
+
+  private def idIsString: Boolean = id.dataType == StringType
+  private def idIsInt: Boolean = id.dataType == IntegerType
+
+  override def children: Seq[Expression] = Seq(id)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(id.dataType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = id.dataType match {
+    case StringType | LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"min_k_ids expects a string|bigint|int id, got $t")
+  }
+
+  // max-heap of the k smallest seen so far (head = current kth-smallest,
+  // evicted when a smaller id arrives); int ids widen to Long internally
+  private def cmp: java.util.Comparator[Any] =
+    if (idIsString)
+      java.util.Comparator.naturalOrder[UTF8String]()
+        .asInstanceOf[java.util.Comparator[Any]].reversed()
+    else
+      java.util.Comparator.comparingLong[Any](_.asInstanceOf[Long]).reversed()
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[Any] =
+    new java.util.PriorityQueue[Any](math.min(k, 64) + 1, cmp)
+
+  private def offer(buf: java.util.PriorityQueue[Any], v: Any): Unit =
+    if (buf.size < k) { buf.add(v); () }
+    else if (cmp.compare(v, buf.peek()) > 0) { buf.poll(); buf.add(v); () }
+
+  override def update(buf: java.util.PriorityQueue[Any], input: InternalRow): java.util.PriorityQueue[Any] = {
+    val i = id.eval(input)
+    if (i != null) {
+      val iv: Any =
+        if (idIsString) i.asInstanceOf[UTF8String].clone()
+        else if (idIsInt) i.asInstanceOf[Int].toLong
+        else i.asInstanceOf[Long]
+      offer(buf, iv)
+    }
+    buf
+  }
+
+  override def merge(a: java.util.PriorityQueue[Any], b: java.util.PriorityQueue[Any]): java.util.PriorityQueue[Any] = {
+    val it = b.iterator()
+    while (it.hasNext) offer(a, it.next())
+    a
+  }
+
+  override def eval(buf: java.util.PriorityQueue[Any]): Any = {
+    val arr = buf.toArray
+    java.util.Arrays.sort(arr, cmp.reversed()) // ascending
+    new GenericArrayData(arr.map { v =>
+      if (idIsInt) v.asInstanceOf[Long].toInt.asInstanceOf[Any] else v
+    })
+  }
+
+  override def serialize(buf: java.util.PriorityQueue[Any]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val v = it.next()
+      if (idIsString) {
+        val b = v.asInstanceOf[UTF8String].getBytes
+        out.writeInt(b.length)
+        out.write(b)
+      } else out.writeLong(v.asInstanceOf[Long])
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[Any] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var x = 0
+    while (x < n) {
+      val v: Any = if (idIsString) {
+        val b = new Array[Byte](in.readInt())
+        in.readFully(b)
+        UTF8String.fromBytes(b)
+      } else in.readLong()
+      offer(buf, v)
+      x += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): MinKIds =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MinKIds =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MinKIds =
+    copy(id = newChildren(0))
+
+  override def prettyName: String = "min_k_ids"
+}

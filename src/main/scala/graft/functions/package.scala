@@ -111,6 +111,14 @@ package object functions {
   def top_k_hits(score: Column, id: Column, k: Int): Column =
     col(TopKByScore(expr(score), expr(id), k).toAggregateExpression())
 
+  /** Bounded-heap "first k ids" aggregate: per group, the k smallest
+    * ids ascending — truncated posting lists without the per-group
+    * `row_number` Window funnel (only k ids per group cross the
+    * shuffle, map-side partial).
+    */
+  def min_k_ids(id: Column, k: Int): Column =
+    col(MinKIds(expr(id), k).toAggregateExpression())
+
   /** Element-wise mean of array<float|double> vectors (double
     * accumulation) — chunk→document embedding pooling.
     */
@@ -144,6 +152,8 @@ package object functions {
       es => RepetitionStats(es(0), graft.GraftExtensions.intArg("repetition_stats", es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("top_k_hits",
       es => TopKByScore(es(0), es(1), graft.GraftExtensions.intArg("top_k_hits", es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("min_k_ids",
+      es => MinKIds(es(0), graft.GraftExtensions.intArg("min_k_ids", es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("vector_avg", es => VectorAvg(es.head), "scala_udf")
   }
 }

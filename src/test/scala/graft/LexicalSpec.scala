@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Lexical
 
@@ -119,5 +119,30 @@ class LexicalSpec extends AnyFunSuite {
     val y = rows.filter(_._1 == "y").sortBy(_._4)
     assert(y.map(t => (t._3, t._4)).toSeq == Seq((3L, 1L), (5L, 2L)))
     assert(rows.forall(_._1 != "z"))
+  }
+
+  test("min_k_ids keeps the k smallest ids ascending (string + long)") {
+    import spark.implicits._
+    // enough rows to exercise partial-heap merges across partitions
+    val longs = spark.range(0, 1000).select((lit(999) - col("id")).as("v"))
+      .repartition(8)
+      .agg(graft.functions.min_k_ids(col("v"), 5))
+      .first().getSeq[Long](0)
+    assert(longs == Seq(0L, 1L, 2L, 3L, 4L))
+    val strs = Seq("d", "b", "e", "a", "c", "a").toDF("s")
+      .repartition(3)
+      .agg(graft.functions.min_k_ids(col("s"), 3))
+      .first().getSeq[String](0)
+    // duplicates are kept (upstream distinct() is the caller's job)
+    assert(strs == Seq("a", "a", "b"))
+    // SQL registration
+    val viaSql = {
+      graft.functions.registerAll(spark)
+      Seq((1L, 9L), (1L, 3L), (1L, 7L), (2L, 5L)).toDF("g", "v")
+        .createOrReplaceTempView("_mk_")
+      spark.sql("SELECT g, min_k_ids(v, 2) AS ks FROM _mk_ GROUP BY g ORDER BY g")
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    }
+    assert(viaSql == Seq((1L, Seq(3L, 7L)), (2L, Seq(5L))))
   }
 }

@@ -427,13 +427,15 @@ class PlanShapeSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
   }
 
-  test("inverted index: one corpus scan, term-keyed aggregate + one window") {
+  test("inverted index: one corpus scan, bounded-heap aggregate, no window") {
     val plan = formatted(Queries.invertedIndexPostings(spark, dir))
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 1, s"plan:\n$plan")
-    // rank + df are two Window nodes over the SAME term partitioning —
-    // they must share one exchange (plus the distinct-pair aggregate's),
-    // never re-shuffle between windows
-    assert("\\(\\d+\\) Window".r.findAllIn(plan).size == 2)
+    // postings truncate through the min_k_ids bounded-heap aggregate
+    // (map-side partial — k ids per term cross the shuffle), NEVER a
+    // per-term Window (one task per stopword at scale; VERDICT r13)
+    assert(!plan.contains(") Window"), s"plan:\n$plan")
+    assert(plan.contains("min_k_ids"), s"plan:\n$plan")
+    // two exchanges: the distinct-pair aggregate's and the term agg's
     assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size == 2, s"plan:\n$plan")
   }
 }
