@@ -125,13 +125,34 @@ final class Hnsw private (
 
 object Hnsw {
 
+  /** Completed graph builds in this JVM — test instrumentation for the
+    * persistence contract ("a load must NOT rebuild"): local-mode specs
+    * snapshot it around a save/load cycle. In local[*] every executor
+    * build increments it; on a real cluster it only observes
+    * driver-side builds (specs are local-mode by construction).
+    */
+  private val buildCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  def buildsInJvm: Long = buildCounter.get()
+
   /** Build over a packed matrix; `ids` row i lives at `data(i*dim)`.
     * Deterministic for a fixed input order. `batch` > 1 runs each
     * batch's candidate searches in parallel against the frozen graph.
+    *
+    * `parallelism` bounds the search threads: <= 0 is auto — inside a
+    * Spark task it is the task's CPU allocation (`TaskContext.cpus`,
+    * usually 1 → sequential, so per-slab builds in
+    * [[graft.operators.HnswStore.fromRDD]] stay within their task's
+    * share instead of `tasks x pool-width` oversubscribing the
+    * JVM-wide common pool — ADVICE r13); on the driver it is the
+    * common pool's width. Parallel searches run on a DEDICATED
+    * ForkJoinPool (never the common pool, which the serving replica's
+    * query fan-out shares). The graph is parallelism-independent:
+    * batch searches are read-only and links apply in node order.
     */
   def build(data: Array[Float], n: Int, dim: Int,
             m: Int = 16, efConstruction: Int = 100,
-            batch: Int = 256, seedSequential: Int = 1024): Hnsw = {
+            batch: Int = 256, seedSequential: Int = 1024,
+            parallelism: Int = 0): Hnsw = {
     require(n >= 0 && dim > 0 && data.length >= n * dim)
     val mMax = m
     val mMax0 = 2 * m
@@ -323,20 +344,39 @@ object Hnsw {
     // flood of incoming links. Doubling up to `batch` restores
     // connectivity for small seeds; a no-op at the default
     // seedSequential (graph is already >= batch when batching starts).
-    while (i < n) {
-      val end = math.min(i + math.max(1, math.min(batch, i)), n)
-      val cands = new Array[Array[Array[(Double, Int)]]](end - i)
-      val start = i
-      java.util.stream.IntStream.range(start, end).parallel().forEach { j =>
-        cands(j - start) = candidatesFor(j)
+    val par =
+      if (parallelism > 0) parallelism
+      else Option(org.apache.spark.TaskContext.get())
+        .map(tc => math.max(1, tc.cpus()))
+        .getOrElse(math.max(1,
+          java.util.concurrent.ForkJoinPool.getCommonPoolParallelism))
+    val pool =
+      if (par > 1) new java.util.concurrent.ForkJoinPool(par) else null
+    try {
+      while (i < n) {
+        val end = math.min(i + math.max(1, math.min(batch, i)), n)
+        val cands = new Array[Array[Array[(Double, Int)]]](end - i)
+        val start = i
+        if (pool == null) {
+          var j = start
+          while (j < end) { cands(j - start) = candidatesFor(j); j += 1 }
+        } else {
+          val tasks = Array.tabulate(end - start) { off =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = cands(off) = candidatesFor(start + off)
+            })
+          }
+          tasks.foreach(_.join())
+        }
+        var j = start
+        while (j < end) {
+          applyInsert(j, cands(j - start))
+          j += 1
+        }
+        i = end
       }
-      var j = start
-      while (j < end) {
-        applyInsert(j, cands(j - start))
-        j += 1
-      }
-      i = end
-    }
+    } finally if (pool != null) pool.shutdown()
+    buildCounter.incrementAndGet()
     new Hnsw(dim, data, n, m, levels, nbrs, nbrCnt, entry, maxLevel)
   }
 }

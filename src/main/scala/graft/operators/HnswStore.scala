@@ -74,7 +74,9 @@ final class HnswStore[K](
     (counts.sum, counts.length)
   }
 
-  def dim: Int = shards.map(_.block.dim).first()
+  /** Store dimension (one tiny job on first use; empty store → -1). */
+  lazy val dim: Int =
+    shards.map(_.block.dim).take(1).headOption.getOrElse(-1)
 
   /** Segment-style incremental maintenance — the distributed analog of
     * the reference's incremental index adds (O26): new rows become NEW
@@ -146,6 +148,15 @@ final class HnswStore[K](
                    ef: Int = 64, exact: Boolean = false)(
       implicit outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)])
       : DataFrame = {
+    // mis-dimensioned queries fail loudly (ADVICE r13): in exact mode
+    // dotPackedD iterates q.length over the packed slab, so a short
+    // query would silently score row PREFIXES and a long one would read
+    // into the next row — the IvfIndex.search contract, same wording
+    val d = dim
+    if (d > 0) queries.foreach { case (qid, v) =>
+      require(v.length == d,
+        s"HnswStore.searchMerged: query $qid has dim ${v.length}, store dim is $d")
+    }
     val (qids, qvecs, qnorms, qunits) =
       HnswStore.prepQueries(queries, normalized, exact)
     val bc = shards.sparkContext.broadcast((qvecs, qnorms, qunits))
@@ -213,7 +224,7 @@ final class HnswStore[K](
     // uncached shard RDD re-runs the HNSW GRAPH BUILD (the dominant
     // cost — ~6 s per 100k rows) once per query partition in the
     // cartesian below (review r13)
-    require(shards.getStorageLevel != StorageLevel.NONE,
+    require(HnswStore.effectivelyPersisted(shards),
       "searchPacked requires a persisted store (call .persist() and " +
         "materialize once) — every query partition would otherwise " +
         "rebuild every shard graph")
@@ -286,8 +297,24 @@ object HnswStore {
     (qids, qvecs, qnorms, qunits)
   }
 
+  /** True when querying `rdd` recomputes no shard: either it is
+    * persisted itself, or it is a union whose constituents all are. A
+    * `UnionRDD` reports `StorageLevel.NONE` even when every parent is
+    * persisted (its partitions just delegate) — so `append()` results
+    * and the streaming segment view were wrongly rejected by a plain
+    * storage-level check (ADVICE r13).
+    */
+  private[graft] def effectivelyPersisted(rdd: RDD[_]): Boolean =
+    rdd.getStorageLevel != StorageLevel.NONE ||
+      (rdd.isInstanceOf[org.apache.spark.rdd.UnionRDD[_]] &&
+        rdd.dependencies.nonEmpty &&
+        rdd.dependencies.forall(d => effectivelyPersisted(d.rdd)))
+
   /** One shard's contribution to every query's heap: the exact
     * sequential-double scoreBlock, or one beam search per query.
+    * Validates every query's dimension against the SHARD dim
+    * (executor-side — covers the Dataset-query path, whose queries
+    * never materialize on the driver; ADVICE r13).
     */
   private[operators] def scoreShard[K](
       heaps: Array[BoundedTopKG[K]],
@@ -296,6 +323,14 @@ object HnswStore {
       qnorms: Array[Double],
       qunits: Array[Array[Float]],
       k: Int, ef: Int, exact: Boolean): Unit = {
+    val d = shard.block.dim
+    var vi = 0
+    while (vi < qvecs.length) {
+      require(qvecs(vi).length == d,
+        s"HnswStore: query dim ${qvecs(vi).length} != store dim $d — " +
+          "a truncated dot product would silently score row prefixes")
+      vi += 1
+    }
     if (exact) {
       BlockStore.scoreBlock(heaps, shard.block, qvecs, qnorms,
         Double.NegativeInfinity, exact = true)

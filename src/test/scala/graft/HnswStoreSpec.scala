@@ -214,6 +214,44 @@ class HnswStoreSpec extends AnyFunSuite {
     store.unpersist()
   }
 
+  test("mis-dimensioned queries are rejected on both search paths") {
+    val data = randData(60, 8, seed = 83, unit = false)
+    val store = HnswStore.fromDataset[Long](
+      data.toDS(), normalize = false, numShards = 2).persist()
+    val bad = Array((1L, new Array[Float](5)))
+    // searchMerged validates driver-side before any job
+    val e1 = intercept[IllegalArgumentException] {
+      store.searchMerged(bad, 3, exact = true)
+    }
+    assert(e1.getMessage.contains("dim"))
+    // the Dataset path validates executor-side in scoreShard — the job
+    // fails loudly instead of silently scoring row prefixes
+    val e2 = intercept[Exception] {
+      store.searchPacked(bad.toSeq.toDS(), 3, exact = true).collect()
+    }
+    assert(e2.getMessage.contains("dim") ||
+      Option(e2.getCause).exists(_.getMessage.contains("dim")))
+    store.unpersist()
+  }
+
+  test("searchPacked accepts an appended store whose constituents are persisted") {
+    val base = randData(200, 8, seed = 89, unit = false)
+    val extra = (200 until 260).map(i =>
+      (i.toLong, Array.fill(8)(new scala.util.Random(i).nextFloat() - 0.5f)))
+    val store = HnswStore.fromDataset[Long](
+      base.toDS(), normalize = false, numShards = 2).persist()
+    store.materialize()
+    // append() persists the new shards; the union reports
+    // StorageLevel.NONE but delegates to persisted parents — the
+    // precondition must walk the union (ADVICE r13), since no graph
+    // rebuild would actually occur
+    val appended = store.append(spark.sparkContext.parallelize(extra, 1))
+    val queries = (base ++ extra).take(5).toArray
+    val got = appended.searchPacked(queries.toSeq.toDS(), 4, exact = true)
+    assert(got.count() == 5 * 4)
+    appended.unpersist(); store.unpersist()
+  }
+
   test("graph search is deterministic across repeated calls") {
     val data = randData(400, 16, seed = 53, unit = true)
     val store = HnswStore.fromDataset[Long](
