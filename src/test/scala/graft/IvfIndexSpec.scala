@@ -403,6 +403,28 @@ class IvfIndexSpec extends AnyFunSuite {
     // DEFAULT configuration must never cost more than the exact scan
     idx.searchMerged[Long](queries, k = 5).count()
     assert(idx.lastSearchStrategy == "exact_snap(requested=8)")
+
+    // the full scan (snapped or requested) routes through the FLAT
+    // slab pack (r13 wrong #2) on both driver-batch and Dataset-query
+    // paths — results stay bit-identical to the bucketed machinery
+    // (`full` above ran the same route; genuine-probed np=2 pinned it
+    // against the old path earlier in this test), and duplicate qids /
+    // zero queries keep their per-position independence on the new
+    // searchPacked route too
+    val dupQ = data.take(2).map(_._2)
+    val dq = Array((7L, dupQ(0)), (7L, dupQ(1)),
+      (8L, new Array[Float](8)))
+    val dm = idx.searchMerged[Long](dq, k = 3, nProbe = 16)
+    val dp = idx.searchPacked[Long](spark.createDataset(dq.toSeq), k = 3,
+      nProbe = 16)
+    def dkey(d: org.apache.spark.sql.DataFrame) =
+      d.select("qid", "rank", "id", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(dm.count() == 9 && dp.count() == 9)
+    assert(dkey(dm) == dkey(dp))
+    assert(dkey(idx.searchPacked[Long](spark.createDataset(dq.toSeq), k = 3,
+      nProbe = 8)) == dkey(dp)) // snapped == requested full scan
   }
 
   test("nProbe = nList degenerates to exact search on random data") {
