@@ -121,6 +121,35 @@ final class Hnsw private (
     val (ids, sims) = searchLayer(q, ep, eps, math.max(ef, k), 0)
     ids.zip(sims).take(k)
   }
+
+  /** Serialize the graph TOPOLOGY (levels / neighbor lists / entry) —
+    * plain int arrays, no vectors: the caller owns the packed matrix
+    * and re-supplies it to [[Hnsw.readGraph]] on load. This is the
+    * persistence half of the reference's save-the-index-beside-the-
+    * store contract (pico_vdb.py:260-283, 347, 362 — FAISS's own
+    * serialization there; ours is this explicit int-array format).
+    */
+  private[graft] def writeGraph(out: java.io.DataOutputStream): Unit = {
+    out.writeInt(m)
+    out.writeInt(n)
+    out.writeInt(entry)
+    out.writeInt(maxLevel)
+    var i = 0
+    while (i < n) { out.writeInt(levels(i)); i += 1 }
+    i = 0
+    while (i < n) {
+      var l = 0
+      while (l <= levels(i)) {
+        val cnt = nbrCnt(i)(l)
+        out.writeInt(cnt)
+        val ns = nbrs(i)(l)
+        var j = 0
+        while (j < cnt) { out.writeInt(ns(j)); j += 1 }
+        l += 1
+      }
+      i += 1
+    }
+  }
 }
 
 object Hnsw {
@@ -133,6 +162,48 @@ object Hnsw {
     */
   private val buildCounter = new java.util.concurrent.atomic.AtomicLong(0L)
   def buildsInJvm: Long = buildCounter.get()
+
+  /** Reconstruct a graph written by [[Hnsw.writeGraph]] over the
+    * caller-supplied packed matrix (which must be the SAME rows in the
+    * same order the graph was built on — the shard codec guarantees
+    * it by persisting slab and topology together). Deserialized
+    * neighbor arrays are sized to their counts: loaded graphs serve
+    * searches; growth goes through a rebuild, never in-place links.
+    */
+  private[graft] def readGraph(in: java.io.DataInputStream,
+                               data: Array[Float], dim: Int): Hnsw = {
+    val m = in.readInt()
+    val n = in.readInt()
+    val entry = in.readInt()
+    val maxLevel = in.readInt()
+    require(n >= 0 && dim > 0 && data.length >= n * dim,
+      s"hnsw graph/matrix mismatch: n=$n dim=$dim floats=${data.length}")
+    val levels = new Array[Int](n)
+    var i = 0
+    while (i < n) { levels(i) = in.readInt(); i += 1 }
+    val nbrs = new Array[Array[Array[Int]]](n)
+    val nbrCnt = new Array[Array[Int]](n)
+    i = 0
+    while (i < n) {
+      val ls = levels(i) + 1
+      nbrs(i) = new Array[Array[Int]](ls)
+      nbrCnt(i) = new Array[Int](ls)
+      var l = 0
+      while (l < ls) {
+        val cnt = in.readInt()
+        require(cnt >= 0 && cnt <= math.max(2 * m, 1),
+          s"corrupt hnsw graph: neighbor count $cnt at node $i layer $l")
+        val ns = new Array[Int](cnt)
+        var j = 0
+        while (j < cnt) { ns(j) = in.readInt(); j += 1 }
+        nbrs(i)(l) = ns
+        nbrCnt(i)(l) = cnt
+        l += 1
+      }
+      i += 1
+    }
+    new Hnsw(dim, data, n, m, levels, nbrs, nbrCnt, entry, maxLevel)
+  }
 
   /** Build over a packed matrix; `ids` row i lives at `data(i*dim)`.
     * Deterministic for a fixed input order. `batch` > 1 runs each
