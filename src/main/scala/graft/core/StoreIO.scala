@@ -24,7 +24,58 @@ object StoreIO {
 
   private val MetaFile = "_store_meta.json"
   private val AnnDir = "_ann_centroids"
+  private[graft] val HnswDir = "_ann_hnsw"
   private val Pointer = "_current"
+
+  /** Atomically flip `<root>/_current` to name `version` (tmp-file +
+    * single-file rename-with-overwrite — the os.replace analog; shared
+    * by the store snapshots and [[graft.operators.HnswIO]] snapshots).
+    */
+  private[graft] def flipPointer(conf: org.apache.hadoop.conf.Configuration,
+                                 root: Path, version: String): Unit = {
+    val fs = root.getFileSystem(conf)
+    val tmpPtr = new Path(root, Pointer + ".tmp-" + version)
+    val po = fs.create(tmpPtr, true)
+    try po.write(version.getBytes(StandardCharsets.UTF_8))
+    finally po.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+    fc.rename(tmpPtr, new Path(root, Pointer),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The snapshot dir `<root>/_current` names, if the pointer exists. */
+  private[graft] def resolveCurrent(fs: FileSystem, root: Path): Option[Path] = {
+    val ptr = new Path(root, Pointer)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      val version =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
+        finally in.close()
+      Some(new Path(root, version))
+    }
+  }
+
+  /** Best-effort sweep of superseded `v-*` snapshots (keeping the live
+    * one plus the `keep` most recent others — a reader grace window)
+    * and stale tmp pointers.
+    */
+  private[graft] def sweepStale(fs: FileSystem, root: Path,
+                                version: String, keep: Int): Unit = {
+    val entries = fs.listStatus(root)
+    val keepPrev = entries
+      .filter(st => st.getPath.getName.startsWith("v-") && st.getPath.getName != version)
+      .sortBy(-_.getModificationTime)
+      .take(keep).map(_.getPath.getName).toSet
+    entries.foreach { st =>
+      val name = st.getPath.getName
+      val stale =
+        (name.startsWith("v-") && name != version && !keepPrev(name)) ||
+        name.startsWith(Pointer + ".tmp-")
+      if (stale) try fs.delete(st.getPath, true)
+      catch { case _: java.io.IOException => () }
+    }
+  }
 
   /** Returns the written snapshot directory.
     *
@@ -57,18 +108,22 @@ object StoreIO {
           .coalesce(1)
           .write.mode("overwrite").parquet(new Path(snap, AnnDir).toString)
       }
+      // Fresh sharded-HNSW graphs ride along too (reference contract:
+      // the FAISS index file persists beside the store and loads back
+      // without a rebuild, pico_vdb.py:260-283, 347, 362). Written in
+      // the SAME immutable snapshot dir as the parquet rows, so the
+      // sidecar can never describe different rows than it sits next
+      // to; a stale/absent cache simply skips it (load re-enables and
+      // rebuilds lazily, the pre-r15 behavior).
+      store.hnswStateForSave.foreach { st =>
+        graft.operators.HnswIO.saveInto(st, new Path(snap, HnswDir).toString)
+      }
       val out = fs.create(new Path(snap, MetaFile), true)
       try out.write(store.metaJson.getBytes(StandardCharsets.UTF_8))
       finally out.close()
 
       // Atomic pointer flip: write _current.tmp, rename over _current.
-      val tmpPtr = new Path(root, Pointer + ".tmp-" + version)
-      val po = fs.create(tmpPtr, true)
-      try po.write(version.getBytes(StandardCharsets.UTF_8))
-      finally po.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
-      fc.rename(tmpPtr, new Path(root, Pointer),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      flipPointer(conf, root, version)
     } catch {
       case e: Throwable =>
         if (fs.exists(snap)) fs.delete(snap, true)
@@ -79,19 +134,7 @@ object StoreIO {
     // that resolved an old pointer moments ago can still finish —
     // single-writer semantics, like the reference); everything older and
     // stale tmp pointers go.
-    val entries = fs.listStatus(root)
-    val keepPrev = entries
-      .filter(st => st.getPath.getName.startsWith("v-") && st.getPath.getName != version)
-      .sortBy(-_.getModificationTime)
-      .take(keepCount).map(_.getPath.getName).toSet
-    entries.foreach { st =>
-      val name = st.getPath.getName
-      val stale =
-        (name.startsWith("v-") && name != version && !keepPrev(name)) ||
-        name.startsWith(Pointer + ".tmp-")
-      if (stale) try fs.delete(st.getPath, true)
-      catch { case _: java.io.IOException => () }
-    }
+    sweepStale(fs, root, version, keepCount)
     snap.toString
   }
 
@@ -99,22 +142,14 @@ object StoreIO {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    val ptr = new Path(root, Pointer)
     // Legacy layout (round-1 saves): dataset directly under <path>.
-    val dataDir =
-      if (fs.exists(ptr)) {
-        val in = fs.open(ptr)
-        val version =
-          try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
-          finally in.close()
-        new Path(root, version)
-      } else root
+    val dataDir = resolveCurrent(fs, root).getOrElse(root)
     val metaStr = {
       val in = fs.open(new Path(dataDir, MetaFile))
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
     }
-    val (dim, annNList, additional) = parseMeta(metaStr)
+    val (dim, annNList, hnswParams, additional) = parseMeta(metaStr)
     val df = spark.read.schema(VdbStore.schema).parquet(dataDir.toString)
     val store = VdbStore.fromDF(spark, dim, df, additional)
     annNList.foreach { n =>
@@ -127,6 +162,11 @@ object StoreIO {
         else Array.empty[Array[Double]]
       store.restoreAnn(n, centroids)
     }
+    hnswParams.foreach { case (m, efc) =>
+      val hnswPath = new Path(dataDir, HnswDir)
+      store.restoreHnsw(m, efc,
+        if (fs.exists(hnswPath)) Some(hnswPath.toString) else None)
+    }
     store.storagePath = Some(path)
     store
   }
@@ -136,11 +176,13 @@ object StoreIO {
     * round-trip verbatim, matching the reference's json.dump side bag —
     * pico_vdb.py:364-371, 500-512).
     */
-  private[graft] def parseMeta(s: String): (Int, Option[Int], Map[String, String]) = {
-    // The writer always emits embedding_dim (and ann_nlist, if any)
-    // BEFORE additional_data — match the scalar keys only in that
-    // prefix, or a user value like {"cfg": {"ann_nlist": 8}} inside the
-    // raw-JSON side bag would spuriously enable ANN on load.
+  private[graft] def parseMeta(s: String)
+      : (Int, Option[Int], Option[(Int, Int)], Map[String, String]) = {
+    // The writer always emits embedding_dim (and ann_nlist / hnsw_m /
+    // hnsw_efc, if any) BEFORE additional_data — match the scalar keys
+    // only in that prefix, or a user value like {"cfg": {"ann_nlist":
+    // 8}} inside the raw-JSON side bag would spuriously enable ANN on
+    // load.
     val adMatch = """"additional_data"\s*:""".r.findFirstMatchIn(s)
     val head = adMatch.map(m => s.substring(0, m.start)).getOrElse(s)
     val dim = """"embedding_dim"\s*:\s*(\d+)""".r
@@ -148,11 +190,17 @@ object StoreIO {
       .getOrElse(throw new IllegalArgumentException(s"no embedding_dim in $s"))
     val ann = """"ann_nlist"\s*:\s*(\d+)""".r
       .findFirstMatchIn(head).map(_.group(1).toInt)
+    val hnsw = for {
+      m <- """"hnsw_m"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(head).map(_.group(1).toInt)
+      e <- """"hnsw_efc"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(head).map(_.group(1).toInt)
+    } yield (m, e)
     val kv = adMatch match {
       case None    => Map.empty[String, String]
       case Some(m) => parseObject(s, skipWs(s, m.end))
     }
-    (dim, ann, kv)
+    (dim, ann, hnsw, kv)
   }
 
   /** True iff `v` is one complete JSON value (used to validate raw side

@@ -190,6 +190,74 @@ final class VdbStore private (
     hnswCache = None
   }
 
+  /** How the HNSW strategy came up on this store: "none" (never
+    * enabled/restored), "loaded" (persisted graphs hydrated, zero
+    * rebuilds), or "rebuild" (restore found no/stale/corrupt sidecar —
+    * graphs rebuild lazily on next use). The annLastRebuildMode analog
+    * for the graph index.
+    */
+  @volatile private var hnswRestoreModeVar: String = "none"
+  def hnswRestoreMode: String = hnswRestoreModeVar
+
+  /** The up-to-date graph store to persist beside the rows, if the
+    * strategy is enabled AND the cache matches the live version/params
+    * — a stale cache saves nothing (load re-enables and rebuilds
+    * lazily, exactly the pre-restore behavior).
+    */
+  private[core] def hnswStateForSave: Option[graft.operators.HnswStore[String]] =
+    for {
+      p <- hnswParams
+      (v, cp, st) <- hnswCache
+      if v == storeVersion && cp == p
+    } yield st
+
+  /** Restore a persisted graph index (reference pico_vdb.py:260-283:
+    * load the index file beside the store; validate; rebuild on ANY
+    * doubt). Re-enables the strategy always; hydrates the cache only
+    * when the sidecar loads cleanly AND matches the live rows on
+    * dim/row-count/build-params. The sidecar is written inside the
+    * same immutable snapshot dir as the parquet rows, so id-level
+    * drift is impossible by construction — the checks here catch torn
+    * files, foreign dirs, and hand-edited snapshots, and any failure
+    * degrades to a logged lazy rebuild, never an error or a silently
+    * wrong graph.
+    */
+  private[core] def restoreHnsw(m: Int, efc: Int,
+                                dir: Option[String]): Unit =
+    hnswLock.synchronized {
+      hnswParams = Some((m, efc))
+      hnswRestoreModeVar = "rebuild"
+      dir.foreach { d =>
+        try {
+          val st = graft.operators.HnswIO.loadFrom[String](spark, d)
+          require(st.m == m && st.efConstruction == efc,
+            s"sidecar built with (m=${st.m}, efC=${st.efConstruction}), " +
+              s"store meta says (m=$m, efC=$efc)")
+          // MEMORY_AND_DISK: an evicted loaded shard re-reads its file —
+          // but this snapshot dir can be swept by a later save, so keep
+          // the deserialized graphs spillable rather than recomputable
+          st.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val (rows, _) = st.materialize() // deserializes every shard; zero builds
+          val expected = active.count()
+          if (st.dim != dim || rows != expected) {
+            st.unpersist()
+            VdbStore.log.warn(
+              s"graft: persisted HNSW sidecar at $d is stale " +
+                s"(dim ${st.dim} vs $dim, rows $rows vs $expected) — " +
+                "graphs will rebuild on next query")
+          } else {
+            hnswCache = Some((storeVersion, (m, efc), st))
+            hnswRestoreModeVar = "loaded"
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            VdbStore.log.warn(
+              s"graft: failed to load persisted HNSW sidecar at $d " +
+                s"(${e.getMessage}) — graphs will rebuild on next query")
+        }
+      }
+    }
+
   private def refreshHnsw(): Option[graft.operators.HnswStore[String]] =
     hnswLock.synchronized {
       hnswParams.map { params =>
@@ -851,7 +919,10 @@ final class VdbStore private (
     // built count when an index exists (auto mode's sentinel is 0)
     val ann = annNList.map(n =>
       s""""ann_nlist": ${annIndex.map(_.nList).getOrElse(n)}, """).getOrElse("")
-    s"""{"embedding_dim": $dim, $ann"additional_data": {$kv}}"""
+    val hnsw = hnswParams.map { case (m, e) =>
+      s""""hnsw_m": $m, "hnsw_efc": $e, """
+    }.getOrElse("")
+    s"""{"embedding_dim": $dim, $ann$hnsw"additional_data": {$kv}}"""
   }
 
   private def swap(next: DataFrame): Unit = {

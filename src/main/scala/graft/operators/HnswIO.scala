@@ -1,0 +1,312 @@
+package graft.operators
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets
+
+import scala.reflect.ClassTag
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.SerializableWritable
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{Hnsw, StoreIO, VecBlock}
+
+/** Persistence for a sharded-HNSW store — the re-expression of the
+  * reference's save-the-index-beside-the-store contract
+  * (pico_vdb.py:260-283, 347, 362: the FAISS file written next to the
+  * data and loaded back WITHOUT a rebuild; stale or mismatched files
+  * trigger a validated rebuild, locked by the reference's
+  * test_task15_faiss_persist_load_safely.py). The reference leans on
+  * FAISS's C++ serialization; ours is an explicit format so loads can
+  * validate structure loudly.
+  *
+  * One binary file per shard, written BY ITS OWN TASK (the build
+  * parallelism is the write parallelism — no driver funnel, no
+  * shuffle), holding the packed slab (ids + float32 matrix + cosine
+  * norms when present) and the graph topology ([[Hnsw.writeGraph]]).
+  * The unit-row matrix is NOT persisted: it is deterministic from the
+  * slab ([[HnswStore.unitOf]]) and re-derived on load — halves the
+  * file for cosine-mode stores.
+  *
+  * Scale model (100 TB): saves and loads are embarrassingly parallel —
+  * one sequential file stream per ≤128 MB shard, no driver data, no
+  * shuffle; a load costs one FS read + O(rows·dim) float decode per
+  * shard instead of the O(n·log n·m) graph construction it replaces
+  * (the build dominates: ~6 s vs ~0.3 s per 100k×64-d shard).
+  *
+  * Two entry points:
+  *  - [[saveInto]]/[[loadFrom]] write/read a BARE directory — callers
+  *    own atomicity (StoreIO writes it inside its immutable versioned
+  *    snapshot; the streaming segment manifest flips after segment
+  *    dirs are complete);
+  *  - [[save]]/[[load]] wrap a directory in StoreIO's own
+  *    `_current`-pointer snapshot protocol for standalone stores.
+  */
+object HnswIO {
+
+  private val Magic = 0x47484E53 // "GHNS"
+  private val Format = 1
+  private val MetaFile = "_hnsw_meta.json"
+
+  private def keyTag[K](ct: ClassTag[K]): Int = ct.runtimeClass match {
+    case c if c == classOf[Long] || c == classOf[java.lang.Long] => 0
+    case c if c == classOf[String]                               => 1
+    case c => throw new IllegalArgumentException(
+      s"HnswIO supports Long or String shard keys, got ${c.getName}")
+  }
+
+  // ---- bulk primitive codecs: DataOutputStream.writeFloat per element
+  // is ~100M calls for one headline slab; chunked ByteBuffer transposes
+  // keep the stream call count O(data / 1 MB)
+
+  private val ChunkFloats = 1 << 18 // 1 MB chunks
+
+  private def writeFloats(out: DataOutputStream, a: Array[Float], n: Int): Unit = {
+    val buf = new Array[Byte](math.min(n, ChunkFloats) * 4)
+    val bb = java.nio.ByteBuffer.wrap(buf)
+    var off = 0
+    while (off < n) {
+      val len = math.min(ChunkFloats, n - off)
+      bb.clear()
+      bb.asFloatBuffer().put(a, off, len)
+      out.write(buf, 0, len * 4)
+      off += len
+    }
+  }
+
+  private def readFloats(in: DataInputStream, n: Int): Array[Float] = {
+    val a = new Array[Float](n)
+    val buf = new Array[Byte](math.min(n, ChunkFloats) * 4)
+    var off = 0
+    while (off < n) {
+      val len = math.min(ChunkFloats, n - off)
+      in.readFully(buf, 0, len * 4)
+      java.nio.ByteBuffer.wrap(buf, 0, len * 4).asFloatBuffer().get(a, off, len)
+      off += len
+    }
+    a
+  }
+
+  private def writeDoubles(out: DataOutputStream, a: Array[Double]): Unit = {
+    var i = 0
+    while (i < a.length) { out.writeDouble(a(i)); i += 1 }
+  }
+
+  private def readDoubles(in: DataInputStream, n: Int): Array[Double] = {
+    val a = new Array[Double](n)
+    var i = 0
+    while (i < n) { a(i) = in.readDouble(); i += 1 }
+    a
+  }
+
+  private[operators] def writeShard[K](out: DataOutputStream,
+                                       sh: HnswShard[K], keyT: Int): Unit = {
+    val b = sh.block
+    out.writeInt(Magic)
+    out.writeInt(Format)
+    out.writeInt(b.dim)
+    out.writeInt(b.rows)
+    out.writeByte(keyT)
+    var i = 0
+    if (keyT == 0) {
+      while (i < b.rows) { out.writeLong(b.ids(i).asInstanceOf[Long]); i += 1 }
+    } else {
+      while (i < b.rows) {
+        val bytes = b.ids(i).asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
+        out.writeInt(bytes.length)
+        out.write(bytes)
+        i += 1
+      }
+    }
+    out.writeBoolean(b.norms != null)
+    if (b.norms != null) writeDoubles(out, b.norms)
+    writeFloats(out, b.data, b.rows * b.dim)
+    sh.graph.writeGraph(out)
+  }
+
+  /** Read one shard; every structural invariant is checked loudly
+    * (magic/format/key type/dim/row bounds here, neighbor-count sanity
+    * inside [[Hnsw.readGraph]]) so a torn or foreign file surfaces as
+    * IllegalArgumentException — the caller's rebuild trigger — never a
+    * silently wrong graph.
+    */
+  private[operators] def readShard[K](in: DataInputStream, expectKeyT: Int,
+                                      expectDim: Int)(
+      implicit ct: ClassTag[K]): HnswShard[K] = {
+    val magic = in.readInt()
+    require(magic == Magic, f"not an HNSW shard file (magic 0x$magic%08X)")
+    val fmt = in.readInt()
+    require(fmt == Format, s"unsupported HNSW shard format $fmt (have $Format)")
+    val dim = in.readInt()
+    val rows = in.readInt()
+    require(dim == expectDim && rows >= 0,
+      s"HNSW shard dim/rows mismatch: file ($dim, $rows), meta dim $expectDim")
+    val keyT = in.readByte()
+    require(keyT == expectKeyT,
+      s"HNSW shard key type $keyT != requested $expectKeyT")
+    val ids = ct.newArray(rows)
+    var i = 0
+    if (keyT == 0) {
+      while (i < rows) { ids(i) = in.readLong().asInstanceOf[K]; i += 1 }
+    } else {
+      while (i < rows) {
+        val len = in.readInt()
+        require(len >= 0 && len <= (1 << 24), s"corrupt id length $len")
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        ids(i) = new String(bytes, StandardCharsets.UTF_8).asInstanceOf[K]
+        i += 1
+      }
+    }
+    val hasNorms = in.readBoolean()
+    val norms = if (hasNorms) readDoubles(in, rows) else null
+    val data = readFloats(in, rows * dim)
+    val block = new VecBlock[K](ids, data, dim, norms)
+    val unit = HnswStore.unitOf(block)
+    val graph = Hnsw.readGraph(in, unit, dim)
+    require(graph.n == rows,
+      s"HNSW shard graph covers ${graph.n} nodes but slab has $rows rows")
+    new HnswShard[K](block, unit, graph)
+  }
+
+  /** Write every shard of `store` under `dir` (replaced if present).
+    * Caller owns atomicity — use [[save]] for a standalone pointer-
+    * flipped snapshot. Returns (total rows, shard files written).
+    */
+  def saveInto[K](store: HnswStore[K], dir: String)(
+      implicit ct: ClassTag[K]): (Long, Int) = {
+    val sc = store.spark.sparkContext
+    val conf = sc.hadoopConfiguration
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    if (fs.exists(d)) fs.delete(d, true)
+    fs.mkdirs(d)
+    val bcConf = sc.broadcast(new SerializableWritable(new Configuration(conf)))
+    val keyT = keyTag(ct)
+    val dirStr = d.toString
+    val written =
+      try {
+        store.shards.mapPartitionsWithIndex { (pi, it) =>
+          val taskConf = bcConf.value.value
+          it.zipWithIndex.map { case (sh, si) =>
+            val p = new Path(dirStr, f"shard-$pi%05d-$si%03d.hnsw")
+            val out = new DataOutputStream(new BufferedOutputStream(
+              p.getFileSystem(taskConf).create(p, true), 1 << 16))
+            try writeShard(out, sh, keyT) finally out.close()
+            sh.block.rows.toLong
+          }
+        }.collect()
+      } finally bcConf.destroy()
+    val meta =
+      s"""{"format": $Format, "key": $keyT, "dim": ${store.dim}, """ +
+      s""""rows": ${written.sum}, "shards": ${written.length}, """ +
+      s""""normalized": ${store.normalized}, "m": ${store.m}, """ +
+      s""""efc": ${store.efConstruction}}"""
+    val mo = fs.create(new Path(d, MetaFile), true)
+    try mo.write(meta.getBytes(StandardCharsets.UTF_8)) finally mo.close()
+    (written.sum, written.length)
+  }
+
+  private def metaLong(s: String, key: String): Long =
+    ("\"" + key + """"\s*:\s*(-?\d+)""").r.findFirstMatchIn(s)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(s"no $key in HNSW meta: $s"))
+
+  private def metaInt(s: String, key: String): Int = metaLong(s, key).toInt
+
+  /** Expected totals recorded at save time — callers validate a loaded
+    * store against these (and their own row counts) before trusting it.
+    */
+  def savedShape(spark: SparkSession, dir: String): (Long, Int) = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(d, MetaFile))
+    val s = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+            finally in.close()
+    (metaLong(s, "rows"), metaInt(s, "shards"))
+  }
+
+  /** Load a store written by [[saveInto]]: one task per shard file,
+    * each reading slab + topology and re-deriving unit rows — ZERO
+    * graph rebuilds ([[Hnsw.buildsInJvm]]-pinned). The returned store
+    * is unpersisted; callers persist + materialize, then validate row
+    * counts against their source of truth. Corrupt/foreign/mistyped
+    * files fail that materialization loudly (see [[readShard]]).
+    */
+  def loadFrom[K: ClassTag: Ordering](spark: SparkSession, dir: String)
+      : HnswStore[K] = {
+    val sc = spark.sparkContext
+    val conf = sc.hadoopConfiguration
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    val metaIn = fs.open(new Path(d, MetaFile))
+    val metaStr = try new String(metaIn.readAllBytes(), StandardCharsets.UTF_8)
+                  finally metaIn.close()
+    val keyT = keyTag(implicitly[ClassTag[K]])
+    require(metaInt(metaStr, "format") == Format,
+      s"unsupported HNSW snapshot format in $dir")
+    require(metaInt(metaStr, "key") == keyT,
+      s"HNSW snapshot in $dir holds key type ${metaInt(metaStr, "key")}, requested $keyT")
+    val dim = metaInt(metaStr, "dim")
+    val m = metaInt(metaStr, "m")
+    val efc = metaInt(metaStr, "efc")
+    val normalized = metaStr.contains(""""normalized": true""")
+    val files = fs.listStatus(d)
+      .map(_.getPath)
+      .filter(_.getName.endsWith(".hnsw"))
+      .map(_.toString)
+      .sorted
+      .toSeq
+    require(files.length == metaInt(metaStr, "shards"),
+      s"HNSW snapshot in $dir has ${files.length} shard files, meta says " +
+        s"${metaInt(metaStr, "shards")}")
+    val bcConf = sc.broadcast(new SerializableWritable(new Configuration(conf)))
+    val shards = sc.parallelize(files, math.max(1, files.length))
+      .mapPartitions { it =>
+        val taskConf = bcConf.value.value
+        it.map { f =>
+          val p = new Path(f)
+          val in = new DataInputStream(new BufferedInputStream(
+            p.getFileSystem(taskConf).open(p), 1 << 16))
+          try readShard[K](in, keyT, dim) finally in.close()
+        }
+      }
+    new HnswStore[K](spark, shards, normalized, m, efc)
+  }
+
+  /** Standalone snapshot save: `<path>/_current` names an immutable
+    * `v-<nonce>/` dir of shard files (the StoreIO pointer protocol, so
+    * a crash mid-save never corrupts the last good snapshot). Returns
+    * the snapshot dir.
+    */
+  def save[K](store: HnswStore[K], path: String)(
+      implicit ct: ClassTag[K]): String = {
+    val conf = store.spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val version = "v-" + java.util.UUID.randomUUID().toString.take(12)
+    val snap = new Path(root, version)
+    try {
+      saveInto(store, snap.toString)
+      StoreIO.flipPointer(conf, root, version)
+    } catch {
+      case e: Throwable =>
+        if (fs.exists(snap)) fs.delete(snap, true)
+        throw e
+    }
+    StoreIO.sweepStale(fs, root, version, keep = 1)
+    snap.toString
+  }
+
+  /** Load a [[save]] snapshot (resolves the pointer, then [[loadFrom]]). */
+  def load[K: ClassTag: Ordering](spark: SparkSession, path: String)
+      : HnswStore[K] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = StoreIO.resolveCurrent(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no HNSW snapshot pointer under $path"))
+    loadFrom[K](spark, snap.toString)
+  }
+}

@@ -78,6 +78,14 @@ final class HnswStore[K](
   lazy val dim: Int =
     shards.map(_.block.dim).take(1).headOption.getOrElse(-1)
 
+  /** Persist every shard (slab + graph topology) under `path` as an
+    * immutable pointer-flipped snapshot; [[HnswStore.load]] restores
+    * it with ZERO graph rebuilds (the build is the dominant cost this
+    * persistence exists to amortize — see [[HnswIO]]). Returns the
+    * snapshot dir.
+    */
+  def save(path: String): String = HnswIO.save(this, path)
+
   /** Segment-style incremental maintenance — the distributed analog of
     * the reference's incremental index adds (O26): new rows become NEW
     * shards, so only the new rows pay graph construction and existing
@@ -261,6 +269,13 @@ final class HnswStore[K](
 
 object HnswStore {
 
+  /** Load a [[HnswStore.save]] snapshot — files to graphs, no rebuild
+    * ([[graft.core.Hnsw.buildsInJvm]]-pinned). Unpersisted; callers
+    * persist + materialize once before serving.
+    */
+  def load[K: ClassTag: Ordering](spark: SparkSession, path: String)
+      : HnswStore[K] = HnswIO.load[K](spark, path)
+
   /** Shared query prep (searchMerged + searchPacked): zero -> e0 in
     * normalized mode (the write-time invariant's convention); cosine
     * mode keeps raw vectors + norms for exact scoring and derives unit
@@ -388,36 +403,45 @@ object HnswStore {
     val mbf = maxBlockFloats
     val shards = rdd.mapPartitions { it =>
       BlockStore.packPartition[K](it, norm, assume, mbf).map { block =>
-        val unit =
-          if (block.norms == null) block.data // already unit rows
-          else {
-            val dim = block.dim
-            val out = new Array[Float](block.data.length)
-            var r = 0
-            while (r < block.rows) {
-              val n = block.norms(r)
-              val off = r * dim
-              if (n == 0.0) {
-                // zero row -> e0, the NormalizeL2 write-time convention
-                if (dim > 0) out(off) = 1f
-              } else {
-                val inv = 1.0 / n
-                var j = 0
-                while (j < dim) {
-                  out(off + j) = (block.data(off + j) * inv).toFloat
-                  j += 1
-                }
-              }
-              r += 1
-            }
-            out
-          }
+        val unit = unitOf(block)
         new HnswShard[K](block, unit,
           Hnsw.build(unit, block.rows, block.dim, mm, efc))
       }
     }
     new HnswStore[K](spark, shards, norm || assume, m, efConstruction)
   }
+
+  /** Unit-row matrix for graph traversal over `block`: the slab itself
+    * when rows carry the write-time L2 invariant (norms == null), else
+    * a normalized copy derived with the NormalizeL2 conventions
+    * (zero row -> e0). Deterministic from the block alone — the shard
+    * codec ([[HnswIO]]) re-derives it on load instead of persisting a
+    * second float matrix.
+    */
+  private[operators] def unitOf[K](block: VecBlock[K]): Array[Float] =
+    if (block.norms == null) block.data // already unit rows
+    else {
+      val dim = block.dim
+      val out = new Array[Float](block.data.length)
+      var r = 0
+      while (r < block.rows) {
+        val n = block.norms(r)
+        val off = r * dim
+        if (n == 0.0) {
+          // zero row -> e0, the NormalizeL2 write-time convention
+          if (dim > 0) out(off) = 1f
+        } else {
+          val inv = 1.0 / n
+          var j = 0
+          while (j < dim) {
+            out(off + j) = (block.data(off + j) * inv).toFloat
+            j += 1
+          }
+        }
+        r += 1
+      }
+      out
+    }
 
   // per-dataset store cache (amortizes repeated catalog/bench runs),
   // same SessionLru policy as IvfIndex.cached

@@ -1,0 +1,230 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Hnsw, VdbRecord, VdbStore}
+import graft.operators.{HnswIO, HnswStore}
+
+/** Graph persistence — the reference's save-the-index-beside-the-store
+  * contract (pico_vdb.py:260-283, 347, 362; locked by its
+  * test_task15_faiss_persist_load_safely.py): a load restores graphs
+  * with ZERO rebuilds ([[Hnsw.buildsInJvm]]-pinned), results are
+  * bit-identical across the cycle, and any stale/corrupt/foreign file
+  * degrades to a validated rebuild, never a wrong answer.
+  */
+class HnswPersistSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def randData(n: Int, dim: Int, seed: Int,
+                       unit: Boolean): Seq[(Long, Array[Float])] = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val v = Array.fill(dim)(rng.nextFloat() - 0.5f)
+      if (unit) {
+        val nr = math.sqrt(v.map(x => x.toDouble * x).sum)
+        (i.toLong, v.map(x => (x / nr).toFloat))
+      } else (i.toLong, v)
+    }
+  }
+
+  private def collectHits(df: org.apache.spark.sql.DataFrame)
+      : Seq[(Long, Long, Double, Int)] =
+    df.select(col("qid"), col("id"), col("score"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(r => (r._1, r._4)).toSeq
+
+  test("save/load round-trip: zero rebuilds, bit-identical graph and exact results") {
+    val data = randData(600, 12, seed = 3, unit = true)
+    val store = HnswStore.fromDataset[Long](
+      data.toDS(), normalize = false, assumeNormalized = true,
+      m = 8, efConstruction = 60, numShards = 5).persist()
+    store.materialize()
+    val queries = randData(12, 12, seed = 9, unit = true).toArray
+    val wantGraph = collectHits(store.searchMerged(queries, k = 7, ef = 48))
+    val wantExact = collectHits(store.searchMerged(queries, k = 7, exact = true))
+
+    val dir = tmpDir("hnswsave")
+    store.save(dir)
+    val buildsBefore = Hnsw.buildsInJvm
+    val loaded = HnswStore.load[Long](spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (rows, shards) = loaded.materialize()
+    assert(Hnsw.buildsInJvm == buildsBefore,
+      "loading a persisted store must not rebuild any graph")
+    assert(rows == 600L && shards == 5)
+    assert(loaded.dim == 12 && loaded.normalized && loaded.m == 8 &&
+      loaded.efConstruction == 60)
+    assert(collectHits(loaded.searchMerged(queries, k = 7, ef = 48)) == wantGraph,
+      "graph search must be bit-identical across a save/load cycle")
+    assert(collectHits(loaded.searchMerged(queries, k = 7, exact = true)) == wantExact)
+    assert(Hnsw.buildsInJvm == buildsBefore)
+    // save records the shape it wrote
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = graft.core.StoreIO.resolveCurrent(fs, root).get.toString
+    assert(HnswIO.savedShape(spark, snap) == (600L, 5))
+    loaded.unpersist(); store.unpersist()
+  }
+
+  test("cosine-mode (raw slab + norms) round-trips; unit rows re-derive identically") {
+    val data = randData(400, 10, seed = 11, unit = false)
+    val store = HnswStore.fromDataset[Long](
+      data.toDS(), normalize = false, m = 8, numShards = 3).persist()
+    store.materialize()
+    val queries = randData(8, 10, seed = 21, unit = false).toArray
+    val wantGraph = collectHits(store.searchMerged(queries, k = 5, ef = 40))
+    val wantExact = collectHits(store.searchMerged(queries, k = 5, exact = true))
+    val dir = tmpDir("hnswcos")
+    store.save(dir)
+    val before = Hnsw.buildsInJvm
+    val loaded = HnswStore.load[Long](spark, dir).persist()
+    loaded.materialize()
+    assert(Hnsw.buildsInJvm == before)
+    assert(!loaded.normalized)
+    assert(collectHits(loaded.searchMerged(queries, k = 5, ef = 40)) == wantGraph)
+    assert(collectHits(loaded.searchMerged(queries, k = 5, exact = true)) == wantExact)
+    loaded.unpersist(); store.unpersist()
+  }
+
+  test("string keys round-trip; loading with the wrong key type is rejected") {
+    val data = randData(150, 6, seed = 5, unit = true)
+      .map { case (i, v) => (s"doc-$i", v) }
+    val store = HnswStore.fromDataset[String](
+      data.toDS(), normalize = false, assumeNormalized = true,
+      numShards = 2).persist()
+    store.materialize()
+    val dir = tmpDir("hnswstr")
+    store.save(dir)
+    val loaded = HnswStore.load[String](spark, dir).persist()
+    val (rows, _) = loaded.materialize()
+    assert(rows == 150L)
+    val q = Array((1L, data.head._2))
+    val a = store.searchMerged(q, k = 3, exact = true)
+      .select("id").as[String].collect().sorted.toSeq
+    val b = loaded.searchMerged(q, k = 3, exact = true)
+      .select("id").as[String].collect().sorted.toSeq
+    assert(a == b && a.contains("doc-0"))
+    intercept[IllegalArgumentException] {
+      HnswStore.load[Long](spark, dir)
+    }
+    loaded.unpersist(); store.unpersist()
+  }
+
+  test("a corrupted shard file fails the load loudly, not with a wrong graph") {
+    val data = randData(200, 8, seed = 13, unit = true)
+    val store = HnswStore.fromDataset[Long](
+      data.toDS(), normalize = false, assumeNormalized = true,
+      numShards = 2).persist()
+    store.materialize()
+    val dir = tmpDir("hnswbad")
+    val snap = store.save(dir)
+    // flip bytes in the header of one shard file
+    val shardFile = java.nio.file.Files.list(java.nio.file.Paths.get(
+        snap.stripPrefix("file:")))
+      .filter(_.toString.endsWith(".hnsw")).findFirst().get()
+    java.nio.file.Files.write(shardFile, Array[Byte](0, 1, 2, 3, 4, 5, 6, 7))
+    val loaded = HnswStore.load[Long](spark, dir)
+    val e = intercept[Exception] { loaded.materialize() }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("HNSW") || msg.contains("magic") || msg.contains("shard"),
+      s"expected a diagnosable corruption error, got: $msg")
+    store.unpersist()
+  }
+
+  // ---- VdbStore integration: the sidecar rides the snapshot ----
+
+  private def hnswVdbStore(n: Int = 120, dim: Int = 8): VdbStore = {
+    val rng = new scala.util.Random(42)
+    val s = VdbStore.empty(spark, dim)
+    val recs = (0 until n).map { i =>
+      val v = Array.fill(dim)(rng.nextFloat() - 0.5f)
+      val nr = math.sqrt(v.map(x => x.toDouble * x).sum)
+      VdbRecord(f"h$i%03d", v.map(x => (x / nr).toFloat), s"""{"g": ${i % 4}}""")
+    }
+    s.upsert(recs)
+    s
+  }
+
+  test("VdbStore save/load restores the graph index without a rebuild (pico_vdb.py:260-283)") {
+    val s = hnswVdbStore()
+    s.enableHnsw(m = 8, efConstruction = 60)
+    val q = Array.fill(8)(0.3f)
+    val want = s.queryOne(q, topK = 5, efSearch = 48).map(h => (h.id, h.metrics))
+    assert(s.lastQueryStrategy.contains("hnsw"))
+    val dir = tmpDir("vdbhnsw") + "/store"
+    s.save(dir)
+
+    val before = Hnsw.buildsInJvm
+    val loaded = VdbStore.load(spark, dir)
+    assert(loaded.hnswRestoreMode == "loaded",
+      "a clean sidecar must hydrate the graph cache on load")
+    assert(Hnsw.buildsInJvm == before,
+      "hydrating from the sidecar must not rebuild any graph")
+    val got = loaded.queryOne(q, topK = 5, efSearch = 48).map(h => (h.id, h.metrics))
+    assert(loaded.lastQueryStrategy.contains("hnsw"))
+    assert(got == want, s"post-load hits $got != pre-save $want")
+    assert(Hnsw.buildsInJvm == before,
+      "the first post-load query must serve from the loaded graphs")
+  }
+
+  test("enabled-but-never-built stores save params only; load re-enables with lazy rebuild") {
+    val s = hnswVdbStore(n = 60)
+    s.enableHnsw(m = 8, efConstruction = 40) // no query -> no cache -> no sidecar
+    val dir = tmpDir("vdbhnswlazy") + "/store"
+    s.save(dir)
+    val loaded = VdbStore.load(spark, dir)
+    assert(loaded.hnswRestoreMode == "rebuild")
+    val q = Array.fill(8)(0.25f)
+    loaded.queryOne(q, topK = 3)
+    assert(loaded.lastQueryStrategy.contains("hnsw"),
+      "load must re-enable the strategy even without a sidecar")
+  }
+
+  test("a corrupted sidecar triggers a logged rebuild, and queries stay correct") {
+    val s = hnswVdbStore()
+    s.enableHnsw(m = 8, efConstruction = 60)
+    val q = Array.fill(8)(0.3f)
+    val want = s.queryOne(q, topK = 5, efSearch = 48).map(_.id)
+    val dir = tmpDir("vdbhnswcorrupt") + "/store"
+    s.save(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = graft.core.StoreIO.resolveCurrent(fs, root).get.toString
+    val sidecar = java.nio.file.Paths.get(
+      snap.stripPrefix("file:"), graft.core.StoreIO.HnswDir)
+    val shardFile = java.nio.file.Files.list(sidecar)
+      .filter(_.toString.endsWith(".hnsw")).findFirst().get()
+    java.nio.file.Files.write(shardFile, Array[Byte](9, 9, 9, 9))
+
+    val before = Hnsw.buildsInJvm
+    val loaded = VdbStore.load(spark, dir)
+    assert(loaded.hnswRestoreMode == "rebuild",
+      "a corrupt sidecar must fall back to rebuild, not error out")
+    val got = loaded.queryOne(q, topK = 5, efSearch = 48).map(_.id)
+    assert(loaded.lastQueryStrategy.contains("hnsw"))
+    assert(got == want)
+    assert(Hnsw.buildsInJvm > before, "the fallback is a real rebuild")
+  }
+
+  test("post-load mutations invalidate the loaded graphs (version keying survives restore)") {
+    val s = hnswVdbStore(n = 80)
+    s.enableHnsw(m = 8, efConstruction = 40)
+    val q = new Array[Float](8); q(2) = 1f
+    s.queryOne(q, topK = 3) // builds + caches
+    val dir = tmpDir("vdbhnswmut") + "/store"
+    s.save(dir)
+    val loaded = VdbStore.load(spark, dir)
+    assert(loaded.hnswRestoreMode == "loaded")
+    loaded.upsert(Seq(VdbRecord("fresh", q, """{"g": 9}""")))
+    val hit = loaded.queryOne(q, topK = 1)
+    assert(loaded.lastQueryStrategy.contains("hnsw"))
+    assert(hit.head.id == "fresh",
+      "a mutation after load must rebuild the graphs, not serve stale ones")
+  }
+}

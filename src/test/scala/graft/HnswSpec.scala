@@ -107,6 +107,46 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("writeGraph/readGraph codec round-trip: identical searches, no rebuild, corrupt counts rejected") {
+    val rng = new scala.util.Random(31)
+    val data = Array.tabulate(500)(_ =>
+      normalize(Array.fill(16)(rng.nextFloat() - 0.5f)))
+    val f = flat(data)
+    val idx = Hnsw.build(f, data.length, 16, m = 8, efConstruction = 60)
+    val bos = new java.io.ByteArrayOutputStream()
+    idx.writeGraph(new java.io.DataOutputStream(bos))
+    val bytes = bos.toByteArray
+
+    val before = Hnsw.buildsInJvm
+    val back = Hnsw.readGraph(
+      new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes)), f, 16)
+    assert(Hnsw.buildsInJvm == before, "readGraph must not count as a build")
+    assert(back.n == idx.n && back.dim == idx.dim)
+    val queries = (0 until 25).map(_ =>
+      normalize(Array.fill(16)(rng.nextFloat() - 0.5f)))
+    queries.foreach { q =>
+      assert(back.search(q, 10, 64).toSeq == idx.search(q, 10, 64).toSeq,
+        "deserialized graph must search identically to the original")
+    }
+    // corrupt a neighbor count in the header region past the levels:
+    // readGraph's per-node guard must reject it loudly
+    val corrupt = bytes.clone()
+    // first neighbor-count word sits right after: m, n, entry, maxLevel,
+    // then n levels -> offset (4 + n) * 4
+    val off = (4 + idx.n) * 4
+    corrupt(off) = 0x7F.toByte // huge count
+    intercept[IllegalArgumentException] {
+      Hnsw.readGraph(
+        new java.io.DataInputStream(new java.io.ByteArrayInputStream(corrupt)), f, 16)
+    }
+    // a graph/matrix mismatch (wrong slab) is rejected up front
+    intercept[IllegalArgumentException] {
+      Hnsw.readGraph(
+        new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes)),
+        new Array[Float](16), 16)
+    }
+  }
+
   test("LocalReplica.queryOneHnsw: serving integration, meta carried, recall vs exact") {
     val rng = new scala.util.Random(31)
     val s = VdbStore.empty(spark, 32)
