@@ -42,12 +42,32 @@ final class LocalReplica private[core] (
   @volatile private var hnswIdx: Hnsw = null
   @volatile private var hnswIds: Array[String] = null
 
+  /** "built" after a real graph construction, "loaded" after a
+    * [[buildHnsw]] quick-load, "none" before either.
+    */
+  @volatile private var hnswSourceVar: String = "none"
+  def hnswSource: String = hnswSourceVar
+
   /** Build (idempotently) an HNSW graph over this replica's rows.
     * Driver-side and deterministic; cost is the one-time build (the
     * reference pays 50-110 s for the same store through FAISS — see
     * the VDBSERVE rows for ours).
+    *
+    * `cachePath` is the reference's quick-load contract
+    * (pico_vdb.py:230-237, 260-283): a LOCAL file holding the graph
+    * topology + its row order from a previous session. When it names a
+    * graph that matches this replica's rows — same id set, same dim,
+    * and a checksum over the vectors reassembled in the file's row
+    * order — the replica serves from it in the O(n·dim) assembly time
+    * instead of the O(n·log n·m) build (seconds vs minutes at serving
+    * scale; SCALING.md "VDBSERVE"). Any mismatch or torn file degrades
+    * to a build, and a fresh build rewrites the cache (best-effort) so
+    * the NEXT cold start quick-loads. Checksum-over-content, not store
+    * version: versions reset across JVM restarts, which is exactly
+    * when the cache matters.
     */
-  def buildHnsw(m: Int = 16, efConstruction: Int = 100): Unit =
+  def buildHnsw(m: Int = 16, efConstruction: Int = 100,
+                cachePath: Option[String] = None): Unit =
     if (hnswIdx == null) synchronized {
       if (hnswIdx == null) {
         val total = size
@@ -57,18 +77,131 @@ final class LocalReplica private[core] (
         require(total.toLong * dim <= Int.MaxValue,
           s"buildHnsw: $total rows x $dim dims exceeds a single JVM " +
             "array — an HNSW replica caps at Int.MaxValue floats")
-        val flat = new Array[Float](total * dim)
-        val ids = new Array[String](total)
-        var off = 0
-        bucketBlocks.foreach(_.foreach { b =>
-          System.arraycopy(b.data, 0, flat, off * dim, b.rows * dim)
-          var r = 0
-          while (r < b.rows) { ids(off + r) = b.ids(r); r += 1 }
-          off += b.rows
-        })
-        hnswIds = ids
-        hnswIdx = Hnsw.build(flat, total, dim, m, efConstruction)
+        if (!cachePath.exists(p => tryQuickLoad(p, m, efConstruction))) {
+          val flat = new Array[Float](total * dim)
+          val ids = new Array[String](total)
+          var off = 0
+          bucketBlocks.foreach(_.foreach { b =>
+            System.arraycopy(b.data, 0, flat, off * dim, b.rows * dim)
+            var r = 0
+            while (r < b.rows) { ids(off + r) = b.ids(r); r += 1 }
+            off += b.rows
+          })
+          hnswIds = ids
+          hnswIdx = Hnsw.build(flat, total, dim, m, efConstruction)
+          hnswSourceVar = "built"
+          cachePath.foreach(p => writeQuickLoad(p, ids, flat, m, efConstruction))
+        }
       }
+    }
+
+  private def vectorOf(id: String, out: Array[Float], off: Int): Boolean = {
+    val slot = rowOf.get(id)
+    if (slot == null) false
+    else {
+      val (b, r) = slot
+      System.arraycopy(b.data, r * b.dim, out, off, b.dim)
+      true
+    }
+  }
+
+  // FNV-1a over the float bits — order-sensitive by design (the graph's
+  // node numbering IS the row order)
+  private def matrixHash(flat: Array[Float], n: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    val lim = n * dim
+    while (i < lim) {
+      h = (h ^ java.lang.Float.floatToRawIntBits(flat(i))) * 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+
+  private def tryQuickLoad(path: String, m: Int, efc: Int): Boolean = {
+    val f = new java.io.File(path)
+    if (!f.isFile) return false
+    try {
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(f), 1 << 16))
+      try {
+        require(in.readInt() == LocalReplica.QuickLoadMagic, "not a replica graph file")
+        require(in.readInt() == LocalReplica.QuickLoadFormat, "unsupported format")
+        val (fm, fe) = (in.readInt(), in.readInt())
+        require(fm == m && fe == efc,
+          s"cached graph built with (m=$fm, efC=$fe), requested (m=$m, efC=$efc)")
+        val fdim = in.readInt()
+        val n = in.readInt()
+        require(fdim == dim && n == size,
+          s"cached graph shape ($fdim, $n) != replica ($dim, $size)")
+        val wantHash = in.readLong()
+        val ids = new Array[String](n)
+        val flat = new Array[Float](n * dim)
+        var i = 0
+        while (i < n) {
+          val len = in.readInt()
+          require(len >= 0 && len <= (1 << 24), s"corrupt id length $len")
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          val id = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          require(vectorOf(id, flat, i * dim), s"cached graph id $id not in replica")
+          ids(i) = id
+          i += 1
+        }
+        require(matrixHash(flat, n) == wantHash,
+          "cached graph was built over different vectors")
+        val g = Hnsw.readGraph(in, flat, dim)
+        require(g.n == n, s"cached graph covers ${g.n} nodes, replica has $n")
+        hnswIds = ids
+        hnswIdx = g
+        hnswSourceVar = "loaded"
+        true
+      } finally in.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger("graft.replica").warn(
+          s"graft: replica graph quick-load from $path failed " +
+            s"(${e.getMessage}) — building instead")
+        false
+    }
+  }
+
+  private def writeQuickLoad(path: String, ids: Array[String],
+                             flat: Array[Float], m: Int, efc: Int): Unit =
+    try {
+      // tmp + atomic move, the StoreIO discipline: a crash mid-write
+      // must leave either the old cache or none, never a torn file
+      val target = java.nio.file.Paths.get(path)
+      if (target.getParent != null) java.nio.file.Files.createDirectories(target.getParent)
+      val tmp = java.nio.file.Files.createTempFile(
+        Option(target.getParent).getOrElse(java.nio.file.Paths.get(".")),
+        ".replica-hnsw", ".tmp")
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(tmp), 1 << 16))
+      try {
+        out.writeInt(LocalReplica.QuickLoadMagic)
+        out.writeInt(LocalReplica.QuickLoadFormat)
+        out.writeInt(m)
+        out.writeInt(efc)
+        out.writeInt(dim)
+        out.writeInt(ids.length)
+        out.writeLong(matrixHash(flat, ids.length))
+        var i = 0
+        while (i < ids.length) {
+          val bytes = ids(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          out.writeInt(bytes.length)
+          out.write(bytes)
+          i += 1
+        }
+        hnswIdx.writeGraph(out)
+      } finally out.close()
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger("graft.replica").warn(
+          s"graft: failed to write replica graph cache at $path: ${e.getMessage}")
     }
 
   /** Graph-ANN top-k (requires [[buildHnsw]]); `ef` = efSearch beam.
@@ -145,4 +278,9 @@ final class LocalReplica private[core] (
       VdbHit(id, s, Option(metaOf.get(id)), None)
     }.toSeq
   }
+}
+
+object LocalReplica {
+  private[core] val QuickLoadMagic = 0x47525048 // "GRPH"
+  private[core] val QuickLoadFormat = 1
 }

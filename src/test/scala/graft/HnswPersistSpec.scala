@@ -212,6 +212,56 @@ class HnswPersistSpec extends AnyFunSuite {
     assert(Hnsw.buildsInJvm > before, "the fallback is a real rebuild")
   }
 
+  // ---- LocalReplica quick-load (pico_vdb.py:230-237 analog) ----
+
+  test("replica graph quick-load: second cold start loads in O(n*dim), zero rebuilds") {
+    val s = hnswVdbStore(n = 200)
+    val cache = tmpDir("replicagraph") + "/replica-hnsw.bin"
+    val r1 = s.localReplica()
+    r1.buildHnsw(m = 8, efConstruction = 60, cachePath = Some(cache))
+    assert(r1.hnswSource == "built")
+    assert(java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(cache)),
+      "a fresh build must write the cache for the next cold start")
+    val q = Array.fill(8)(0.4f)
+    val want = r1.queryOneHnsw(q, topK = 6, ef = 48).map(h => (h.id, h.metrics))
+
+    val before = Hnsw.buildsInJvm
+    val r2 = s.localReplica()
+    r2.buildHnsw(m = 8, efConstruction = 60, cachePath = Some(cache))
+    assert(r2.hnswSource == "loaded", "the second replica must quick-load")
+    assert(Hnsw.buildsInJvm == before, "quick-load must not rebuild")
+    val got = r2.queryOneHnsw(q, topK = 6, ef = 48).map(h => (h.id, h.metrics))
+    assert(got == want, "quick-loaded graph must serve identical results")
+    // meta still carried through the replica surface
+    assert(got.forall { case (id, _) => r2.get(id).isDefined })
+  }
+
+  test("replica quick-load rejects stale caches: mutated rows, wrong params, torn file") {
+    val s = hnswVdbStore(n = 100)
+    val cache = tmpDir("replicastale") + "/g.bin"
+    s.localReplica().buildHnsw(m = 8, efConstruction = 40, cachePath = Some(cache))
+    // wrong params -> rebuild (and the rebuild rewrites the cache)
+    val rp = s.localReplica()
+    rp.buildHnsw(m = 16, efConstruction = 80, cachePath = Some(cache))
+    assert(rp.hnswSource == "built")
+    // mutation -> different vectors under an id -> checksum mismatch
+    val nv = new Array[Float](8); nv(0) = 1f
+    s.upsert(Seq(VdbRecord("h000", nv, null)))
+    val rm = s.localReplica()
+    rm.buildHnsw(m = 16, efConstruction = 80, cachePath = Some(cache))
+    assert(rm.hnswSource == "built",
+      "a cache over different vectors must not quick-load")
+    // torn file -> logged build
+    java.nio.file.Files.write(java.nio.file.Paths.get(cache), Array[Byte](1, 2, 3))
+    val rt = s.localReplica()
+    rt.buildHnsw(m = 16, efConstruction = 80, cachePath = Some(cache))
+    assert(rt.hnswSource == "built")
+    // and the rewrite self-heals: next start quick-loads again
+    val rh = s.localReplica()
+    rh.buildHnsw(m = 16, efConstruction = 80, cachePath = Some(cache))
+    assert(rh.hnswSource == "loaded")
+  }
+
   test("post-load mutations invalidate the loaded graphs (version keying survives restore)") {
     val s = hnswVdbStore(n = 80)
     s.enableHnsw(m = 8, efConstruction = 40)
