@@ -471,16 +471,35 @@ object StreamingOps {
   * VdbStore convention); false keeps raw rows + cosine norms. Exact
   * mode results are segment-layout-free, so a streamed index
   * frame-equals a batch-built store (StreamingEquivalenceSpec).
+  *
+  * `persistDir` makes the index RESTART-DURABLE (the gap VERDICT r13/
+  * r14 named): every ingested segment and every fold is written
+  * through [[graft.operators.HnswIO]] into its own subdir, and a
+  * pointer-flipped manifest records the live segment list +
+  * `lastBatchId`. Constructing an index over a dir that already holds
+  * a manifest RESUMES it: segments load with zero graph rebuilds, and
+  * the restored `lastBatchId` keeps the batch-id idempotence rule
+  * working across the restart (a replayed in-flight micro-batch is
+  * skipped iff it landed before the crash). Durability ordering:
+  * segment files complete before the manifest names them, and the
+  * manifest flips before folded-away dirs are deleted — a crash at
+  * any point leaves a loadable manifest whose lastBatchId admits
+  * exactly the batches it lost. Unlike the sidecar-restore paths, a
+  * corrupt persisted segment FAILS the resume loudly: the source
+  * micro-batches that built it are gone, so degrading to a rebuild
+  * would silently drop indexed rows.
   */
 final class HnswSegmentIndex(
     spark: org.apache.spark.sql.SparkSession,
     normalize: Boolean,
     m: Int = 16,
     efConstruction: Int = 100,
-    compactAtShards: Int = 64) {
-  import graft.operators.HnswStore
+    compactAtShards: Int = 64,
+    persistDir: Option[String] = None) {
+  import graft.operators.{HnswIO, HnswStore}
 
   private var segments: Vector[HnswStore[String]] = Vector.empty
+  private var segDirs: Vector[String] = Vector.empty // aligned; persistDir only
   private var shardCounts: Vector[Int] = Vector.empty
   private var rowCounts: Vector[Long] = Vector.empty
   // one-generation reader grace window (the componentsSink discipline,
@@ -502,11 +521,20 @@ final class HnswSegmentIndex(
   private var lastCompactSize: Int = 0
   @volatile private var viewVar: HnswStore[String] = null
   @volatile private var compactionsVar: Int = 0
+  @volatile private var resumedVar: Boolean = false
+
+  // resume BEFORE any batch lands: a manifest under persistDir means a
+  // previous session's segments are on disk — load them (no rebuilds)
+  // and restore lastBatchId so replay dedup spans the restart
+  persistDir.foreach(resumeFrom)
 
   /** The current queryable store, if any batch has landed. */
   def store: Option[HnswStore[String]] = Option(viewVar)
   def shardCount: Int = shardCounts.sum
+  def rowCount: Long = rowCounts.sum
   def compactions: Int = compactionsVar
+  /** True when this instance hydrated from a persisted manifest. */
+  def resumed: Boolean = resumedVar
 
   private[streaming] def ingest(batchId: Long, batch: DataFrame,
                                 idCol: String, vecCol: String): Unit =
@@ -527,9 +555,15 @@ final class HnswSegmentIndex(
       segments :+= seg
       shardCounts :+= nsh
       rowCounts :+= nrows
+      persistDir.foreach { root =>
+        val name = f"seg-$batchId%08d"
+        HnswIO.saveInto(seg, new org.apache.hadoop.fs.Path(root, name).toString)
+        segDirs :+= name
+      }
       refreshView()
       if (shardCount > math.max(compactAtShards, 2 * lastCompactSize))
         compactNow()
+      persistDir.foreach(writeManifest)
     }
 
   private def refreshView(): Unit =
@@ -555,6 +589,7 @@ final class HnswSegmentIndex(
     val tailOnly = segments.size >= 2 && rowCounts.tail.sum < rowCounts.head
     // release the PREVIOUS generation first, retire this fold's inputs
     retired.foreach(_.unpersist())
+    val foldName = f"fold-$compactionsVar%06d"
     if (tailOnly) {
       val tail = segments.tail
       val tailView = new HnswStore[String](spark,
@@ -566,6 +601,11 @@ final class HnswSegmentIndex(
       segments = Vector(segments.head, folded)
       shardCounts = Vector(shardCounts.head, nsh)
       rowCounts = Vector(rowCounts.head, nrows)
+      persistDir.foreach { root =>
+        HnswIO.saveInto(folded, new org.apache.hadoop.fs.Path(root, foldName).toString)
+        pendingDeletes ++= segDirs.tail
+        segDirs = Vector(segDirs.head, foldName)
+      }
     } else {
       val folded = viewVar.compact(numShards = target).persist(level)
       val (nrows, nsh) = folded.materialize()
@@ -573,10 +613,92 @@ final class HnswSegmentIndex(
       segments = Vector(folded)
       shardCounts = Vector(nsh)
       rowCounts = Vector(nrows)
+      persistDir.foreach { root =>
+        HnswIO.saveInto(folded, new org.apache.hadoop.fs.Path(root, foldName).toString)
+        pendingDeletes ++= segDirs
+        segDirs = Vector(foldName)
+      }
     }
     lastCompactSize = shardCounts.sum
     compactionsVar += 1
     refreshView()
+  }
+
+  // folded-away segment dirs awaiting deletion — removed only AFTER the
+  // next manifest flip stops referencing them (crash in between leaves
+  // harmless orphan dirs, never a manifest naming missing dirs)
+  private var pendingDeletes: Vector[String] = Vector.empty
+
+  private def manifestJson: String = {
+    val segs = segDirs.map(d => "\"" + d + "\"").mkString(",")
+    s"""{"format": 1, "last_batch_id": $lastBatchId, """ +
+    s""""last_compact_size": $lastCompactSize, "compactions": $compactionsVar, """ +
+    s""""normalized": ${normalize}, "m": $m, "efc": $efConstruction, """ +
+    s""""segments": [$segs]}"""
+  }
+
+  private def writeManifest(root: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    fs.mkdirs(rootPath)
+    val name = "manifest-" + java.util.UUID.randomUUID().toString.take(12) + ".json"
+    val out = fs.create(new org.apache.hadoop.fs.Path(rootPath, name), true)
+    try out.write(manifestJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    graft.core.StoreIO.flipPointer(conf, rootPath, name)
+    // now safe: nothing references the folded-away dirs or old manifests
+    pendingDeletes.foreach { d =>
+      try fs.delete(new org.apache.hadoop.fs.Path(rootPath, d), true)
+      catch { case _: java.io.IOException => () }
+    }
+    pendingDeletes = Vector.empty
+    fs.listStatus(rootPath).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("manifest-") && n != name)
+        try fs.delete(st.getPath, false)
+        catch { case _: java.io.IOException => () }
+    }
+  }
+
+  private def resumeFrom(root: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    if (!fs.exists(rootPath)) return
+    graft.core.StoreIO.resolveCurrent(fs, rootPath).foreach { mf =>
+      val in = fs.open(mf)
+      val s = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+              finally in.close()
+      def num(key: String): Long =
+        ("\"" + key + """"\s*:\s*(-?\d+)""").r.findFirstMatchIn(s).map(_.group(1).toLong)
+          .getOrElse(throw new IllegalArgumentException(s"no $key in segment manifest $mf"))
+      require(num("format") == 1L, s"unsupported segment manifest format in $mf")
+      require(s.contains(s""""normalized": $normalize""") &&
+          num("m") == m && num("efc") == efConstruction,
+        s"persisted segment index at $root was built with different " +
+          s"(normalize, m, efConstruction) than requested — refusing to mix graphs")
+      val names = """"segments"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(s)
+        .map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toVector
+      val loaded = names.map { d =>
+        val st = HnswIO.loadFrom[String](spark,
+            new org.apache.hadoop.fs.Path(rootPath, d).toString)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (nrows, nsh) = st.materialize() // corrupt files fail HERE, loudly
+        (st, nsh, nrows)
+      }
+      segments = loaded.map(_._1)
+      segDirs = names
+      shardCounts = loaded.map(_._2)
+      rowCounts = loaded.map(_._3)
+      lastBatchId = num("last_batch_id")
+      lastCompactSize = num("last_compact_size").toInt
+      compactionsVar = num("compactions").toInt
+      if (segments.nonEmpty) refreshView()
+      resumedVar = true
+    }
   }
 
   /** Release every live segment. */

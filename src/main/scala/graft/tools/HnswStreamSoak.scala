@@ -33,10 +33,27 @@ object HnswStreamSoak {
       v.map(x => (x / n).toFloat)
     }
 
-    val index = new graft.streaming.HnswSegmentIndex(
-      spark, normalize = false, compactAtShards = 16)
+    // kill-and-restart is part of the default soak (VERDICT r13 item 4):
+    // segments persist to disk, the index is closed mid-run, and a new
+    // instance must RESUME — pre-kill row count, zero graph rebuilds,
+    // exact-mode-identical results — before the stream continues
+    // against the same checkpoint.
+    val persistDir =
+      java.nio.file.Files.createTempDirectory("graft-hnsw-soak-seg").toString
+    val killAt =
+      sys.env.get("SPARK_GRAFT_SOAK_KILL_AT").map(_.toInt).getOrElse(nBatches / 2)
+    var index = new graft.streaming.HnswSegmentIndex(
+      spark, normalize = false, compactAtShards = 16,
+      persistDir = Some(persistDir))
     val mem = MemoryStream[(String, Array[Float])]
     val ck = java.nio.file.Files.createTempDirectory("graft-hnsw-soak").toString
+    val probeQ = (0 until 20).map(i =>
+      (i.toLong, unit((1L << 32) | (i * 37).toLong))).toArray
+    def exactSnap(): Seq[(Long, Int, String)] =
+      index.store.get.searchMerged(probeQ, 5, exact = true)
+        .select("qid", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSeq.sortBy(t => (t._1, t._2))
     var total = 0L
     (1 to nBatches).foreach { b =>
       val batch = (0 until rows).map { i =>
@@ -51,6 +68,26 @@ object HnswStreamSoak {
         .trigger(Trigger.AvailableNow()).start()
       assert(q.awaitTermination(180000), s"batch $b timed out")
       total += rows
+      if (b == killAt && killAt > 0) {
+        val preRows = index.rowCount
+        val preSnap = exactSnap()
+        index.close()
+        val builds = graft.core.Hnsw.buildsInJvm
+        val t1 = System.nanoTime()
+        index = new graft.streaming.HnswSegmentIndex(
+          spark, normalize = false, compactAtShards = 16,
+          persistDir = Some(persistDir))
+        val resumeWall = (System.nanoTime() - t1) / 1e9
+        assert(index.resumed, "kill-and-restart: manifest must resume")
+        assert(index.rowCount == preRows,
+          s"resumed ${index.rowCount} rows, pre-kill had $preRows")
+        assert(graft.core.Hnsw.buildsInJvm == builds,
+          "resume must not rebuild any graph")
+        assert(exactSnap() == preSnap,
+          "resumed index must answer exactly like the pre-kill one")
+        println(f"HNSWSOAK restart at batch=$b rows=$preRows " +
+          f"resumeWall=$resumeWall%6.2f s (zero rebuilds)")
+      }
       val wall = (System.nanoTime() - t0) / 1e9
       val persisted = sc.getPersistentRDDs.size
       println(f"HNSWSOAK batch=$b%3d rows=$total%8d wall=$wall%6.2f s " +

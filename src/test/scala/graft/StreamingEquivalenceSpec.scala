@@ -299,4 +299,110 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     assert(index.store.get.searchMerged(queries, 10, ef = 96).count() == 120)
     batchStore.unpersist(); index.close()
   }
+
+  test("hnswSegmentSink restart: persisted segments resume with pre-kill rows, zero rebuilds") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("string"), col("embedding"))
+      .as[(String, Array[Float])].collect()
+    val shuffled = new scala.util.Random(29).shuffle(emb.toSeq)
+    val persist = java.nio.file.Files.createTempDirectory("hnswseg").toString
+    val ck = java.nio.file.Files.createTempDirectory("ckseg").toString
+    val mem = MemoryStream[(String, Array[Float])]
+    def run(index: graft.streaming.HnswSegmentIndex,
+            chunk: Seq[(String, Array[Float])]): Unit = {
+      mem.addData(chunk)
+      val q = StreamingOps.hnswSegmentSink(
+          mem.toDF().toDF("id", "vec"), index, "id", "vec")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "micro-batch timed out")
+    }
+    def snap(st: graft.operators.HnswStore[String]) =
+      st.searchMerged(emb.take(10).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) },
+          k = 8, exact = true)
+        .select("qid", "rank", "id", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+        .toSeq.sortBy(t => (t._1, t._2))
+
+    val chunks = shuffled.grouped(60).toSeq
+    val index1 = new graft.streaming.HnswSegmentIndex(
+      spark, normalize = true, compactAtShards = 3, persistDir = Some(persist))
+    assert(!index1.resumed)
+    val (head, tail) = chunks.splitAt(5)
+    head.foreach(run(index1, _))
+    val rowsPreKill = index1.rowCount
+    val wantPreKill = snap(index1.store.get)
+    index1.close() // the "kill": memory released, files + checkpoint survive
+
+    val before = graft.core.Hnsw.buildsInJvm
+    val index2 = new graft.streaming.HnswSegmentIndex(
+      spark, normalize = true, compactAtShards = 3, persistDir = Some(persist))
+    assert(index2.resumed, "a manifest under persistDir must resume")
+    assert(index2.rowCount == rowsPreKill,
+      s"resumed with ${index2.rowCount} rows, pre-kill had $rowsPreKill")
+    assert(graft.core.Hnsw.buildsInJvm == before,
+      "resume must load graphs, never rebuild them")
+    assert(snap(index2.store.get) == wantPreKill,
+      "resumed index must serve identically to the pre-kill one")
+
+    // the SAME checkpoint continues: remaining batches land post-resume
+    tail.foreach(run(index2, _))
+    assert(index2.rowCount == emb.length.toLong)
+    val batchStore = graft.operators.HnswStore.fromDataset[String](
+      emb.toSeq.toDS(), normalize = true, numShards = 2)
+    assert(snap(index2.store.get) == snap(batchStore),
+      "streamed-across-a-restart must frame-equal one batch build")
+
+    // restored lastBatchId keeps replay dedup across the restart: a
+    // stream against a FRESH checkpoint reuses already-committed batch
+    // ids, so its delivery is skipped (the documented append-only rule)
+    val mem2 = MemoryStream[(String, Array[Float])]
+    mem2.addData(Seq(("dup-x", emb.head._2)))
+    val ck2 = java.nio.file.Files.createTempDirectory("ckseg2").toString
+    val q2 = StreamingOps.hnswSegmentSink(
+        mem2.toDF().toDF("id", "vec"), index2, "id", "vec")
+      .option("checkpointLocation", ck2)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q2.awaitTermination(120000))
+    assert(index2.rowCount == emb.length.toLong,
+      "a batch id at/below the restored lastBatchId must be skipped")
+    batchStore.unpersist(); index2.close()
+
+    // param mismatch refuses to resume (mixing graphs built under
+    // different knobs would silently change recall)
+    intercept[IllegalArgumentException] {
+      new graft.streaming.HnswSegmentIndex(
+        spark, normalize = true, m = 8, compactAtShards = 3,
+        persistDir = Some(persist))
+    }
+  }
+
+  test("hnswSegmentSink resume fails loudly on a corrupt persisted segment") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val persist = java.nio.file.Files.createTempDirectory("hnswsegbad").toString
+    val ck = java.nio.file.Files.createTempDirectory("cksegbad").toString
+    val index = new graft.streaming.HnswSegmentIndex(
+      spark, normalize = true, persistDir = Some(persist))
+    val mem = MemoryStream[(String, Array[Float])]
+    mem.addData((0 until 40).map(i => (s"r$i", Array.fill(8)(i * 0.1f + 1f))))
+    val q = StreamingOps.hnswSegmentSink(
+        mem.toDF().toDF("id", "vec"), index, "id", "vec")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    index.close()
+    // corrupt one shard file under the segment dir
+    val shardFile = java.nio.file.Files.walk(java.nio.file.Paths.get(persist))
+      .filter(_.toString.endsWith(".hnsw")).findFirst().get()
+    java.nio.file.Files.write(shardFile, Array[Byte](7, 7, 7))
+    // the source batches are gone — a quiet rebuild would drop rows, so
+    // the resume must surface the corruption instead
+    intercept[Exception] {
+      new graft.streaming.HnswSegmentIndex(
+        spark, normalize = true, persistDir = Some(persist))
+    }
+  }
 }
