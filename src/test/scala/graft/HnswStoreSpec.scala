@@ -214,6 +214,24 @@ class HnswStoreSpec extends AnyFunSuite {
     store.unpersist()
   }
 
+  test("repeated searchPacked calls keep ONE cached query slab (VERDICT r14 wrong #1)") {
+    val data = randData(200, 8, seed = 91, unit = true)
+    val store = HnswStore.fromDataset[Long](
+      data.toDS(), normalize = false, assumeNormalized = true,
+      numShards = 2).persist()
+    store.materialize()
+    val sc = spark.sparkContext
+    def liveQPreps: Int =
+      sc.getPersistentRDDs.values.count(_.name == "graft.hnsw.qprep")
+    (1 to 6).foreach { _ =>
+      store.searchPacked(data.take(12).toSeq.toDS(), 4, exact = true).count()
+      assert(liveQPreps <= 1,
+        s"query-slab cache leak: $liveQPreps live after a call")
+    }
+    store.unpersist()
+    assert(liveQPreps == 0, "unpersist must release the last query slab")
+  }
+
   test("mis-dimensioned queries are rejected on both search paths") {
     val data = randData(60, 8, seed = 83, unit = false)
     val store = HnswStore.fromDataset[Long](

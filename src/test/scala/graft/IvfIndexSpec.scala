@@ -114,6 +114,23 @@ class IvfIndexSpec extends AnyFunSuite {
       key(idx.search(queries, k = 5, nProbe = 2)))
   }
 
+  test("repeated full-scan searchPacked calls keep ONE cached query slab (VERDICT r14 wrong #1)") {
+    val data = clusteredData()
+    val idx = IvfIndex.build(data.toDF("vec_id", "vec"), "vec_id", "vec", nList = 4)
+    val sc = spark.sparkContext
+    def liveQPreps: Int =
+      sc.getPersistentRDDs.values.count(_.name == "graft.ivf.fullscan.qprep")
+    (1 to 6).foreach { _ =>
+      // nProbe = nList routes through the flat-slab full scan
+      idx.searchPacked[Long](spark.createDataset(data.take(10).toSeq),
+        k = 3, nProbe = 4).count()
+      assert(liveQPreps <= 1,
+        s"query-slab cache leak: $liveQPreps live after a call")
+    }
+    idx.unpersistAssigned()
+    assert(liveQPreps == 0, "unpersistAssigned must release the last query slab")
+  }
+
   test("searchPacked (bucketed SIMD path) matches searchDs ids/ranks in both modes") {
     // scoring follows gemmQueries arithmetic (not search's
     // normalize-the-query-first), so scores can differ by fp

@@ -121,6 +121,25 @@ class LexicalSpec extends AnyFunSuite {
     assert(rows.forall(_._1 != "z"))
   }
 
+  test("invertedIndex: null doc ids count toward neither df nor postings (ADVICE r14)") {
+    import spark.implicits._
+    val docs = Seq((java.lang.Long.valueOf(5L), "a b"),
+        (java.lang.Long.valueOf(3L), "a"),
+        (null.asInstanceOf[java.lang.Long], "a b"))
+      .toDF("doc_id", "text")
+    val rows = Lexical.invertedIndex(docs, "doc_id", "text",
+        maxPostings = 4, minDf = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // df and the posting list must AGREE: term a has 2 non-null docs
+    // (the null row neither inflates df to 3 nor adds a posting), and
+    // term b's only non-null doc leaves it under minDf — dropped, not
+    // emitted as df=2 with a one-entry list
+    val a = rows.filter(_._1 == "a")
+    assert(a.map(_._2).distinct.toSeq == Seq(2L))
+    assert(a.map(_._3).sorted.toSeq == Seq(3L, 5L))
+    assert(rows.forall(_._1 != "b"))
+  }
+
   test("min_k_ids keeps the k smallest ids ascending (string + long)") {
     import spark.implicits._
     // enough rows to exercise partial-heap merges across partitions
