@@ -163,9 +163,10 @@ final class VdbStore private (
   // per-version REBUILD: slab graphs build in parallel tasks (~6 s at
   // the 100k x 1024 headline, constant wall per core at scale), so
   // the IVF incremental machinery has nothing to amortize here.
-  // Session-level by design — not persisted; a restored store
-  // re-enables and rebuilds deterministically. (Append-only ingest
-  // can maintain segments directly via HnswStore.append/compact.)
+  // Persisted since round 15: a fresh cache saves beside the rows
+  // (StoreIO sidecar via HnswIO) and load hydrates it with zero
+  // rebuilds — see restoreHnsw. (Append-only ingest can maintain
+  // segments directly via HnswStore.append/compact.)
   @volatile private var hnswParams: Option[(Int, Int)] = None
   // (storeVersion, (m, efC), store): keyed on BOTH the version and the
   // build params, so re-enabling with different m/efConstruction

@@ -88,8 +88,20 @@ object VdbStoreBench {
     // adversarial case)
     val hnswM = sys.env.get("SPARK_GRAFT_HNSW_M").map(_.toInt).getOrElse(16)
     val hnswEfc = sys.env.get("SPARK_GRAFT_HNSW_EFC").map(_.toInt).getOrElse(100)
+    val hnswCache = java.nio.file.Files.createTempDirectory("vdbserve-hnsw")
+      .toString + "/replica-hnsw.bin"
     timed(s"hnsw build (M=$hnswM efC=$hnswEfc)") {
-      repA.buildHnsw(hnswM, hnswEfc); 0L
+      repA.buildHnsw(hnswM, hnswEfc, cachePath = Some(hnswCache)); 0L
+    }
+    // quick-load cold start (round 15, pico_vdb.py:230-237 analog): a
+    // SECOND session's replica hydrates the graph from the cache file
+    // in O(n*dim) — the row SCALING.md cites for "seconds, not the
+    // 50-200 s build"
+    var repQ: graft.core.LocalReplica = null
+    timed("localReplica build (fresh)") { repQ = store.localReplica(); repQ.size }
+    timed("hnsw quick-load from cache") {
+      repQ.buildHnsw(hnswM, hnswEfc, cachePath = Some(hnswCache))
+      repQ.hnswSource // expect "loaded"
     }
     Seq(32, 64, 128).foreach { ef =>
       perQuery(s"localReplica hnsw ef=$ef", 1000)(q =>
