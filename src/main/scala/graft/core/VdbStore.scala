@@ -228,6 +228,11 @@ final class VdbStore private (
     hnswLock.synchronized {
       hnswParams = Some((m, efc))
       hnswRestoreModeVar = "rebuild"
+      // a pre-existing cache (the post-save rehydrate path) is rooted
+      // in superseded lineage — release it either way; on success the
+      // loaded store takes its place
+      hnswCache.foreach(_._3.unpersist())
+      hnswCache = None
       dir.foreach { d =>
         try {
           val st = graft.operators.HnswIO.loadFrom[String](spark, d)
@@ -901,6 +906,7 @@ final class VdbStore private (
     * pico_vdb.py:343-393).
     */
   def save(path: String): Unit = timed("save") {
+    val hadFreshHnsw = hnswStateForSave.isDefined
     val snapDir = StoreIO.save(this, path)
     storagePath = Some(path)
     // Re-point the store's lineage at the fresh snapshot: the save swept
@@ -912,6 +918,16 @@ final class VdbStore private (
     current = spark.read.schema(VdbStore.schema).parquet(snapDir).cache()
     storeVersion += 1
     old.unpersist(false)
+    // The version bump would also orphan the graph cache — but this
+    // save just WROTE those graphs into the new snapshot's sidecar, so
+    // rehydrate from it (files-to-graphs, no rebuild) instead of
+    // making the next query pay a full reconstruction. The reloaded
+    // shards root their lineage in the NEW snapshot, which is the
+    // whole point of the re-point above.
+    if (hadFreshHnsw) hnswParams.foreach { case (m, e) =>
+      restoreHnsw(m, e, Some(new org.apache.hadoop.fs.Path(
+        snapDir, StoreIO.HnswDir).toString))
+    }
   }
 
   private[core] def metaJson: String = {

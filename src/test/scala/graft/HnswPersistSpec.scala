@@ -173,6 +173,23 @@ class HnswPersistSpec extends AnyFunSuite {
       "the first post-load query must serve from the loaded graphs")
   }
 
+  test("save rehydrates the SAVING store's graph cache from its own sidecar (no post-save rebuild)") {
+    val s = hnswVdbStore()
+    s.enableHnsw(m = 8, efConstruction = 60)
+    val q = Array.fill(8)(0.3f)
+    val want = s.queryOne(q, topK = 5, efSearch = 48).map(_.id)
+    val dir = tmpDir("vdbhnswresave") + "/store"
+    val before = Hnsw.buildsInJvm
+    s.save(dir) // bumps the version (lineage re-point) but reloads the sidecar
+    assert(s.hnswRestoreMode == "loaded",
+      "save must rehydrate the cache it just serialized")
+    val got = s.queryOne(q, topK = 5, efSearch = 48).map(_.id)
+    assert(s.lastQueryStrategy.contains("hnsw"))
+    assert(got == want)
+    assert(Hnsw.buildsInJvm == before,
+      "the save/rehydrate cycle must not rebuild any graph")
+  }
+
   test("enabled-but-never-built stores save params only; load re-enables with lazy rebuild") {
     val s = hnswVdbStore(n = 60)
     s.enableHnsw(m = 8, efConstruction = 40) // no query -> no cache -> no sidecar
