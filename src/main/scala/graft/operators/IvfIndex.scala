@@ -942,13 +942,25 @@ final class IvfIndex(
     * the per-bucket probe machinery buys nothing — scoring ~150 small
     * bucket blocks loses the gemm kernels' panel amortization and left
     * 2x on the table vs [[graft.core.BlockStore.topKMerged]] over
-    * slab-sized blocks. This repacks each partition's bucket blocks
-    * into full ≤128 MB slabs — a NARROW map over the cached bucket
-    * pack (no re-scan of the source, no shuffle; bytes stay where the
-    * bucket pack put them), built lazily on the first full-scan search
-    * and cached per (normalized, K) like the bucket packs. Memory: a
+    * slab-sized blocks. This repacks the bucket blocks into full
+    * ≤128 MB slabs, built lazily on the first full-scan search and
+    * cached per (normalized, K) like the bucket packs. Memory: a
     * second copy of the packed floats, paid only by indexes that
     * actually serve full scans.
+    *
+    * Repack topology is ADAPTIVE (VERDICT r14 wrong #3, measured by
+    * FlatPackProbe): the bucket pack's partitions follow the cid
+    * hash, and k-means bucket sizes are never uniform — a dominant
+    * bucket leaves one partition holding several full slabs that ONE
+    * task then scans sequentially, straggling the whole treeAggregate
+    * (measured 8x on a degenerate-clustering corpus: 4.0 s vs 0.5 s
+    * for even slabs). When the per-partition row counts are balanced
+    * (max <= 1.5x mean) the repack stays a NARROW map — no shuffle,
+    * bytes stay put; when skewed, the rows round-robin through ONE
+    * build-time shuffle into even slabs. The shuffle is paid once per
+    * index build and only by skewed layouts; scoring results are
+    * layout-free either way (order-free heap + (score, id) tie rule —
+    * the q48/q49 oracles and the cross-path parity spec pin it).
     */
   private def flatPack[K](normalized: Boolean)(
       implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
@@ -957,18 +969,35 @@ final class IvfIndex(
     val cached = flatPackCache.computeIfAbsent((normalized, ct.runtimeClass), { _ =>
       val (packed, _) = packedBuckets[K](normalized)
       val normStore = normalized
-      val blocks = packed.values.mapPartitions { it =>
-        val rows = it.flatMap { b =>
+      val rows = packed.values.mapPartitions { it =>
+        it.flatMap { b =>
           val d = b.dim
           Iterator.tabulate(b.rows) { r =>
             (b.ids(r),
               java.util.Arrays.copyOfRange(b.data, r * d, (r + 1) * d))
           }
         }
-        // cosine mode re-derives norms with the same arithmetic the
-        // bucket pack used (normSqD over the raw rows) — scores are
-        // bit-identical across the two layouts
-        graft.core.BlockStore.packPartition(rows,
+      }
+      // metadata pass over the cached blocks: per-partition row totals
+      // decide whether the narrow repack would straggle
+      val perPart = packed.values
+        .mapPartitions(it => Iterator.single(it.map(_.rows.toLong).sum))
+        .collect()
+      val live = perPart.filter(_ > 0)
+      val mean = if (live.isEmpty) 0.0 else live.sum.toDouble / live.length
+      val skewed = live.length > 1 && live.max > 1.5 * mean
+      if (skewed)
+        org.slf4j.LoggerFactory.getLogger("graft.ann").info(
+          s"IvfIndex: bucket layout is skewed (max partition ${live.max} " +
+            f"rows vs mean $mean%.0f) - rebalancing the full-scan pack " +
+            "through one build-time shuffle")
+      val balanced =
+        if (skewed) rows.repartition(perPart.length) else rows
+      // cosine mode re-derives norms with the same arithmetic the
+      // bucket pack used (normSqD over the raw rows) — scores are
+      // bit-identical across the two layouts
+      val blocks = balanced.mapPartitions { it =>
+        graft.core.BlockStore.packPartition(it,
           normalize = false, assumeNormalized = normStore)
       }
       val bs = new graft.core.BlockStore[K](blocks, normalized)
@@ -977,6 +1006,15 @@ final class IvfIndex(
       bs
     })
     cached.asInstanceOf[graft.core.BlockStore[K]]
+  }
+
+  /** Per-slab row counts of the full-scan flat pack — diagnostics for
+    * the slab-geometry question (VERDICT r14 wrong #3; FlatPackProbe).
+    */
+  private[graft] def flatPackSizes(normalized: Boolean = true): Seq[Int] = {
+    val sp = assigned.sparkSession
+    import sp.implicits._
+    flatPack[Long](normalized).blocks.map(_.rows).collect().toSeq
   }
 
   private def packedBuckets[K](normalized: Boolean)(
