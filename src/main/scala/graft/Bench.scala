@@ -561,6 +561,38 @@ object Bench {
       }
       recalls("headline_ivfq8_np32_of4") = perQQ8.sum / math.max(1, perQQ8.length)
 
+      // IVF-PQ composition rows (round 15, FAISS IVFPQ proper): the
+      // codebook train + bucket encode is a one-time build (its own
+      // row, ONE sample like the other builds), then the same
+      // 1000-query batch through the ADC bucket scan with the fp32
+      // candidate rescore (overfetch 32 — PQ candidates are coarser
+      // than int8's, see SCALING.md).
+      record("picovdb_ann_pq_encode", Seq(timed {
+        annIdx.searchMergedPq[Long](queries.take(1), k = 1, nProbe = 1,
+          normalized = false, m = 64).count()
+        ()
+      }))
+      def annPqSample(of: Int): Double = timed {
+        annIdx.searchMergedPq[Long](queries, k = topK, nProbe = 32,
+          normalized = false, overfetch = of, m = 64).count()
+        ()
+      }
+      record("picovdb_ann_pq_rescored_1000q_np32", (1 to 3).map { _ =>
+        canarySample()
+        annPqSample(32)
+      })
+      retryIfSuspect("picovdb_ann_pq_rescored_1000q_np32")(annPqSample(32))
+      val pqApproxIds = annIdx.searchMergedPq[Long](queries, k = topK,
+          nProbe = 32, normalized = false, overfetch = 32, m = 64)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val perQPq = queries.map { case (qid, _) =>
+        val ex = exactTop.getOrElse(qid, Set.empty[Long])
+        if (ex.isEmpty) 1.0
+        else pqApproxIds.getOrElse(qid, Set.empty[Long]).count(ex).toDouble / ex.size
+      }
+      recalls("headline_ivfpq_np32_of32") = perQPq.sum / math.max(1, perQPq.length)
+
       // Monotonicity retry (round 12): more probes can only cost more,
       // so median(np_i) > median(np_j) for np_i < np_j is physically
       // impossible — it means np_i's whole sample window ran under
@@ -673,6 +705,69 @@ object Bench {
           Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
     } finally {
       if (q8 != null) q8.unpersist()
+    }
+
+    // ---- product-quantized store at the same headline scale ----
+    // PQ (core.PqStore) cuts the resident candidate store 64x at this
+    // shape (m=64 code bytes vs 4096 float bytes per row: ~6 MB of
+    // codes for the 100k store vs 400 MB fp32) — the compression tier
+    // below SQ8's fixed 4x; at 100 TB of raw embeddings the codes are
+    // ~1.6 TB and the candidate scan fits in cluster RAM. Recorded:
+    // train+encode (bounded-sample driver k-means + one encode map,
+    // a one-time build like the HNSW row — ONE sample), the ADC-scan
+    // 1000q batch, the rescored batch (overfetch 32), and recall@10
+    // for both. Uniform random 1024-d caps ADC recall via distance
+    // concentration (the HNSW section's caveat applies identically);
+    // the recall/bandwidth trade is recorded, not asserted.
+    var pqs: graft.core.PqStore[Long] = null
+    try {
+      import spark.implicits._
+      canarySample()
+      record("picovdb_pq_train_encode", Seq(timed {
+        pqs = graft.core.PqStore.fromBlockStore(store, m = 64,
+          sampleCap = 10000).persist()
+        pqs.materialize()
+        ()
+      }))
+      def pqScanSample(): Double = timed { pqs.topKMerged(queries, topK); () }
+      record("picovdb_pq_1000q", (1 to 3).map { _ =>
+        canarySample()
+        pqScanSample()
+      })
+      retryIfSuspect("picovdb_pq_1000q")(pqScanSample())
+      def pqRescoreSample(): Double = timed {
+        pqs.rescoredTopK(queries, topK, 32).count()
+        ()
+      }
+      record("picovdb_pq_rescored_1000q", (1 to 3).map { _ =>
+        canarySample()
+        pqRescoreSample()
+      })
+      retryIfSuspect("picovdb_pq_rescored_1000q")(pqRescoreSample())
+      val exactTopQ = CosineTopK.gemmBlocks(store, queries, topK)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      def recallOf(m: Map[Long, Set[Long]]): Double = {
+        val perQ = queries.map { case (qid, _) =>
+          val ex = exactTopQ.getOrElse(qid, Set.empty[Long])
+          if (ex.isEmpty) 1.0
+          else m.getOrElse(qid, Set.empty[Long]).count(ex).toDouble / ex.size
+        }
+        perQ.sum / math.max(1, perQ.length)
+      }
+      val scanTop = queries.map(_._1).zip(pqs.topKMerged(queries, topK))
+        .map { case (qid, hits) => qid -> hits.map(_._1).toSet }.toMap
+      recalls("pq_scan") = recallOf(scanTop)
+      val resTop = pqs.rescoredTopK(queries, topK, 32)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      recalls("pq_rescore_of32") = recallOf(resTop)
+    } catch {
+      case e: Throwable =>
+        errors("picovdb_pq") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    } finally {
+      if (pqs != null) pqs.unpersist()
     }
 
     // ---- HNSW serving rows (round 13): the mirror of the reference's

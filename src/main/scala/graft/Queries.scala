@@ -484,6 +484,37 @@ object Queries {
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Oracled IVF-PQ entry (q80, round 15): FAISS IVFPQ proper —
+    * [[operators.IvfIndex.searchMergedPq]] scans product-quantized
+    * bucket slabs by asymmetric distance (m=16 code bytes per 64-d
+    * row), then rescores candidates against the co-resident fp32
+    * buckets. At nProbe = nList every bucket is probed, and covering
+    * overfetch means no candidate can be lost — the rescore's
+    * sequential-double arithmetic then makes the result exact by
+    * construction, so the standard DuckDB top-k oracle hash-matches
+    * the full train -> encode-buckets -> ADC-scan -> fp32-rescore
+    * path (IvfIndexSpec pins bit-parity with searchMerged(exact) at
+    * partial probing too).
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") >= 180 && col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val idx = operators.IvfIndex.cached(s"$dir/embeddings#16")(
+      operators.IvfIndex.build(emb, "vec_id", "embedding", nList = 16,
+        normalized = false))
+    val k = 10
+    // covering overfetch: k * overfetch >= store rows, so the ADC cut
+    // cannot drop a true candidate at any SF's embedding count
+    val overfetch = (emb.count() / k + 1).toInt
+    idx.searchMergedPq[Long](queries, k = k, nProbe = idx.nList,
+        normalized = false, overfetch = overfetch, m = 16)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Shared sharded-HNSW store for q75/q76 (and the bench rows): one
     * graph per packed slab, built in-task — the DISTRIBUTED twin of the
     * serving replica's driver-local graph (operators.HnswStore).
@@ -1053,6 +1084,97 @@ object Queries {
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  // ---- product-quantized store entries (q78/q79) ----
+
+  /** Per-dataset PQ store, built once and cached (the q8Cache policy):
+    * one bounded-sample codebook train + one encode map, no shuffle.
+    * Cosine mode over the raw testdata embeddings; m=16 subspaces of
+    * the 64-d rows — 16 code bytes/row vs 256 float bytes, the 16x
+    * compression tier below q8's fixed 4x.
+    */
+  private val pqCache =
+    new core.SessionLru[String, (SparkSession, core.PqStore[Long])](
+      4, _._1, _._2.unpersist(false, cascadeSource = true))
+  private def pqStore(spark: SparkSession, dir: String): core.PqStore[Long] = {
+    import spark.implicits._
+    pqCache.getOrBuild(s"$dir/embeddings#pq") {
+      val ds = t(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      val pq = core.PqStore.fromBlockStore(
+        core.BlockStore.fromDataset(ds, normalize = false), m = 16).persist()
+      pq.materialize()
+      (spark, pq)
+    }._2
+  }
+
+  /** Machine-checked invariant for the no-oracle q78 (the q26/q55
+    * pattern): recall@10 of the small-overfetch rescored path against
+    * the overfetch-all path (exact by construction). Validated once per
+    * dataset and cached.
+    */
+  private val pqFloorChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private def assertPqRecallFloor(key: String, spark: SparkSession,
+      dir: String, queries: Array[(Long, Array[Float])], k: Int,
+      overfetch: Int): Double =
+    pqFloorChecked.computeIfAbsent(key, { _ =>
+      import spark.implicits._
+      val pq = pqStore(spark, dir)
+      def top(of: Int): Map[Long, Set[Long]] =
+        pq.rescoredTopK(queries, k, of)
+          .select(col("qid"), col("id")).collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val exact = top(0)
+      val approx = top(overfetch)
+      val perQ = queries.map { case (qid, _) =>
+        val ex = exact.getOrElse(qid, Set.empty[Long])
+        if (ex.isEmpty) 1.0
+        else approx.getOrElse(qid, Set.empty[Long]).count(ex).toDouble / ex.size
+      }
+      val recall = perQ.sum / math.max(1, perQ.length)
+      require(recall >= 0.9,
+        f"pq recall floor violated for $key: recall@$k = $recall%.3f < 0.9 " +
+          f"(overfetch=$overfetch)")
+      recall
+    })
+
+  /** PQ ADC scan + exact rescore at realistic overfetch (the production
+    * shape: 16x less scan bandwidth than fp32, candidates re-ranked in
+    * full precision). Approximate by construction -> no DuckDB oracle;
+    * the entry self-asserts recall@10 >= 0.9 against the in-engine
+    * overfetch-all path (see [[assertPqRecallFloor]]).
+    */
+  def pqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") >= 160 && col("vec_id") < 180)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    import spark.implicits._
+    assertPqRecallFloor(s"$dir/embeddings#pq@k10of8", spark, dir, queries,
+      k = 10, overfetch = 8)
+    pqStore(spark, dir).rescoredTopK(queries, k = 10, overfetch = 8)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** Oracled exact-parity entry for the PQ machinery (the q47/q56
+    * pattern: exact settings on approximate machinery): overfetch-all
+    * keeps every row through the ADC scan, so the full-precision
+    * rescore IS the exact top-k — hash-matched by the same DuckDB
+    * top-k oracle as q01. Proves train -> encode -> ADC scan ->
+    * candidate -> rescore end-to-end with a green CORRECTNESS row.
+    */
+  def pqRescoreExact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    import spark.implicits._
+    pqStore(spark, dir).rescoredTopK(queries, k = 10, overfetch = 0)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Gap-based sessionization over events (pipeline op): 30-minute
     * inactivity gap per user, per-session rollup. See
     * [[operators.Sessionize]] for semantics and the 100 TB shape.
@@ -1446,6 +1568,9 @@ object Queries {
     "q75_hnsw_shard_exact" -> (hnswShardExact _),
     "q76_hnsw_shard" -> (hnswShard _),
     "q77_hnsw_shard_packed" -> (hnswShardPacked _),
+    "q78_pq_ann" -> (pqAnn _),
+    "q79_pq_rescore" -> (pqRescoreExact _),
+    "q80_ann_ivf_pq" -> (annIvfPq _),
   )
 }
 
@@ -2014,6 +2139,11 @@ object Oracles {
     // q55 is approximate (no oracle; self-asserted recall floor).
     // q56: overfetch-all rescore == exact top-k (same oracle shape as q01)
     "q56_q8_rescore" -> topkOracle("vec_id >= 120 AND vec_id < 140", "true", 10, None),
+    // q78 is approximate (no oracle; self-asserted recall floor).
+    // q79: PQ overfetch-all rescore == exact top-k (the q56 shape)
+    "q79_pq_rescore" -> topkOracle("vec_id >= 100 AND vec_id < 120", "true", 10, None),
+    // q80: IVF-PQ at nProbe=nList + covering overfetch == exact (the q59 shape)
+    "q80_ann_ivf_pq" -> topkOracle("vec_id >= 180 AND vec_id < 200", "true", 10, None),
     // same salted-md5 determinism trick as q38; first key byte -> bucket
     "q57_corpus_shuffle" ->
       """WITH s AS (

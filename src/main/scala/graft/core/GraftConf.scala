@@ -126,4 +126,17 @@ final class GraftConf(spark: SparkSession) {
         "disable q8 for exact results instead of overfetch<=0")
     of
   }
+
+  /** Rescore overfetch for the pq query strategy (the q8Overfetch
+    * analog; default 8 — PQ's ADC candidates are coarser than int8's,
+    * so the default candidate cut is wider). Same positivity contract:
+    * keep-all is a test-only mode, not a store-path setting.
+    */
+  def pqOverfetch: Int = {
+    val of = opt("pq.overfetch", "GRAFT_PQ_OVERFETCH").map(_.toInt).getOrElse(8)
+    require(of > 0,
+      s"graft.pq.overfetch must be > 0 on the store query path (got $of); " +
+        "disable pq for exact results instead of overfetch<=0")
+    of
+  }
 }

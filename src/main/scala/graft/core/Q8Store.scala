@@ -156,8 +156,6 @@ final class Q8Store[K](
       overfetch: Int,
       normalizeQueries: Boolean = true)(implicit
       rowEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
-    val spark = SparkSession.active
-    import spark.implicits._
     // normalized mode: normalize ONCE up front so the scan and the
     // rescore score the same query values (`source` holds the same
     // normalized rows the packed q8 store was built from); cosine mode
@@ -182,6 +180,41 @@ final class Q8Store[K](
         math.min(math.min(k.toLong * overfetch, math.max(total, 1L)),
           Int.MaxValue.toLong).toInt
     val approx = topKMerged(qs, cap, normalizeQueries = false)
+    Q8Store.rescoreCandidates(source, total, approx, qs, k, normalized)
+  }
+}
+
+object Q8Store {
+
+  /** Quantize a packed float store block-by-block (one map, no shuffle,
+    * no driver traffic). Original row norms are preserved for cosine
+    * mode so quantization error never touches the norm denominator.
+    */
+  def fromBlockStore[K](bs: BlockStore[K])(implicit
+      ct: ClassTag[K], ord: Ordering[K]): Q8Store[K] =
+    new Q8Store[K](bs.blocks.map(quantize[K]), bs.normalized, bs)
+
+  /** The shared exact-rescore half of the quantized stores' candidate-
+    * generation/rescore split ([[Q8Store.rescoredTopK]] and
+    * [[PqStore.rescoredTopK]] both end here): invert the approximate
+    * candidate lists into a broadcast id->queries index, stream the
+    * co-resident fp32 `source` blocks ONCE probing each row id (O(1)
+    * hash, primitive-long fast path), re-score hits with the exact
+    * engine's double arithmetic, merge per-partition k-heaps up a
+    * depth-2 treeAggregate, and fold duplicate qids into one k-row
+    * result each. Full-precision traffic is O(Q*k*overfetch*dim),
+    * independent of store size; nothing shuffles.
+    */
+  private[graft] def rescoreCandidates[K](
+      source: BlockStore[K],
+      total: Long,
+      approx: Array[Array[(K, Double)]],
+      qs: Array[(Long, Array[Float])],
+      k: Int,
+      normalized: Boolean)(implicit
+      ct: ClassTag[K], ord: Ordering[K],
+      rowEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
+    val spark = SparkSession.active
     // invert the candidate lists: id -> indices of the queries that kept
     // it, via growable buffers (ADVICE r11: per-hit Arrays.copyOf was
     // quadratic when many queries keep the same id) behind a probe
@@ -238,17 +271,6 @@ final class Q8Store[K](
     }
     spark.createDataset(rows.toSeq).toDF("qid", "id", "score", "rank")
   }
-}
-
-object Q8Store {
-
-  /** Quantize a packed float store block-by-block (one map, no shuffle,
-    * no driver traffic). Original row norms are preserved for cosine
-    * mode so quantization error never touches the norm denominator.
-    */
-  def fromBlockStore[K](bs: BlockStore[K])(implicit
-      ct: ClassTag[K], ord: Ordering[K]): Q8Store[K] =
-    new Q8Store[K](bs.blocks.map(quantize[K]), bs.normalized, bs)
 
   /** Rescore one fp32 block against the broadcast candidate set: probe
     * each row id (O(1) hash, no boxing for Long ids — the probe

@@ -25,6 +25,7 @@ object StoreIO {
   private val MetaFile = "_store_meta.json"
   private val AnnDir = "_ann_centroids"
   private[graft] val HnswDir = "_ann_hnsw"
+  private val PqDir = "_pq_codebook"
   private val Pointer = "_current"
 
   /** Atomically flip `<root>/_current` to name `version` (tmp-file +
@@ -118,6 +119,18 @@ object StoreIO {
       store.hnswStateForSave.foreach { st =>
         graft.operators.HnswIO.saveInto(st, new Path(snap, HnswDir).toString)
       }
+      // A trained PQ codebook rides along the same way (it is
+      // data-distribution state like the IVF centroids — m*ksub*dsub
+      // floats, ~1 MB): one row per (subspace, code) centroid, so load
+      // re-encodes the rows without paying the driver k-means again.
+      store.pqStateForSave.foreach { cb =>
+        import store.spark.implicits._
+        (0 until cb.m * cb.ksub).map { i =>
+          (i, cb.centroids.slice(i * cb.dsub, (i + 1) * cb.dsub).toSeq)
+        }.toDF("idx", "c")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(new Path(snap, PqDir).toString)
+      }
       val out = fs.create(new Path(snap, MetaFile), true)
       try out.write(store.metaJson.getBytes(StandardCharsets.UTF_8))
       finally out.close()
@@ -149,7 +162,7 @@ object StoreIO {
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
     }
-    val (dim, annNList, hnswParams, additional) = parseMeta(metaStr)
+    val (dim, annNList, hnswParams, pqParams, additional) = parseMeta(metaStr)
     val df = spark.read.schema(VdbStore.schema).parquet(dataDir.toString)
     val store = VdbStore.fromDF(spark, dim, df, additional)
     annNList.foreach { n =>
@@ -167,6 +180,35 @@ object StoreIO {
       store.restoreHnsw(m, efc,
         if (fs.exists(hnswPath)) Some(hnswPath.toString) else None)
     }
+    pqParams.foreach { case (m, ksub) =>
+      val pqPath = new Path(dataDir, PqDir)
+      val book: Option[PqCodebook] =
+        if (!fs.exists(pqPath)) None
+        else try {
+          val rows = spark.read.parquet(pqPath.toString)
+            .select("idx", "c").orderBy("idx").collect()
+          require(rows.length == m * ksub,
+            s"codebook sidecar has ${rows.length} rows, meta says ${m * ksub}")
+          val dsub = dim / m
+          val flat = new Array[Float](m * ksub * dsub)
+          rows.foreach { r =>
+            val i = r.getInt(0)
+            val c = r.getSeq[Float](1)
+            require(c.length == dsub,
+              s"codebook row $i has ${c.length} dims, expected $dsub")
+            var t = 0
+            while (t < dsub) { flat(i * dsub + t) = c(t); t += 1 }
+          }
+          Some(new PqCodebook(dim, m, ksub, flat))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            VdbStore.log.warn(
+              s"graft: persisted PQ codebook at $pqPath is unreadable/stale " +
+                s"(${e.getMessage}) — the codebook will retrain on next use")
+            None
+        }
+      store.restorePq(m, book)
+    }
     store.storagePath = Some(path)
     store
   }
@@ -177,7 +219,8 @@ object StoreIO {
     * pico_vdb.py:364-371, 500-512).
     */
   private[graft] def parseMeta(s: String)
-      : (Int, Option[Int], Option[(Int, Int)], Map[String, String]) = {
+      : (Int, Option[Int], Option[(Int, Int)], Option[(Int, Int)],
+         Map[String, String]) = {
     // The writer always emits embedding_dim (and ann_nlist / hnsw_m /
     // hnsw_efc, if any) BEFORE additional_data — match the scalar keys
     // only in that prefix, or a user value like {"cfg": {"ann_nlist":
@@ -196,11 +239,17 @@ object StoreIO {
       e <- """"hnsw_efc"\s*:\s*(\d+)""".r
         .findFirstMatchIn(head).map(_.group(1).toInt)
     } yield (m, e)
+    val pq = for {
+      m <- """"pq_m"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(head).map(_.group(1).toInt)
+      k <- """"pq_ksub"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(head).map(_.group(1).toInt)
+    } yield (m, k)
     val kv = adMatch match {
       case None    => Map.empty[String, String]
       case Some(m) => parseObject(s, skipWs(s, m.end))
     }
-    (dim, ann, hnsw, kv)
+    (dim, ann, hnsw, pq, kv)
   }
 
   /** True iff `v` is one complete JSON value (used to validate raw side

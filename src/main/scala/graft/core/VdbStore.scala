@@ -134,6 +134,84 @@ final class VdbStore private (
       s
   }
 
+  // --- PQ accelerator state (round 15): product-quantized ADC scan
+  // (graft.core.PqStore) + full-precision rescore — the deepest
+  // compression tier (m code bytes/row vs 4*dim; 16-64x where q8 is a
+  // fixed 4x). Lazy and store-version-cached like q8; mutations
+  // invalidate automatically.
+  @volatile private var pqM: Option[Int] = None
+  @volatile private var pqCache: Option[(Long, PqStore[String])] = None
+  // the trained codebook outlives store versions: codebooks are
+  // data-DISTRIBUTION state, not row state (the IVF-centroid analogy),
+  // so mutations re-encode under the same book instead of retraining,
+  // and save/load persists it beside the rows (StoreIO `_pq_codebook`)
+  @volatile private var pqBook: Option[PqCodebook] = None
+
+  /** Enable the product-quantized strategy. Bypass rules are the q8
+    * ones (O28: any filter/threshold routes exact); precedence is
+    * hnsw > ann > q8 > pq — PQ serves when it is the only compression
+    * tier enabled (it trades the most precision for the most
+    * compression, so anything more accurate that is enabled wins).
+    * `m = 0` (the default) auto-sizes subspaces to 8 dims each
+    * (4 when dim isn't a multiple of 8); pass `m` explicitly for other
+    * geometries. Re-enabling with a different `m` drops the cached
+    * codes and retrains on next use. Rescored hit scores are
+    * double-accumulated, so the strategy is bit-equal to the exact one
+    * on any data whose true top-k survives the `graft.pq.overfetch`
+    * candidate cut (spec-asserted on separated data).
+    */
+  def enablePq(m: Int = 0): Unit = {
+    val mm =
+      if (m > 0) m
+      else {
+        require(dim % 4 == 0,
+          s"auto PQ sizing needs dim % 4 == 0 (dim=$dim); pass m explicitly")
+        if (dim % 8 == 0) math.max(1, dim / 8) else math.max(1, dim / 4)
+      }
+    require(dim % mm == 0, s"PQ subspace count m=$mm must divide dim=$dim")
+    if (!pqM.contains(mm)) {
+      pqCache.foreach(_._2.unpersist(false))
+      pqCache = None
+    }
+    pqM = Some(mm)
+  }
+
+  def disablePq(): Unit = {
+    pqM = None
+    pqBook = None
+    pqCache.foreach(_._2.unpersist(false))
+    pqCache = None
+  }
+
+  private def pqStoreAcc(): PqStore[String] = pqCache match {
+    case Some((v, s)) if v == storeVersion => s
+    case old =>
+      val cb = pqBook.filter(b => b.dim == dim && pqM.contains(b.m))
+        .getOrElse(PqStore.train(blockStore(), pqM.get, 256, 20000, 42L, 8))
+      val s = PqStore.fromCodebook(blockStore(), cb).persist()
+      s.materialize()
+      pqBook = Some(cb)
+      pqCache = Some((storeVersion, s))
+      old.foreach(_._2.unpersist(false))
+      s
+  }
+
+  /** The trained codebook to persist beside the rows, if the strategy
+    * is enabled and a book matching the live params exists.
+    */
+  private[core] def pqStateForSave: Option[PqCodebook] =
+    for { m <- pqM; cb <- pqBook if cb.m == m && cb.dim == dim } yield cb
+
+  /** Restore a persisted PQ strategy: re-enable with the saved subspace
+    * count and hydrate the codebook so the next query re-encodes
+    * without retraining (the restoreAnn analog); a dim/m mismatch
+    * drops the book and retrains on next use.
+    */
+  private[core] def restorePq(m: Int, cb: Option[PqCodebook]): Unit = {
+    pqM = Some(m)
+    pqBook = cb.filter(b => b.dim == dim && b.m == m)
+  }
+
   /** Enable the IVF accelerator; the index itself is built lazily on the
     * next unfiltered query (and refreshed when the store has mutated).
     * `nList <= 0` (and the no-arg overload) selects AUTO list count:
@@ -568,11 +646,16 @@ final class VdbStore private (
     // better_than deviation); ANN wins when both are enabled.
     val useQ8 =
       hnsw.isEmpty && ann.isEmpty && q8Enabled && unfiltered && betterThan.isEmpty
+    // pq is the lowest-precedence compression tier: it serves only when
+    // no more-accurate accelerator is enabled (same bypass rules)
+    val usePq = !useQ8 && hnsw.isEmpty && ann.isEmpty && pqM.isDefined &&
+      unfiltered && betterThan.isEmpty
     lastStrategy = Some(
       if (hnsw.isDefined) "hnsw"
       else if (ann.isDefined && q8Enabled) "ann+q8"
       else if (ann.isDefined) "ann"
       else if (useQ8) "q8"
+      else if (usePq) "pq"
       else if (unfiltered) "exact"
       else "exact-filtered")
 
@@ -635,6 +718,15 @@ final class VdbStore private (
         // blocks, no store scan/shuffle). Scores are double-accumulated
         // — identical to the exact strategy under graft.query.exact.
         q8Store().rescoredTopK(queries, topK, conf.q8Overfetch)
+          .select(col("qid"), col("id"), col("score"), col("rank"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
+      case None if usePq =>
+        // ADC scan (m bytes/row) -> k x graft.pq.overfetch candidates
+        // -> exact double rescore — the same rescore machinery as q8
+        // (Q8Store.rescoreCandidates), so scores are double-accumulated
+        // identically.
+        pqStoreAcc().rescoredTopK(queries, topK, conf.pqOverfetch)
           .select(col("qid"), col("id"), col("score"), col("rank"))
           .collect()
           .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
@@ -939,7 +1031,10 @@ final class VdbStore private (
     val hnsw = hnswParams.map { case (m, e) =>
       s""""hnsw_m": $m, "hnsw_efc": $e, """
     }.getOrElse("")
-    s"""{"embedding_dim": $dim, $ann$hnsw"additional_data": {$kv}}"""
+    val pq = pqM.map(m =>
+      s""""pq_m": $m, "pq_ksub": ${pqBook.map(_.ksub).getOrElse(256)}, """)
+      .getOrElse("")
+    s"""{"embedding_dim": $dim, $ann$hnsw$pq"additional_data": {$kv}}"""
   }
 
   private def swap(next: DataFrame): Unit = {

@@ -54,6 +54,15 @@ final class IvfIndex(
   @transient private lazy val packedQ8Cache =
     new java.util.concurrent.ConcurrentHashMap[(Boolean, Class[_]), org.apache.spark.rdd.RDD[_]]()
 
+  /** Product-quantized twins of the packed buckets (IVF-PQ, round 15)
+    * — codebook trained once per (normalized, K, m) from a bounded
+    * sample of the bucket slabs, codes derived narrowly like the q8
+    * twins; cached with their codebook.
+    */
+  @transient private lazy val packedPqCache =
+    new java.util.concurrent.ConcurrentHashMap[(Boolean, Class[_], Int),
+      (graft.core.PqCodebook, org.apache.spark.rdd.RDD[_])]()
+
   /** Flat slab repacks of the bucketed blocks (full-scan route) —
     * derived narrowly from [[packedBuckets]], cached like the others.
     */
@@ -84,6 +93,8 @@ final class IvfIndex(
     packedCache.clear()
     packedQ8Cache.forEach((_, v) => { v.unpersist(false); () })
     packedQ8Cache.clear()
+    packedPqCache.forEach((_, v) => { v._2.unpersist(false); () })
+    packedPqCache.clear()
     flatPackCache.forEach((_, v) => { v.unpersist(false); () })
     flatPackCache.clear()
     swapFullScanQPrep(null)
@@ -780,17 +791,38 @@ final class IvfIndex(
       spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
     }
     if (overfetch <= 0) return emit(merged, k)
-    // rescore pass: invert candidates, probe the co-resident fp32
-    // buckets, exact sequential-double scores for candidate hits only
+    emit(rescoreProbedMerged[K](merged, queries.length, qvecs, qnorms,
+      cidToQ, k, normalized), k)
+  }
+
+  /** Shared rescore tail of the composed merged scans
+    * ([[searchMergedQ8]] / [[searchMergedPq]]): invert the scan's
+    * candidate lists, probe ONLY probed buckets' co-resident fp32
+    * slabs (each row is assigned to exactly one centroid, so unprobed
+    * buckets cannot hold a candidate — the rescore never even
+    * id-probes the un-probed (1 - nProbe/nList) fraction of the
+    * store), exact sequential-double scores for candidate hits only.
+    * Returns the per-query k-heaps.
+    */
+  private def rescoreProbedMerged[K](
+      merged: Array[graft.core.BoundedTopKG[K]],
+      nQueries: Int,
+      qvecs: Array[Array[Float]],
+      qnorms: Array[Double],
+      cidToQ: Array[Array[Int]],
+      k: Int,
+      normalized: Boolean)(
+      implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
+      rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)])
+      : Array[graft.core.BoundedTopKG[K]] = {
+    import graft.core.{BoundedTopKG, Q8Store}
+    val spark = assigned.sparkSession
+    val localOrd = ord
     val approx: Array[Array[(K, Double)]] =
-      if (merged == null) Array.fill(queries.length)(Array.empty[(K, Double)])
+      if (merged == null) Array.fill(nQueries)(Array.empty[(K, Double)])
       else merged.map(_.sortedHits())
     val candMap = Q8Store.CandIndex.build[K](approx)
     val (fpPacked0, _) = packedBuckets[K](normalized)
-    // candidates only live in probed buckets (each row is assigned to
-    // exactly one centroid) — skip unprobed buckets outright, so the
-    // rescore never even id-probes the un-probed (1 - nProbe/nList)
-    // fraction of the store
     val probedCids = {
       val s = new java.util.BitSet(nList)
       cidToQ.zipWithIndex.foreach { case (qs, c) => if (qs.nonEmpty) s.set(c) }
@@ -799,27 +831,168 @@ final class IvfIndex(
     val fpPacked = fpPacked0.filter(pair => probedCids.get(pair._1))
     val bc2 = spark.sparkContext.broadcast((candMap, qvecs, qnorms))
     val kk2 = k
-    val rescored =
-      try {
-        fpPacked.treeAggregate(null: Array[BoundedTopKG[K]])(
-          seqOp = (acc, pair) => {
-            val (cands, qv, qn) = bc2.value
-            val heaps = if (acc != null) acc
-                        else Array.fill(qv.length)(new BoundedTopKG[K](kk2)(localOrd))
-            Q8Store.rescoreBlock(heaps, pair._2, cands, qv, qn)
-            heaps
+    try {
+      fpPacked.treeAggregate(null: Array[BoundedTopKG[K]])(
+        seqOp = (acc, pair) => {
+          val (cands, qv, qn) = bc2.value
+          val heaps = if (acc != null) acc
+                      else Array.fill(qv.length)(new BoundedTopKG[K](kk2)(localOrd))
+          Q8Store.rescoreBlock(heaps, pair._2, cands, qv, qn)
+          heaps
+        },
+        combOp = (a, b) =>
+          if (a == null) b
+          else if (b == null) a
+          else {
+            var i = 0
+            while (i < a.length) { a(i).absorb(b(i)); i += 1 }
+            a
           },
-          combOp = (a, b) =>
-            if (a == null) b
-            else if (b == null) a
+        depth = 2)
+    } finally bc2.destroy()
+  }
+
+  /** IVF-PQ driver-batch top-k (round 15): [[searchMerged]]'s
+    * broadcast-down/heaps-up shape over PRODUCT-QUANTIZED bucket slabs
+    * — FAISS IVFPQ proper, the canonical billion-scale shape. IVF
+    * prunes WHICH rows are scanned (nProbe/nList of the store), PQ
+    * compresses HOW each scanned row is held (`m` code bytes vs
+    * `4*dim` — 64x at 1024-d/m=128's 16x): at 100 TB the probed scan
+    * set is small enough to pin in cluster RAM when even the int8
+    * twins are not. Scoring is asymmetric distance: one `m x ksub`
+    * float table per query, built once per task from the broadcast
+    * codebook ([[graft.core.PqCodebook.adcTable]]), then `m` table
+    * lookups + adds per row.
+    *
+    * `overfetch <= 0`: scan-only approximate ADC ranking (candidate
+    * quality measured, not asserted — PQ codes are coarser than int8).
+    * `overfetch > 0`: keeps `k * overfetch` ADC candidates per query,
+    * rescored over the co-resident fp32 buckets restricted to probed
+    * cids (the exact tail [[searchMergedQ8]] uses, shared verbatim) —
+    * at overfetch covering the probed rows the result is bit-equal to
+    * `searchMerged(exact = true)` at the same nProbe (spec-pinned; the
+    * q80 catalog entry hash-matches the DuckDB oracle through this
+    * path at nProbe = nList). The codebook is trained ONCE per
+    * (normalized, K, m) from a bounded content-hashed sample of the
+    * bucket slabs and cached beside the code pack — train cost is
+    * N-independent, encode is one narrow map.
+    *
+    * Query prep, probe selection, duplicate-qid independence, tie
+    * rule, and output shape all match [[searchMerged]]. Nothing
+    * shuffles; both passes are depth-2 treeAggregates.
+    */
+  def searchMergedPq[K](queries: Array[(Long, Array[Float])], k: Int,
+                        nProbe: Int = 0, normalized: Boolean = true,
+                        overfetch: Int = 0, m: Int = 0)(
+      implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
+      rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)],
+      outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
+    import graft.core.{BoundedTopKG, PqStore}
+    import graft.operators.{Kernels => Kn}
+    val spark = assigned.sparkSession
+    val np = resolveNProbe(nProbe)
+    val dimLocal = dim
+    if (dimLocal > 0) queries.foreach { case (qid, v) =>
+      require(v.length == dimLocal,
+        s"IvfIndex.searchMergedPq: query $qid has dim ${v.length}, index dim is $dimLocal")
+    }
+    val mm =
+      if (m > 0) m
+      else {
+        require(dimLocal % 4 == 0,
+          s"auto PQ sizing needs dim % 4 == 0 (dim=$dimLocal); pass m explicitly")
+        if (dimLocal % 8 == 0) math.max(1, dimLocal / 8)
+        else math.max(1, dimLocal / 4)
+      }
+    val (codebook, pqPacked) = packedPqBuckets[K](normalized, mm)
+    val qids = queries.map(_._1)
+    // query prep matches searchMerged: zero -> e0 in normalized mode,
+    // raw/raw cosine (zero query scores 0) otherwise
+    val qvecs = queries.map { q =>
+      val v = q._2
+      if (normalized && Kn.normSqD(v) == 0.0) {
+        val e = new Array[Float](math.max(1, dimLocal)); e(0) = 1f; e
+      } else v
+    }
+    val qnorms =
+      if (normalized) null
+      else qvecs.map(v => math.sqrt(Kn.normSqD(v)))
+    val probesPerQ = new Array[Array[Int]](queries.length)
+    java.util.stream.IntStream.range(0, queries.length).parallel().forEach { i =>
+      probesPerQ(i) = IvfIndex.probeIds(centroids, qvecs(i), np)
+    }
+    val inv = Array.fill(nList)(new scala.collection.mutable.ArrayBuffer[Int](4))
+    var qi = 0
+    while (qi < queries.length) {
+      probesPerQ(qi).foreach(c => inv(c) += qi)
+      qi += 1
+    }
+    val cidToQ: Array[Array[Int]] = inv.map(_.toArray)
+    val scanK =
+      if (overfetch <= 0) k
+      else math.min(math.max(k.toLong * overfetch, k.toLong), Int.MaxValue.toLong).toInt
+    val bc = spark.sparkContext.broadcast((qvecs, qnorms, cidToQ, codebook))
+    val kk = scanK
+    val localOrd = ord
+    val merged: Array[BoundedTopKG[K]] =
+      try {
+        val acc0 = pqPacked.treeAggregate(null: PqStore.PqAcc[K])(
+          seqOp = (acc, pair) => {
+            val (qv, qn, c2q, cbk) = bc.value
+            val a =
+              if (acc != null) acc
+              else {
+                // ADC tables once per task, amortized over every probed
+                // bucket slab the task scans (@transient on the acc —
+                // only heaps cross the combine tree)
+                val tabs = new Array[Array[Float]](qv.length)
+                var i = 0
+                while (i < qv.length) { tabs(i) = cbk.adcTable(qv(i)); i += 1 }
+                new PqStore.PqAcc[K](
+                  Array.fill(qv.length)(new BoundedTopKG[K](kk)(localOrd)), tabs)
+              }
+            val cid = pair._1
+            val idxs = if (cid >= 0 && cid < c2q.length) c2q(cid)
+                       else Array.emptyIntArray
+            if (idxs.length > 0) {
+              val subT = new Array[Array[Float]](idxs.length)
+              val subH = new Array[BoundedTopKG[K]](idxs.length)
+              val subN = if (qn == null) null else new Array[Double](idxs.length)
+              var i = 0
+              while (i < idxs.length) {
+                subT(i) = a.tables(idxs(i))
+                subH(i) = a.heaps(idxs(i))
+                if (subN != null) subN(i) = qn(idxs(i))
+                i += 1
+              }
+              PqStore.scoreBlock(subH, subT, cbk.ksub, pair._2, subN)
+            }
+            a
+          },
+          combOp = (x, y) =>
+            if (x == null) y
+            else if (y == null) x
             else {
               var i = 0
-              while (i < a.length) { a(i).absorb(b(i)); i += 1 }
-              a
+              while (i < x.heaps.length) { x.heaps(i).absorb(y.heaps(i)); i += 1 }
+              x
             },
           depth = 2)
-      } finally bc2.destroy()
-    emit(rescored, k)
+        if (acc0 == null) null else acc0.heaps
+      } finally bc.destroy()
+    def emit(heaps: Array[BoundedTopKG[K]], outK: Int): DataFrame = {
+      val rows: Seq[(Long, K, Double, Int)] =
+        if (heaps == null) Seq.empty
+        else heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.sortedHits().iterator.take(outK).zipWithIndex.map {
+            case ((id, s), r) => (qids(i), id, s, r + 1)
+          }
+        }.toSeq
+      spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
+    }
+    if (overfetch <= 0) return emit(merged, k)
+    emit(rescoreProbedMerged[K](merged, queries.length, qvecs, qnorms,
+      cidToQ, k, normalized), k)
   }
 
   /** Bulk (Dataset-query) IVF-SQ8 top-k (round 12): [[searchPacked]]'s
@@ -911,6 +1084,32 @@ final class IvfIndex(
         }
       }
     spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
+  }
+
+  /** Product-quantized twins of [[packedBuckets]] (IVF-PQ): the
+    * codebook trains once from a bounded content-hashed sample of the
+    * bucket slabs (N-independent — the PqStore.train contract), then
+    * one narrow encode map per build, cached and persisted like the q8
+    * twins. Returns the codebook WITH the code pack — queries need it
+    * for ADC tables.
+    */
+  private def packedPqBuckets[K](normalized: Boolean, m: Int)(
+      implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
+      rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)])
+      : (graft.core.PqCodebook,
+         org.apache.spark.rdd.RDD[(Int, graft.core.PqBlock[K])]) = {
+    val cached = packedPqCache.computeIfAbsent((normalized, ct.runtimeClass, m), { _ =>
+      val (fp, _) = packedBuckets[K](normalized)
+      val bs = new graft.core.BlockStore[K](fp.map(_._2), normalized)
+      val cb = graft.core.PqStore.train(bs, m, 256, 20000, 42L, 8)
+      val bcb = fp.sparkContext.broadcast(cb)
+      val pq = fp.mapValues(b => graft.core.PqStore.encode(bcb.value, b))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      pq.count()
+      (cb, pq)
+    })
+    (cached._1,
+      cached._2.asInstanceOf[org.apache.spark.rdd.RDD[(Int, graft.core.PqBlock[K])]])
   }
 
   /** Quantized twins of [[packedBuckets]] — one narrow map per build,

@@ -299,6 +299,60 @@ class IvfIndexSpec extends AnyFunSuite {
       exact = true)))
   }
 
+  test("searchMergedPq (IVF-PQ): rescored path bit-equal to searchMerged exact; ADC agrees on separated data") {
+    val data = clusteredData()
+    val idx = IvfIndex.build(data.toDF("vec_id", "vec"), "vec_id", "vec", nList = 4)
+    val queries = data.filter(_._1 % 17 == 0).toArray
+    def bkey(res: org.apache.spark.sql.DataFrame) =
+      res.select("qid", "rank", "id", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    def idkey(res: org.apache.spark.sql.DataFrame) =
+      res.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // overfetch covering every probed row -> no candidate can be lost,
+    // and the fp32 rescore is the exact engine's sequential-double
+    // tail (shared with searchMergedQ8): bit-equal to
+    // searchMerged(exact = true) at partial probing and at
+    // nProbe = nList (the q80 oracle anchor)
+    Seq(2, 4).foreach { np =>
+      assert(bkey(idx.searchMergedPq[Long](queries, k = 5, nProbe = np,
+          overfetch = 1000, m = 2)) ==
+        bkey(idx.searchMerged[Long](queries, k = 5, nProbe = np, exact = true)),
+        s"rescored parity failed at nProbe=$np")
+    }
+    // realistic overfetch: cap 40 covers the 40-row cluster, and the
+    // cluster separation dwarfs the ADC reconstruction error
+    assert(idkey(idx.searchMergedPq[Long](queries, k = 5, nProbe = 2,
+        overfetch = 8, m = 2)) ==
+      idkey(idx.searchMerged[Long](queries, k = 5, nProbe = 2, exact = true)))
+    // ADC-only (approximate scores): id-set agreement on this data
+    assert(idkey(idx.searchMergedPq[Long](queries, k = 5, nProbe = 2, m = 2)) ==
+      idkey(idx.searchMerged[Long](queries, k = 5, nProbe = 2)))
+
+    // cosine mode (un-normalized store, norms ride along full-precision)
+    val rng = new scala.util.Random(47)
+    val rdata = (0 until 100).map { i =>
+      (i.toLong, Array.fill(8)((rng.nextFloat() - 0.5f) * 3f))
+    }
+    val ridx = IvfIndex.build(rdata.toDF("vec_id", "vec"), "vec_id", "vec",
+      nList = 4, normalized = false)
+    val rq = rdata.filter(_._1 % 23 == 0).toArray
+    assert(bkey(ridx.searchMergedPq[Long](rq, k = 5, nProbe = 4,
+        normalized = false, overfetch = 1000, m = 4)) ==
+      bkey(ridx.searchMerged[Long](rq, k = 5, nProbe = 4,
+        normalized = false, exact = true)))
+
+    // duplicate qids independent; zero query -> e0 in normalized mode
+    val dupQ = Array((7L, data(3)._2), (7L, data(90)._2),
+      (8L, new Array[Float](8)))
+    val dpq = idx.searchMergedPq[Long](dupQ, k = 3, nProbe = 1,
+      overfetch = 1000, m = 2)
+    assert(dpq.count() == 9)
+    assert(bkey(dpq) == bkey(idx.searchMerged[Long](dupQ, k = 3, nProbe = 1,
+      exact = true)))
+  }
+
   test("searchPackedQ8 (bulk IVF-SQ8): fused rescore bit-equal to searchPacked exact") {
     val data = clusteredData()
     val idx = IvfIndex.build(data.toDF("vec_id", "vec"), "vec_id", "vec", nList = 4)

@@ -528,6 +528,49 @@ class VdbStoreSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.query.exact")
   }
 
+  test("pq strategy: routed, lowest precedence, bypassed like ANN, bit-equal to exact under query.exact, dirtied by mutation") {
+    val s = freshStore(4)
+    val recs = (0 until 80).map { i =>
+      val v = new Array[Float](4); v(i % 4) = 1f; v((i + 1) % 4) = 0.1f * (i % 3)
+      rec(s"r$i", v, s"""{"g": ${i % 4}}""")
+    }
+    s.upsert(recs)
+    spark.conf.set("graft.query.exact", "true")
+    try {
+      val q = Array(1f, 0.05f, 0f, 0f)
+      val exact = s.queryOne(q, topK = 5)
+      assert(s.lastQueryStrategy.contains("exact"))
+      s.enablePq(m = 2)
+      val pq = s.queryOne(q, topK = 5)
+      assert(s.lastQueryStrategy.contains("pq"))
+      // double-accumulated rescore == exact strategy under query.exact
+      // (tiny fixture: the codebook memorizes the 80 distinct rows, so
+      // the overfetch-8 candidate cut cannot lose the true top-5)
+      assert(pq.map(h => (h.id, h.metrics)) == exact.map(h => (h.id, h.metrics)))
+      // bypass rules mirror ANN/q8: filters and better_than take exact
+      s.queryOne(q, topK = 3, where = Some(get_json_object(col("meta"), "$.g") === "1"))
+      assert(s.lastQueryStrategy.contains("exact-filtered"))
+      s.queryOne(q, topK = 3, betterThan = Some(0.1))
+      assert(s.lastQueryStrategy.contains("exact"))
+      // lowest precedence: q8 wins when both compression tiers are on
+      s.enableQ8()
+      s.queryOne(q, topK = 3)
+      assert(s.lastQueryStrategy.contains("q8"))
+      s.disableQ8()
+      // mutation invalidates the cached codes: the new row is findable
+      s.upsert(Seq(rec("fresh", Array(0f, 0f, 0f, 1f), """{"g": 9}""")))
+      val after = s.queryOne(Array(0f, 0f, 0f, 1f), topK = 1)
+      assert(s.lastQueryStrategy.contains("pq"))
+      assert(after.head.id == "fresh")
+      s.disablePq()
+      s.queryOne(q, topK = 3)
+      assert(s.lastQueryStrategy.contains("exact"))
+      // auto sizing rejects geometry it can't split; explicit m must divide
+      val e = intercept[IllegalArgumentException](s.enablePq(m = 3))
+      assert(e.getMessage.contains("must divide"))
+    } finally spark.conf.unset("graft.query.exact")
+  }
+
   test("hnsw strategy: routed, outranks ann, bypassed like ANN, dirtied by mutation") {
     val s = freshStore(8)
     // well-separated unit rows (the IvfIndexSpec fixture idea): graph
