@@ -312,12 +312,9 @@ object PqStore {
     */
   def train[K](bs: BlockStore[K], m: Int, ksub: Int,
                sampleCap: Int, seed: Long, maxIter: Int): PqCodebook = {
-    trainsInJvm.incrementAndGet()
     val total = bs.blocks.map(_.rows.toLong).fold(0L)(_ + _)
     require(total > 0, "cannot train a PQ codebook on an empty store")
-    val thr: Long =
-      if (total <= sampleCap) 1L << 32
-      else ((sampleCap.toDouble / total) * (1L << 32)).toLong
+    val thr = sampleThreshold(total, sampleCap)
     val s = seed
     val sampled: Array[Array[Float]] = bs.blocks.flatMap { b =>
       val out = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
@@ -335,6 +332,25 @@ object PqStore {
     }.collect()
     require(sampled.nonEmpty,
       s"PQ sample came back empty (total=$total, cap=$sampleCap)")
+    trainOnRows(sampled, m, ksub, seed, maxIter)
+  }
+
+  /** Bernoulli acceptance threshold for [[rowHash]] draws targeting
+    * ~`sampleCap` of `total` rows.
+    */
+  private[graft] def sampleThreshold(total: Long, sampleCap: Int): Long =
+    if (total <= sampleCap) 1L << 32
+    else ((sampleCap.toDouble / total) * (1L << 32)).toLong
+
+  /** K-means half of [[train]], on an already-collected sample (the
+    * IVF-PQ residual path collects its own sample — residuals against
+    * each row's assigned centroid — then trains here). Canonicalizes
+    * the sample order internally, so callers need not sort.
+    */
+  private[graft] def trainOnRows(sampled: Array[Array[Float]], m: Int,
+      ksub: Int, seed: Long, maxIter: Int): PqCodebook = {
+    trainsInJvm.incrementAndGet()
+    require(sampled.nonEmpty, "cannot train a PQ codebook on an empty sample")
     val dim = sampled(0).length
     require(dim % m == 0, s"PQ subspace count m=$m must divide dim=$dim")
     val dsub = dim / m
@@ -405,17 +421,54 @@ object PqStore {
     new PqBlock[K](b.ids, codes, cb.m, b.norms)
   }
 
+  /** Encode a block's RESIDUALS against one coarse centroid (the IVF-PQ
+    * composition: codes quantize `v - c_cid`, which is much smaller
+    * than `v` inside a bucket, so the same `m x ksub` code budget buys
+    * far finer resolution). Residuals are materialized as
+    * `(v_t - c_t).toFloat` with the centroid in double — the SAME
+    * arithmetic the residual training sample uses, so encode and train
+    * see identical values.
+    */
+  private[graft] def encodeResidual[K](cb: PqCodebook, b: VecBlock[K],
+      cent: Array[Double]): PqBlock[K] = {
+    require(b.dim == cb.dim,
+      s"block dim ${b.dim} != codebook dim ${cb.dim}")
+    require(cent.length == b.dim,
+      s"centroid dim ${cent.length} != block dim ${b.dim}")
+    val rows = b.rows
+    val d = b.dim
+    val codes = new Array[Byte](rows * cb.m)
+    val scratch = new Array[Float](d)
+    var r = 0
+    while (r < rows) {
+      val off = r * d
+      var t = 0
+      while (t < d) { scratch(t) = (b.data(off + t) - cent(t)).toFloat; t += 1 }
+      cb.encodeRow(scratch, 0, codes, r * cb.m)
+      r += 1
+    }
+    new PqBlock[K](b.ids, codes, cb.m, b.norms)
+  }
+
   /** Score one code block into the per-query heaps: per row, `m` table
     * lookups + adds against the query's ADC table. Rows are tiled so
     * the code tile (~64 KB) stays cache-resident across the whole
     * query batch; each query's table (m*ksub floats) is L1/L2-sized.
+    *
+    * `offsets` (null = all-zero): per-query additive constant applied
+    * BEFORE any cosine norm division — the residual-encoded IVF-PQ
+    * path passes `dot(q, c_cid)` here so the reconstructed score is
+    * `dot(q, c) + dot(q, residual)`; the table stays bucket-independent
+    * because the residual codebook is shared across buckets (the
+    * inner-product advantage over L2's per-bucket tables).
     */
   private[graft] def scoreBlock[K](
       heaps: Array[BoundedTopKG[K]],
       tables: Array[Array[Float]],
       ksub: Int,
       b: PqBlock[K],
-      qnorms: Array[Double]): Unit = {
+      qnorms: Array[Double],
+      offsets: Array[Double] = null): Unit = {
     val nq = tables.length
     val cosine = qnorms != null
     val codes = b.codes
@@ -431,6 +484,7 @@ object PqStore {
       while (qi < nq) {
         val tab = tables(qi)
         val h = heaps(qi)
+        val qOff = if (offsets == null) 0.0 else offsets(qi)
         val invQ =
           if (!cosine) 1.0
           else { val qn = qnorms(qi); if (qn == 0.0) 0.0 else 1.0 / qn }
@@ -454,7 +508,7 @@ object PqStore {
             sub += 1
             base += ksub
           }
-          var sd = s.toDouble
+          var sd = s.toDouble + qOff
           if (cosine) {
             val vn = vnorms(r)
             sd = if (vn == 0.0 || invQ == 0.0) 0.0 else sd * invQ / vn

@@ -60,7 +60,7 @@ final class IvfIndex(
     * twins; cached with their codebook.
     */
   @transient private lazy val packedPqCache =
-    new java.util.concurrent.ConcurrentHashMap[(Boolean, Class[_], Int),
+    new java.util.concurrent.ConcurrentHashMap[(Boolean, Class[_], Int, Boolean),
       (graft.core.PqCodebook, org.apache.spark.rdd.RDD[_])]()
 
   /** Flat slab repacks of the bucketed blocks (full-scan route) —
@@ -859,10 +859,17 @@ final class IvfIndex(
     * compresses HOW each scanned row is held (`m` code bytes vs
     * `4*dim` — 64x at 1024-d/m=128's 16x): at 100 TB the probed scan
     * set is small enough to pin in cluster RAM when even the int8
-    * twins are not. Scoring is asymmetric distance: one `m x ksub`
-    * float table per query, built once per task from the broadcast
-    * codebook ([[graft.core.PqCodebook.adcTable]]), then `m` table
-    * lookups + adds per row.
+    * twins are not. Codes quantize RESIDUALS against each row's coarse
+    * centroid by default (see [[packedPqBuckets]]; `byResidual = false`
+    * keeps raw-vector codes — FAISS's `by_residual` flag, retained for
+    * measurement and for stores whose coarse centroids carry no
+    * structure); scoring is asymmetric
+    * distance on the residual: one `m x ksub` float table per query,
+    * built once per task from the broadcast codebook
+    * ([[graft.core.PqCodebook.adcTable]]) and shared across ALL
+    * buckets (inner-product ADC keeps the table bucket-independent —
+    * only the `dot(q, c_cid)` scalar differs per probed pair), then
+    * `m` table lookups + adds per row.
     *
     * `overfetch <= 0`: scan-only approximate ADC ranking (candidate
     * quality measured, not asserted — PQ codes are coarser than int8).
@@ -883,7 +890,8 @@ final class IvfIndex(
     */
   def searchMergedPq[K](queries: Array[(Long, Array[Float])], k: Int,
                         nProbe: Int = 0, normalized: Boolean = true,
-                        overfetch: Int = 0, m: Int = 0)(
+                        overfetch: Int = 0, m: Int = 0,
+                        byResidual: Boolean = true)(
       implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
       rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)],
       outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
@@ -904,7 +912,7 @@ final class IvfIndex(
         if (dimLocal % 8 == 0) math.max(1, dimLocal / 8)
         else math.max(1, dimLocal / 4)
       }
-    val (codebook, pqPacked) = packedPqBuckets[K](normalized, mm)
+    val (codebook, pqPacked) = packedPqBuckets[K](normalized, mm, byResidual)
     val qids = queries.map(_._1)
     // query prep matches searchMerged: zero -> e0 in normalized mode,
     // raw/raw cosine (zero query scores 0) otherwise
@@ -931,14 +939,15 @@ final class IvfIndex(
     val scanK =
       if (overfetch <= 0) k
       else math.min(math.max(k.toLong * overfetch, k.toLong), Int.MaxValue.toLong).toInt
-    val bc = spark.sparkContext.broadcast((qvecs, qnorms, cidToQ, codebook))
+    val bc = spark.sparkContext.broadcast(
+      (qvecs, qnorms, cidToQ, codebook, if (byResidual) centroids else null))
     val kk = scanK
     val localOrd = ord
     val merged: Array[BoundedTopKG[K]] =
       try {
         val acc0 = pqPacked.treeAggregate(null: PqStore.PqAcc[K])(
           seqOp = (acc, pair) => {
-            val (qv, qn, c2q, cbk) = bc.value
+            val (qv, qn, c2q, cbk, cents) = bc.value
             val a =
               if (acc != null) acc
               else {
@@ -958,14 +967,30 @@ final class IvfIndex(
               val subT = new Array[Array[Float]](idxs.length)
               val subH = new Array[BoundedTopKG[K]](idxs.length)
               val subN = if (qn == null) null else new Array[Double](idxs.length)
+              // residual reconstruction: dot(q, v) ~ dot(q, c_cid) +
+              // dot(q, r) — the per-(query, bucket) scalar is the ONLY
+              // bucket-dependent piece (the ADC table is shared), so
+              // residual encoding costs O(dim) per probed pair here,
+              // the same order as the probe scan itself
+              val c =
+                if (cents != null && cid >= 0 && cid < cents.length) cents(cid)
+                else null
+              val subO = if (c == null) null else new Array[Double](idxs.length)
               var i = 0
               while (i < idxs.length) {
                 subT(i) = a.tables(idxs(i))
                 subH(i) = a.heaps(idxs(i))
                 if (subN != null) subN(i) = qn(idxs(i))
+                if (subO != null) {
+                  val q = qv(idxs(i))
+                  var s = 0.0
+                  var t = 0
+                  while (t < q.length) { s += q(t) * c(t); t += 1 }
+                  subO(i) = s
+                }
                 i += 1
               }
-              PqStore.scoreBlock(subH, subT, cbk.ksub, pair._2, subN)
+              PqStore.scoreBlock(subH, subT, cbk.ksub, pair._2, subN, subO)
             }
             a
           },
@@ -1092,19 +1117,77 @@ final class IvfIndex(
     * one narrow encode map per build, cached and persisted like the q8
     * twins. Returns the codebook WITH the code pack — queries need it
     * for ADC tables.
+    *
+    * With `byResidual` (the default — FAISS IVFPQ proper, its
+    * `by_residual` flag), codes quantize RESIDUALS (`v - c_cid`, each
+    * row against its assigned coarse centroid). Measured honestly
+    * (PqProbe ivfpq modes, 100k x 1024-d / m=64 / nProbe=32): residual
+    * and raw codes are EQUIVALENT at this shape — clustered recall@10
+    * 0.754 both at overfetch=32 (candidate-budget-bound, not
+    * code-bound), uniform ~0.03 both (16-d subspaces at 8 bits are
+    * concentration-limited either way). Residual coding matters at
+    * FINE subspaces over a STABLE coarse fit: the analytic spec
+    * (IvfIndexSpec, dsub=2, pattern-pool residuals) reaches exact
+    * top-k through pure ADC, and with an UNSTABLE coarse quantizer
+    * (16 rows/bucket) residual measured 0.44 vs raw 0.49 — mis-bucketed
+    * rows poison the residual sample, the reason the knob exists.
+    * Sample membership hashes the RAW row bytes (data-only,
+    * layout-independent — the train contract); the residual is
+    * materialized with the same double-centroid arithmetic the encode
+    * map uses. ADC table memory is `nq * m * ksub * 4` bytes per task
+    * (tables are per-query, built once per task): m=64 at 1000
+    * queries is 64 MB/task; m=256 at the same batch OOMs local[32] —
+    * cap m or chunk the query batch, documented not guarded.
     */
-  private def packedPqBuckets[K](normalized: Boolean, m: Int)(
+  private def packedPqBuckets[K](normalized: Boolean, m: Int,
+      byResidual: Boolean)(
       implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
       rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)])
       : (graft.core.PqCodebook,
          org.apache.spark.rdd.RDD[(Int, graft.core.PqBlock[K])]) = {
-    val cached = packedPqCache.computeIfAbsent((normalized, ct.runtimeClass, m), { _ =>
+    import graft.core.PqStore
+    val cached = packedPqCache.computeIfAbsent(
+        (normalized, ct.runtimeClass, m, byResidual), { _ =>
       val (fp, _) = packedBuckets[K](normalized)
-      val bs = new graft.core.BlockStore[K](fp.map(_._2), normalized)
-      val cb = graft.core.PqStore.train(bs, m, 256, 20000, 42L, 8)
-      val bcb = fp.sparkContext.broadcast(cb)
-      val pq = fp.mapValues(b => graft.core.PqStore.encode(bcb.value, b))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val sc = fp.sparkContext
+      val bcCent = sc.broadcast(if (byResidual) centroids else null)
+      val total = fp.map(_._2.rows.toLong).fold(0L)(_ + _)
+      require(total > 0, "cannot train an IVF-PQ codebook on an empty index")
+      val thr = PqStore.sampleThreshold(total, 20000)
+      val sampled: Array[Array[Float]] = fp.flatMap { case (cid, b) =>
+        val cents = bcCent.value
+        val c =
+          if (cents != null && cid >= 0 && cid < cents.length) cents(cid)
+          else null
+        val out = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        val d = b.dim
+        var r = 0
+        while (r < b.rows) {
+          if (PqStore.rowHash(b.data, r * d, d, 42L) < thr) {
+            val row = new Array[Float](d)
+            var t = 0
+            while (t < d) {
+              row(t) =
+                if (c == null) b.data(r * d + t)
+                else (b.data(r * d + t) - c(t)).toFloat
+              t += 1
+            }
+            out += row
+          }
+          r += 1
+        }
+        out.iterator
+      }.collect()
+      val cb = PqStore.trainOnRows(sampled, m, 256, 42L, 8)
+      val bcb = sc.broadcast(cb)
+      val pq = fp.map { case (cid, b) =>
+        val cents = bcCent.value
+        val pb =
+          if (cents != null && cid >= 0 && cid < cents.length)
+            PqStore.encodeResidual(bcb.value, b, cents(cid))
+          else PqStore.encode(bcb.value, b)
+        (cid, pb)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       pq.count()
       (cb, pq)
     })

@@ -96,8 +96,101 @@ object PqProbe {
       pq.unpersist(cascadeSource = true)
     }
 
+    /** IVF-PQ composition at the bench headline shape: recall of
+      * searchMergedPq (both byResidual modes) against BOTH the full
+      * exact top-k and the np32 probe ceiling (exact scan of the same
+      * 32 buckets — the best any code can do at this probe count).
+      * Measured r15 verdicts this probe exists to record: residual ==
+      * raw at every 1024-d/m=64 geometry tried (uniform 0.03 both of
+      * a 0.35 ceiling; clustered z0.15 0.754 both — candidate-budget
+      * bound; clustered z0.45 0.085 both at of8), because 16-d
+      * subspaces at 8 bits are concentration-limited regardless of
+      * what they encode.
+      */
+    def runIvf(label: String, clustered: Boolean, pqM: Int,
+               nCenters: Int = 256, overfetches: Seq[Int] = Seq(0, 32),
+               noise: Float = 0.15f): Unit = {
+      import spark.implicits._
+      val rows = spark.sparkContext.range(0, n, 1, parts).map { i =>
+        val rng = new java.util.Random(i * 2654435761L)
+        if (!clustered) (i, Array.fill(dim)(rng.nextFloat()))
+        else {
+          val crng = new java.util.Random(1234L + (i % nCenters))
+          val c = Array.fill(dim)(crng.nextFloat() * 2f - 1f)
+          (i, c.zip(Array.fill(dim)(rng.nextFloat() * 2f - 1f))
+            .map { case (x, e) => x + noise * e })
+        }
+      }
+      val qrng = new java.util.Random(42)
+      val queries = Array.tabulate(1000) { i =>
+        if (!clustered) (i.toLong, Array.fill(dim)(qrng.nextFloat()))
+        else {
+          val crng = new java.util.Random(1234L + (i % nCenters))
+          val c = Array.fill(dim)(crng.nextFloat() * 2f - 1f)
+          (i.toLong, c.zip(Array.fill(dim)(qrng.nextFloat() * 2f - 1f))
+            .map { case (x, e) => x + noise * e })
+        }
+      }
+      var idx: graft.operators.IvfIndex = null
+      timed(s"$label ivf build") {
+        idx = graft.operators.IvfIndex.build(
+          rows.toDF("vec_id", "vec"), "vec_id", "vec",
+          nList = graft.operators.IvfIndex.defaultNList(n), normalized = false)
+      }
+      def topIds(res: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        res.select("qid", "id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val exactFull = topIds(idx.searchMerged[Long](queries, k = k,
+        nProbe = Int.MaxValue, normalized = false, exact = true))
+      val ceiling = topIds(idx.searchMerged[Long](queries, k = k,
+        nProbe = 32, normalized = false, exact = true))
+      timed(s"$label pq encode m=$pqM") {
+        idx.searchMergedPq[Long](queries.take(1), k = 1, nProbe = 1,
+          normalized = false, m = pqM).count()
+      }
+      def recallVs(truth: Map[Long, Set[Long]], got: Map[Long, Set[Long]]): Double = {
+        val perQ = queries.map { case (qid, _) =>
+          val ex = truth.getOrElse(qid, Set.empty[Long])
+          if (ex.isEmpty) 1.0
+          else got.getOrElse(qid, Set.empty[Long]).count(ex).toDouble / ex.size
+        }
+        perQ.sum / math.max(1, perQ.length)
+      }
+      println(f"PQPROBE $label np32 ceiling recall@10 vs exact " +
+        f"${recallVs(exactFull, ceiling)}%.4f")
+      Seq(true, false).foreach { byRes =>
+        val tag = if (byRes) "residual" else "raw"
+        overfetches.foreach { of =>
+          var got: Map[Long, Set[Long]] = null
+          (1 to 2).foreach { i =>
+            timed(s"$label ivfpq-$tag np32 of$of #$i") {
+              got = topIds(idx.searchMergedPq[Long](queries, k = k, nProbe = 32,
+                normalized = false, overfetch = of, m = pqM, byResidual = byRes))
+            }
+          }
+          println(f"PQPROBE $label ivfpq-$tag np32 of$of%-3d recall@10 vs exact " +
+            f"${recallVs(exactFull, got)}%.4f  vs np32 ceiling ${recallVs(ceiling, got)}%.4f")
+        }
+      }
+      idx.unpersistAssigned()
+    }
+
     if (mode == "uniform" || mode == "both") run("uniform", clustered = false)
     if (mode == "clustered" || mode == "both") run("clustered", clustered = true)
+    if (mode == "ivfpq") {
+      val pqM = args.drop(1).headOption.map(_.toInt).getOrElse(64)
+      runIvf(s"ivfpq-uniform-m$pqM", clustered = false, pqM)
+      runIvf(s"ivfpq-clustered-m$pqM", clustered = true, pqM)
+    }
+    if (mode == "ivfpq-clustered") {
+      val pqM = args.drop(1).headOption.map(_.toInt).getOrElse(64)
+      val nc = args.drop(2).headOption.map(_.toInt).getOrElse(256)
+      val ofs = args.drop(3).headOption
+        .map(_.split(",").toSeq.map(_.toInt)).getOrElse(Seq(0, 32))
+      val nz = args.drop(4).headOption.map(_.toFloat).getOrElse(0.15f)
+      runIvf(s"ivfpq-clustered-m$pqM-c$nc-z$nz", clustered = true, pqM, nc,
+        ofs, nz)
+    }
     spark.stop()
   }
 }

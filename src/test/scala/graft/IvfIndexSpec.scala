@@ -353,6 +353,66 @@ class IvfIndexSpec extends AnyFunSuite {
       exact = true)))
   }
 
+  test("searchMergedPq residual codes: ADC-only top-k matches exact when residuals are codebook-representable") {
+    // Analytic pin of the WHOLE residual chain (residual sampling ->
+    // trainOnRows -> encodeResidual -> per-(query,bucket) dot(q,c)
+    // offsets): residual subvectors are drawn from a pool of 8
+    // patterns per subspace, so even after the per-bucket shift
+    // (designed center - learned coarse centroid) there are at most
+    // 8 patterns x nList shifts = 64 distinct values per subspace -
+    // well under ksub=256. kmeans++ seeding only ever picks
+    // still-uncovered values (covered points carry minD=0 weight), so
+    // the trained codebook reaches ZERO quantization error and the
+    // ADC-only (overfetch=0) reconstruction dot(q,c)+dot(q,r-hat)
+    // equals the true dot up to float rounding; any sign error,
+    // missing offset, or train/encode arithmetic drift would break
+    // top-k set equality outright. (A statistical tight-cluster
+    // variant is hopeless here: within-cluster cosine spread is
+    // second-order tiny, so ANY quantization noise randomizes ranks -
+    // measured 0.10 recall = the 10/125 within-cluster floor.)
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    val m = 8
+    val dsub = dim / m
+    val nClusters = 8
+    val centers = Array.fill(nClusters)(
+      Array.fill(dim)((rng.nextFloat() - 0.5f) * 8f))
+    // 8 patterns per subspace, scale 0.5 - big enough gaps that float
+    // rounding cannot flip exact-vs-ADC order
+    val pool = Array.fill(m, 8)(
+      Array.fill(dsub)((rng.nextFloat() - 0.5f) * 1f))
+    val data = (0 until 1024).map { i =>
+      val c = centers(i % nClusters)
+      val v = new Array[Float](dim)
+      var s = 0
+      while (s < m) {
+        val p = pool(s)(rng.nextInt(8))
+        var t = 0
+        while (t < dsub) { v(s * dsub + t) = c(s * dsub + t) + p(t); t += 1 }
+        s += 1
+      }
+      (i.toLong, v)
+    }
+    val idx = IvfIndex.build(data.toDF("vec_id", "vec"), "vec_id", "vec",
+      nList = nClusters, normalized = false)
+    val queries = data.filter(_._1 % 37 == 0).toArray
+    def topIds(res: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      res.select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = topIds(idx.searchMerged[Long](queries, k = 10,
+      nProbe = nClusters, normalized = false, exact = true))
+    val adc = topIds(idx.searchMergedPq[Long](queries, k = 10,
+      nProbe = nClusters, normalized = false, m = m))
+    val recalls = queries.map { case (qid, _) =>
+      val ex = exact.getOrElse(qid, Set.empty[Long])
+      if (ex.isEmpty) 1.0
+      else adc.getOrElse(qid, Set.empty[Long]).count(ex).toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.95, s"ADC-only residual recall@10 = $mean (floor 0.95; " +
+      "zero-quantization-error construction should be ~1.0)")
+  }
+
   test("searchPackedQ8 (bulk IVF-SQ8): fused rescore bit-equal to searchPacked exact") {
     val data = clusteredData()
     val idx = IvfIndex.build(data.toDF("vec_id", "vec"), "vec_id", "vec", nList = 4)
