@@ -139,4 +139,20 @@ final class GraftConf(spark: SparkSession) {
         "disable pq for exact results instead of overfetch<=0")
     of
   }
+
+  /** Per-task ADC table budget (MB) for the IVF-PQ merged scan. Tables
+    * are per-query `m * ksub` float arrays built once per task, so a
+    * driver batch costs `nq * m * ksub * 4` bytes PER TASK — query
+    * batches are chunked so that footprint stays under this budget.
+    * Default 64 MB: the 1000q/m=64 headline stays single-chunk (its
+    * r14-measured working footprint), while 1000q/m=256 — which OOMs
+    * local[32] unchunked at 256 MB/task x 32 tasks — splits into 4
+    * sequential passes over the code pack instead of dying.
+    */
+  def pqTableBudgetMb: Int = {
+    val mb = opt("pq.table.budget.mb", "GRAFT_PQ_TABLE_BUDGET_MB")
+      .map(_.toInt).getOrElse(64)
+    require(mb > 0, s"graft.pq.table.budget.mb must be > 0 (got $mb)")
+    mb
+  }
 }

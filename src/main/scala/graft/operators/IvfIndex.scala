@@ -886,7 +886,10 @@ final class IvfIndex(
     *
     * Query prep, probe selection, duplicate-qid independence, tie
     * rule, and output shape all match [[searchMerged]]. Nothing
-    * shuffles; both passes are depth-2 treeAggregates.
+    * shuffles; both passes are depth-2 treeAggregates. Batches whose
+    * per-task ADC tables would exceed `graft.pq.table.budget.mb`
+    * (default 64) are split into sequential scan chunks — bit-equal
+    * to one chunk (spec-pinned), bounded memory at any batch size.
     */
   def searchMergedPq[K](queries: Array[(Long, Array[Float])], k: Int,
                         nProbe: Int = 0, normalized: Boolean = true,
@@ -939,72 +942,114 @@ final class IvfIndex(
     val scanK =
       if (overfetch <= 0) k
       else math.min(math.max(k.toLong * overfetch, k.toLong), Int.MaxValue.toLong).toInt
-    val bc = spark.sparkContext.broadcast(
-      (qvecs, qnorms, cidToQ, codebook, if (byResidual) centroids else null))
     val kk = scanK
     val localOrd = ord
-    val merged: Array[BoundedTopKG[K]] =
-      try {
-        val acc0 = pqPacked.treeAggregate(null: PqStore.PqAcc[K])(
-          seqOp = (acc, pair) => {
-            val (qv, qn, c2q, cbk, cents) = bc.value
-            val a =
-              if (acc != null) acc
-              else {
-                // ADC tables once per task, amortized over every probed
-                // bucket slab the task scans (@transient on the acc —
-                // only heaps cross the combine tree)
-                val tabs = new Array[Array[Float]](qv.length)
-                var i = 0
-                while (i < qv.length) { tabs(i) = cbk.adcTable(qv(i)); i += 1 }
-                new PqStore.PqAcc[K](
-                  Array.fill(qv.length)(new BoundedTopKG[K](kk)(localOrd)), tabs)
-              }
-            val cid = pair._1
-            val idxs = if (cid >= 0 && cid < c2q.length) c2q(cid)
-                       else Array.emptyIntArray
-            if (idxs.length > 0) {
-              val subT = new Array[Array[Float]](idxs.length)
-              val subH = new Array[BoundedTopKG[K]](idxs.length)
-              val subN = if (qn == null) null else new Array[Double](idxs.length)
-              // residual reconstruction: dot(q, v) ~ dot(q, c_cid) +
-              // dot(q, r) — the per-(query, bucket) scalar is the ONLY
-              // bucket-dependent piece (the ADC table is shared), so
-              // residual encoding costs O(dim) per probed pair here,
-              // the same order as the probe scan itself
-              val c =
-                if (cents != null && cid >= 0 && cid < cents.length) cents(cid)
-                else null
-              val subO = if (c == null) null else new Array[Double](idxs.length)
-              var i = 0
-              while (i < idxs.length) {
-                subT(i) = a.tables(idxs(i))
-                subH(i) = a.heaps(idxs(i))
-                if (subN != null) subN(i) = qn(idxs(i))
-                if (subO != null) {
-                  val q = qv(idxs(i))
-                  var s = 0.0
-                  var t = 0
-                  while (t < q.length) { s += q(t) * c(t); t += 1 }
-                  subO(i) = s
+    // ADC tables cost `chunk * m * ksub * 4` bytes PER TASK (one table
+    // per query, built once per task) — chunk the batch so that stays
+    // under graft.pq.table.budget.mb. The headline 1000q/m=64 batch is
+    // one chunk (unchanged plan); oversized batches trade extra passes
+    // over the (RAM-resident) code pack for bounded task memory instead
+    // of an executor OOM.
+    val bytesPerQuery = mm.toLong * codebook.ksub.toLong * 4L
+    val budgetBytes =
+      new graft.core.GraftConf(spark).pqTableBudgetMb.toLong << 20
+    val chunkSize = math.max(1,
+      math.min(Int.MaxValue.toLong, budgetBytes / math.max(1L, bytesPerQuery)).toInt)
+    val merged = new Array[BoundedTopKG[K]](queries.length)
+    var chunkStart = 0
+    while (chunkStart < queries.length) {
+      val chunkEnd = math.min(queries.length, chunkStart + chunkSize)
+      val nChunk = chunkEnd - chunkStart
+      val qvChunk = java.util.Arrays.copyOfRange(qvecs, chunkStart, chunkEnd)
+      val qnChunk =
+        if (qnorms == null) null
+        else java.util.Arrays.copyOfRange(qnorms, chunkStart, chunkEnd)
+      val c2qChunk: Array[Array[Int]] =
+        if (nChunk == queries.length) cidToQ
+        else {
+          val invLocal =
+            Array.fill(nList)(new scala.collection.mutable.ArrayBuffer[Int](4))
+          var qi = chunkStart
+          while (qi < chunkEnd) {
+            probesPerQ(qi).foreach(c => invLocal(c) += qi - chunkStart)
+            qi += 1
+          }
+          invLocal.map(_.toArray)
+        }
+      val bc = spark.sparkContext.broadcast(
+        (qvChunk, qnChunk, c2qChunk, codebook,
+          if (byResidual) centroids else null))
+      val heapsChunk: Array[BoundedTopKG[K]] =
+        try {
+          val acc0 = pqPacked.treeAggregate(null: PqStore.PqAcc[K])(
+            seqOp = (acc, pair) => {
+              val (qv, qn, c2q, cbk, cents) = bc.value
+              val a =
+                if (acc != null) acc
+                else {
+                  // ADC tables once per task, amortized over every probed
+                  // bucket slab the task scans (@transient on the acc —
+                  // only heaps cross the combine tree)
+                  val tabs = new Array[Array[Float]](qv.length)
+                  var i = 0
+                  while (i < qv.length) { tabs(i) = cbk.adcTable(qv(i)); i += 1 }
+                  new PqStore.PqAcc[K](
+                    Array.fill(qv.length)(new BoundedTopKG[K](kk)(localOrd)), tabs)
                 }
-                i += 1
+              val cid = pair._1
+              val idxs = if (cid >= 0 && cid < c2q.length) c2q(cid)
+                         else Array.emptyIntArray
+              if (idxs.length > 0) {
+                val subT = new Array[Array[Float]](idxs.length)
+                val subH = new Array[BoundedTopKG[K]](idxs.length)
+                val subN = if (qn == null) null else new Array[Double](idxs.length)
+                // residual reconstruction: dot(q, v) ~ dot(q, c_cid) +
+                // dot(q, r) — the per-(query, bucket) scalar is the ONLY
+                // bucket-dependent piece (the ADC table is shared), so
+                // residual encoding costs O(dim) per probed pair here,
+                // the same order as the probe scan itself
+                val c =
+                  if (cents != null && cid >= 0 && cid < cents.length) cents(cid)
+                  else null
+                val subO = if (c == null) null else new Array[Double](idxs.length)
+                var i = 0
+                while (i < idxs.length) {
+                  subT(i) = a.tables(idxs(i))
+                  subH(i) = a.heaps(idxs(i))
+                  if (subN != null) subN(i) = qn(idxs(i))
+                  if (subO != null) {
+                    val q = qv(idxs(i))
+                    var s = 0.0
+                    var t = 0
+                    while (t < q.length) { s += q(t) * c(t); t += 1 }
+                    subO(i) = s
+                  }
+                  i += 1
+                }
+                PqStore.scoreBlock(subH, subT, cbk.ksub, pair._2, subN, subO)
               }
-              PqStore.scoreBlock(subH, subT, cbk.ksub, pair._2, subN, subO)
-            }
-            a
-          },
-          combOp = (x, y) =>
-            if (x == null) y
-            else if (y == null) x
-            else {
-              var i = 0
-              while (i < x.heaps.length) { x.heaps(i).absorb(y.heaps(i)); i += 1 }
-              x
+              a
             },
-          depth = 2)
-        if (acc0 == null) null else acc0.heaps
-      } finally bc.destroy()
+            combOp = (x, y) =>
+              if (x == null) y
+              else if (y == null) x
+              else {
+                var i = 0
+                while (i < x.heaps.length) { x.heaps(i).absorb(y.heaps(i)); i += 1 }
+                x
+              },
+            depth = 2)
+          if (acc0 == null) null else acc0.heaps
+        } finally bc.destroy()
+      var i = 0
+      while (i < nChunk) {
+        merged(chunkStart + i) =
+          if (heapsChunk == null) new BoundedTopKG[K](kk)(localOrd)
+          else heapsChunk(i)
+        i += 1
+      }
+      chunkStart = chunkEnd
+    }
     def emit(heaps: Array[BoundedTopKG[K]], outK: Int): DataFrame = {
       val rows: Seq[(Long, K, Double, Int)] =
         if (heaps == null) Seq.empty
@@ -1136,8 +1181,10 @@ final class IvfIndex(
     * materialized with the same double-centroid arithmetic the encode
     * map uses. ADC table memory is `nq * m * ksub * 4` bytes per task
     * (tables are per-query, built once per task): m=64 at 1000
-    * queries is 64 MB/task; m=256 at the same batch OOMs local[32] —
-    * cap m or chunk the query batch, documented not guarded.
+    * queries is 64 MB/task; m=256 at the same batch OOMed local[32]
+    * unchunked — [[searchMergedPq]] now chunks query batches to
+    * `graft.pq.table.budget.mb` (default 64), trading extra passes
+    * over the RAM-resident code pack for bounded task memory.
     */
   private def packedPqBuckets[K](normalized: Boolean, m: Int,
       byResidual: Boolean)(

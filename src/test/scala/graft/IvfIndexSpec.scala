@@ -353,6 +353,39 @@ class IvfIndexSpec extends AnyFunSuite {
       exact = true)))
   }
 
+  test("searchMergedPq query chunking is invisible: tiny table budget bit-equal to one-chunk") {
+    // ADC tables are per-query, per-task (`nq * m * ksub * 4` bytes) —
+    // graft.pq.table.budget.mb chunks the batch to bound that. Chunks
+    // are pure mechanics: each query's heap sees exactly the same
+    // probed slabs and the same float table arithmetic whichever chunk
+    // it lands in, so results must match BIT-for-bit against the
+    // single-chunk default (both ADC-only scores and the rescored
+    // exact tail), including duplicate qids split across chunks.
+    val data = clusteredData()
+    val idx = IvfIndex.build(data.toDF("vec_id", "vec"), "vec_id", "vec", nList = 4)
+    // 600 queries at m=4/ksub=160 (160 sampled rows cap the codebook)
+    // = 2,560 B of table each: one chunk at the 64 MB default, two
+    // chunks (409 + 191) at 1 MB. id 3's vector repeats, so duplicate-
+    // content queries land in different chunks.
+    val big = Array.tabulate(600)(i =>
+      (i.toLong, data(if (i % 50 == 0) 3 else i % data.length)._2))
+    def bkey(res: org.apache.spark.sql.DataFrame) =
+      res.select("qid", "rank", "id", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    val oneChunkAdc = bkey(idx.searchMergedPq[Long](big, k = 3, nProbe = 2, m = 4))
+    val oneChunkRescored = bkey(idx.searchMergedPq[Long](big, k = 3,
+      nProbe = 2, overfetch = 1000, m = 4))
+    spark.conf.set("graft.pq.table.budget.mb", "1")
+    try {
+      assert(bkey(idx.searchMergedPq[Long](big, k = 3, nProbe = 2, m = 4))
+        == oneChunkAdc, "ADC-only chunked != one-chunk")
+      assert(bkey(idx.searchMergedPq[Long](big, k = 3, nProbe = 2,
+        overfetch = 1000, m = 4)) == oneChunkRescored,
+        "rescored chunked != one-chunk")
+    } finally spark.conf.unset("graft.pq.table.budget.mb")
+  }
+
   test("searchMergedPq residual codes: ADC-only top-k matches exact when residuals are codebook-representable") {
     // Analytic pin of the WHOLE residual chain (residual sampling ->
     // trainOnRows -> encodeResidual -> per-(query,bucket) dot(q,c)
