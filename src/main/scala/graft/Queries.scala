@@ -515,6 +515,35 @@ object Queries {
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Oracled bulk IVF-PQ entry (q81, round 15): the Dataset-query twin
+    * of q80 — [[operators.IvfIndex.searchPackedPq]]'s fused cogroup
+    * (ADC candidate scan + co-located fp32 rescore in ONE pass over
+    * the shared bucket partitioner, queries arriving as a probe
+    * shuffle instead of a driver broadcast). Same exactness argument
+    * as q80/q59: nProbe = nList probes every bucket and covering
+    * overfetch keeps every candidate, so the shared rescore tail makes
+    * the result exact and the DuckDB top-k oracle hash-matches the
+    * whole path (IvfIndexSpec pins bit-parity with searchPacked(exact)
+    * at partial probing and against searchMergedPq).
+    */
+  def annIvfPqDs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") >= 200 && col("vec_id") < 220)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val idx = operators.IvfIndex.cached(s"$dir/embeddings#16")(
+      operators.IvfIndex.build(emb, "vec_id", "embedding", nList = 16,
+        normalized = false))
+    val k = 10
+    // covering overfetch: k * overfetch >= store rows, so the ADC cut
+    // cannot drop a true candidate at any SF's embedding count
+    val overfetch = (emb.count() / k + 1).toInt
+    idx.searchPackedPq[Long](queries, k = k, nProbe = idx.nList,
+        normalized = false, overfetch = overfetch, m = 16)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Shared sharded-HNSW store for q75/q76 (and the bench rows): one
     * graph per packed slab, built in-task — the DISTRIBUTED twin of the
     * serving replica's driver-local graph (operators.HnswStore).
@@ -1571,6 +1600,7 @@ object Queries {
     "q78_pq_ann" -> (pqAnn _),
     "q79_pq_rescore" -> (pqRescoreExact _),
     "q80_ann_ivf_pq" -> (annIvfPq _),
+    "q81_ann_ivf_pq_ds" -> (annIvfPqDs _),
   )
 }
 
@@ -2144,6 +2174,9 @@ object Oracles {
     "q79_pq_rescore" -> topkOracle("vec_id >= 100 AND vec_id < 120", "true", 10, None),
     // q80: IVF-PQ at nProbe=nList + covering overfetch == exact (the q59 shape)
     "q80_ann_ivf_pq" -> topkOracle("vec_id >= 180 AND vec_id < 200", "true", 10, None),
+    // q81: bulk (Dataset-query) IVF-PQ, same exactness argument via the
+    // fused cogroup path
+    "q81_ann_ivf_pq_ds" -> topkOracle("vec_id >= 200 AND vec_id < 220", "true", 10, None),
     // same salted-md5 determinism trick as q38; first key byte -> bucket
     "q57_corpus_shuffle" ->
       """WITH s AS (

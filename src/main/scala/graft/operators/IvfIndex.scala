@@ -1156,6 +1156,132 @@ final class IvfIndex(
     spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
   }
 
+  /** Bulk (Dataset-query) IVF-PQ top-k: [[searchPackedQ8]]'s fused
+    * probe-shuffle shape over the PRODUCT-QUANTIZED bucket slabs — the
+    * composed analog for query batches too large for a driver array,
+    * completing the merged/packed x q8/pq matrix. The code pack keeps
+    * the fp32 pack's partitioner (encode is a preservesPartitioning
+    * mapPartitions), so the ADC candidate scan and the fp32 rescore
+    * FUSE into one cogroup pass: per probed bucket, scan the code
+    * slabs into `k*overfetch`-bounded heaps, then rescore those
+    * candidates from the CO-LOCATED fp32 blocks — no second job, no
+    * extra shuffle, fp32 bytes touched only on candidate hits.
+    *
+    * ADC tables are built per (query, probed bucket) — `O(dim*ksub)`
+    * each, amortized over the bucket's rows. At the >=128 MB slab
+    * sizes the store packs for (32k+ rows at 1024-d), the build is
+    * ~13% of the scan; for SMALL stores the one-table-per-task
+    * [[searchMergedPq]] shape is cheaper — same routing guidance as
+    * exact merged-vs-packed. Task memory is bounded by the bucket's
+    * probing fan-in (queries-per-bucket x m x ksub floats), not the
+    * global batch size, so no chunking is needed on this path. With
+    * `byResidual` the per-(query,bucket) `dot(q,c_cid)` offset rides
+    * the same scan ([[graft.core.PqStore.scoreBlock]]'s offsets).
+    *
+    * The candidate cut is per-bucket (a SUPERSET of the merged path's
+    * global cut), so recall can only match or exceed
+    * [[searchMergedPq]] at equal overfetch, and at covering overfetch
+    * the rescored result is bit-equal to `searchPacked(exact = true)`
+    * (spec-pinned; oracled as q81 at nProbe = nList). Query prep,
+    * duplicate-qid independence (uid-keyed merge), tie rule, and
+    * output shape match [[searchPackedQ8]].
+    */
+  def searchPackedPq[K](queries: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                        k: Int, nProbe: Int = 0, normalized: Boolean = true,
+                        overfetch: Int = 0, m: Int = 0,
+                        byResidual: Boolean = true)(
+      implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
+      rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)],
+      outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
+    import graft.core.{BoundedTopKG, PqBlock, PqStore, Q8Store, VecBlock}
+    import graft.operators.{Kernels => Kn}
+    val spark = assigned.sparkSession
+    val sc = spark.sparkContext
+    val np = resolveNProbe(nProbe)
+    val dimLocal = dim
+    val mm =
+      if (m > 0) m
+      else {
+        require(dimLocal % 4 == 0,
+          s"auto PQ sizing needs dim % 4 == 0 (dim=$dimLocal); pass m explicitly")
+        if (dimLocal % 8 == 0) math.max(1, dimLocal / 8)
+        else math.max(1, dimLocal / 4)
+      }
+    val (fpPacked, part) = packedBuckets[K](normalized)
+    val (codebook, pqPacked) = packedPqBuckets[K](normalized, mm, byResidual)
+    val bcCent = sc.broadcast(centroids)
+    val bcCb = sc.broadcast(codebook)
+    val useResidual = byResidual
+    val kk = k
+    val scanK =
+      if (overfetch <= 0) k
+      else math.min(math.max(k.toLong * overfetch, k.toLong), Int.MaxValue.toLong).toInt
+    val doRescore = overfetch > 0
+    val normStore = normalized
+    val probed = queries.rdd.zipWithUniqueId().flatMap { case ((qid, v), uid) =>
+      if (dimLocal > 0) require(v.length == dimLocal,
+        s"IvfIndex.searchPackedPq: query $qid has dim ${v.length}, index dim is $dimLocal")
+      val pv =
+        if (normStore && Kn.normSqD(v) == 0.0) {
+          val e = new Array[Float](math.max(1, dimLocal)); e(0) = 1f; e
+        } else v
+      IvfIndex.probeIds(bcCent.value, pv, np).map(c => (c, (uid, qid, pv)))
+    }
+    val partials = pqPacked.cogroup(fpPacked, probed, part).flatMap {
+      case (cid, (pqBlocks, fpBlocks, qs)) =>
+        if (pqBlocks.isEmpty || qs.isEmpty) Iterator.empty
+        else {
+          val qarr = qs.toArray
+          val qvecs = qarr.map(_._3)
+          val qnorms =
+            if (normStore) null
+            else qvecs.map(v => math.sqrt(Kn.normSqD(v)))
+          val cbk = bcCb.value
+          val tables = qvecs.map(cbk.adcTable)
+          val cents = bcCent.value
+          val c =
+            if (useResidual && cid >= 0 && cid < cents.length) cents(cid)
+            else null
+          val offsets =
+            if (c == null) null
+            else qvecs.map { q =>
+              var s = 0.0; var t = 0
+              while (t < q.length) { s += q(t) * c(t); t += 1 }
+              s
+            }
+          // ADC candidate scan over this bucket's code slabs
+          val scanHeaps = Array.fill(qarr.length)(new BoundedTopKG[K](scanK))
+          pqBlocks.foreach(b =>
+            PqStore.scoreBlock(scanHeaps, tables, cbk.ksub,
+              b.asInstanceOf[PqBlock[K]], qnorms, offsets))
+          val outHeaps =
+            if (!doRescore) scanHeaps
+            else {
+              // fused rescore: candidates of THIS bucket probed against
+              // the co-located fp32 blocks of the same bucket
+              val approx = scanHeaps.map(_.sortedHits())
+              val cands = Q8Store.CandIndex.build[K](approx)
+              val heaps = Array.fill(qarr.length)(new BoundedTopKG[K](kk))
+              fpBlocks.foreach(b =>
+                Q8Store.rescoreBlock(heaps, b.asInstanceOf[VecBlock[K]], cands,
+                  qvecs, qnorms))
+              heaps
+            }
+          qarr.iterator.zip(outHeaps.iterator).map { case ((uid, qid, _), h) =>
+            (uid, (qid, h))
+          }
+        }
+    }
+    val rows = partials
+      .reduceByKey((a, b) => { a._2.absorb(b._2); a })
+      .flatMap { case (_, (qid, h)) =>
+        h.sortedHits().iterator.take(kk).zipWithIndex.map { case ((id, s), r) =>
+          (qid, id, s, r + 1)
+        }
+      }
+    spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
+  }
+
   /** Product-quantized twins of [[packedBuckets]] (IVF-PQ): the
     * codebook trains once from a bounded content-hashed sample of the
     * bucket slabs (N-independent — the PqStore.train contract), then
@@ -1227,14 +1353,20 @@ final class IvfIndex(
       }.collect()
       val cb = PqStore.trainOnRows(sampled, m, 256, 42L, 8)
       val bcb = sc.broadcast(cb)
-      val pq = fp.map { case (cid, b) =>
+      // mapPartitions + preservesPartitioning: the code pack keeps the
+      // fp32 pack's bucket partitioner, so [[searchPackedPq]]'s fused
+      // cogroup stays shuffle-free on the store side
+      val pq = fp.mapPartitions({ it =>
         val cents = bcCent.value
-        val pb =
-          if (cents != null && cid >= 0 && cid < cents.length)
-            PqStore.encodeResidual(bcb.value, b, cents(cid))
-          else PqStore.encode(bcb.value, b)
-        (cid, pb)
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        it.map { case (cid, b) =>
+          val pb =
+            if (cents != null && cid >= 0 && cid < cents.length)
+              PqStore.encodeResidual(bcb.value, b, cents(cid))
+            else PqStore.encode(bcb.value, b)
+          (cid, pb)
+        }
+      }, preservesPartitioning = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       pq.count()
       (cb, pq)
     })
