@@ -21,6 +21,12 @@ final class PqCodebook(
     val ksub: Int,
     val centroids: Array[Float]) extends Serializable {
   require(dim % m == 0, s"PQ subspace count m=$m must divide dim=$dim")
+  // codes are ONE byte per subspace: encodeRow stores the centroid
+  // index with .toByte and every reader widens with & 0xFF, so
+  // ksub > 256 would silently wrap indices modulo 256 — wrong scores,
+  // no exception (adcTable/decodeRow are sized by the real ksub)
+  require(ksub >= 1 && ksub <= 256,
+    s"PQ codebook ksub must be in [1, 256] (one byte per code), got $ksub")
   val dsub: Int = dim / m
 
   /** Nearest-centroid code per subspace (squared-L2 argmin, first-win
@@ -333,6 +339,18 @@ object PqStore {
     require(sampled.nonEmpty,
       s"PQ sample came back empty (total=$total, cap=$sampleCap)")
     trainOnRows(sampled, m, ksub, seed, maxIter)
+  }
+
+  /** Auto subspace count for a store dimension: 8-dim subspaces when
+    * they divide evenly, else 4-dim — the ONE sizing rule shared by
+    * `VdbStore.enablePq`, `IvfIndex.searchMergedPq`, and
+    * `IvfIndex.searchPackedPq` (a drift here would silently produce
+    * incompatible codebooks/caches between the store and IVF tiers).
+    */
+  def autoM(dim: Int): Int = {
+    require(dim % 4 == 0,
+      s"auto PQ sizing needs dim % 4 == 0 (dim=$dim); pass m explicitly")
+    if (dim % 8 == 0) math.max(1, dim / 8) else math.max(1, dim / 4)
   }
 
   /** Bernoulli acceptance threshold for [[rowHash]] draws targeting

@@ -161,13 +161,7 @@ final class VdbStore private (
     * candidate cut (spec-asserted on separated data).
     */
   def enablePq(m: Int = 0): Unit = {
-    val mm =
-      if (m > 0) m
-      else {
-        require(dim % 4 == 0,
-          s"auto PQ sizing needs dim % 4 == 0 (dim=$dim); pass m explicitly")
-        if (dim % 8 == 0) math.max(1, dim / 8) else math.max(1, dim / 4)
-      }
+    val mm = if (m > 0) m else PqStore.autoM(dim)
     require(dim % mm == 0, s"PQ subspace count m=$mm must divide dim=$dim")
     if (!pqM.contains(mm)) {
       pqCache.foreach(_._2.unpersist(false))

@@ -189,11 +189,32 @@ object HnswIO {
       try {
         store.shards.mapPartitionsWithIndex { (pi, it) =>
           val taskConf = bcConf.value.value
+          // task-commit protocol: write to an attempt-unique temp name,
+          // then atomically rename onto the final path. A speculative
+          // or zombie attempt can otherwise interleave with the winner
+          // on the SAME final file (both create(p, true)) and a torn
+          // write can land last under a succeeded job — the loader
+          // would then fail loudly (sidecar: silent full rebuild;
+          // streaming segment: unrecoverable restart). Rename is
+          // atomic on HDFS/local; duplicate attempts write identical
+          // bytes, so whichever rename lands last leaves a complete
+          // file. Lingering .tmp files from killed attempts are
+          // ignored by loadFrom's ".hnsw"-suffix filter and cleared by
+          // the next saveInto's directory delete.
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
           it.zipWithIndex.map { case (sh, si) =>
             val p = new Path(dirStr, f"shard-$pi%05d-$si%03d.hnsw")
+            val tmp = new Path(dirStr,
+              f".shard-$pi%05d-$si%03d.hnsw.a$attempt%d.tmp")
+            val tfs = tmp.getFileSystem(taskConf)
             val out = new DataOutputStream(new BufferedOutputStream(
-              p.getFileSystem(taskConf).create(p, true), 1 << 16))
+              tfs.create(tmp, true), 1 << 16))
             try writeShard(out, sh, keyT) finally out.close()
+            if (tfs.exists(p)) tfs.delete(p, false)
+            if (!tfs.rename(tmp, p))
+              throw new java.io.IOException(
+                s"HnswIO.saveInto: could not commit $tmp -> $p")
             sh.block.rows.toLong
           }
         }.collect()

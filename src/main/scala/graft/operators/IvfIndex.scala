@@ -111,6 +111,12 @@ final class IvfIndex(
     * "probe(np=N)" (pruned IVF scan), "exact_snap(requested=N)" (the
     * crossover below snapped the request to the all-list exact scan),
     * or "exact_all_lists" (nProbe = nList was requested outright).
+    * Quantized paths (q8/pq) carry their tier instead —
+    * "all_lists_snap(requested=N, tier=pq)" / "all_lists(tier=q8)" /
+    * "probe(np=N, tier=pq)" — because probing every bucket through
+    * LOSSY codes is not an exact scan and must not be labeled as one
+    * (the scan stays ADC/int8-ranked; only a covering overfetch
+    * rescore makes it exact).
     * Spec-pinned; the bench reads it to attribute np-sweep rows.
     * Last-call-wins under concurrency (ADVICE r13): this is bench/spec
     * introspection for single-threaded call sites, not a per-call
@@ -137,24 +143,35 @@ final class IvfIndex(
     * nProbe survives the snap. Driver-side only (GraftConf holds the
     * session).
     */
-  private def resolveNProbe(requested: Int): Int = {
+  private def resolveNProbe(requested: Int, tier: String = "exact"): Int = {
     val base = math.min(
       if (requested > 0) requested else IvfIndex.defaultNProbe(nList), nList)
     val frac = new graft.core.GraftConf(assigned.sparkSession).annExactScanFraction
+    val exactTier = tier == "exact"
     if (base < nList && frac < 1.0 && base.toDouble >= frac * nList) {
       if (requested > 0 && !warnedExplicitSnap) {
         warnedExplicitSnap = true
+        val claim =
+          if (exactTier) "the exact all-list scan (recall 1.0, cheaper " +
+            "than probing that fraction)"
+          else s"an all-list $tier scan (still code-ranked, NOT exact — " +
+            "a covering-overfetch rescore is what makes it exact)"
         org.slf4j.LoggerFactory.getLogger("graft.ann").warn(
           s"IvfIndex: explicit nProbe=$base >= ${frac} * nList=$nList — " +
-            "snapping to the exact all-list scan (recall 1.0, cheaper " +
-            "than probing that fraction); set graft.ann.exactscan.fraction" +
+            s"snapping to $claim; set graft.ann.exactscan.fraction" +
             " >= 1.0 to force genuine partial probing for sweeps")
       }
-      lastStrategyVar = s"exact_snap(requested=$base)"
+      lastStrategyVar =
+        if (exactTier) s"exact_snap(requested=$base)"
+        else s"all_lists_snap(requested=$base, tier=$tier)"
       nList
     } else {
       lastStrategyVar =
-        if (base == nList) "exact_all_lists" else s"probe(np=$base)"
+        if (base == nList) {
+          if (exactTier) "exact_all_lists" else s"all_lists(tier=$tier)"
+        } else {
+          if (exactTier) s"probe(np=$base)" else s"probe(np=$base, tier=$tier)"
+        }
       base
     }
   }
@@ -708,7 +725,7 @@ final class IvfIndex(
     import graft.core.{BoundedTopKG, Q8Block, Q8Store, VecBlock}
     import graft.operators.{Kernels => Kn}
     val spark = assigned.sparkSession
-    val np = resolveNProbe(nProbe)
+    val np = resolveNProbe(nProbe, tier = "q8")
     val dimLocal = dim
     if (dimLocal > 0) queries.foreach { case (qid, v) =>
       require(v.length == dimLocal,
@@ -780,19 +797,29 @@ final class IvfIndex(
             },
           depth = 2)
       } finally bc.destroy()
-    def emit(heaps: Array[BoundedTopKG[K]], outK: Int): DataFrame = {
-      val rows: Seq[(Long, K, Double, Int)] =
-        if (heaps == null) Seq.empty
-        else heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
-          h.sortedHits().iterator.take(outK).zipWithIndex.map {
-            case ((id, s), r) => (qids(i), id, s, r + 1)
-          }
-        }.toSeq
-      spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
-    }
-    if (overfetch <= 0) return emit(merged, k)
-    emit(rescoreProbedMerged[K](merged, queries.length, qvecs, qnorms,
-      cidToQ, k, normalized), k)
+    if (overfetch <= 0) return emitMergedHits[K](spark, qids, merged, k)(outEnc)
+    emitMergedHits[K](spark, qids,
+      rescoreProbedMerged[K](merged, queries.length, qvecs, qnorms,
+        cidToQ, k, normalized), k)(outEnc)
+  }
+
+  /** Shared emit tail of the composed merged scans
+    * ([[searchMergedQ8]] / [[searchMergedPq]]): per-query heaps ->
+    * (qid, id, score, rank) rows under the common tie rule — ONE place
+    * for the output shape, so the Q8/PQ paths cannot drift.
+    */
+  private def emitMergedHits[K](
+      spark: org.apache.spark.sql.SparkSession, qids: Array[Long],
+      heaps: Array[graft.core.BoundedTopKG[K]], outK: Int)(
+      outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
+    val rows: Seq[(Long, K, Double, Int)] =
+      if (heaps == null) Seq.empty
+      else heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+        h.sortedHits().iterator.take(outK).zipWithIndex.map {
+          case ((id, s), r) => (qids(i), id, s, r + 1)
+        }
+      }.toSeq
+    spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
   }
 
   /** Shared rescore tail of the composed merged scans
@@ -901,20 +928,13 @@ final class IvfIndex(
     import graft.core.{BoundedTopKG, PqStore}
     import graft.operators.{Kernels => Kn}
     val spark = assigned.sparkSession
-    val np = resolveNProbe(nProbe)
+    val np = resolveNProbe(nProbe, tier = "pq")
     val dimLocal = dim
     if (dimLocal > 0) queries.foreach { case (qid, v) =>
       require(v.length == dimLocal,
         s"IvfIndex.searchMergedPq: query $qid has dim ${v.length}, index dim is $dimLocal")
     }
-    val mm =
-      if (m > 0) m
-      else {
-        require(dimLocal % 4 == 0,
-          s"auto PQ sizing needs dim % 4 == 0 (dim=$dimLocal); pass m explicitly")
-        if (dimLocal % 8 == 0) math.max(1, dimLocal / 8)
-        else math.max(1, dimLocal / 4)
-      }
+    val mm = if (m > 0) m else graft.core.PqStore.autoM(dimLocal)
     val (codebook, pqPacked) = packedPqBuckets[K](normalized, mm, byResidual)
     val qids = queries.map(_._1)
     // query prep matches searchMerged: zero -> e0 in normalized mode,
@@ -1050,19 +1070,10 @@ final class IvfIndex(
       }
       chunkStart = chunkEnd
     }
-    def emit(heaps: Array[BoundedTopKG[K]], outK: Int): DataFrame = {
-      val rows: Seq[(Long, K, Double, Int)] =
-        if (heaps == null) Seq.empty
-        else heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
-          h.sortedHits().iterator.take(outK).zipWithIndex.map {
-            case ((id, s), r) => (qids(i), id, s, r + 1)
-          }
-        }.toSeq
-      spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
-    }
-    if (overfetch <= 0) return emit(merged, k)
-    emit(rescoreProbedMerged[K](merged, queries.length, qvecs, qnorms,
-      cidToQ, k, normalized), k)
+    if (overfetch <= 0) return emitMergedHits[K](spark, qids, merged, k)(outEnc)
+    emitMergedHits[K](spark, qids,
+      rescoreProbedMerged[K](merged, queries.length, qvecs, qnorms,
+        cidToQ, k, normalized), k)(outEnc)
   }
 
   /** Bulk (Dataset-query) IVF-SQ8 top-k (round 12): [[searchPacked]]'s
@@ -1095,7 +1106,7 @@ final class IvfIndex(
     import graft.operators.{Kernels => Kn}
     val spark = assigned.sparkSession
     val sc = spark.sparkContext
-    val np = resolveNProbe(nProbe)
+    val np = resolveNProbe(nProbe, tier = "q8")
     val (fpPacked, part) = packedBuckets[K](normalized)
     val q8Packed = packedQ8Buckets[K](normalized)
     val bcCent = sc.broadcast(centroids)
@@ -1185,6 +1196,15 @@ final class IvfIndex(
     * (spec-pinned; oracled as q81 at nProbe = nList). Query prep,
     * duplicate-qid independence (uid-keyed merge), tie rule, and
     * output shape match [[searchPackedQ8]].
+    *
+    * KNOWN COST at nProbe >= nList (shared with [[searchPackedQ8]]):
+    * unlike [[searchPacked]], which reroutes full scans through the
+    * flat slab pack, the quantized cogroup paths ship each query
+    * vector nList times through the probe exchange (Q x nList x dim
+    * floats). Full probing on a quantized path is the exact-parity
+    * GATE shape (q81), not a scale workload — at scale either probe
+    * partially (the point of IVF) or call `searchPacked(exact=true)`,
+    * which full probing equals at covering overfetch anyway.
     */
   def searchPackedPq[K](queries: org.apache.spark.sql.Dataset[(Long, Array[Float])],
                         k: Int, nProbe: Int = 0, normalized: Boolean = true,
@@ -1197,16 +1217,9 @@ final class IvfIndex(
     import graft.operators.{Kernels => Kn}
     val spark = assigned.sparkSession
     val sc = spark.sparkContext
-    val np = resolveNProbe(nProbe)
+    val np = resolveNProbe(nProbe, tier = "pq")
     val dimLocal = dim
-    val mm =
-      if (m > 0) m
-      else {
-        require(dimLocal % 4 == 0,
-          s"auto PQ sizing needs dim % 4 == 0 (dim=$dimLocal); pass m explicitly")
-        if (dimLocal % 8 == 0) math.max(1, dimLocal / 8)
-        else math.max(1, dimLocal / 4)
-      }
+    val mm = if (m > 0) m else graft.core.PqStore.autoM(dimLocal)
     val (fpPacked, part) = packedBuckets[K](normalized)
     val (codebook, pqPacked) = packedPqBuckets[K](normalized, mm, byResidual)
     val bcCent = sc.broadcast(centroids)

@@ -625,6 +625,19 @@ class IvfIndexSpec extends AnyFunSuite {
     idx.searchMerged[Long](queries, k = 5).count()
     assert(idx.lastSearchStrategy == "exact_snap(requested=8)")
 
+    // quantized paths must NOT claim the snap is exact: probing every
+    // bucket through lossy codes stays code-ranked (ADVICE-style
+    // honesty — the r15 review caught "exact_snap" on a PQ scan whose
+    // measured recall was ~0.02)
+    idx.searchMergedQ8[Long](queries, k = 5, nProbe = 8).count()
+    assert(idx.lastSearchStrategy == "all_lists_snap(requested=8, tier=q8)")
+    idx.searchMergedPq[Long](queries, k = 5, nProbe = 8, m = 2).count()
+    assert(idx.lastSearchStrategy == "all_lists_snap(requested=8, tier=pq)")
+    idx.searchMergedPq[Long](queries, k = 5, nProbe = 16, m = 2).count()
+    assert(idx.lastSearchStrategy == "all_lists(tier=pq)")
+    idx.searchMergedQ8[Long](queries, k = 5, nProbe = 2).count()
+    assert(idx.lastSearchStrategy == "probe(np=2, tier=q8)")
+
     // the full scan (snapped or requested) routes through the FLAT
     // slab pack (r13 wrong #2) on both driver-batch and Dataset-query
     // paths — results stay bit-identical to the bucketed machinery

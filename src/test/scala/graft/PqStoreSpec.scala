@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.core.{BlockStore, PqStore}
+import graft.core.{BlockStore, PqCodebook, PqStore}
 import graft.operators.{CosineTopK, Kernels}
 
 /** Product-quantized store: training is deterministic, the ADC scan
@@ -177,5 +177,26 @@ class PqStoreSpec extends AnyFunSuite {
       PqStore.train(bs, m = 7, ksub = 8, sampleCap = 100, seed = 1L, maxIter = 4)
     }
     assert(e.getMessage.contains("must divide"))
+  }
+
+  test("ksub > 256 is rejected loudly (codes are one byte)") {
+    // encodeRow stores indices with .toByte and readers widen with
+    // & 0xFF, so a 512-centroid codebook would silently wrap half its
+    // codes modulo 256 — wrong ADC scores, no exception. The codebook
+    // ctor guards every creation path (train, sidecar load).
+    val e = intercept[IllegalArgumentException] {
+      new PqCodebook(8, 2, 512, new Array[Float](8 * 512 / 2 * 2))
+    }
+    assert(e.getMessage.contains("[1, 256]"))
+    import spark.implicits._
+    val rows = (0 until 300).map(i =>
+      (i.toLong, Array.fill(8)(i.toFloat + (i % 7))))
+    val bs = BlockStore.fromDataset(
+      rows.toDF("v", "e").as[(Long, Array[Float])], normalize = false)
+    val e2 = intercept[IllegalArgumentException] {
+      PqStore.train(bs, m = 2, ksub = 512, sampleCap = 1000, seed = 1L,
+        maxIter = 2)
+    }
+    assert(e2.getMessage.contains("[1, 256]"))
   }
 }
