@@ -228,6 +228,31 @@ object ScaleSmoke {
       approxQ8.getOrElse(qid, Set.empty[Long]).count(exactTop(qid)).toDouble / 10
     }.sum / sampleQ.length
     println(f"SMOKE ann q8 rescored recall@10   $recallQ8%.3f  (same probes, of4)")
+    // IVF-PQ bulk twin (round 15): PQ code slabs + the same fused fp32
+    // rescore cogroup — the m-bytes-per-row candidate tier below int8
+    // (m=32 at 256-d: 32 B/row vs 1 KB fp32, 32x). Codebook train is
+    // N-independent; encode is one narrow map over the packs.
+    timed(s"ann pq train+encode m=32") {
+      idx.searchPackedPq[Long](spark.createDataset(Seq((0L, annQVec(0)))),
+        k = 1, nProbe = 1, normalized = false, m = 32).count()
+    }
+    timed(s"ann searchPackedPq ${nAnnQ}q np=$nProbe scan") {
+      idx.searchPackedPq[Long](annQTyped, k = 10, nProbe = nProbe,
+        normalized = false, m = 32).count()
+    }
+    timed(s"ann searchPackedPq ${nAnnQ}q np=$nProbe of8") {
+      idx.searchPackedPq[Long](annQTyped, k = 10, nProbe = nProbe,
+        normalized = false, overfetch = 8, m = 32).count()
+    }
+    val approxPq = idx.searchPackedPq[Long](
+        spark.createDataset(sampleQ.toSeq), k = 10, nProbe = nProbe,
+        normalized = false, overfetch = 8, m = 32)
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recallPq = sampleQ.map { case (qid, _) =>
+      approxPq.getOrElse(qid, Set.empty[Long]).count(exactTop(qid)).toDouble / 10
+    }.sum / sampleQ.length
+    println(f"SMOKE ann pq rescored recall@10   $recallPq%.3f  (same probes, of8)")
     spark.stop()
   }
 }
