@@ -174,7 +174,11 @@ final class PqStore[K](
     * codebook, per-partition bounded heaps merged up a treeAggregate
     * (the [[BlockStore.topKMerged]] shape). Scores are approximate
     * (PQ reconstruction); use [[rescoredTopK]] when exact ranking
-    * matters.
+    * matters. Batches whose per-task tables (`nq * m * ksub * 4`
+    * bytes) would exceed `graft.pq.table.budget.mb` split into
+    * sequential scan chunks — identical results, bounded task memory
+    * (the same rule as `IvfIndex.searchMergedPq`; spec-pinned there
+    * and in PqStoreSpec here).
     */
   def topKMerged(
       queries: Array[(Long, Array[Float])],
@@ -188,40 +192,62 @@ final class PqStore[K](
       if (cosineMode) qvecs.map(v => math.sqrt(graft.operators.Kernels.normSqD(v)))
       else null
     val cb = codebook
-    val bc = blocks.sparkContext.broadcast((qvecs, qnorms, cb))
     val kk = k
     val localOrd = ord
     val nq = queries.length
-    try {
-      val merged = blocks.treeAggregate(null: PqStore.PqAcc[K])(
-        seqOp = (acc, block) => {
-          val (qs, qn, cbk) = bc.value
-          val a =
-            if (acc != null) acc
-            else {
-              // ADC tables built ONCE per task, amortized over every
-              // block the task scans (m*ksub floats per query)
-              val tabs = new Array[Array[Float]](qs.length)
-              var i = 0
-              while (i < qs.length) { tabs(i) = cbk.adcTable(qs(i)); i += 1 }
-              new PqStore.PqAcc[K](
-                Array.fill(qs.length)(new BoundedTopKG[K](kk)(localOrd)), tabs)
-            }
-          PqStore.scoreBlock(a.heaps, a.tables, cbk.ksub, block, qn)
-          a
-        },
-        combOp = (a, b) =>
-          if (a == null) b
-          else if (b == null) a
-          else {
-            var i = 0
-            while (i < a.heaps.length) { a.heaps(i).absorb(b.heaps(i)); i += 1 }
+    val bytesPerQuery = cb.m.toLong * cb.ksub.toLong * 4L
+    val budgetBytes = new GraftConf(
+      org.apache.spark.sql.SparkSession.active).pqTableBudgetMb.toLong << 20
+    val chunkSize = math.max(1,
+      math.min(Int.MaxValue.toLong,
+        budgetBytes / math.max(1L, bytesPerQuery)).toInt)
+    val out = new Array[Array[(K, Double)]](nq)
+    var start = 0
+    while (start < nq) {
+      val end = math.min(nq, start + chunkSize)
+      val qvChunk = java.util.Arrays.copyOfRange(qvecs, start, end)
+      val qnChunk =
+        if (qnorms == null) null
+        else java.util.Arrays.copyOfRange(qnorms, start, end)
+      val bc = blocks.sparkContext.broadcast((qvChunk, qnChunk, cb))
+      try {
+        val merged = blocks.treeAggregate(null: PqStore.PqAcc[K])(
+          seqOp = (acc, block) => {
+            val (qs, qn, cbk) = bc.value
+            val a =
+              if (acc != null) acc
+              else {
+                // ADC tables built ONCE per task, amortized over every
+                // block the task scans (m*ksub floats per query)
+                val tabs = new Array[Array[Float]](qs.length)
+                var i = 0
+                while (i < qs.length) { tabs(i) = cbk.adcTable(qs(i)); i += 1 }
+                new PqStore.PqAcc[K](
+                  Array.fill(qs.length)(new BoundedTopKG[K](kk)(localOrd)), tabs)
+              }
+            PqStore.scoreBlock(a.heaps, a.tables, cbk.ksub, block, qn)
             a
           },
-        depth = 2)
-      if (merged == null) Array.fill(nq)(Array.empty[(K, Double)])
-      else merged.heaps.map(_.sortedHits())
-    } finally bc.destroy()
+          combOp = (a, b) =>
+            if (a == null) b
+            else if (b == null) a
+            else {
+              var i = 0
+              while (i < a.heaps.length) { a.heaps(i).absorb(b.heaps(i)); i += 1 }
+              a
+            },
+          depth = 2)
+        var i = start
+        while (i < end) {
+          out(i) =
+            if (merged == null) Array.empty[(K, Double)]
+            else merged.heaps(i - start).sortedHits()
+          i += 1
+        }
+      } finally bc.destroy()
+      start = end
+    }
+    out
   }
 
   /** Exact-ranked top-k through the PQ scan: the ADC scan keeps

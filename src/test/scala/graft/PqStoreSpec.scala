@@ -179,6 +179,34 @@ class PqStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must divide"))
   }
 
+  test("topKMerged query chunking is invisible (tiny table budget == one chunk)") {
+    // the same per-task table bound as IvfIndex.searchMergedPq: chunks
+    // are pure mechanics, each query's heap sees the same blocks and
+    // the same float tables whichever chunk it lands in
+    import spark.implicits._
+    val rng = new scala.util.Random(9)
+    val rows = (0 until 400).map(i =>
+      (i.toLong, Array.fill(16)((rng.nextFloat() - 0.5f) * 2f)))
+    val bs = BlockStore.fromDataset(
+      rows.toDF("v", "e").as[(Long, Array[Float])], normalize = false)
+    val pq = PqStore.fromBlockStore(bs, m = 4, sampleCap = 1000, seed = 3L)
+    val queries = rows.filter(_._1 % 3 == 0).toArray // 134 queries
+    def key(r: Array[Array[(Long, Double)]]) =
+      r.map(_.map { case (id, s) =>
+        (id, java.lang.Double.doubleToLongBits(s)) }.toSeq).toSeq
+    val one = key(pq.topKMerged(queries, 5))
+    // m=4/ksub=256 -> 4 KB per query table; 1 MB budget -> 256-query
+    // chunks... still one chunk at 134. Force multi-chunk by batch
+    // size: replicate to 600 queries (3 chunks at 1 MB).
+    val big = Array.tabulate(600)(i => queries(i % queries.length))
+    val bigOne = key(pq.topKMerged(big, 5))
+    spark.conf.set("graft.pq.table.budget.mb", "1")
+    try {
+      assert(key(pq.topKMerged(queries, 5)) == one)
+      assert(key(pq.topKMerged(big, 5)) == bigOne)
+    } finally spark.conf.unset("graft.pq.table.budget.mb")
+  }
+
   test("ksub > 256 is rejected loudly (codes are one byte)") {
     // encodeRow stores indices with .toByte and readers widen with
     // & 0xFF, so a 512-centroid codebook would silently wrap half its
