@@ -9,7 +9,10 @@ import org.apache.spark.sql.SparkSession
   * worst case for ANY coarse quantizer, same caveat as the HNSW
   * rows; planted clusters are where recall is meaningful).
   *
-  * Usage: runMain graft.tools.PqProbe [uniform|clustered|both]
+  * Usage: runMain graft.tools.PqProbe
+  *   [uniform|clustered|both]                       — flat PqStore
+  *   ivfpq                                          — IVF-PQ, uniform+clustered, m=args(1)
+  *   ivfpq-clustered [m] [nCenters] [of,of] [noise] — IVF-PQ parameter sweeps
   */
 object PqProbe {
   def main(args: Array[String]): Unit = {
