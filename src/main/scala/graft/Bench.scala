@@ -770,6 +770,60 @@ object Bench {
       if (pqs != null) pqs.unpersist()
     }
 
+    // ---- binary-sketch rows (round 15): the tier below PQ — 256
+    // sign bits = 32 B/row (128x below fp32 at 1024-d), NO training,
+    // Hamming scan (XOR+popcount) + the shared fp32 rescore. Same
+    // uniform-random recall caveat as the PQ rows.
+    var bits: graft.core.BitStore[Long] = null
+    try {
+      import spark.implicits._
+      canarySample()
+      record("picovdb_bit_sketch", Seq(timed {
+        bits = graft.core.BitStore.fromBlockStore(store, bits = 256).persist()
+        bits.materialize()
+        ()
+      }))
+      def bitScanSample(): Double = timed { bits.topKMerged(queries, topK); () }
+      record("picovdb_bit_1000q", (1 to 3).map { _ =>
+        canarySample()
+        bitScanSample()
+      })
+      retryIfSuspect("picovdb_bit_1000q")(bitScanSample())
+      def bitRescoreSample(): Double = timed {
+        bits.rescoredTopK(queries, topK, 32).count()
+        ()
+      }
+      record("picovdb_bit_rescored_1000q", (1 to 3).map { _ =>
+        canarySample()
+        bitRescoreSample()
+      })
+      retryIfSuspect("picovdb_bit_rescored_1000q")(bitRescoreSample())
+      val exactTopB = CosineTopK.gemmBlocks(store, queries, topK)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      def recallOfB(m: Map[Long, Set[Long]]): Double = {
+        val perQ = queries.map { case (qid, _) =>
+          val ex = exactTopB.getOrElse(qid, Set.empty[Long])
+          if (ex.isEmpty) 1.0
+          else m.getOrElse(qid, Set.empty[Long]).count(ex).toDouble / ex.size
+        }
+        perQ.sum / math.max(1, perQ.length)
+      }
+      val scanTopB = queries.map(_._1).zip(bits.topKMerged(queries, topK))
+        .map { case (qid, hits) => qid -> hits.map(_._1).toSet }.toMap
+      recalls("bit_scan") = recallOfB(scanTopB)
+      val resTopB = bits.rescoredTopK(queries, topK, 32)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      recalls("bit_rescore_of32") = recallOfB(resTopB)
+    } catch {
+      case e: Throwable =>
+        errors("picovdb_bit") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    } finally {
+      if (bits != null) bits.unpersist()
+    }
+
     // ---- HNSW serving rows (round 13): the mirror of the reference's
     // FAISS-HNSW rows (README.md:73-76,87-89: build 50-110 s, 0.4 ms
     // single query, 0.1-0.16 s 1000-query batch — on the SAME uniform

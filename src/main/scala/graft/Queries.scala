@@ -1204,6 +1204,46 @@ object Queries {
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  // ---- binary-sketch store entry (q82) ----
+
+  /** Per-dataset binary-sketch store, built once and cached: seeded
+    * random-hyperplane sign bits, NO training at all — the
+    * distribution-free tier below PQ (32 B/row at 256 bits vs the
+    * 64-d embeddings' 256 float bytes, 8x; at 1024-d it is 128x).
+    */
+  private val bitCache =
+    new core.SessionLru[String, (SparkSession, core.BitStore[Long])](
+      4, _._1, _._2.unpersist(false, cascadeSource = true))
+  private def bitStore(spark: SparkSession, dir: String): core.BitStore[Long] = {
+    import spark.implicits._
+    bitCache.getOrBuild(s"$dir/embeddings#bit") {
+      val ds = t(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      val bit = core.BitStore.fromBlockStore(
+        core.BlockStore.fromDataset(ds, normalize = false), bits = 256).persist()
+      bit.materialize()
+      (spark, bit)
+    }._2
+  }
+
+  /** Oracled exact-parity entry for the binary-sketch machinery (the
+    * q79 pattern): overfetch-all keeps every row through the Hamming
+    * scan, so the shared full-precision rescore IS the exact top-k —
+    * hash-matched by the same DuckDB top-k oracle as q01. Proves
+    * sketch -> Hamming scan -> candidate -> rescore end-to-end with a
+    * green CORRECTNESS row.
+    */
+  def bitRescoreExact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") >= 120 && col("vec_id") < 140)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    import spark.implicits._
+    bitStore(spark, dir).rescoredTopK(queries, k = 10, overfetch = 0)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Gap-based sessionization over events (pipeline op): 30-minute
     * inactivity gap per user, per-session rollup. See
     * [[operators.Sessionize]] for semantics and the 100 TB shape.
@@ -1601,6 +1641,7 @@ object Queries {
     "q79_pq_rescore" -> (pqRescoreExact _),
     "q80_ann_ivf_pq" -> (annIvfPq _),
     "q81_ann_ivf_pq_ds" -> (annIvfPqDs _),
+    "q82_bit_rescore" -> (bitRescoreExact _),
   )
 }
 
@@ -2172,6 +2213,8 @@ object Oracles {
     // q78 is approximate (no oracle; self-asserted recall floor).
     // q79: PQ overfetch-all rescore == exact top-k (the q56 shape)
     "q79_pq_rescore" -> topkOracle("vec_id >= 100 AND vec_id < 120", "true", 10, None),
+    // q82: binary-sketch overfetch-all == exact (the q79 shape)
+    "q82_bit_rescore" -> topkOracle("vec_id >= 120 AND vec_id < 140", "true", 10, None),
     // q80: IVF-PQ at nProbe=nList + covering overfetch == exact (the q59 shape)
     "q80_ann_ivf_pq" -> topkOracle("vec_id >= 180 AND vec_id < 200", "true", 10, None),
     // q81: bulk (Dataset-query) IVF-PQ, same exactness argument via the
