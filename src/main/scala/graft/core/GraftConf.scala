@@ -140,6 +140,19 @@ final class GraftConf(spark: SparkSession) {
     of
   }
 
+  /** Rescore overfetch for the bit (binary-sketch) query strategy.
+    * Default 16 — Hamming candidates are coarser than PQ's ADC ones
+    * (1 bit/plane vs 8 bits/subspace), so the candidate cut is the
+    * widest of the tiers. Same positivity contract as q8/pq.
+    */
+  def bitOverfetch: Int = {
+    val of = opt("bit.overfetch", "GRAFT_BIT_OVERFETCH").map(_.toInt).getOrElse(16)
+    require(of > 0,
+      s"graft.bit.overfetch must be > 0 on the store query path (got $of); " +
+        "disable bit for exact results instead of overfetch<=0")
+    of
+  }
+
   /** Per-task ADC table budget (MB) for the IVF-PQ merged scan. Tables
     * are per-query `m * ksub` float arrays built once per task, so a
     * driver batch costs `nq * m * ksub * 4` bytes PER TASK — query

@@ -162,7 +162,8 @@ object StoreIO {
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
     }
-    val (dim, annNList, hnswParams, pqParams, additional) = parseMeta(metaStr)
+    val (dim, annNList, hnswParams, pqParams, bitBits, additional) =
+      parseMeta(metaStr)
     val df = spark.read.schema(VdbStore.schema).parquet(dataDir.toString)
     val store = VdbStore.fromDF(spark, dim, df, additional)
     annNList.foreach { n =>
@@ -209,6 +210,9 @@ object StoreIO {
         }
       store.restorePq(m, book)
     }
+    // the bit sketch has no trained state: re-enabling from the meta
+    // key alone fully restores it (hyperplanes regenerate from seed)
+    bitBits.foreach(store.restoreBit)
     store.storagePath = Some(path)
     store
   }
@@ -220,7 +224,7 @@ object StoreIO {
     */
   private[graft] def parseMeta(s: String)
       : (Int, Option[Int], Option[(Int, Int)], Option[(Int, Int)],
-         Map[String, String]) = {
+         Option[Int], Map[String, String]) = {
     // The writer always emits embedding_dim (and ann_nlist / hnsw_m /
     // hnsw_efc, if any) BEFORE additional_data — match the scalar keys
     // only in that prefix, or a user value like {"cfg": {"ann_nlist":
@@ -245,11 +249,13 @@ object StoreIO {
       k <- """"pq_ksub"\s*:\s*(\d+)""".r
         .findFirstMatchIn(head).map(_.group(1).toInt)
     } yield (m, k)
+    val bit = """"bit_bits"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(head).map(_.group(1).toInt)
     val kv = adMatch match {
       case None    => Map.empty[String, String]
       case Some(m) => parseObject(s, skipWs(s, m.end))
     }
-    (dim, ann, hnsw, pq, kv)
+    (dim, ann, hnsw, pq, bit, kv)
   }
 
   /** True iff `v` is one complete JSON value (used to validate raw side

@@ -206,6 +206,48 @@ final class VdbStore private (
     pqBook = cb.filter(b => b.dim == dim && b.m == m)
   }
 
+  // binary-sketch tier below PQ (graft.core.BitStore): seeded
+  // sign-bit sketches + the shared fp32 rescore. NO trained state at
+  // all — hyperplanes regenerate from (bits, dim, seed) — so unlike
+  // PQ the only thing save/load carries is the bits count itself.
+  @volatile private var bitBits: Option[Int] = None
+  @volatile private var bitCache: Option[(Long, BitStore[String])] = None
+
+  /** Enable the binary-sketch strategy. Bypass rules are the q8/pq
+    * ones (O28: any filter/threshold routes exact); precedence is
+    * hnsw > ann > q8 > pq > bit — the sketch is the coarsest, cheapest
+    * tier, so any more-accurate accelerator that is enabled wins.
+    * Distribution-free: mutations re-sketch (one map, no train), and
+    * save/load re-enables from the `bit_bits` meta key alone.
+    */
+  def enableBit(bits: Int = 256): Unit = {
+    require(bits >= 1 && bits <= (1 << 16),
+      s"bit sketch width must be in [1, 65536], got $bits")
+    if (!bitBits.contains(bits)) {
+      bitCache.foreach(_._2.unpersist(false))
+      bitCache = None
+    }
+    bitBits = Some(bits)
+  }
+
+  def disableBit(): Unit = {
+    bitBits = None
+    bitCache.foreach(_._2.unpersist(false))
+    bitCache = None
+  }
+
+  private def bitStoreAcc(): BitStore[String] = bitCache match {
+    case Some((v, s)) if v == storeVersion => s
+    case old =>
+      val s = BitStore.fromBlockStore(blockStore(), bitBits.get).persist()
+      s.materialize()
+      bitCache = Some((storeVersion, s))
+      old.foreach(_._2.unpersist(false))
+      s
+  }
+
+  private[core] def restoreBit(bits: Int): Unit = { bitBits = Some(bits) }
+
   /** Enable the IVF accelerator; the index itself is built lazily on the
     * next unfiltered query (and refreshed when the store has mutated).
     * `nList <= 0` (and the no-arg overload) selects AUTO list count:
@@ -644,12 +686,16 @@ final class VdbStore private (
     // no more-accurate accelerator is enabled (same bypass rules)
     val usePq = !useQ8 && hnsw.isEmpty && ann.isEmpty && pqM.isDefined &&
       unfiltered && betterThan.isEmpty
+    // bit is the coarsest, lowest-precedence tier (same bypass rules)
+    val useBit = !usePq && !useQ8 && hnsw.isEmpty && ann.isEmpty &&
+      bitBits.isDefined && unfiltered && betterThan.isEmpty
     lastStrategy = Some(
       if (hnsw.isDefined) "hnsw"
       else if (ann.isDefined && q8Enabled) "ann+q8"
       else if (ann.isDefined) "ann"
       else if (useQ8) "q8"
       else if (usePq) "pq"
+      else if (useBit) "bit"
       else if (unfiltered) "exact"
       else "exact-filtered")
 
@@ -721,6 +767,14 @@ final class VdbStore private (
         // (Q8Store.rescoreCandidates), so scores are double-accumulated
         // identically.
         pqStoreAcc().rescoredTopK(queries, topK, conf.pqOverfetch)
+          .select(col("qid"), col("id"), col("score"), col("rank"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
+      case None if useBit =>
+        // Hamming scan (bits/8 bytes/row, XOR+popcount) ->
+        // k x graft.bit.overfetch candidates -> the same exact double
+        // rescore as q8/pq.
+        bitStoreAcc().rescoredTopK(queries, topK, conf.bitOverfetch)
           .select(col("qid"), col("id"), col("score"), col("rank"))
           .collect()
           .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
@@ -1028,7 +1082,8 @@ final class VdbStore private (
     val pq = pqM.map(m =>
       s""""pq_m": $m, "pq_ksub": ${pqBook.map(_.ksub).getOrElse(256)}, """)
       .getOrElse("")
-    s"""{"embedding_dim": $dim, $ann$hnsw$pq"additional_data": {$kv}}"""
+    val bit = bitBits.map(b => s""""bit_bits": $b, """).getOrElse("")
+    s"""{"embedding_dim": $dim, $ann$hnsw$pq$bit"additional_data": {$kv}}"""
   }
 
   private def swap(next: DataFrame): Unit = {

@@ -571,6 +571,56 @@ class VdbStoreSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.query.exact")
   }
 
+  test("bit strategy: routed, coarsest precedence, bypassed like ANN, bit-equal to exact under query.exact, save/load re-enables") {
+    val s = freshStore(4)
+    val recs = (0 until 80).map { i =>
+      val v = new Array[Float](4); v(i % 4) = 1f; v((i + 1) % 4) = 0.1f * (i % 3)
+      rec(s"r$i", v, s"""{"g": ${i % 4}}""")
+    }
+    s.upsert(recs)
+    spark.conf.set("graft.query.exact", "true")
+    try {
+      val q = Array(1f, 0.05f, 0f, 0f)
+      val exact = s.queryOne(q, topK = 5)
+      s.enableBit(bits = 128)
+      val bit = s.queryOne(q, topK = 5)
+      assert(s.lastQueryStrategy.contains("bit"))
+      // shared double rescore == exact strategy under query.exact (the
+      // separated fixture: Hamming cannot push the true top-5 out of
+      // the overfetch-16 candidate cut)
+      assert(bit.map(h => (h.id, h.metrics)) == exact.map(h => (h.id, h.metrics)))
+      // bypass rules mirror ANN/q8/pq
+      s.queryOne(q, topK = 3, where = Some(get_json_object(col("meta"), "$.g") === "1"))
+      assert(s.lastQueryStrategy.contains("exact-filtered"))
+      s.queryOne(q, topK = 3, betterThan = Some(0.1))
+      assert(s.lastQueryStrategy.contains("exact"))
+      // coarsest precedence: pq (and q8) win when enabled beside it
+      s.enablePq(m = 2)
+      s.queryOne(q, topK = 3)
+      assert(s.lastQueryStrategy.contains("pq"))
+      s.disablePq()
+      // mutation re-sketches: the new row is findable
+      s.upsert(Seq(rec("fresh", Array(0f, 0f, 0f, 1f), """{"g": 9}""")))
+      val after = s.queryOne(Array(0f, 0f, 0f, 1f), topK = 1)
+      assert(s.lastQueryStrategy.contains("bit"))
+      assert(after.head.id == "fresh")
+      // save/load round-trips the strategy from the meta key alone
+      // (no trained sidecar: the sketch is distribution-free)
+      val dir = java.nio.file.Files.createTempDirectory("vdbbit").toString + "/store"
+      s.save(dir)
+      val loaded = graft.core.StoreIO.load(spark, dir)
+      loaded.queryOne(q, topK = 5)
+      assert(loaded.lastQueryStrategy.contains("bit"))
+      assert(loaded.queryOne(q, topK = 5).map(h => (h.id, h.metrics)) ==
+        exact.map(h => (h.id, h.metrics)))
+      s.disableBit()
+      s.queryOne(q, topK = 3)
+      assert(s.lastQueryStrategy.contains("exact"))
+      val e = intercept[IllegalArgumentException](s.enableBit(bits = 0))
+      assert(e.getMessage.contains("[1, 65536]"))
+    } finally spark.conf.unset("graft.query.exact")
+  }
+
   test("hnsw strategy: routed, outranks ann, bypassed like ANN, dirtied by mutation") {
     val s = freshStore(8)
     // well-separated unit rows (the IvfIndexSpec fixture idea): graph
