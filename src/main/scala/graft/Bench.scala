@@ -640,6 +640,23 @@ object Bench {
     // candidates re-ranked in full precision against the store), and
     // recall@10 vs the exact path for both, so the bandwidth/recall
     // trade is measured, not asserted.
+
+    // ONE exact ground truth + recall helper shared by the q8/pq/bit
+    // tier sections below (r15 review: three verbatim copies each
+    // re-ran the full exact GEMM over the 100k x 1024 store)
+    lazy val flatExactTop: Map[Long, Set[Long]] =
+      CosineTopK.gemmBlocks(store, queries, topK)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def flatRecallOf(m: Map[Long, Set[Long]]): Double = {
+      val perQ = queries.map { case (qid, _) =>
+        val ex = flatExactTop.getOrElse(qid, Set.empty[Long])
+        if (ex.isEmpty) 1.0
+        else m.getOrElse(qid, Set.empty[Long]).count(ex).toDouble / ex.size
+      }
+      perQ.sum / math.max(1, perQ.length)
+    }
+
     var q8: graft.core.Q8Store[Long] = null
     try {
       import spark.implicits._
@@ -681,24 +698,13 @@ object Bench {
         q8RescoreSample()
       })
       retryIfSuspect("picovdb_q8_rescore_1000q")(q8RescoreSample())
-      val exactTopQ = CosineTopK.gemmBlocks(store, queries, topK)
-        .select("qid", "id").collect()
-        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-      def recallOf(m: Map[Long, Set[Long]]): Double = {
-        val perQ = queries.map { case (qid, _) =>
-          val ex = exactTopQ.getOrElse(qid, Set.empty[Long])
-          if (ex.isEmpty) 1.0
-          else m.getOrElse(qid, Set.empty[Long]).count(ex).toDouble / ex.size
-        }
-        perQ.sum / math.max(1, perQ.length)
-      }
       val scanTop = queries.map(_._1).zip(q8.topKMerged(queries, topK))
         .map { case (qid, hits) => qid -> hits.map(_._1).toSet }.toMap
-      recalls("q8_scan") = recallOf(scanTop)
+      recalls("q8_scan") = flatRecallOf(scanTop)
       val resTop = q8.rescoredTopK(queries, topK, 4)
         .select("qid", "id").collect()
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-      recalls("q8_rescore_of4") = recallOf(resTop)
+      recalls("q8_rescore_of4") = flatRecallOf(resTop)
     } catch {
       case e: Throwable =>
         errors("picovdb_q8") =
@@ -744,24 +750,13 @@ object Bench {
         pqRescoreSample()
       })
       retryIfSuspect("picovdb_pq_rescored_1000q")(pqRescoreSample())
-      val exactTopQ = CosineTopK.gemmBlocks(store, queries, topK)
-        .select("qid", "id").collect()
-        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-      def recallOf(m: Map[Long, Set[Long]]): Double = {
-        val perQ = queries.map { case (qid, _) =>
-          val ex = exactTopQ.getOrElse(qid, Set.empty[Long])
-          if (ex.isEmpty) 1.0
-          else m.getOrElse(qid, Set.empty[Long]).count(ex).toDouble / ex.size
-        }
-        perQ.sum / math.max(1, perQ.length)
-      }
       val scanTop = queries.map(_._1).zip(pqs.topKMerged(queries, topK))
         .map { case (qid, hits) => qid -> hits.map(_._1).toSet }.toMap
-      recalls("pq_scan") = recallOf(scanTop)
+      recalls("pq_scan") = flatRecallOf(scanTop)
       val resTop = pqs.rescoredTopK(queries, topK, 32)
         .select("qid", "id").collect()
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-      recalls("pq_rescore_of32") = recallOf(resTop)
+      recalls("pq_rescore_of32") = flatRecallOf(resTop)
     } catch {
       case e: Throwable =>
         errors("picovdb_pq") =
@@ -798,24 +793,13 @@ object Bench {
         bitRescoreSample()
       })
       retryIfSuspect("picovdb_bit_rescored_1000q")(bitRescoreSample())
-      val exactTopB = CosineTopK.gemmBlocks(store, queries, topK)
-        .select("qid", "id").collect()
-        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-      def recallOfB(m: Map[Long, Set[Long]]): Double = {
-        val perQ = queries.map { case (qid, _) =>
-          val ex = exactTopB.getOrElse(qid, Set.empty[Long])
-          if (ex.isEmpty) 1.0
-          else m.getOrElse(qid, Set.empty[Long]).count(ex).toDouble / ex.size
-        }
-        perQ.sum / math.max(1, perQ.length)
-      }
       val scanTopB = queries.map(_._1).zip(bits.topKMerged(queries, topK))
         .map { case (qid, hits) => qid -> hits.map(_._1).toSet }.toMap
-      recalls("bit_scan") = recallOfB(scanTopB)
+      recalls("bit_scan") = flatRecallOf(scanTopB)
       val resTopB = bits.rescoredTopK(queries, topK, 32)
         .select("qid", "id").collect()
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-      recalls("bit_rescore_of32") = recallOfB(resTopB)
+      recalls("bit_rescore_of32") = flatRecallOf(resTopB)
     } catch {
       case e: Throwable =>
         errors("picovdb_bit") =

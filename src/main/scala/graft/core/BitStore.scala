@@ -4,20 +4,23 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
 import graft.functions.NormalizeL2
-import graft.operators.Kernels
 
 import scala.reflect.ClassTag
 
 /** One binary-sketch block: `words` longs per row (`bits` sign bits of
   * random-hyperplane projections, packed little-endian within each
-  * long), co-indexed with `ids`. The row layout mirrors
-  * [[Q8Block]]/[[PqBlock]]: row r's code words live at
-  * `words * r until words * (r + 1)`.
+  * long), co-indexed with `ids`. `dim` is the SOURCE row dimension the
+  * sketch was taken at — query sketches must use the same hyperplanes,
+  * so scans validate it task-side (a mismatched-dim query would
+  * otherwise compare codes from different projections and return
+  * silent garbage). The row layout mirrors [[Q8Block]]/[[PqBlock]]:
+  * row r's code words live at `words * r until words * (r + 1)`.
   */
 final class BitBlock[K](
     val ids: Array[K],
     val codes: Array[Long],
-    val words: Int) extends Serializable {
+    val words: Int,
+    val dim: Int) extends Serializable {
   def rows: Int = ids.length
 }
 
@@ -94,7 +97,7 @@ final class BitStore[K](
     java.util.stream.IntStream.range(0, qvecs.length).parallel().forEach { i =>
       BitStore.encodeRow(qvecs(i), 0, dim, planes, bits, qcodes, i * w)
     }
-    val bc = blocks.sparkContext.broadcast(qcodes)
+    val bc = blocks.sparkContext.broadcast((qcodes, dim))
     val kk = k
     val localOrd = ord
     val nq = queries.length
@@ -102,7 +105,11 @@ final class BitStore[K](
     try {
       val merged = blocks.treeAggregate(null: Array[BoundedTopKG[K]])(
         seqOp = (acc, block) => {
-          val qc = bc.value
+          val (qc, qDim) = bc.value
+          // mismatched hyperplanes = silent garbage, so fail loudly
+          // (the fp32/q8 scans at least crash on the same misuse)
+          require(block.dim == qDim,
+            s"BitStore scan: query dim $qDim != store sketch dim ${block.dim}")
           val heaps = if (acc != null) acc
                       else Array.fill(qc.length / w)(new BoundedTopKG[K](kk)(localOrd))
           BitStore.scoreBlock(heaps, block, qc, nBits)
@@ -249,7 +256,7 @@ object BitStore {
         encodeRow(blk.data, r * blk.dim, blk.dim, planes, b, codes, r * w)
         r += 1
       }
-      new BitBlock[K](blk.ids, codes, w)
+      new BitBlock[K](blk.ids, codes, w, blk.dim)
     }
     new BitStore[K](sketched, bits, seed, bs.normalized, bs)
   }

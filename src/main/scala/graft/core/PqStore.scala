@@ -196,12 +196,22 @@ final class PqStore[K](
     val localOrd = ord
     val nq = queries.length
     val bytesPerQuery = cb.m.toLong * cb.ksub.toLong * 4L
-    val budgetBytes = new GraftConf(
-      org.apache.spark.sql.SparkSession.active).pqTableBudgetMb.toLong << 20
+    // budget from the active session if one is bound to this thread,
+    // else the default session (a driver thread with neither gets the
+    // 64 MB default rather than an IllegalStateException on a scan
+    // path that previously had no session dependency)
+    val budgetMb = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(s => new GraftConf(s).pqTableBudgetMb)
+      .getOrElse(64)
+    val budgetBytes = budgetMb.toLong << 20
     val chunkSize = math.max(1,
       math.min(Int.MaxValue.toLong,
         budgetBytes / math.max(1L, bytesPerQuery)).toInt)
     val out = new Array[Array[(K, Double)]](nq)
+    // the codebook is loop-invariant: ship it once, not per chunk
+    val bcCb = blocks.sparkContext.broadcast(cb)
+    try {
     var start = 0
     while (start < nq) {
       val end = math.min(nq, start + chunkSize)
@@ -209,11 +219,12 @@ final class PqStore[K](
       val qnChunk =
         if (qnorms == null) null
         else java.util.Arrays.copyOfRange(qnorms, start, end)
-      val bc = blocks.sparkContext.broadcast((qvChunk, qnChunk, cb))
+      val bc = blocks.sparkContext.broadcast((qvChunk, qnChunk))
       try {
         val merged = blocks.treeAggregate(null: PqStore.PqAcc[K])(
           seqOp = (acc, block) => {
-            val (qs, qn, cbk) = bc.value
+            val (qs, qn) = bc.value
+            val cbk = bcCb.value
             val a =
               if (acc != null) acc
               else {
@@ -247,6 +258,7 @@ final class PqStore[K](
       } finally bc.destroy()
       start = end
     }
+    } finally bcCb.destroy()
     out
   }
 

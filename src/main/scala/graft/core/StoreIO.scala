@@ -211,8 +211,10 @@ object StoreIO {
       store.restorePq(m, book)
     }
     // the bit sketch has no trained state: re-enabling from the meta
-    // key alone fully restores it (hyperplanes regenerate from seed)
-    bitBits.foreach(store.restoreBit)
+    // key alone fully restores it (hyperplanes regenerate from seed).
+    // enableBit, not a restore shim, so a corrupt/hand-edited bit_bits
+    // fails HERE with a diagnosable load error, not on every query.
+    bitBits.foreach(store.enableBit)
     store.storagePath = Some(path)
     store
   }

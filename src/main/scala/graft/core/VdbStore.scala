@@ -246,8 +246,6 @@ final class VdbStore private (
       s
   }
 
-  private[core] def restoreBit(bits: Int): Unit = { bitBits = Some(bits) }
-
   /** Enable the IVF accelerator; the index itself is built lazily on the
     * next unfiltered query (and refreshed when the store has mutated).
     * `nList <= 0` (and the no-arg overload) selects AUTO list count:
