@@ -126,6 +126,43 @@ object ScaleSmoke {
       println(f"SMOKE q8 recall@10 scan/rescore   ${rc(scanS)}%.3f / ${rc(resS)}%.3f")
       q8.unpersist()
     }
+
+    // binary-sketch flat tier (round 15): completes the measured
+    // bandwidth ladder fp32 -> int8 -> bit at this N (PQ's flat rows
+    // live in PqProbe; here the ladder anchors are the store tiers).
+    // 256 sign bits = 32 B/row vs int8's 256 B and fp32's 1 KB.
+    {
+      import org.apache.spark.sql.functions.col
+      var bit: graft.core.BitStore[Long] = null
+      timed("bit sketch 256b") {
+        bit = graft.core.BitStore.fromBlockStore(store, bits = 256).persist()
+        bit.materialize()
+      }
+      timed("bit scan 1000q top10") {
+        bit.topKMerged(queries, 10).length.toLong
+      }
+      timed("bit scan again") {
+        bit.topKMerged(queries, 10).length.toLong
+      }
+      timed("bit rescore 1000q of16") {
+        bit.rescoredTopK(queries, 10, 16).count()
+      }
+      timed("bit rescore again") {
+        bit.rescoredTopK(queries, 10, 16).count()
+      }
+      val sample = queries.take(100)
+      val exactS = CosineTopK.gemmBlocks(store, sample, 10)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val resS = bit.rescoredTopK(sample, 10, 16)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val rcB = sample.map { case (qid, _) =>
+        resS.getOrElse(qid, Set.empty[Long]).count(exactS(qid)).toDouble / 10
+      }.sum / sample.length
+      println(f"SMOKE bit recall@10 rescore of16  $rcB%.3f")
+      bit.unpersist()
+    }
     if (q8Only) { spark.stop(); return }
 
     // ---- ANN phase (VERDICT r8 next-round #4): the Dataset-side IVF
