@@ -1204,6 +1204,30 @@ object Queries {
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Oracled IVF-bit entry (q83, round 15): the cheapest composed rung
+    * — IVF prunes the probed buckets, 256 sign bits hold each scanned
+    * row, Hamming ranks candidates, the shared fp32 tail rescores. At
+    * nProbe = nList + covering overfetch the result is exact by the
+    * same argument as q80/q81, so the standard DuckDB top-k oracle
+    * hash-matches the whole sketch -> Hamming -> rescore composition.
+    */
+  def annIvfBit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") >= 140 && col("vec_id") < 160)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val idx = operators.IvfIndex.cached(s"$dir/embeddings#16")(
+      operators.IvfIndex.build(emb, "vec_id", "embedding", nList = 16,
+        normalized = false))
+    val k = 10
+    val overfetch = (emb.count() / k + 1).toInt
+    idx.searchMergedBit[Long](queries, k = k, nProbe = idx.nList,
+        normalized = false, overfetch = overfetch, bits = 256)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
   // ---- binary-sketch store entry (q82) ----
 
   /** Per-dataset binary-sketch store, built once and cached: seeded
@@ -1642,6 +1666,7 @@ object Queries {
     "q80_ann_ivf_pq" -> (annIvfPq _),
     "q81_ann_ivf_pq_ds" -> (annIvfPqDs _),
     "q82_bit_rescore" -> (bitRescoreExact _),
+    "q83_ann_ivf_bit" -> (annIvfBit _),
   )
 }
 
@@ -2215,6 +2240,8 @@ object Oracles {
     "q79_pq_rescore" -> topkOracle("vec_id >= 100 AND vec_id < 120", "true", 10, None),
     // q82: binary-sketch overfetch-all == exact (the q79 shape)
     "q82_bit_rescore" -> topkOracle("vec_id >= 120 AND vec_id < 140", "true", 10, None),
+    // q83: IVF-bit at nProbe=nList + covering overfetch == exact
+    "q83_ann_ivf_bit" -> topkOracle("vec_id >= 140 AND vec_id < 160", "true", 10, None),
     // q80: IVF-PQ at nProbe=nList + covering overfetch == exact (the q59 shape)
     "q80_ann_ivf_pq" -> topkOracle("vec_id >= 180 AND vec_id < 200", "true", 10, None),
     // q81: bulk (Dataset-query) IVF-PQ, same exactness argument via the

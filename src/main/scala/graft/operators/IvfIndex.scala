@@ -63,6 +63,14 @@ final class IvfIndex(
     new java.util.concurrent.ConcurrentHashMap[(Boolean, Class[_], Int, Boolean),
       (graft.core.PqCodebook, org.apache.spark.rdd.RDD[_])]()
 
+  /** Binary-sketch twins of the packed buckets (IVF-bit, round 15) —
+    * seeded sign-bit sketches per bucket slab, no trained state at
+    * all; keyed by (normalized, K, bits) like the pq cache.
+    */
+  @transient private lazy val packedBitCache =
+    new java.util.concurrent.ConcurrentHashMap[(Boolean, Class[_], Int),
+      org.apache.spark.rdd.RDD[_]]()
+
   /** Flat slab repacks of the bucketed blocks (full-scan route) —
     * derived narrowly from [[packedBuckets]], cached like the others.
     */
@@ -95,6 +103,8 @@ final class IvfIndex(
     packedQ8Cache.clear()
     packedPqCache.forEach((_, v) => { v._2.unpersist(false); () })
     packedPqCache.clear()
+    packedBitCache.forEach((_, v) => { v.unpersist(false); () })
+    packedBitCache.clear()
     flatPackCache.forEach((_, v) => { v.unpersist(false); () })
     flatPackCache.clear()
     swapFullScanQPrep(null)
@@ -1076,6 +1086,120 @@ final class IvfIndex(
         cidToQ, k, normalized), k)(outEnc)
   }
 
+  /** IVF-bit driver-batch top-k (round 15): the binary-sketch analog
+    * of [[searchMergedPq]] and the cheapest rung of the composed
+    * ladder — IVF prunes WHICH buckets are scanned, `bits` sign bits
+    * hold each scanned row (32 B at the default 256 — 128x below fp32
+    * at 1024-d), candidates rank by Hamming XOR+popcount, and
+    * `overfetch > 0` rescores through the SAME probed-bucket fp32
+    * tail as the q8/pq merged paths ([[rescoreProbedMerged]]) — at
+    * covering overfetch the result is bit-equal to
+    * `searchMerged(exact = true)` at the same nProbe (spec-pinned;
+    * oracled as q83 at nProbe = nList). No per-query tables (the PQ
+    * ADC budget term does not exist), no training, no offsets — the
+    * sketch is scale-invariant so one pack serves both store modes'
+    * candidate scans; query prep, tie rule, and output shape match
+    * [[searchMergedPq]]. Same honest caveat as the flat tier:
+    * Hamming candidates are concentration-limited on uniform data —
+    * compose on clustered embeddings or behind a wider overfetch.
+    */
+  def searchMergedBit[K](queries: Array[(Long, Array[Float])], k: Int,
+                         nProbe: Int = 0, normalized: Boolean = true,
+                         overfetch: Int = 0, bits: Int = 256)(
+      implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
+      rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)],
+      outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
+    import graft.core.{BitStore, BoundedTopKG}
+    import graft.operators.{Kernels => Kn}
+    val spark = assigned.sparkSession
+    val np = resolveNProbe(nProbe, tier = "bit")
+    val dimLocal = dim
+    if (dimLocal > 0) queries.foreach { case (qid, v) =>
+      require(v.length == dimLocal,
+        s"IvfIndex.searchMergedBit: query $qid has dim ${v.length}, index dim is $dimLocal")
+    }
+    val bitPacked = packedBitBuckets[K](normalized, bits)
+    val qids = queries.map(_._1)
+    val qvecs = queries.map { q =>
+      val v = q._2
+      if (normalized && Kn.normSqD(v) == 0.0) {
+        val e = new Array[Float](math.max(1, dimLocal)); e(0) = 1f; e
+      } else v
+    }
+    val qnorms =
+      if (normalized) null
+      else qvecs.map(v => math.sqrt(Kn.normSqD(v)))
+    val probesPerQ = new Array[Array[Int]](queries.length)
+    java.util.stream.IntStream.range(0, queries.length).parallel().forEach { i =>
+      probesPerQ(i) = IvfIndex.probeIds(centroids, qvecs(i), np)
+    }
+    val inv = Array.fill(nList)(new scala.collection.mutable.ArrayBuffer[Int](4))
+    var qi = 0
+    while (qi < queries.length) {
+      probesPerQ(qi).foreach(c => inv(c) += qi)
+      qi += 1
+    }
+    val cidToQ: Array[Array[Int]] = inv.map(_.toArray)
+    val scanK =
+      if (overfetch <= 0) k
+      else math.min(math.max(k.toLong * overfetch, k.toLong), Int.MaxValue.toLong).toInt
+    // query sketches driver-side: bits/8 bytes each under the same
+    // seeded hyperplanes the pack used (dims validated above)
+    val qDim = if (dimLocal > 0) dimLocal else qvecs(0).length
+    val planes = BitStore.hyperplanes(bits, qDim, 42L)
+    val w = (bits + 63) >>> 6
+    val qcodes = new Array[Long](qvecs.length * w)
+    java.util.stream.IntStream.range(0, qvecs.length).parallel().forEach { i =>
+      BitStore.encodeRow(qvecs(i), 0, qDim, planes, bits, qcodes, i * w)
+    }
+    val bc = spark.sparkContext.broadcast((qcodes, cidToQ))
+    val kk = scanK
+    val localOrd = ord
+    val nBits = bits
+    val merged: Array[BoundedTopKG[K]] =
+      try {
+        val acc0 = bitPacked.treeAggregate(null: Array[BoundedTopKG[K]])(
+          seqOp = (acc, pair) => {
+            val (qc, c2q) = bc.value
+            val heaps =
+              if (acc != null) acc
+              else Array.fill(qc.length / w)(new BoundedTopKG[K](kk)(localOrd))
+            val cid = pair._1
+            val idxs = if (cid >= 0 && cid < c2q.length) c2q(cid)
+                       else Array.emptyIntArray
+            if (idxs.length > 0) {
+              val subH = new Array[BoundedTopKG[K]](idxs.length)
+              val subC = new Array[Long](idxs.length * w)
+              var i = 0
+              while (i < idxs.length) {
+                subH(i) = heaps(idxs(i))
+                System.arraycopy(qc, idxs(i) * w, subC, i * w, w)
+                i += 1
+              }
+              BitStore.scoreBlock(subH, pair._2, subC, nBits)
+            }
+            heaps
+          },
+          combOp = (a, b) =>
+            if (a == null) b
+            else if (b == null) a
+            else {
+              var i = 0
+              while (i < a.length) { a(i).absorb(b(i)); i += 1 }
+              a
+            },
+          depth = 2)
+        acc0
+      } finally bc.destroy()
+    val heaps =
+      if (merged != null) merged
+      else Array.fill(queries.length)(new BoundedTopKG[K](kk)(localOrd))
+    if (overfetch <= 0) return emitMergedHits[K](spark, qids, heaps, k)(outEnc)
+    emitMergedHits[K](spark, qids,
+      rescoreProbedMerged[K](heaps, queries.length, qvecs, qnorms,
+        cidToQ, k, normalized), k)(outEnc)
+  }
+
   /** Bulk (Dataset-query) IVF-SQ8 top-k (round 12): [[searchPacked]]'s
     * probe-shuffle shape over the int8 bucket slabs — the composed
     * analog for query batches too large for a driver array. Because
@@ -1403,6 +1527,37 @@ final class IvfIndex(
       q8
     })
     cached.asInstanceOf[org.apache.spark.rdd.RDD[(Int, graft.core.Q8Block[K])]]
+  }
+
+  /** Binary-sketch twins of [[packedBuckets]] (IVF-bit): one seeded
+    * sign-bit sketch map per build — NO training, NO sampling (the
+    * [[graft.core.BitStore]] contract) — cached and persisted like the
+    * q8/pq twins; mapValues keeps the bucket partitioner.
+    */
+  private def packedBitBuckets[K](normalized: Boolean, bits: Int)(
+      implicit ct: scala.reflect.ClassTag[K],
+      rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)])
+      : org.apache.spark.rdd.RDD[(Int, graft.core.BitBlock[K])] = {
+    val cached = packedBitCache.computeIfAbsent(
+        (normalized, ct.runtimeClass, bits), { _ =>
+      val (fp, _) = packedBuckets[K](normalized)
+      val b = bits
+      val pack = fp.mapValues { blk =>
+        val planes = graft.core.BitStore.hyperplanes(b, blk.dim, 42L)
+        val w = (b + 63) >>> 6
+        val codes = new Array[Long](blk.rows * w)
+        var r = 0
+        while (r < blk.rows) {
+          graft.core.BitStore.encodeRow(blk.data, r * blk.dim, blk.dim,
+            planes, b, codes, r * w)
+          r += 1
+        }
+        new graft.core.BitBlock[K](blk.ids, codes, w, blk.dim)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      pack.count()
+      pack
+    })
+    cached.asInstanceOf[org.apache.spark.rdd.RDD[(Int, graft.core.BitBlock[K])]]
   }
 
   /** Build (or fetch) the centroid-keyed packed buckets: one store

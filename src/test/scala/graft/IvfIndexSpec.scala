@@ -353,6 +353,47 @@ class IvfIndexSpec extends AnyFunSuite {
       exact = true)))
   }
 
+  test("searchMergedBit (IVF-bit): rescored path bit-equal to searchMerged exact; both modes; dup qids") {
+    val data = clusteredData()
+    val idx = IvfIndex.build(data.toDF("vec_id", "vec"), "vec_id", "vec", nList = 4)
+    val queries = data.filter(_._1 % 17 == 0).toArray
+    def bkey(res: org.apache.spark.sql.DataFrame) =
+      res.select("qid", "rank", "id", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    // covering overfetch -> the Hamming cut keeps every probed row and
+    // the shared fp32 tail is the exact arithmetic: bit-equal to
+    // searchMerged(exact) at partial probing and at nProbe = nList
+    // (the q83 oracle anchor)
+    Seq(2, 4).foreach { np =>
+      assert(bkey(idx.searchMergedBit[Long](queries, k = 5, nProbe = np,
+          overfetch = 1000, bits = 128)) ==
+        bkey(idx.searchMerged[Long](queries, k = 5, nProbe = np, exact = true)),
+        s"rescored parity failed at nProbe=$np")
+    }
+    // cosine mode (un-normalized store): the sketch is scale-invariant,
+    // the rescore carries the norms
+    val rng = new scala.util.Random(47)
+    val rdata = (0 until 100).map { i =>
+      (i.toLong, Array.fill(8)((rng.nextFloat() - 0.5f) * 3f))
+    }
+    val ridx = IvfIndex.build(rdata.toDF("vec_id", "vec"), "vec_id", "vec",
+      nList = 4, normalized = false)
+    val rq = rdata.filter(_._1 % 23 == 0).toArray
+    assert(bkey(ridx.searchMergedBit[Long](rq, k = 5, nProbe = 4,
+        normalized = false, overfetch = 1000, bits = 128)) ==
+      bkey(ridx.searchMerged[Long](rq, k = 5, nProbe = 4,
+        normalized = false, exact = true)))
+    // duplicate qids independent; zero query -> e0 in normalized mode
+    val dupQ = Array((7L, data(3)._2), (7L, data(90)._2),
+      (8L, new Array[Float](8)))
+    val dbit = idx.searchMergedBit[Long](dupQ, k = 3, nProbe = 1,
+      overfetch = 1000, bits = 128)
+    assert(dbit.count() == 9)
+    assert(bkey(dbit) == bkey(idx.searchMerged[Long](dupQ, k = 3, nProbe = 1,
+      exact = true)))
+  }
+
   test("searchMergedPq query chunking is invisible: tiny table budget bit-equal to one-chunk") {
     // ADC tables are per-query, per-task (`nq * m * ksub * 4` bytes) —
     // graft.pq.table.budget.mb chunks the batch to bound that. Chunks
