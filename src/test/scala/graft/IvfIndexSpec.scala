@@ -678,6 +678,8 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(idx.lastSearchStrategy == "all_lists(tier=pq)")
     idx.searchMergedQ8[Long](queries, k = 5, nProbe = 2).count()
     assert(idx.lastSearchStrategy == "probe(np=2, tier=q8)")
+    idx.searchMergedBit[Long](queries, k = 5, nProbe = 8, bits = 64).count()
+    assert(idx.lastSearchStrategy == "all_lists_snap(requested=8, tier=bit)")
 
     // the full scan (snapped or requested) routes through the FLAT
     // slab pack (r13 wrong #2) on both driver-batch and Dataset-query
