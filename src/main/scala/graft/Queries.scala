@@ -1228,6 +1228,104 @@ object Queries {
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  // ---- VdbStore-facade composed-tier entries (q84/q85, round 16) ----
+
+  /** Per-dataset facade store for the composed-tier entries: the FULL
+    * reference store contract (write-time f32 L2 normalization,
+    * pico_vdb.py:422/58-68) loaded once from the embeddings table with
+    * zero-padded string ids, so the store's string tie-break equals
+    * the oracle's numeric one. Accelerator enablement is per-entry
+    * (each entry configures exactly the tiers it exercises).
+    */
+  private val vdbCache =
+    new core.SessionLru[String, (SparkSession, core.VdbStore)](
+      4, _._1, v => {
+        val st = v._2
+        st.disableAnn(); st.disableQ8(); st.disablePq(); st.disableBit()
+      })
+  private def vdbStoreFor(spark: SparkSession, dir: String): core.VdbStore = {
+    vdbCache.getOrBuild(s"$dir/embeddings#vdb") {
+      val emb = t(spark, dir, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val st = core.VdbStore.empty(spark, dim)
+      st.upsertDF(emb.select(
+        lpad(col("vec_id").cast("string"), 8, "0").as("_id_"),
+        col("embedding").as("vector"),
+        lit(null).cast("string").as("meta")))
+      (spark, st)
+    }._2
+  }
+
+  /** Shared driver for the facade-composition entries: enable exactly
+    * the requested tiers on the cached store, run `query()` with
+    * nProbe = nList (every bucket probed) under a covering overfetch
+    * conf (k * overfetch >= store rows, so the compressed candidate
+    * cut cannot drop a true hit) — the q80/q83 exactness argument,
+    * but through the PUBLIC facade dispatch instead of the IvfIndex
+    * methods directly, proving `query()` itself reaches the composed
+    * tier (the reference's contract that its accelerator is always
+    * reachable from query(), pico_vdb.py:667-730). The overfetch conf
+    * is restored after the call (query() collects eagerly, so the
+    * returned rows are already driver-local).
+    */
+  private def vdbComposedTopk(spark: SparkSession, dir: String,
+      lo: Long, hi: Long, expectStrategy: String,
+      configure: core.VdbStore => Unit, overfetchKey: String): DataFrame = {
+    import spark.implicits._
+    val store = vdbStoreFor(spark, dir)
+    configure(store)
+    val queries = t(spark, dir, "embeddings")
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val k = 10
+    val covering = ((store.count() / k) + 1).toString
+    val prev = spark.conf.getOption(overfetchKey)
+    spark.conf.set(overfetchKey, covering)
+    val hits =
+      try store.query(queries.map(_._2).toSeq, topK = k, nProbe = 16)
+      finally prev match {
+        case Some(v) => spark.conf.set(overfetchKey, v)
+        case None => spark.conf.unset(overfetchKey)
+      }
+    require(store.lastQueryStrategy.contains(expectStrategy),
+      s"facade routed ${store.lastQueryStrategy} instead of $expectStrategy")
+    hits.zipWithIndex.flatMap { case (hs, qi) =>
+      hs.zipWithIndex.map { case (h, r) =>
+        (queries(qi)._1, (r + 1).toLong, h.id.toLong, h.metrics)
+      }
+    }.toSeq.toDF("qid", "rank", "vec_id", "score")
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** Oracled facade IVF+PQ entry (q84, round 16): `enableAnn` +
+    * `enablePq` on the SAME store routes `query()` through the
+    * composed [[operators.IvfIndex.searchMergedPq]] scan (strategy
+    * "ann+pq" — asserted), exact under nProbe = nList + covering
+    * overfetch. The oracle reproduces the store's write-time float32
+    * normalization in SQL (multiply-by-reciprocal, component-rounded
+    * to REAL — bit-identical to functions.NormalizeL2), so the
+    * standard top-k oracle hash-matches the normalized scores.
+    */
+  def vdbAnnPq(spark: SparkSession, dir: String): DataFrame =
+    vdbComposedTopk(spark, dir, 220L, 240L, "ann+pq", st => {
+      st.disableQ8(); st.disableBit()
+      st.enableAnn(16); st.enablePq(16)
+    }, "graft.pq.overfetch")
+
+  /** Oracled facade IVF+bit entry (q85, round 16): `enableAnn` +
+    * `enableBit` routes `query()` through the composed
+    * [[operators.IvfIndex.searchMergedBit]] Hamming scan (strategy
+    * "ann+bit" — asserted), exact under the same covering argument.
+    */
+  def vdbAnnBit(spark: SparkSession, dir: String): DataFrame =
+    vdbComposedTopk(spark, dir, 240L, 260L, "ann+bit", st => {
+      st.disableQ8(); st.disablePq()
+      st.enableAnn(16); st.enableBit(256)
+    }, "graft.bit.overfetch")
+
   // ---- binary-sketch store entry (q82) ----
 
   /** Per-dataset binary-sketch store, built once and cached: seeded
@@ -1667,6 +1765,8 @@ object Queries {
     "q81_ann_ivf_pq_ds" -> (annIvfPqDs _),
     "q82_bit_rescore" -> (bitRescoreExact _),
     "q83_ann_ivf_bit" -> (annIvfBit _),
+    "q84_vdb_ann_pq" -> (vdbAnnPq _),
+    "q85_vdb_ann_bit" -> (vdbAnnBit _),
   )
 }
 
@@ -1674,6 +1774,30 @@ object Queries {
   * bare (the driver exposes the parquet files as views with those names).
   */
 object Oracles {
+
+  /** Top-k oracle over the STORE's normalized vectors (q84/q85): the
+    * facade L2-normalizes at write time (float32 components,
+    * multiply-by-reciprocal — functions.NormalizeL2), so the oracle
+    * reproduces that normalization in SQL before scoring. Verified
+    * bit-identical to the Scala kernel on the full sf0.01 table
+    * (sequential-double norm accumulation matches DuckDB's
+    * list_dot_product; CAST(x * (1.0/sqrt(s)) AS FLOAT) matches
+    * (x * inv).toFloat), so the double-accumulated unit dot — the
+    * rescore tail's arithmetic — hashes identically after round(,6).
+    */
+  private def topkOracleUnit(qFilter: String, k: Int): String =
+    s"""WITH u AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x * (1.0/sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS FLOAT)) AS uvec
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, uvec AS qvec FROM u WHERE $qFilter),
+       |s AS (SELECT q.qid, u.vec_id,
+       |        list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(u.uvec AS DOUBLE[])) AS score
+       |      FROM q CROSS JOIN u),
+       |r AS (SELECT qid, vec_id, score,
+       |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |      FROM s)
+       |SELECT qid, rank, vec_id, round(score, 6) AS score FROM r WHERE rank <= $k""".stripMargin
 
   private def topkOracle(qFilter: String, storeFilter: String, k: Int,
                          threshold: Option[Double]): String = {
@@ -2247,6 +2371,11 @@ object Oracles {
     // q81: bulk (Dataset-query) IVF-PQ, same exactness argument via the
     // fused cogroup path
     "q81_ann_ivf_pq_ds" -> topkOracle("vec_id >= 200 AND vec_id < 220", "true", 10, None),
+    // q84/q85: the facade-dispatch compositions (ann+pq / ann+bit) —
+    // exact under nProbe = nList + covering overfetch; scores are over
+    // the store's write-time-normalized unit vectors, reproduced in SQL
+    "q84_vdb_ann_pq" -> topkOracleUnit("vec_id >= 220 AND vec_id < 240", 10),
+    "q85_vdb_ann_bit" -> topkOracleUnit("vec_id >= 240 AND vec_id < 260", 10),
     // same salted-md5 determinism trick as q38; first key byte -> bucket
     "q57_corpus_shuffle" ->
       """WITH s AS (

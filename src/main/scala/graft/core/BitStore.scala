@@ -163,6 +163,17 @@ final class BitStore[K](
 
 object BitStore {
 
+  /** The one hyperplane seed every un-parameterized sketch site uses.
+    * The PACK-side sketch and the QUERY-side sketch must agree on the
+    * seed or Hamming ranking silently degrades to noise (no dim-style
+    * task-side validation can catch a seed drift, because the code
+    * shapes stay identical) — so [[fromBlockStore]]'s default, the
+    * IVF pack sketch ([[graft.operators.IvfIndex]] packedBitBuckets)
+    * and its query sketch (searchMergedBit) all reference THIS
+    * constant rather than repeating the literal.
+    */
+  val DefaultSeed: Long = 42L
+
   /** Deterministic seeded hyperplanes, `bits x dim` floats packed
     * row-major (~1 MB at 256 bits x 1024-d) — regenerated identically
     * on any driver/executor from (bits, dim, seed); never persisted,
@@ -241,7 +252,7 @@ object BitStore {
     * ~1 MB, cheaper than broadcasting for typical shapes).
     */
   def fromBlockStore[K](bs: BlockStore[K], bits: Int = 256,
-      seed: Long = 42L)(implicit
+      seed: Long = DefaultSeed)(implicit
       ct: ClassTag[K], ord: Ordering[K]): BitStore[K] = {
     require(bits >= 1 && bits <= (1 << 16),
       s"bit sketch width must be in [1, 65536], got $bits")

@@ -196,12 +196,19 @@ final class PqStore[K](
     val localOrd = ord
     val nq = queries.length
     val bytesPerQuery = cb.m.toLong * cb.ksub.toLong * 4L
-    // budget from the active session if one is bound to this thread,
-    // else the default session (a driver thread with neither gets the
-    // 64 MB default rather than an IllegalStateException on a scan
-    // path that previously had no session dependency)
+    // budget from the session that OWNS these blocks — in a
+    // multi-session JVM the thread-active session may belong to
+    // someone else, and letting their graft.pq.table.budget.mb govern
+    // THIS store's chunking would be silent cross-tenant config bleed.
+    // Ownership is established by SparkContext identity (sessions of
+    // other contexts can't own this RDD); a driver thread with no
+    // matching session gets the 64 MB default rather than an
+    // IllegalStateException on a scan path that previously had no
+    // session dependency.
     val budgetMb = org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .filter(_.sparkContext eq blocks.sparkContext)
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession
+        .filter(_.sparkContext eq blocks.sparkContext))
       .map(s => new GraftConf(s).pqTableBudgetMb)
       .getOrElse(64)
     val budgetBytes = budgetMb.toLong << 20

@@ -192,14 +192,27 @@ object StoreIO {
             s"codebook sidecar has ${rows.length} rows, meta says ${m * ksub}")
           val dsub = dim / m
           val flat = new Array[Float](m * ksub * dsub)
+          // row-count alone is not enough: a sidecar with duplicated
+          // idx rows and missing ones passes the length check but
+          // leaves zero-filled centroid slots — a silently degraded
+          // codebook instead of the intended loud failure. Track the
+          // indices actually seen and require full 0..m*ksub-1
+          // coverage (violations fall into the NonFatal retrain path).
+          val seen = new java.util.BitSet(m * ksub)
           rows.foreach { r =>
             val i = r.getInt(0)
+            require(i >= 0 && i < m * ksub,
+              s"codebook row index $i out of range [0, ${m * ksub})")
+            require(!seen.get(i), s"codebook row index $i duplicated")
+            seen.set(i)
             val c = r.getSeq[Float](1)
             require(c.length == dsub,
               s"codebook row $i has ${c.length} dims, expected $dsub")
             var t = 0
             while (t < dsub) { flat(i * dsub + t) = c(t); t += 1 }
           }
+          require(seen.cardinality() == m * ksub,
+            s"codebook sidecar covers ${seen.cardinality()} of ${m * ksub} centroids")
           Some(new PqCodebook(dim, m, ksub, flat))
         } catch {
           case scala.util.control.NonFatal(e) =>

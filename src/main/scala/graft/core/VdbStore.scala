@@ -66,7 +66,12 @@ final class VdbStore private (
   // NumPy top-k algorithm ("argsort" vs "argpartition"); the strategies
   // that exist HERE are the physical paths Catalyst/graft choose
   // between, so that is what a migrating user introspects:
+  //   "hnsw"           — sharded-graph beam search served the batch
   //   "ann"            — IVF probe search served the whole batch
+  //   "ann+q8"/"ann+pq"/"ann+bit" — IVF probing composed with the
+  //                      int8 / PQ-code / sign-bit candidate scan,
+  //                      fp32-rescored (precedence in that order)
+  //   "q8"/"pq"/"bit"  — flat compressed scan + fp32 rescore
   //   "exact"          — full packed-scan (BlockStore SIMD) path
   //   "exact-filtered" — ids/where/whereFn candidates packed + scanned
   @volatile private var lastStrategy: Option[String] = None
@@ -124,14 +129,26 @@ final class VdbStore private (
     q8Cache = None
   }
 
+  // Serializes the q8/pq/bit cache check-then-build: without it two
+  // concurrent first queries both quantize+persist, leaking one
+  // orphaned persisted RDD (and, for pq, a redundant driver k-means).
+  // One lock for all three tiers — builds are rare (store-version
+  // changes only) and never nest.
+  private val accLock = new Object
+
   private def q8Store(): Q8Store[String] = q8Cache match {
     case Some((v, s)) if v == storeVersion => s
-    case old =>
-      val s = Q8Store.fromBlockStore(blockStore()).persist()
-      s.materialize()
-      q8Cache = Some((storeVersion, s))
-      old.foreach(_._2.unpersist(false))
-      s
+    case _ => accLock.synchronized {
+      q8Cache match {
+        case Some((v, s)) if v == storeVersion => s
+        case old =>
+          val s = Q8Store.fromBlockStore(blockStore()).persist()
+          s.materialize()
+          q8Cache = Some((storeVersion, s))
+          old.foreach(_._2.unpersist(false))
+          s
+      }
+    }
   }
 
   // --- PQ accelerator state (round 15): product-quantized ADC scan
@@ -148,10 +165,15 @@ final class VdbStore private (
   @volatile private var pqBook: Option[PqCodebook] = None
 
   /** Enable the product-quantized strategy. Bypass rules are the q8
-    * ones (O28: any filter/threshold routes exact); precedence is
+    * ones (O28: any filter/threshold routes exact); flat precedence is
     * hnsw > ann > q8 > pq — PQ serves when it is the only compression
     * tier enabled (it trades the most precision for the most
     * compression, so anything more accurate that is enabled wins).
+    * With the IVF accelerator ALSO enabled the two COMPOSE: queries
+    * route through the IVF-PQ scan (strategy "ann+pq" — probed
+    * buckets scanned by ADC code distance, fp32-rescored) unless q8
+    * is enabled too, in which case the finer int8 candidates win
+    * ("ann+q8").
     * `m = 0` (the default) auto-sizes subspaces to 8 dims each
     * (4 when dim isn't a multiple of 8); pass `m` explicitly for other
     * geometries. Re-enabling with a different `m` drops the cached
@@ -179,15 +201,20 @@ final class VdbStore private (
 
   private def pqStoreAcc(): PqStore[String] = pqCache match {
     case Some((v, s)) if v == storeVersion => s
-    case old =>
-      val cb = pqBook.filter(b => b.dim == dim && pqM.contains(b.m))
-        .getOrElse(PqStore.train(blockStore(), pqM.get, 256, 20000, 42L, 8))
-      val s = PqStore.fromCodebook(blockStore(), cb).persist()
-      s.materialize()
-      pqBook = Some(cb)
-      pqCache = Some((storeVersion, s))
-      old.foreach(_._2.unpersist(false))
-      s
+    case _ => accLock.synchronized {
+      pqCache match {
+        case Some((v, s)) if v == storeVersion => s
+        case old =>
+          val cb = pqBook.filter(b => b.dim == dim && pqM.contains(b.m))
+            .getOrElse(PqStore.train(blockStore(), pqM.get, 256, 20000, 42L, 8))
+          val s = PqStore.fromCodebook(blockStore(), cb).persist()
+          s.materialize()
+          pqBook = Some(cb)
+          pqCache = Some((storeVersion, s))
+          old.foreach(_._2.unpersist(false))
+          s
+      }
+    }
   }
 
   /** The trained codebook to persist beside the rows, if the strategy
@@ -214,9 +241,14 @@ final class VdbStore private (
   @volatile private var bitCache: Option[(Long, BitStore[String])] = None
 
   /** Enable the binary-sketch strategy. Bypass rules are the q8/pq
-    * ones (O28: any filter/threshold routes exact); precedence is
+    * ones (O28: any filter/threshold routes exact); flat precedence is
     * hnsw > ann > q8 > pq > bit — the sketch is the coarsest, cheapest
     * tier, so any more-accurate accelerator that is enabled wins.
+    * With the IVF accelerator ALSO enabled the two COMPOSE: queries
+    * route through the IVF-bit scan (strategy "ann+bit" — probed
+    * buckets ranked by Hamming distance over sign sketches,
+    * fp32-rescored) unless a finer compression tier is enabled too
+    * (ann+q8 > ann+pq > ann+bit).
     * Distribution-free: mutations re-sketch (one map, no train), and
     * save/load re-enables from the `bit_bits` meta key alone.
     */
@@ -238,12 +270,17 @@ final class VdbStore private (
 
   private def bitStoreAcc(): BitStore[String] = bitCache match {
     case Some((v, s)) if v == storeVersion => s
-    case old =>
-      val s = BitStore.fromBlockStore(blockStore(), bitBits.get).persist()
-      s.materialize()
-      bitCache = Some((storeVersion, s))
-      old.foreach(_._2.unpersist(false))
-      s
+    case _ => accLock.synchronized {
+      bitCache match {
+        case Some((v, s)) if v == storeVersion => s
+        case old =>
+          val s = BitStore.fromBlockStore(blockStore(), bitBits.get).persist()
+          s.materialize()
+          bitCache = Some((storeVersion, s))
+          old.foreach(_._2.unpersist(false))
+          s
+      }
+    }
   }
 
   /** Enable the IVF accelerator; the index itself is built lazily on the
@@ -690,6 +727,8 @@ final class VdbStore private (
     lastStrategy = Some(
       if (hnsw.isDefined) "hnsw"
       else if (ann.isDefined && q8Enabled) "ann+q8"
+      else if (ann.isDefined && pqM.isDefined) "ann+pq"
+      else if (ann.isDefined && bitBits.isDefined) "ann+bit"
       else if (ann.isDefined) "ann"
       else if (useQ8) "q8"
       else if (usePq) "pq"
@@ -726,6 +765,40 @@ final class VdbStore private (
         val normQ = queries.map { case (i, v) => (i, NormalizeL2.normalize(v)) }
         idx.searchMergedQ8[String](normQ, topK, probes,
             normalized = true, overfetch = conf.q8Overfetch)
+          .select(col("qid"), col("id"), col("score"), col("rank"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
+      case Some(idx) if pqM.isDefined =>
+        // composed IVF-PQ strategy (round 16, the reference's IVFPQ
+        // analog reachable from query() like every other accelerator,
+        // pico_vdb.py:667-730): IVF prunes the probed fraction, the
+        // m-byte PQ codes cut the candidate scan's bandwidth 16-64x
+        // below fp32 (ADC over per-task tables, chunked under
+        // graft.pq.table.budget.mb), and the k x graft.pq.overfetch
+        // survivors rescore over the co-resident fp32 buckets with the
+        // exact engine's sequential-double arithmetic — precedence
+        // ann+q8 > ann+pq (int8 candidates are strictly finer than PQ
+        // codes, so when both compression tiers are enabled the finer
+        // one serves), mirroring the flat q8 > pq order.
+        val probes = if (nProbe > 0) nProbe else conf.annNProbeFor(idx.nList)
+        val normQ = queries.map { case (i, v) => (i, NormalizeL2.normalize(v)) }
+        idx.searchMergedPq[String](normQ, topK, probes,
+            normalized = true, overfetch = conf.pqOverfetch, m = pqM.get)
+          .select(col("qid"), col("id"), col("score"), col("rank"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
+      case Some(idx) if bitBits.isDefined =>
+        // composed IVF-bit strategy (round 16): the cheapest composed
+        // rung — IVF prunes the probed buckets, bits/8-byte sign
+        // sketches hold each scanned row (Hamming XOR+popcount
+        // candidates), and the k x graft.bit.overfetch survivors take
+        // the same fp32 double rescore. Lowest composed precedence
+        // (ann+q8 > ann+pq > ann+bit > ann), mirroring the flat
+        // q8 > pq > bit order.
+        val probes = if (nProbe > 0) nProbe else conf.annNProbeFor(idx.nList)
+        val normQ = queries.map { case (i, v) => (i, NormalizeL2.normalize(v)) }
+        idx.searchMergedBit[String](normQ, topK, probes,
+            normalized = true, overfetch = conf.bitOverfetch, bits = bitBits.get)
           .select(col("qid"), col("id"), col("score"), col("rank"))
           .collect()
           .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq

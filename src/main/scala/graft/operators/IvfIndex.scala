@@ -1146,7 +1146,7 @@ final class IvfIndex(
     // query sketches driver-side: bits/8 bytes each under the same
     // seeded hyperplanes the pack used (dims validated above)
     val qDim = if (dimLocal > 0) dimLocal else qvecs(0).length
-    val planes = BitStore.hyperplanes(bits, qDim, 42L)
+    val planes = BitStore.hyperplanes(bits, qDim, BitStore.DefaultSeed)
     val w = (bits + 63) >>> 6
     val qcodes = new Array[Long](qvecs.length * w)
     java.util.stream.IntStream.range(0, qvecs.length).parallel().forEach { i =>
@@ -1543,7 +1543,8 @@ final class IvfIndex(
       val (fp, _) = packedBuckets[K](normalized)
       val b = bits
       val pack = fp.mapValues { blk =>
-        val planes = graft.core.BitStore.hyperplanes(b, blk.dim, 42L)
+        val planes = graft.core.BitStore.hyperplanes(b, blk.dim,
+          graft.core.BitStore.DefaultSeed)
         val w = (b + 63) >>> 6
         val codes = new Array[Long](blk.rows * w)
         var r = 0

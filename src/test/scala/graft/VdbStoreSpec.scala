@@ -621,6 +621,63 @@ class VdbStoreSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.query.exact")
   }
 
+  test("composed ann+pq / ann+bit strategies: routed from query(), precedence ann+q8 > ann+pq > ann+bit, bypassed like ANN") {
+    val s = freshStore(4)
+    val recs = (0 until 80).map { i =>
+      val v = new Array[Float](4); v(i % 4) = 1f; v((i + 1) % 4) = 0.1f * (i % 3)
+      rec(s"r$i", v, s"""{"g": ${i % 4}}""")
+    }
+    s.upsert(recs)
+    spark.conf.set("graft.query.exact", "true")
+    try {
+      val q = Array(1f, 0.05f, 0f, 0f)
+      val exact = s.queryOne(q, topK = 3)
+      assert(s.lastQueryStrategy.contains("exact"))
+      // enableAnn + enablePq composes: query() routes through the
+      // IVF-PQ scan (the r15 gap — pq no longer silently ignored)
+      s.enableAnn(nList = 4)
+      s.enablePq(m = 2)
+      val pqComposed = s.query(Seq(q), topK = 3, nProbe = 4).head
+      assert(s.lastQueryStrategy.contains("ann+pq"))
+      // all lists probed + separated fixture: the fp32-rescored result
+      // matches the exact path (the q84 covering argument, small form)
+      assert(pqComposed.map(_.id) == exact.map(_.id))
+      // O28 bypass holds for the composed tiers too
+      s.queryOne(q, topK = 3, where = Some(get_json_object(col("meta"), "$.g") === "1"))
+      assert(s.lastQueryStrategy.contains("exact-filtered"))
+      s.queryOne(q, topK = 3, betterThan = Some(0.1))
+      assert(s.lastQueryStrategy.contains("exact"))
+      // precedence: the finer int8 tier outranks pq when both are on
+      s.enableQ8()
+      s.query(Seq(q), topK = 3, nProbe = 4)
+      assert(s.lastQueryStrategy.contains("ann+q8"))
+      s.disableQ8()
+      // bit composes when it is the only compression tier enabled
+      s.disablePq()
+      s.enableBit(bits = 128)
+      val bitComposed = s.query(Seq(q), topK = 3, nProbe = 4).head
+      assert(s.lastQueryStrategy.contains("ann+bit"))
+      assert(bitComposed.map(_.id) == exact.map(_.id))
+      // pq outranks bit when both compression tiers are on
+      s.enablePq(m = 2)
+      s.query(Seq(q), topK = 3, nProbe = 4)
+      assert(s.lastQueryStrategy.contains("ann+pq"))
+      s.disablePq()
+      // mutation flows through: the fresh row is findable composed
+      s.upsert(Seq(rec("fresh", Array(0f, 0f, 0f, 1f), """{"g": 9}""")))
+      val after = s.query(Seq(Array(0f, 0f, 0f, 1f)), topK = 1, nProbe = 4).head
+      assert(s.lastQueryStrategy.contains("ann+bit"))
+      assert(after.head.id == "fresh")
+      // tearing the tiers down restores the plain strategies
+      s.disableBit()
+      s.query(Seq(q), topK = 3, nProbe = 4)
+      assert(s.lastQueryStrategy.contains("ann"))
+      s.disableAnn()
+      s.queryOne(q, topK = 3)
+      assert(s.lastQueryStrategy.contains("exact"))
+    } finally spark.conf.unset("graft.query.exact")
+  }
+
   test("hnsw strategy: routed, outranks ann, bypassed like ANN, dirtied by mutation") {
     val s = freshStore(8)
     // well-separated unit rows (the IvfIndexSpec fixture idea): graph
