@@ -83,6 +83,20 @@ final class GraftConf(spark: SparkSession) {
   def hnswEf: Int =
     opt("hnsw.ef", "GRAFT_HNSW_EF").map(_.toInt).getOrElse(64)
 
+  /** Max touched-id count still eligible for the shard-local HNSW
+    * refresh (the delta is collected to the driver and broadcast to
+    * tag touched slabs, so it must stay driver-sized). Default 1M ids
+    * (~tens of MB broadcast); beyond it — or beyond annIncrRatio of
+    * the store — the refresh falls back to the full parallel rebuild,
+    * which a mutation wave that large amortizes anyway.
+    */
+  def hnswIncrCap: Long = {
+    val cap = opt("hnsw.incr.cap", "GRAFT_HNSW_INCR_CAP").map(_.toLong)
+      .getOrElse(1000000L)
+    require(cap >= 0, s"graft.hnsw.incr.cap must be >= 0 (got $cap)")
+    cap
+  }
+
   /** How many superseded snapshot dirs a save leaves behind as a reader
     * grace window (see StoreIO.save).
     */

@@ -328,6 +328,41 @@ final class VdbStore private (
   @volatile private var hnswCache:
     Option[(Long, (Int, Int), graft.operators.HnswStore[String])] = None
 
+  // --- shard-local invalidation bookkeeping (round 16): the ids
+  // touched since the CACHED graph store was built, as a lazy unioned
+  // DataFrame (never collected until a refresh decides to go
+  // incremental, and then only under graft.hnsw.incr.cap). `valid`
+  // means every swap since the cached build declared its touched set —
+  // any untracked swap (compiler-forced: swap() requires the argument)
+  // poisons the delta and the next refresh falls back to a full
+  // rebuild rather than serving a silently wrong graph.
+  @volatile private var hnswDirty: Option[DataFrame] = None
+  @volatile private var hnswDirtyCount: Long = 0L
+  @volatile private var hnswDirtyValid: Boolean = false
+
+  private def hnswNoteMutation(touched: Option[DataFrame], n: Long): Unit =
+    hnswLock.synchronized {
+      if (hnswParams.isDefined && hnswCache.isDefined && hnswDirtyValid) {
+        touched match {
+          case Some(ids) if n > 0 =>
+            val sel = ids.select(col("_id_"))
+            hnswDirty = Some(hnswDirty.map(_.unionByName(sel)).getOrElse(sel))
+            hnswDirtyCount += n
+          case Some(_) => // tracked, nothing touched (vacuum)
+          case None =>
+            hnswDirty = None
+            hnswDirtyCount = 0L
+            hnswDirtyValid = false
+        }
+      }
+    }
+
+  private def hnswResetDirty(): Unit = {
+    hnswDirty = None
+    hnswDirtyCount = 0L
+    hnswDirtyValid = hnswCache.isDefined
+  }
+
   /** Enable the sharded-HNSW strategy (reference knobs hnsw_m /
     * hnsw_efc, pico_vdb.py:152-158).
     */
@@ -338,6 +373,7 @@ final class VdbStore private (
     hnswParams = None
     hnswCache.foreach(_._3.unpersist())
     hnswCache = None
+    hnswResetDirty()
   }
 
   /** How the HNSW strategy came up on this store: "none" (never
@@ -348,6 +384,16 @@ final class VdbStore private (
     */
   @volatile private var hnswRestoreModeVar: String = "none"
   def hnswRestoreMode: String = hnswRestoreModeVar
+
+  /** How the most recent [[refreshHnsw]] got its graphs: "none" (never
+    * refreshed), "full" (every slab rebuilt), or "incremental" (only
+    * slabs holding touched rows rebuilt; untouched slabs — persisted-
+    * sidecar loads included — carried). The annLastRebuildMode analog
+    * for the graph index, surfaced for the same introspection reason
+    * (pico_vdb.py:884-921).
+    */
+  @volatile private var hnswLastRebuildModeVar: String = "none"
+  def hnswLastRebuildMode: String = hnswLastRebuildModeVar
 
   /** The up-to-date graph store to persist beside the rows, if the
     * strategy is enabled AND the cache matches the live version/params
@@ -411,6 +457,10 @@ final class VdbStore private (
                 s"(${e.getMessage}) — graphs will rebuild on next query")
         }
       }
+      // the hydrated cache (if any) is the new incremental baseline:
+      // mutations from here on accumulate a delta against IT, so a
+      // loaded store's first small upsert rebuilds only touched slabs
+      hnswResetDirty()
     }
 
   private def refreshHnsw(): Option[graft.operators.HnswStore[String]] =
@@ -421,14 +471,59 @@ final class VdbStore private (
           case old =>
             timed("hnsw_refresh") {
               import spark.implicits._
-              val st = graft.operators.HnswStore.fromDataset(
-                active.select(col("_id_"), col("_vector_"))
-                  .as[(String, Array[Float])],
-                normalize = false, assumeNormalized = true,
-                m = params._1, efConstruction = params._2).persist()
-              st.materialize()
+              val act = active
+              // Shard-local invalidation (round 16, the reference's
+              // incremental contract pico_vdb.py:195-204, 866-921 done
+              // the distributed way): when every swap since the cached
+              // build declared its touched ids, keep the untouched
+              // slabs' graphs — loaded-from-sidecar ones included —
+              // and rebuild ONLY the slabs holding touched rows. Gated
+              // like the IVF incremental path (annIncrRatio of the
+              // store) and by graft.hnsw.incr.cap (the touched set is
+              // collected + broadcast, so it must be driver-sized); a
+              // mutation wave past either gate amortizes a full
+              // rebuild anyway.
+              val incr: Option[graft.operators.HnswStore[String]] = old match {
+                case Some((_, p, prev)) if p == params && hnswDirtyValid &&
+                    hnswDirtyCount <= conf.hnswIncrCap &&
+                    hnswDirtyCount.toDouble <=
+                      conf.annIncrRatio * math.max(1L, act.count()) =>
+                  if (hnswDirtyCount == 0L) {
+                    // tombstone-only churn (vacuum): active rows are
+                    // byte-identical, the graphs are already current
+                    hnswLastRebuildModeVar = "incremental"
+                    Some(prev)
+                  } else {
+                    val dirtySet = hnswDirty.get.select(col("_id_"))
+                      .distinct().as[String].collect().toSet
+                    val changed = act
+                      .join(broadcast(dirtySet.toSeq.toDF("_id_")),
+                        Seq("_id_"), "left_semi")
+                      .select(col("_id_"), col("_vector_"))
+                      .as[(String, Array[Float])].rdd
+                    val st = prev.rebuildTouched(dirtySet, changed)
+                    if (st ne prev) { st.persist(); st.materialize() }
+                    hnswLastRebuildModeVar = "incremental"
+                    Some(st)
+                  }
+                case _ => None
+              }
+              val st = incr.getOrElse {
+                val built = graft.operators.HnswStore.fromDataset(
+                  act.select(col("_id_"), col("_vector_"))
+                    .as[(String, Array[Float])],
+                  normalize = false, assumeNormalized = true,
+                  m = params._1, efConstruction = params._2).persist()
+                built.materialize()
+                hnswLastRebuildModeVar = "full"
+                built
+              }
               hnswCache = Some((storeVersion, params, st))
-              old.foreach(_._3.unpersist())
+              // the incremental store's kept shards read through the
+              // previous cache until materialized above — safe to
+              // release the old handle now (never when reusing it)
+              old.filter(_._3 ne st).foreach(_._3.unpersist())
+              hnswResetDirty()
               st
             }
         }
@@ -588,7 +683,7 @@ final class VdbStore private (
       .join(broadcast(lastWins.select("_id_")), Seq("_id_"), "left_anti")
       .unionByName(lastWins)
       .unionByName(keptTombstones)
-    swap(next)
+    swap(next, HnswTouchIds(batchIds.toDF("_id_"), batchIds.size))
     annMutationsSinceFit += batchIds.size
     UpsertReport(updates.toSeq.sorted, inserts.sorted)
   }
@@ -637,7 +732,10 @@ final class VdbStore private (
       .unionByName(prepared)
       .unionByName(current.filter(col("deleted"))
         .join(prepared.select("_id_"), Seq("_id_"), "left_anti"))
-    swap(next)
+    // the touched set references `prepared`'s plan, so an incremental
+    // graph refresh re-evaluates the batch's id projection once more —
+    // bounded by the batch, never the store
+    swap(next, HnswTouchIds(prepared.select("_id_"), nUpd + nIns))
     annMutationsSinceFit += nUpd + nIns
     (nUpd, nIns)
   }
@@ -983,7 +1081,7 @@ final class VdbStore private (
           when(col("_hit_").isNotNull, lit(null: String)).otherwise(col("meta")))
         .withColumn("deleted", col("deleted") || coalesce(col("_hit_"), lit(false)))
         .drop("_hit_")
-      swap(next)
+      swap(next, HnswTouchIds(removed.toDF("_id_"), removed.size))
       annMutationsSinceFit += removed.size
     }
     removed.sorted
@@ -1075,7 +1173,9 @@ final class VdbStore private (
   // ---------------------------------------------------------------- vacuum
 
   /** Drop tombstones and compact partitions (pico_vdb.py:831-853). */
-  def vacuum(): Unit = swap(active)
+  // vacuum drops tombstones only — no ACTIVE row changes, so the graph
+  // delta is empty (tracked, nothing touched)
+  def vacuum(): Unit = swap(active, HnswTouchNone)
 
   // ------------------------------------------------------------- side data
   // `additionalData` holds the RAW JSON value text per key — the
@@ -1157,7 +1257,15 @@ final class VdbStore private (
     s"""{"embedding_dim": $dim, $ann$hnsw$pq$bit"additional_data": {$kv}}"""
   }
 
-  private def swap(next: DataFrame): Unit = {
+  /** Swap in the next snapshot. `touch` declares what the mutation did
+    * to ACTIVE rows, for the HNSW shard-local invalidation delta:
+    * [[HnswTouchIds]] (the upserted/deleted id set), [[HnswTouchNone]]
+    * (tracked, nothing active touched — vacuum), or
+    * [[HnswTouchUnknown]] (poisons the delta → next graph refresh is a
+    * full rebuild, never a silently wrong graph). The parameter is
+    * required so a future mutation path cannot forget to decide.
+    */
+  private def swap(next: DataFrame, touch: HnswTouch): Unit = {
     // Cache the new snapshot; long upsert chains get their lineage cut by
     // a local checkpoint so plans don't grow unboundedly.
     mutations += 1
@@ -1169,6 +1277,11 @@ final class VdbStore private (
     val old = current
     current = pinned
     old.unpersist(false)
+    touch match {
+      case HnswTouchIds(ids, n) => hnswNoteMutation(Some(ids), n)
+      case HnswTouchNone => hnswNoteMutation(Some(current.limit(0)), 0L)
+      case HnswTouchUnknown => hnswNoteMutation(None, 0L)
+    }
   }
   private var mutations: Int = 0
 }
@@ -1176,6 +1289,13 @@ final class VdbStore private (
 final case class VdbRecord(id: String, vector: Array[Float], metaJson: String)
 private final case class RawRecord(id: Option[String], vector: Array[Float],
                                    metaJson: String)
+
+/** What a snapshot swap did to active rows — see [[VdbStore]] swap. */
+private[core] sealed trait HnswTouch
+private[core] case object HnswTouchNone extends HnswTouch
+private[core] case object HnswTouchUnknown extends HnswTouch
+private[core] final case class HnswTouchIds(ids: org.apache.spark.sql.DataFrame,
+                                            n: Long) extends HnswTouch
 
 object VdbStore {
 

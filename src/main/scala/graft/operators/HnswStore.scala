@@ -153,6 +153,64 @@ final class HnswStore[K](
       numShards = target, maxBlockFloats = maxBlockFloats)
   }
 
+  /** Shard-local invalidation — the reference's incremental index
+    * maintenance (pico_vdb.py:195-204, 866-921,
+    * test_task36_faiss_incremental_threshold.py) done the distributed
+    * way: shards containing NO touched id keep their graphs (and their
+    * persist state flows through untouched — the union references the
+    * same cached shard objects), and ONLY the touched shards' rows +
+    * the mutated rows pay graph construction.
+    *
+    * `dirty` is every id upserted or deleted since this store was
+    * built; `changed` is the CURRENT row of each dirty id that still
+    * exists (deleted ids simply absent). Surviving rows of touched
+    * shards re-extract from the shard slabs themselves (byte-identical
+    * floats, the [[compact]] convention), so the only store-scale work
+    * is an id scan over the persisted shards — nothing full-store
+    * shuffles; the one repartition moves just the repacked rows
+    * (bounded by the caller's incremental threshold). The repack
+    * target is slab-sized: `ceil(repackRows / rowsPerSlab)` partitions,
+    * so a one-row update of a loaded store rebuilds exactly ONE graph
+    * ([[graft.core.Hnsw.buildsInJvm]]-pinned in HnswPersistSpec).
+    *
+    * The returned store is UNPERSISTED (its kept shards still read
+    * through this store's cache): persist + materialize it BEFORE
+    * unpersisting this store, or the kept graphs rebuild from lineage.
+    */
+  def rebuildTouched(dirty: Set[K], changed: RDD[(K, Array[Float])],
+      maxBlockFloats: Int = BlockStore.MaxBlockFloats): HnswStore[K] = {
+    if (dirty.isEmpty) return this
+    val sc = shards.sparkContext
+    val bc = sc.broadcast(dirty)
+    val keep = shards.filter { sh =>
+      val d = bc.value
+      !sh.block.ids.exists(d.contains)
+    }
+    val survivors = shards.filter { sh =>
+      val d = bc.value
+      sh.block.ids.exists(d.contains)
+    }.flatMap { sh =>
+      val d = bc.value
+      val b = sh.block
+      val dm = b.dim
+      Iterator.tabulate(b.rows) { r =>
+        (b.ids(r), java.util.Arrays.copyOfRange(b.data, r * dm, (r + 1) * dm))
+      }.filterNot(row => d.contains(row._1))
+    }
+    val repack = survivors.union(changed)
+    val nRows = repack.count()
+    if (nRows == 0)
+      return new HnswStore[K](spark, keep, normalized, m, efConstruction)
+    val rowDim = repack.map(_._2.length).take(1).head
+    val rowsPerSlab = math.max(1, maxBlockFloats / math.max(1, rowDim))
+    val nPart = math.max(1L, (nRows + rowsPerSlab - 1) / rowsPerSlab).toInt
+    val extra = HnswStore.fromRDD(spark, repack.repartition(nPart),
+      normalize = false, assumeNormalized = normalized,
+      m = m, efConstruction = efConstruction, maxBlockFloats = maxBlockFloats)
+    new HnswStore[K](spark, keep.union(extra.shards), normalized,
+      m, efConstruction)
+  }
+
   /** Batch top-k as one shuffle-free job, the [[graft.core.BlockStore.topKMerged]]
     * shape: broadcast the query matrix, per-shard bounded heaps, merge
     * up a treeAggregate, rank on the driver (Q×k rows).

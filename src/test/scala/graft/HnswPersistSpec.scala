@@ -279,6 +279,65 @@ class HnswPersistSpec extends AnyFunSuite {
     assert(rh.hnswSource == "loaded")
   }
 
+  test("shard-local invalidation: small mutations on a loaded store rebuild exactly the touched slabs") {
+    val s = hnswVdbStore(n = 120)
+    s.enableHnsw(m = 8, efConstruction = 40)
+    val q = new Array[Float](8); q(2) = 1f
+    s.queryOne(q, topK = 3) // builds + caches, then persists below
+    val dir = tmpDir("vdbhnswincr") + "/store"
+    s.save(dir)
+    val loaded = VdbStore.load(spark, dir)
+    assert(loaded.hnswRestoreMode == "loaded")
+
+    // 1) a brand-new row touches NO existing slab: the loaded graphs
+    // carry verbatim and exactly ONE new slab builds for the row
+    val before1 = Hnsw.buildsInJvm
+    loaded.upsert(Seq(VdbRecord("fresh", q, """{"g": 9}""")))
+    assert(loaded.queryOne(q, topK = 1).head.id == "fresh")
+    assert(loaded.lastQueryStrategy.contains("hnsw"))
+    assert(loaded.hnswLastRebuildMode == "incremental")
+    assert(Hnsw.buildsInJvm == before1 + 1,
+      "an insert must build one new slab graph, not rebuild the store")
+
+    // 2) updating one existing row rebuilds ONLY its slab (survivors +
+    // the new vector re-pack into a single slab-sized graph)
+    val v2 = new Array[Float](8); v2(5) = 1f
+    val before2 = Hnsw.buildsInJvm
+    loaded.upsert(Seq(VdbRecord("h005", v2, """{"g": 1}""")))
+    assert(loaded.queryOne(v2, topK = 1).head.id == "h005")
+    assert(loaded.hnswLastRebuildMode == "incremental")
+    assert(Hnsw.buildsInJvm == before2 + 1,
+      "an update must rebuild exactly the touched slab")
+
+    // 3) deleting the lone-slab row drops its slab with ZERO builds
+    val before3 = Hnsw.buildsInJvm
+    loaded.delete(Seq("fresh"))
+    val afterDel = loaded.queryOne(q, topK = 5)
+    assert(loaded.hnswLastRebuildMode == "incremental")
+    assert(!afterDel.exists(_.id == "fresh"))
+    assert(Hnsw.buildsInJvm == before3,
+      "deleting a slab's only row must not build anything")
+
+    // 4) deleting from a shared slab re-packs its survivors: one build,
+    // and untouched rows still answer through their carried graphs
+    val before4 = Hnsw.buildsInJvm
+    loaded.delete(Seq("h010"))
+    val probe = loaded.get(Seq("h020"), includeVector = true).head.vector.get
+    val got = loaded.queryOne(probe, topK = 1)
+    assert(loaded.lastQueryStrategy.contains("hnsw"))
+    assert(got.head.id == "h020")
+    assert(Hnsw.buildsInJvm == before4 + 1,
+      "a shared-slab delete re-packs that slab's survivors only")
+
+    // 5) the cap gates the path: cap 0 falls back to the full rebuild
+    spark.conf.set("graft.hnsw.incr.cap", "0")
+    try {
+      loaded.upsert(Seq(VdbRecord("fresh2", q, """{"g": 9}""")))
+      loaded.queryOne(q, topK = 1)
+      assert(loaded.hnswLastRebuildMode == "full")
+    } finally spark.conf.unset("graft.hnsw.incr.cap")
+  }
+
   test("post-load mutations invalidate the loaded graphs (version keying survives restore)") {
     val s = hnswVdbStore(n = 80)
     s.enableHnsw(m = 8, efConstruction = 40)
