@@ -1673,13 +1673,43 @@ object Queries {
     operators.CorpusClean.bigramCrossEntropy(
       t(spark, dir, "documents"), "doc_id", "text")
 
+  /** Adversarial rows unioned into q73's corpus (round 16, VERDICT r15
+    * task 3): /root/testdata has no null doc ids or empty texts, which
+    * is exactly why the r14 df/posting drift survived a full round —
+    * so the oracle corpus carries them itself, identically on both
+    * sides. The sentinels pin the operator's null contract (null-id
+    * rows contribute NEITHER df nor postings — a df-inflation
+    * regression resurfaces zznullbait at df 3): zzsentinel appears in
+    * 3 real + 1 null doc (df must be 3), zznullbait in 2 real + 2 null
+    * (df 2 → filtered), zzonlynull in null docs only (df 0 → absent),
+    * and 3 real empty/whitespace-only docs make the empty-string term
+    * itself pass minDf (split('') yields [''] on both engines).
+    */
+  private val q73ExtraRows: Seq[(Option[Long], String)] = Seq(
+    (Some(9000001L), "zzsentinel alpha"),
+    (Some(9000002L), "zzsentinel beta"),
+    (Some(9000003L), "zzsentinel gamma"),
+    (Some(9000004L), ""),
+    (Some(9000005L), ""),
+    (Some(9000006L), "   "),
+    (Some(9000007L), "zznullbait"),
+    (Some(9000008L), "zznullbait"),
+    (None, "zznullbait zzonlynull"),
+    (None, "zznullbait zzonlynull"),
+    (None, "zzonlynull zzsentinel"),
+    (None, ""))
+
   /** Inverted-index posting lists (retrieval op, q73):
     * [[operators.Lexical.invertedIndex]] — df >= 3, first 8 postings
-    * per term.
+    * per term — over the null-id/empty-text-augmented corpus.
     */
-  def invertedIndexPostings(spark: SparkSession, dir: String): DataFrame =
-    operators.Lexical.invertedIndex(t(spark, dir, "documents"),
+  def invertedIndexPostings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val extras = q73ExtraRows.toDF("doc_id", "text")
+    operators.Lexical.invertedIndex(docs.unionByName(extras),
       "doc_id", "text", maxPostings = 8, minDf = 3L)
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_topk_batch" -> (topkBatch _),
@@ -2642,14 +2672,34 @@ object Oracles {
     "q72_exact_sample" ->
       """SELECT doc_id, source FROM documents
         |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 137""".stripMargin,
+    // the corpus carries the Spark side's adversarial rows (null doc
+    // ids, empty/whitespace texts — see Queries.q73ExtraRows); the
+    // null contract is pinned by filtering null ids BEFORE ranking and
+    // df-counting, matching min_k_ids + count(col) semantics
     "q73_inverted_index" ->
-      """WITH td AS (SELECT DISTINCT doc_id, term FROM (
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM (VALUES
+        |    (9000001, 'zzsentinel alpha'),
+        |    (9000002, 'zzsentinel beta'),
+        |    (9000003, 'zzsentinel gamma'),
+        |    (9000004, ''),
+        |    (9000005, ''),
+        |    (9000006, '   '),
+        |    (9000007, 'zznullbait'),
+        |    (9000008, 'zznullbait'),
+        |    (NULL, 'zznullbait zzonlynull'),
+        |    (NULL, 'zznullbait zzonlynull'),
+        |    (NULL, 'zzonlynull zzsentinel'),
+        |    (NULL, '')) v(doc_id, text)),
+        |td AS (SELECT DISTINCT doc_id, term FROM (
         |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |    FROM documents)),
+        |    FROM aug)),
         |r AS (SELECT term, doc_id,
         |        row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk,
         |        count(*) OVER (PARTITION BY term) AS df
-        |      FROM td)
+        |      FROM td WHERE doc_id IS NOT NULL)
         |SELECT term, CAST(df AS BIGINT) AS df, doc_id, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE df >= 3 AND rk <= 8""".stripMargin,
     "q74_bigram_crossent" ->
