@@ -83,6 +83,27 @@ final class GraftConf(spark: SparkSession) {
   def hnswEf: Int =
     opt("hnsw.ef", "GRAFT_HNSW_EF").map(_.toInt).getOrElse(64)
 
+  /** Cluster memory the auto tier selector budgets against, in bytes.
+    * Unset (the default) measures the live block managers' storage
+    * capacity; set it to plan for a DIFFERENT cluster than the one
+    * running the sizing (or to pin the choice in tests).
+    */
+  def autoMemBytes: Option[Long] =
+    opt("auto.mem.bytes", "GRAFT_AUTO_MEM_BYTES").map(_.toLong)
+
+  /** Fraction of the memory budget a tier's candidate-scan substrate
+    * may occupy to count as "resident" (default 0.5 — the other half
+    * covers the fp32 rescore working set, shuffle buffers, and the
+    * store DataFrame cache itself).
+    */
+  def autoHeadroom: Double = {
+    val h = opt("auto.headroom", "GRAFT_AUTO_HEADROOM").map(_.toDouble)
+      .getOrElse(0.5)
+    require(h > 0 && h <= 1.0,
+      s"graft.auto.headroom must be in (0, 1] (got $h)")
+    h
+  }
+
   /** Max touched-id count still eligible for the shard-local HNSW
     * refresh (the delta is collected to the driver and broadcast to
     * tag touched slabs, so it must stay driver-sized). Default 1M ids

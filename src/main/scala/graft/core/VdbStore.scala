@@ -283,6 +283,48 @@ final class VdbStore private (
     }
   }
 
+  /** Pick the compression rung from MEASURED footprint and enable it —
+    * the SCALING.md quantization ladder as an operable default
+    * (round 16). The decision is the ladder's own bandwidth argument:
+    * the fastest candidate scan is the finest substrate that stays
+    * cluster-RAM-resident (fp32 wins whenever it fits — the int8 scan
+    * never beat it resident; int8 wins when fp32 spills; PQ codes when
+    * int8 spills — the 10M×256-d smoke measured that crossover, scan
+    * 47 s vs 80 s; sign bits as the last resort). Budget = the block
+    * managers' storage capacity × `graft.auto.headroom` (override the
+    * capacity with `graft.auto.mem.bytes` to size for a different
+    * cluster). Returns the chosen tier ("exact" | "q8" | "pq" | "bit")
+    * and logs it with the expected recall regime; any previously
+    * enabled compression tier is replaced. ANN/HNSW are orthogonal —
+    * the chosen rung composes with IVF when both are enabled
+    * (ann+q8 / ann+pq / ann+bit).
+    */
+  def enableAuto(): String = {
+    val n = count()
+    val mem = conf.autoMemBytes.getOrElse(
+      spark.sparkContext.getExecutorMemoryStatus.values.map(_._1).sum)
+    val budget = (mem * conf.autoHeadroom).toLong
+    val tier = VdbStore.autoTier(n, dim, budget)
+    disableQ8(); disablePq(); disableBit()
+    val regime = tier match {
+      case "exact" => "recall 1.0 (no candidate cut)"
+      case "q8" => "near-exact under graft.q8.overfetch (int8 candidates + fp32 rescore)"
+      case "pq" => "clustered-data tier: widen graft.pq.overfetch on hard distributions"
+      case _ => "coarsest tier: Hamming candidates, clustered data only"
+    }
+    tier match {
+      case "q8" => enableQ8()
+      case "pq" => enablePq()
+      case "bit" => enableBit()
+      case _ => ()
+    }
+    VdbStore.log.info(
+      "graft: auto tier '{}' for {} rows x {} dims (fp32 {} B vs budget {} B) — {}",
+      tier, n.toString, dim.toString, (n * dim * 4L).toString,
+      budget.toString, regime)
+    tier
+  }
+
   /** Enable the IVF accelerator; the index itself is built lazily on the
     * next unfiltered query (and refreshed when the store has mutated).
     * `nList <= 0` (and the no-arg overload) selects AUTO list count:
@@ -1322,6 +1364,24 @@ object VdbStore {
     if (v.length >= 2 && v.charAt(0) == '"' && v.charAt(v.length - 1) == '"')
       StoreIO.unescapeJson(v.substring(1, v.length - 1))
     else v
+
+  /** The auto tier decision, pure and driver-cheap (see [[VdbStore!.enableAuto]]):
+    * the finest candidate-scan substrate whose bytes fit `budgetBytes`.
+    * fp32 = 4·dim B/row, int8 = dim B/row, PQ = autoM(dim) B/row
+    * (skipped when dim % 4 != 0 — auto PQ can't split that geometry),
+    * sign bits = bitBits/8 B/row as the unconditional last resort.
+    * At equal bytes PQ outranks bit (8-bit subspace codes are finer
+    * candidates than sign bits).
+    */
+  def autoTier(rows: Long, dim: Int, budgetBytes: Long,
+               bitBits: Int = 256): String = {
+    val d = math.max(1, dim).toLong
+    if (rows * d * 4L <= budgetBytes) "exact"
+    else if (rows * d <= budgetBytes) "q8"
+    else if (dim % 4 == 0 &&
+        rows * PqStore.autoM(dim).toLong <= budgetBytes) "pq"
+    else "bit"
+  }
 
   /** Driver-side twin of the `content_id` expression: md5 hex over the
     * normalized vector's little-endian float32 bytes (pico_vdb.py:54-55).

@@ -621,6 +621,44 @@ class VdbStoreSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.query.exact")
   }
 
+  test("auto tier selection: the finest substrate that fits the budget, at cluster-scale footprints and live on a store") {
+    import graft.core.VdbStore.autoTier
+    // cluster-scale synthetic footprints (1024-d): the SCALING.md
+    // ladder choice, pinned. fp32 fits -> exact beats every tier.
+    assert(autoTier(1000000L, 1024, 8L << 30) == "exact")
+    // fp32 410 GB spills a 128 GB budget, int8 102 GB fits -> q8
+    assert(autoTier(100000000L, 1024, 128L << 30) == "q8")
+    // int8 10.2 TB spills 2 TB, PQ codes 1.28 TB fit -> pq
+    assert(autoTier(10000000000L, 1024, 2L << 40) == "pq")
+    // nothing but the sign bits fits -> bit (last resort)
+    assert(autoTier(100000000000L, 1024, 2L << 40) == "bit")
+    // geometry auto-PQ can't split skips the pq rung
+    assert(autoTier(10000000000L, 6, 1L << 30) == "bit")
+
+    // live: enableAuto() measures THIS store (80 rows x 4 dims,
+    // fp32 1280 B / int8 320 B / pq-m1 80 B) against the conf budget
+    val s = freshStore(4)
+    val recs = (0 until 80).map { i =>
+      val v = new Array[Float](4); v(i % 4) = 1f
+      rec(s"r$i", v, s"""{"g": ${i % 4}}""")
+    }
+    s.upsert(recs)
+    val q = Array(1f, 0f, 0f, 0f)
+    def choose(memBytes: Long): (String, String) = {
+      spark.conf.set("graft.auto.mem.bytes", memBytes.toString)
+      try {
+        val tier = s.enableAuto()
+        s.queryOne(q, topK = 3)
+        (tier, s.lastQueryStrategy.get)
+      } finally spark.conf.unset("graft.auto.mem.bytes")
+    }
+    assert(choose(1000000L) == ("exact", "exact"))
+    assert(choose(2000L) == ("q8", "q8"))       // budget 1000: fp32 out, int8 in
+    assert(choose(630L) == ("pq", "pq"))        // budget 315: int8 out, pq in
+    assert(choose(100L) == ("bit", "bit"))      // budget 50: last resort
+    s.disableBit()
+  }
+
   test("composed ann+pq / ann+bit strategies: routed from query(), precedence ann+q8 > ann+pq > ann+bit, bypassed like ANN") {
     val s = freshStore(4)
     val recs = (0 until 80).map { i =>
