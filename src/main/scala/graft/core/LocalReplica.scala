@@ -31,10 +31,13 @@ final class LocalReplica private[core] (
     bucketBlocks: Array[Array[VecBlock[String]]], // aligned to centroids (or length 1)
     metaOf: java.util.HashMap[String, String],
     rowOf: java.util.HashMap[String, (VecBlock[String], Int)],
-    exactScore: Boolean) {
+    exactScore: Boolean,
+    pqBookOpt: Option[PqCodebook] = None) {
 
   def size: Int = rowOf.size()
   def nList: Int = centroids.length
+
+  private def allBlocks: Array[VecBlock[String]] = bucketBlocks.flatten
 
   // ---- optional HNSW graph (round 13): graph-ANN recall class on the
   // serving path — see Hnsw's scaladoc for why it lives HERE and not
@@ -103,6 +106,27 @@ final class LocalReplica private[core] (
       System.arraycopy(b.data, r * b.dim, out, off, b.dim)
       true
     }
+  }
+
+  /** [[matrixHash]] streamed row-by-row through a dim-sized scratch —
+    * same bits, none of the O(n·dim) buffer (the PQ cache paths have
+    * no other reason to materialize the flat matrix; a 100k×1024
+    * replica's 400 MB spike OOMed the serving bench before this).
+    * Throws (into the callers' NonFatal fallback) on an id the
+    * replica doesn't hold.
+    */
+  private def rowsHash(ids: Iterator[String]): Long = {
+    val scratch = new Array[Float](dim)
+    var h = 0xCBF29CE484222325L
+    ids.foreach { id =>
+      require(vectorOf(id, scratch, 0), s"id $id not in replica")
+      var i = 0
+      while (i < dim) {
+        h = (h ^ java.lang.Float.floatToRawIntBits(scratch(i))) * 0x100000001B3L
+        i += 1
+      }
+    }
+    h
   }
 
   // FNV-1a over the float bits — order-sensitive by design (the graph's
@@ -220,6 +244,314 @@ final class LocalReplica private[core] (
     }.toSeq
   }
 
+  // ---- optional compression tiers (round 16): the store's q8/pq
+  // serving rungs, in-process. Same shape as the distributed
+  // strategies — compressed candidate scan, then the exact
+  // double-accumulated fp32 rescore over the replica slabs — so at
+  // covering overfetch results match queryOne hit-for-hit.
+
+  @volatile private var q8Blocks: Array[Q8Block[String]] = null
+
+  /** Quantize the replica's slabs to the int8 tier, idempotently.
+    * There is deliberately NO quick-load cache here: int8 quantization
+    * is one multiply+round per byte PRODUCED, i.e. the same order of
+    * work as reading the codes from disk — a cache file would save
+    * nothing (the PQ tier is different: encoding costs ksub
+    * distance evaluations per code byte, see [[buildPq]]).
+    */
+  def buildQ8(): Unit =
+    if (q8Blocks == null) synchronized {
+      if (q8Blocks == null)
+        q8Blocks = allBlocks.map(Q8Store.quantize[String])
+    }
+
+  @volatile private var pqBlocks: Array[PqBlock[String]] = null
+  @volatile private var pqBookVar: PqCodebook = null
+
+  /** "encoded" after a local encode, "loaded" after a [[buildPq]]
+    * quick-load, "none" before either.
+    */
+  @volatile private var pqSourceVar: String = "none"
+  def pqSource: String = pqSourceVar
+
+  /** Build (idempotently) the PQ serving tier. The codebook — the
+    * tier's TRAINED state — comes from the replica's source store when
+    * its PQ strategy was enabled (zero k-means here, the
+    * `_pq_codebook` sidecar story extended to serving:
+    * pico_vdb.py:230-237); a replica cut from a store without one
+    * falls back to a deterministic local train over a strided sample
+    * (logged — the only path where [[PqStore.trainsInJvm]] moves).
+    *
+    * `cachePath` is the same quick-load contract as [[buildHnsw]]'s
+    * graph cache, for the codes: encoding costs `ksub` distance
+    * evaluations per code byte (256x the int8 tier's work — minutes
+    * of driver CPU at serving scale), so a cold start that re-reads
+    * validated codes instead finishes in I/O time. The file carries
+    * ids + a checksum over the vectors reassembled in its row order
+    * (content, not store version — versions reset across JVM
+    * restarts, which is exactly when the cache matters), the codebook,
+    * and the codes; any mismatch or torn file degrades to an encode
+    * that rewrites the cache.
+    */
+  def buildPq(m: Int = 0, cachePath: Option[String] = None): Unit =
+    if (pqBlocks == null) synchronized {
+      if (pqBlocks == null) {
+        val mm = if (m > 0) m else PqStore.autoM(dim)
+        if (!cachePath.exists(p => tryQuickLoadPq(p, mm))) {
+          val book = pqBookOpt.filter(b => b.m == mm && b.dim == dim)
+            .getOrElse {
+              org.slf4j.LoggerFactory.getLogger("graft.replica").warn(
+                "graft: replica has no carried PQ codebook (source store's " +
+                  "pq strategy was off) — training locally on a strided sample")
+              val blocks = allBlocks
+              val total = size
+              val stride = math.max(1, total / 20000)
+              val sample = Array.newBuilder[Array[Float]]
+              var seen = 0
+              blocks.foreach { b =>
+                var r = 0
+                while (r < b.rows) {
+                  if (seen % stride == 0)
+                    sample += java.util.Arrays.copyOfRange(
+                      b.data, r * b.dim, (r + 1) * b.dim)
+                  seen += 1
+                  r += 1
+                }
+              }
+              PqStore.trainOnRows(sample.result(), mm, 256, 42L, 8)
+            }
+          val blocks = allBlocks
+          val encoded = new Array[PqBlock[String]](blocks.length)
+          java.util.stream.IntStream.range(0, blocks.length).parallel()
+            .forEach { i => encoded(i) = PqStore.encode(book, blocks(i)) }
+          pqBookVar = book
+          pqBlocks = encoded
+          pqSourceVar = "encoded"
+          cachePath.foreach(p => writeQuickLoadPq(p, book, encoded))
+        }
+      }
+    }
+
+  private def tryQuickLoadPq(path: String, m: Int): Boolean = {
+    val f = new java.io.File(path)
+    if (!f.isFile) return false
+    try {
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(f), 1 << 16))
+      try {
+        require(in.readInt() == LocalReplica.PqQuickLoadMagic, "not a replica PQ file")
+        require(in.readInt() == LocalReplica.PqQuickLoadFormat, "unsupported format")
+        val (fm, fksub) = (in.readInt(), in.readInt())
+        require(fm == m, s"cached codes use m=$fm, requested m=$m")
+        require(fksub >= 1 && fksub <= 256, s"corrupt ksub $fksub")
+        val fdim = in.readInt()
+        val n = in.readInt()
+        require(fdim == dim && n == size,
+          s"cached codes shape ($fdim, $n) != replica ($dim, $size)")
+        val wantHash = in.readLong()
+        // the vector checksum proves the ROWS; this one proves the
+        // DERIVED state (a flipped codebook float or code byte would
+        // otherwise serve silently degraded candidates — the StoreIO
+        // codebook-coverage lesson applied here)
+        val wantDerived = in.readLong()
+        val ids = new Array[String](n)
+        var i = 0
+        while (i < n) {
+          val len = in.readInt()
+          require(len >= 0 && len <= (1 << 24), s"corrupt id length $len")
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          ids(i) = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          i += 1
+        }
+        require(rowsHash(ids.iterator) == wantHash,
+          "cached codes were encoded over different vectors")
+        val dsub = dim / m
+        val bookFlat = new Array[Float](m * fksub * dsub)
+        var bi = 0
+        while (bi < bookFlat.length) { bookFlat(bi) = in.readFloat(); bi += 1 }
+        val codes = new Array[Byte](n.toLong.toInt * m)
+        in.readFully(codes)
+        require(LocalReplica.derivedHash(bookFlat, codes) == wantDerived,
+          "cached codebook/codes are corrupt")
+        // chunk into slab-sized blocks for parallel scan grain
+        val chunk = math.max(1, (2 * 1024 * 1024) / math.max(1, m))
+        val nBlocks = (n + chunk - 1) / math.max(1, chunk)
+        val blocks = new Array[PqBlock[String]](math.max(1, nBlocks))
+        if (n == 0) blocks(0) = new PqBlock[String](Array.empty, Array.empty, m, null)
+        else {
+          var b = 0
+          while (b < nBlocks) {
+            val lo = b * chunk
+            val hi = math.min(n, lo + chunk)
+            blocks(b) = new PqBlock[String](
+              java.util.Arrays.copyOfRange(ids.asInstanceOf[Array[AnyRef]], lo, hi)
+                .asInstanceOf[Array[String]],
+              java.util.Arrays.copyOfRange(codes, lo * m, hi * m), m, null)
+            b += 1
+          }
+        }
+        pqBookVar = new PqCodebook(dim, m, fksub, bookFlat)
+        pqBlocks = blocks
+        pqSourceVar = "loaded"
+        true
+      } finally in.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger("graft.replica").warn(
+          s"graft: replica PQ quick-load from $path failed " +
+            s"(${e.getMessage}) — encoding instead")
+        false
+    }
+  }
+
+  private def writeQuickLoadPq(path: String, book: PqCodebook,
+                               blocks: Array[PqBlock[String]]): Unit =
+    try {
+      val target = java.nio.file.Paths.get(path)
+      if (target.getParent != null) java.nio.file.Files.createDirectories(target.getParent)
+      val tmp = java.nio.file.Files.createTempFile(
+        Option(target.getParent).getOrElse(java.nio.file.Paths.get(".")),
+        ".replica-pq", ".tmp")
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(tmp), 1 << 16))
+      try {
+        val n = blocks.map(_.rows).sum
+        out.writeInt(LocalReplica.PqQuickLoadMagic)
+        out.writeInt(LocalReplica.PqQuickLoadFormat)
+        out.writeInt(book.m)
+        out.writeInt(book.ksub)
+        out.writeInt(dim)
+        out.writeInt(n)
+        // hash over the fp32 rows in file order (the code row order),
+        // streamed — never the O(n·dim) flat buffer
+        out.writeLong(rowsHash(blocks.iterator.flatMap(_.ids.iterator)))
+        val allCodes = new Array[Byte](n * book.m)
+        var co = 0
+        blocks.foreach { pb =>
+          System.arraycopy(pb.codes, 0, allCodes, co, pb.codes.length)
+          co += pb.codes.length
+        }
+        out.writeLong(LocalReplica.derivedHash(book.centroids, allCodes))
+        blocks.foreach { pb =>
+          var r = 0
+          while (r < pb.rows) {
+            val bytes = pb.ids(r).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            out.writeInt(bytes.length)
+            out.write(bytes)
+            r += 1
+          }
+        }
+        var bi = 0
+        val bf = book.centroids
+        while (bi < bf.length) { out.writeFloat(bf(bi)); bi += 1 }
+        out.write(allCodes)
+      } finally out.close()
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger("graft.replica").warn(
+          s"graft: failed to write replica PQ cache at $path: ${e.getMessage}")
+    }
+
+  /** Exact double-accumulated rescore of `cands` against the fp32
+    * slabs — the SAME arithmetic as the distributed strategies'
+    * rescore tail, so at covering overfetch the compressed paths
+    * match [[queryOne]] hit-for-hit.
+    */
+  private def rescoreExact(q: Array[Float], cands: Seq[String],
+                           topK: Int): Seq[VdbHit] = {
+    val h = new BoundedTopKG[String](topK)
+    cands.foreach { id =>
+      val slot = rowOf.get(id)
+      if (slot != null) {
+        val (b, r) = slot
+        val off = r * b.dim
+        var s = 0.0
+        var i = 0
+        while (i < b.dim) { s += q(i).toDouble * b.data(off + i); i += 1 }
+        h.offer(s, id)
+      }
+    }
+    h.sortedHits().map { case (id, s) =>
+      VdbHit(id, s, Option(metaOf.get(id)), None)
+    }.toSeq
+  }
+
+  /** In-process int8-tier top-k (requires [[buildQ8]]): int8 candidate
+    * scan at `topK * overfetch`, exact fp32 rescore — the distributed
+    * "q8" strategy's serving twin.
+    */
+  def queryOneQ8(vector: Array[Float], topK: Int = 10,
+                 overfetch: Int = 4): Seq[VdbHit] = {
+    require(q8Blocks != null, "call buildQ8() first")
+    require(vector.length == dim,
+      s"query vector dim mismatch: expected $dim, got ${vector.length}")
+    val q = graft.functions.NormalizeL2.normalize(vector)
+    val scanK = math.max(topK, topK * math.max(1, overfetch))
+    // direct byte-FMA kernel, NOT the batch path's dequantize-to-
+    // scratch tiling: that trade amortizes the expansion over a query
+    // batch, and at batch size ONE it made the int8 scan ~8x slower
+    // than the fp32 exact scan (measured in VdbStoreBench before this)
+    def scanBlock(b: Q8Block[String], h: BoundedTopKG[String]): Unit = {
+      var r = 0
+      while (r < b.rows) {
+        val s = graft.operators.Kernels.dotQ8F(q, b.codes, r * b.dim)
+          .toDouble * b.scales(r)
+        h.offer(s, b.ids(r))
+        r += 1
+      }
+    }
+    val merged =
+      if (q8Blocks.length < 2) {
+        val h = new BoundedTopKG[String](scanK)
+        if (q8Blocks.length == 1) scanBlock(q8Blocks(0), h)
+        h
+      } else {
+        val parts = new Array[BoundedTopKG[String]](q8Blocks.length)
+        java.util.stream.IntStream.range(0, q8Blocks.length).parallel().forEach { i =>
+          val h = new BoundedTopKG[String](scanK)
+          scanBlock(q8Blocks(i), h)
+          parts(i) = h
+        }
+        parts.reduce { (a, b) => a.absorb(b); a }
+      }
+    rescoreExact(q, merged.sortedHits().map(_._1).toSeq, topK)
+  }
+
+  /** In-process PQ-tier top-k (requires [[buildPq]]): ADC candidate
+    * scan at `topK * overfetch`, exact fp32 rescore — the distributed
+    * "pq" strategy's serving twin.
+    */
+  def queryOnePq(vector: Array[Float], topK: Int = 10,
+                 overfetch: Int = 8): Seq[VdbHit] = {
+    require(pqBlocks != null, "call buildPq() first")
+    require(vector.length == dim,
+      s"query vector dim mismatch: expected $dim, got ${vector.length}")
+    val q = graft.functions.NormalizeL2.normalize(vector)
+    val scanK = math.max(topK, topK * math.max(1, overfetch))
+    val table = pqBookVar.adcTable(q)
+    val ksub = pqBookVar.ksub
+    val merged =
+      if (pqBlocks.length < 2) {
+        val h = new BoundedTopKG[String](scanK)
+        if (pqBlocks.length == 1)
+          PqStore.scoreBlock(Array(h), Array(table), ksub, pqBlocks(0), null)
+        h
+      } else {
+        val parts = new Array[BoundedTopKG[String]](pqBlocks.length)
+        java.util.stream.IntStream.range(0, pqBlocks.length).parallel().forEach { i =>
+          val h = new BoundedTopKG[String](scanK)
+          PqStore.scoreBlock(Array(h), Array(table), ksub, pqBlocks(i), null)
+          parts(i) = h
+        }
+        parts.reduce { (a, b) => a.absorb(b); a }
+      }
+    rescoreExact(q, merged.sortedHits().map(_._1).toSeq, topK)
+  }
+
   /** O(1) point lookup (the `get` shape), no Spark job. */
   def get(id: String, includeVector: Boolean = false): Option[VdbHit] = {
     val slot = rowOf.get(id)
@@ -283,4 +615,23 @@ final class LocalReplica private[core] (
 object LocalReplica {
   private[core] val QuickLoadMagic = 0x47525048 // "GRPH"
   private[core] val QuickLoadFormat = 1
+  private[core] val PqQuickLoadMagic = 0x47525051 // "GRPQ"
+  private[core] val PqQuickLoadFormat = 1
+
+  // FNV-1a over codebook float bits then code bytes — guards the
+  // DERIVED state the vector checksum can't see
+  private[core] def derivedHash(book: Array[Float], codes: Array[Byte]): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < book.length) {
+      h = (h ^ java.lang.Float.floatToRawIntBits(book(i))) * 0x100000001B3L
+      i += 1
+    }
+    var j = 0
+    while (j < codes.length) {
+      h = (h ^ (codes(j) & 0xFF)) * 0x100000001B3L
+      j += 1
+    }
+    h
+  }
 }

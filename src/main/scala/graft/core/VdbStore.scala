@@ -1083,8 +1083,11 @@ final class VdbStore private (
       var r = 0
       while (r < blk.rows) { rowOf.put(blk.ids(r), (blk, r)); r += 1 }
     })
+    // the PQ codebook rides along when the store's pq strategy holds a
+    // matching one: the replica's buildPq then needs ZERO k-means (the
+    // _pq_codebook sidecar story extended to the serving path)
     new LocalReplica(dim, storeVersion, cents, buckets, metaOf, rowOf,
-      conf.queryExact)
+      conf.queryExact, pqBook.filter(b => b.dim == dim && pqM.contains(b.m)))
   }
 
   def queryOne(vector: Array[Float], topK: Int = 10,

@@ -47,6 +47,7 @@ object VdbStoreBench {
       store.upsertDF(batch, dedupIds = false)
     }
     timed("count")(store.count())
+    batch.unpersist() // ingest done; the serving phases want the heap
     timed("batch 1000q cold") {
       store.query(queries.toIndexedSeq, topK = 10, betterThan = Some(0.1)).size
     }
@@ -73,6 +74,7 @@ object VdbStoreBench {
     timed("localReplica build (no ANN)") { rep = store.localReplica(); rep.size }
     perQuery("localReplica exact", 200)(q => rep.queryOne(q, topK = 10))
     perQuery("localReplica get(id)", 10000)(_ => rep.get("id000042"))
+    rep = null // ~430 MB of slabs; the later tier phases need the heap
     store.enableAnn()
     var repA: graft.core.LocalReplica = null
     timed("localReplica build (ANN)") { repA = store.localReplica(); repA.size }
@@ -115,6 +117,43 @@ object VdbStoreBench {
       }
       println(f"VDBSERVE hnsw recall@10 ef=$ef%-3d ${per.sum / per.length}%.3f")
     }
+
+    // ---- compression-tier serving cold starts (round 16): the q8
+    // tier quantizes at assembly speed (no cache exists by design);
+    // the pq tier's trained book rides from the store (zero k-means)
+    // and its CODES quick-load from the same cache contract as the
+    // graph — measure encode vs quick-load, and pin trains flat.
+    timed("replica q8 quantize") { repA.buildQ8(); 0L }
+    perQuery("localReplica q8 of4", 500)(q => repA.queryOneQ8(q, topK = 10))
+    repA = null // free the slabs+graph before the pq replicas cut
+    repQ = null
+    // train the store's flat-pq book (the _pq_codebook state): the
+    // flat strategy must serve, so park ANN while it trains
+    store.disableAnn()
+    store.enablePq()
+    timed("store pq train+encode (flat)") {
+      store.query(Seq(queries(0)).toIndexedSeq, topK = 10).size
+    }
+    store.enableAnn()
+    val pqCache = java.nio.file.Files.createTempDirectory("vdbserve-pq")
+      .toString + "/replica-pq.bin"
+    var repP: graft.core.LocalReplica = null
+    timed("localReplica build (pq book)") { repP = store.localReplica(); repP.size }
+    val trains0 = graft.core.PqStore.trainsInJvm.get()
+    timed("replica pq encode (carried book)") {
+      repP.buildPq(cachePath = Some(pqCache)); repP.pqSource
+    }
+    println(s"VDBSERVE pq trains during encode: " +
+      (graft.core.PqStore.trainsInJvm.get() - trains0) + " (want 0)")
+    perQuery("localReplica pq of8", 500)(q => repP.queryOnePq(q, topK = 10))
+    repP = null // one replica at a time: the cut's collect is the spike
+    var repP2: graft.core.LocalReplica = null
+    timed("localReplica build (fresh 2)") { repP2 = store.localReplica(); repP2.size }
+    timed("replica pq quick-load") {
+      repP2.buildPq(cachePath = Some(pqCache)); repP2.pqSource
+    }
+    println(s"VDBSERVE pq trains during quick-load: " +
+      (graft.core.PqStore.trainsInJvm.get() - trains0) + " (want 0)")
     spark.stop()
   }
 }

@@ -279,6 +279,74 @@ class HnswPersistSpec extends AnyFunSuite {
     assert(rh.hnswSource == "loaded")
   }
 
+  test("replica q8/pq serving tiers: carried codebook means zero k-means, second cold start quick-loads the codes") {
+    import graft.core.PqStore
+    val s = hnswVdbStore(n = 120)
+    // train the store's PQ book once (the _pq_codebook sidecar state)
+    s.enablePq()
+    s.queryOne(Array.fill(8)(0.3f), topK = 3)
+    val cache = tmpDir("replicapq") + "/codes.bin"
+
+    // replicas cut under query.exact score their exact scans in double
+    // — the same arithmetic as the tiers' rescore tail, so parity is
+    // bit-level (the VdbStoreSpec q8/pq convention)
+    spark.conf.set("graft.query.exact", "true")
+    val replica = s.localReplica()
+    val probe = replica.get("h007", includeVector = true).get.vector.get
+    val exact = replica.queryOne(probe, topK = 5).map(h => (h.id, h.metrics))
+
+    // int8 tier: no trained state, no cache — quantize is assembly-cheap
+    replica.buildQ8()
+    val cover = replica.size / 5 + 1
+    assert(replica.queryOneQ8(probe, topK = 5, overfetch = cover)
+      .map(h => (h.id, h.metrics)) == exact,
+      "covering-overfetch q8 rescore must equal the exact replica scan")
+
+    // pq tier, first cold start: the carried book means ZERO k-means
+    val trainsBefore = PqStore.trainsInJvm.get()
+    replica.buildPq(cachePath = Some(cache))
+    assert(PqStore.trainsInJvm.get() == trainsBefore,
+      "a replica cut from a pq-enabled store must not retrain")
+    assert(replica.pqSource == "encoded")
+    assert(replica.queryOnePq(probe, topK = 5, overfetch = cover)
+      .map(h => (h.id, h.metrics)) == exact,
+      "covering-overfetch pq rescore must equal the exact replica scan")
+
+    // second cold start: codes quick-load from the cache — zero
+    // re-encode (source "loaded"), zero k-means, identical results
+    val replica2 = s.localReplica()
+    val trains2 = PqStore.trainsInJvm.get()
+    replica2.buildPq(cachePath = Some(cache))
+    assert(replica2.pqSource == "loaded",
+      "a matching codes cache must quick-load, not re-encode")
+    assert(PqStore.trainsInJvm.get() == trains2)
+    assert(replica2.queryOnePq(probe, topK = 5, overfetch = cover)
+      .map(h => (h.id, h.metrics)) == exact)
+
+    // torn/corrupt cache degrades to an encode that rewrites it
+    val raf = new java.io.RandomAccessFile(cache, "rw")
+    raf.seek(raf.length() / 2); raf.writeInt(0xDEAD); raf.close()
+    val replica3 = s.localReplica()
+    replica3.buildPq(cachePath = Some(cache))
+    assert(replica3.pqSource == "encoded",
+      "a corrupt cache must fall back to encoding")
+    val replica4 = s.localReplica()
+    replica4.buildPq(cachePath = Some(cache))
+    assert(replica4.pqSource == "loaded",
+      "the fallback encode must rewrite the cache for the next start")
+
+    // a replica cut WITHOUT the store pq strategy trains locally (the
+    // logged fallback — the only path where trainsInJvm moves)
+    s.disablePq()
+    val bare = s.localReplica()
+    val trains3 = PqStore.trainsInJvm.get()
+    bare.buildPq()
+    assert(PqStore.trainsInJvm.get() == trains3 + 1)
+    assert(bare.queryOnePq(probe, topK = 5, overfetch = cover)
+      .map(h => (h.id, h.metrics)) == exact)
+    spark.conf.unset("graft.query.exact")
+  }
+
   test("shard-local invalidation: small mutations on a loaded store rebuild exactly the touched slabs") {
     val s = hnswVdbStore(n = 120)
     s.enableHnsw(m = 8, efConstruction = 40)
