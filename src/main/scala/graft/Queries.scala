@@ -1326,6 +1326,57 @@ object Queries {
       st.enableAnn(16); st.enableBit(256)
     }, "graft.bit.overfetch")
 
+  /** Oracled facade filtered-ANN entry (q86, round 16): with
+    * `graft.ann.filtered` on, a where-restricted `query()` routes
+    * through [[operators.IvfIndex.searchMergedAllowed]] (strategy
+    * "ann-filtered" — asserted) instead of the blanket exact bypass:
+    * the predicate's matching ids broadcast into the probed bucket
+    * scan as a membership set. At nProbe = nList the single pass IS
+    * the exact filtered scan, so the unit-normalized top-k oracle
+    * with the same store predicate hash-matches (graft.query.exact
+    * pins double accumulation on both sides like q47). The O16
+    * adaptive re-probe at PARTIAL nProbe is spec-pinned in
+    * VdbStoreSpec — refill behavior can't be SQL-oracled.
+    */
+  def vdbAnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val store = vdbStoreFor(spark, dir)
+    store.disableQ8(); store.disablePq(); store.disableBit()
+    store.enableAnn(16)
+    val queries = t(spark, dir, "embeddings")
+      .filter(col("vec_id") >= 260 && col("vec_id") < 280)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val k = 10
+    val prevOn = spark.conf.getOption("graft.ann.filtered")
+    val prevEx = spark.conf.getOption("graft.query.exact")
+    spark.conf.set("graft.ann.filtered", "true")
+    spark.conf.set("graft.query.exact", "true")
+    val hits =
+      try store.query(queries.map(_._2).toSeq, topK = k, nProbe = 16,
+        where = Some(col("_id_") < "00000300"))
+      finally {
+        prevOn match {
+          case Some(v) => spark.conf.set("graft.ann.filtered", v)
+          case None => spark.conf.unset("graft.ann.filtered")
+        }
+        prevEx match {
+          case Some(v) => spark.conf.set("graft.query.exact", v)
+          case None => spark.conf.unset("graft.query.exact")
+        }
+      }
+    require(store.lastQueryStrategy.contains("ann-filtered"),
+      s"facade routed ${store.lastQueryStrategy} instead of ann-filtered")
+    hits.zipWithIndex.flatMap { case (hs, qi) =>
+      hs.zipWithIndex.map { case (h, r) =>
+        (queries(qi)._1, (r + 1).toLong, h.id.toLong, h.metrics)
+      }
+    }.toSeq.toDF("qid", "rank", "vec_id", "score")
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("score"), 6).as("score"))
+  }
+
   // ---- binary-sketch store entry (q82) ----
 
   /** Per-dataset binary-sketch store, built once and cached: seeded
@@ -1797,6 +1848,7 @@ object Queries {
     "q83_ann_ivf_bit" -> (annIvfBit _),
     "q84_vdb_ann_pq" -> (vdbAnnPq _),
     "q85_vdb_ann_bit" -> (vdbAnnBit _),
+    "q86_vdb_ann_filtered" -> (vdbAnnFiltered _),
   )
 }
 
@@ -1815,7 +1867,8 @@ object Oracles {
     * (x * inv).toFloat), so the double-accumulated unit dot — the
     * rescore tail's arithmetic — hashes identically after round(,6).
     */
-  private def topkOracleUnit(qFilter: String, k: Int): String =
+  private def topkOracleUnit(qFilter: String, k: Int,
+                             storeFilter: String = "true"): String =
     s"""WITH u AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x * (1.0/sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS FLOAT)) AS uvec
@@ -1823,7 +1876,7 @@ object Oracles {
        |q AS (SELECT vec_id AS qid, uvec AS qvec FROM u WHERE $qFilter),
        |s AS (SELECT q.qid, u.vec_id,
        |        list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(u.uvec AS DOUBLE[])) AS score
-       |      FROM q CROSS JOIN u),
+       |      FROM q CROSS JOIN u WHERE $storeFilter),
        |r AS (SELECT qid, vec_id, score,
        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
        |      FROM s)
@@ -2406,6 +2459,8 @@ object Oracles {
     // the store's write-time-normalized unit vectors, reproduced in SQL
     "q84_vdb_ann_pq" -> topkOracleUnit("vec_id >= 220 AND vec_id < 240", 10),
     "q85_vdb_ann_bit" -> topkOracleUnit("vec_id >= 240 AND vec_id < 260", 10),
+    "q86_vdb_ann_filtered" -> topkOracleUnit("vec_id >= 260 AND vec_id < 280", 10,
+      storeFilter = "u.vec_id < 300"),
     // same salted-md5 determinism trick as q38; first key byte -> bucket
     "q57_corpus_shuffle" ->
       """WITH s AS (

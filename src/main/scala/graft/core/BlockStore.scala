@@ -256,6 +256,54 @@ object BlockStore {
     }
   }
 
+  /** [[scoreBlock]] restricted to the rows passing a membership test
+    * (round 16, the filtered-ANN scan): rows whose id is in `member`
+    * score when `deny` is false, rows NOT in it when `deny` is true
+    * (the anti-selective polarity — broadcast the small complement
+    * instead of a huge allow list). Survivors compact into a temp slab
+    * first so the tiled dot4 kernels still apply — a row-wise
+    * test-and-score loop loses the panel amortization that makes the
+    * packed scan fast, and the one copy pass (4·dim bytes per
+    * surviving row) is shared across every query probing the bucket.
+    * All-pass blocks skip the copy and take [[scoreBlock]] directly.
+    */
+  private[graft] def scoreBlockMember[K](
+      heaps: Array[BoundedTopKG[K]],
+      b: VecBlock[K],
+      qs: Array[Array[Float]],
+      qnorms: Array[Double],
+      member: java.util.HashSet[K],
+      deny: Boolean,
+      exact: Boolean)(implicit ct: ClassTag[K]): Unit = {
+    val rows = b.rows
+    val keep = new Array[Int](rows)
+    var n = 0
+    var r = 0
+    while (r < rows) {
+      if (member.contains(b.ids(r)) != deny) { keep(n) = r; n += 1 }
+      r += 1
+    }
+    if (n == 0) return
+    if (n == rows) {
+      scoreBlock(heaps, b, qs, qnorms, Double.NegativeInfinity, exact)
+      return
+    }
+    val dim = b.dim
+    val ids2 = new Array[K](n)
+    val data2 = new Array[Float](n * dim)
+    val norms2 = if (b.norms == null) null else new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val src = keep(i)
+      ids2(i) = b.ids(src)
+      System.arraycopy(b.data, src * dim, data2, i * dim, dim)
+      if (norms2 != null) norms2(i) = b.norms(src)
+      i += 1
+    }
+    scoreBlock(heaps, new VecBlock[K](ids2, data2, dim, norms2), qs, qnorms,
+      Double.NegativeInfinity, exact)
+  }
+
   /** Score one block into the per-query heaps. */
   private[graft] def scoreBlock[K](
       heaps: Array[BoundedTopKG[K]],
@@ -415,6 +463,11 @@ final class BoundedTopKG[K](k: Int)(implicit ord: Ordering[K]) extends Serializa
 
   def drain(): Iterator[(Double, K)] =
     (0 until size).iterator.map(i => (scores(i), ids(i).asInstanceOf[K]))
+
+  /** Elements currently held (≤ k) — the adaptive re-probe loop's
+    * underfill signal.
+    */
+  def filled: Int = size
 
   /** Fold another heap's contents into this one (treeAggregate combOp). */
   def absorb(other: BoundedTopKG[K]): Unit = {

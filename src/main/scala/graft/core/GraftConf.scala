@@ -74,6 +74,32 @@ final class GraftConf(spark: SparkSession) {
   def annSampleCap: Int =
     opt("ann.sample.cap", "GRAFT_ANN_SAMPLE_CAP").map(_.toInt).getOrElse(20000)
 
+  /** Opt-in filtered-ANN routing (round 16): when true and the IVF
+    * accelerator is enabled, ids/where/whereFn-restricted queries
+    * route through [[graft.operators.IvfIndex.searchMergedAllowed]]
+    * (membership pushed into the probed bucket scan + adaptive
+    * re-probe on underfill — O16 made real) instead of the exact
+    * filtered scan. OFF by default deliberately: it changes the
+    * recall semantics of filtered queries from exact to
+    * IVF-approximate at partial nProbe, which must be the user's
+    * explicit trade (the reference always serves filtered queries
+    * exactly, pico_vdb.py:667-668, and so do we until asked).
+    */
+  def annFilteredEnabled: Boolean =
+    opt("ann.filtered", "GRAFT_ANN_FILTERED").exists(_.toBoolean)
+
+  /** Largest membership set the filtered-ANN path will broadcast
+    * (ids). A filter whose match set fits broadcasts it as an allow
+    * set; one whose COMPLEMENT fits broadcasts that as a deny set
+    * (anti-selective filters); when both overflow, the query falls
+    * back to the exact filtered scan with a logged reason — the
+    * honest mid-selectivity boundary at extreme scale. 4M string ids
+    * ≈ low hundreds of MB broadcast, the practical executor ceiling.
+    */
+  def annFilteredMax: Int =
+    opt("ann.filtered.max", "GRAFT_ANN_FILTERED_MAX").map(_.toInt)
+      .getOrElse(4000000)
+
   /** Default efSearch beam for the sharded-HNSW strategy (the
     * reference's `ef_search`/`hnsw_ef_search` kwarg, default 32 there;
     * 64 here is the recall-first choice matching the nList/2 IVF

@@ -72,12 +72,22 @@ final class VdbStore private (
   //                      int8 / PQ-code / sign-bit candidate scan,
   //                      fp32-rescored (precedence in that order)
   //   "q8"/"pq"/"bit"  — flat compressed scan + fp32 rescore
+  //   "ann-filtered"   — opt-in (graft.ann.filtered): ids/where/whereFn
+  //                      membership pushed into the probed IVF scan,
+  //                      adaptive re-probe on underfill (O16)
   //   "exact"          — full packed-scan (BlockStore SIMD) path
   //   "exact-filtered" — ids/where/whereFn candidates packed + scanned
   @volatile private var lastStrategy: Option[String] = None
 
   /** Path taken by the most recent [[query]]; None before any query. */
   def lastQueryStrategy: Option[String] = lastStrategy
+
+  /** Probe passes the most recent "ann-filtered" query took (O16
+    * telemetry): 1 = the initial probe set filled every query, >1 =
+    * the adaptive refill re-probed; 0 before any filtered-ANN query.
+    */
+  def lastAnnFilteredPasses: Int =
+    annIndex.map(_.lastFilteredPasses).getOrElse(0)
 
   private def timed[T](op: String)(f: => T): T = {
     spark.sparkContext.setJobDescription(s"graft.vdb.$op")
@@ -846,10 +856,45 @@ final class VdbStore private (
     // candidates; routing thresholded queries to the exact path keeps
     // their results deterministic.
     val unfiltered = ids.isEmpty && where.isEmpty && whereFn.isEmpty
+    // Filtered-ANN routing (round 16, opt-in via graft.ann.filtered —
+    // O16 made real): instead of the blanket exact bypass, a filtered
+    // query with the IVF accelerator enabled pushes its filter INTO
+    // the probed bucket scan as a broadcast membership set and
+    // re-probes adaptively on underfill. The membership set is the
+    // filter's matching ids when they fit under graft.ann.filtered.max
+    // (allow polarity), else the COMPLEMENT when that fits (deny
+    // polarity — anti-selective filters); when both overflow, fall
+    // through to the exact filtered scan with a logged reason. The
+    // conservative better_than bypass still applies (thresholded
+    // queries stay exact), as does whereFn's post-score recheck.
+    val annFiltered: Option[(graft.operators.IvfIndex, Array[String], Boolean)] =
+      if (unfiltered || betterThan.isDefined || annNList.isEmpty ||
+          !conf.annFilteredEnabled) None
+      else {
+        val cap = math.max(1, conf.annFilteredMax)
+        val matches =
+          cand.select(col("_id_")).limit(cap + 1).as[String].collect()
+        if (matches.length <= cap) refreshAnn().map(idx => (idx, matches, false))
+        else {
+          val denied = active
+            .join(cand.select(col("_id_")), Seq("_id_"), "left_anti")
+            .select(col("_id_")).limit(cap + 1).as[String].collect()
+          if (denied.length <= cap) refreshAnn().map(idx => (idx, denied, true))
+          else {
+            VdbStore.log.info(
+              "graft: filtered-ANN requested but both the filter's match " +
+                s"set and its complement exceed graft.ann.filtered.max=$cap " +
+                "— serving the exact filtered scan instead")
+            None
+          }
+        }
+      }
     // the graph strategy outranks IVF when both are enabled (same O28
     // bypass rules; the conservative better_than deviation applies to
     // every accelerator alike)
-    val hnsw = if (unfiltered && betterThan.isEmpty) refreshHnsw() else None
+    val hnsw =
+      if (annFiltered.isEmpty && unfiltered && betterThan.isEmpty) refreshHnsw()
+      else None
     val ann =
       if (hnsw.isEmpty && unfiltered && betterThan.isEmpty) refreshAnn()
       else None
@@ -865,7 +910,8 @@ final class VdbStore private (
     val useBit = !usePq && !useQ8 && hnsw.isEmpty && ann.isEmpty &&
       bitBits.isDefined && unfiltered && betterThan.isEmpty
     lastStrategy = Some(
-      if (hnsw.isDefined) "hnsw"
+      if (annFiltered.isDefined) "ann-filtered"
+      else if (hnsw.isDefined) "hnsw"
       else if (ann.isDefined && q8Enabled) "ann+q8"
       else if (ann.isDefined && pqM.isDefined) "ann+pq"
       else if (ann.isDefined && bitBits.isDefined) "ann+bit"
@@ -878,7 +924,21 @@ final class VdbStore private (
 
     val queries = vectors.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toArray
     // (qid, id, score, rank) on the driver — Q x k rows either way
-    val ranked: Seq[(Long, String, Double, Int)] = if (hnsw.isDefined) {
+    val ranked: Seq[(Long, String, Double, Int)] = if (annFiltered.isDefined) {
+      // filtered-ANN strategy: membership-filtered probed scan with
+      // adaptive re-probe (searchMergedAllowed's scaladoc has the O16
+      // story). Precision matches the exact strategy: fp32 kernels by
+      // default, graft.query.exact flips both to double — so at
+      // covering nProbe results are bit-equal to exact-filtered.
+      val (idx, member, denySet) = annFiltered.get
+      val probes = if (nProbe > 0) nProbe else conf.annNProbeFor(idx.nList)
+      val normQ = queries.map { case (i, v) => (i, NormalizeL2.normalize(v)) }
+      idx.searchMergedAllowed[String](normQ, topK, member, denySet, probes,
+          normalized = true, exact = conf.queryExact)
+        .select(col("qid"), col("id"), col("score"), col("rank"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
+    } else if (hnsw.isDefined) {
       // sharded-graph strategy: per-slab beam searches at efSearch
       // (explicit arg > graft.hnsw.ef conf — the reference's
       // ef_search kwarg, pico_vdb.py:716-730), heaps merged up a

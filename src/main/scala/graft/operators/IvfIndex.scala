@@ -136,6 +136,12 @@ final class IvfIndex(
   @volatile private var lastStrategyVar: String = ""
   def lastSearchStrategy: String = lastStrategyVar
 
+  // telemetry for [[searchMergedAllowed]]'s adaptive loop: how many
+  // probe passes the most recent filtered search took (1 = the initial
+  // probe set filled every query; >1 = O16 refill kicked in)
+  @volatile private var lastFilteredPassesVar: Int = 0
+  def lastFilteredPasses: Int = lastFilteredPassesVar
+
   // once-per-index notice when an EXPLICITLY requested partial probe is
   // snapped to the exact scan (ADVICE r13: a recall/latency sweep that
   // deliberately asks for half-list probing gets the exact answer
@@ -700,6 +706,164 @@ final class IvfIndex(
         }.toSeq
       spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
     } finally bc.destroy()
+  }
+
+  /** Membership-filtered IVF top-k with adaptive re-probe (round 16) —
+    * the reference's adaptive over-fetch contract (O16: FAISS fetches
+    * `top_k * buffer` and refetches a wider buffer whenever the
+    * post-filter drops it under `top_k`, pico_vdb.py:717-775) done the
+    * probed-engine way. The filter is pushed INTO the bucket scan
+    * (broadcast membership set over row ids, allow or deny polarity —
+    * `deny = true` broadcasts the small COMPLEMENT of an
+    * anti-selective filter), so filtering itself can never cost
+    * recall; only probing can. Any query whose heap underfills after a
+    * pass re-probes the NEXT slice of its centroid-ranked bucket order
+    * (probe count doubling per pass — [[IvfIndex.probeIds]]' strict
+    * (-score, cid) total order makes a longer ranking extend a shorter
+    * one, so no bucket is scanned twice), until it fills or every
+    * bucket has been scanned. A query therefore returns fewer than `k`
+    * rows ONLY when the whole filtered store holds fewer than `k`
+    * rows — exactly the exact path's contract, without its per-call
+    * repack of every matching row.
+    *
+    * At `nProbe >= nList` (or the [[resolveNProbe]] crossover snap)
+    * the single pass IS the exact filtered scan — oracled as q86.
+    * fp32 kernels by default, `exact = true` flips to sequential
+    * double accumulation, both bit-matching the exact strategy's
+    * scoring at the same flag. Scale terms: one id-set broadcast
+    * (bounded by the caller — `graft.ann.filtered.max` on the store
+    * facade), one temp compacted slab per scanned mixed bucket per
+    * pass, and each adaptive pass is one more treeAggregate over only
+    * the newly probed buckets of still-underfilled queries.
+    */
+  def searchMergedAllowed[K](queries: Array[(Long, Array[Float])], k: Int,
+                             memberIds: Array[K], deny: Boolean,
+                             nProbe: Int = 0, normalized: Boolean = true,
+                             exact: Boolean = false)(
+      implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
+      rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)],
+      outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
+    import graft.core.{BlockStore, BoundedTopKG}
+    import graft.operators.{Kernels => Kn}
+    val spark = assigned.sparkSession
+    // exact-tier resolve semantics apply: for THIS path an all-list
+    // scan is literally the exact filtered result (recall 1.0 over the
+    // filtered set), the same claim the snap warning makes
+    val np0 = resolveNProbe(nProbe)
+    val dimLocal = dim
+    if (dimLocal > 0) queries.foreach { case (qid, v) =>
+      require(v.length == dimLocal,
+        s"IvfIndex.searchMergedAllowed: query $qid has dim ${v.length}, index dim is $dimLocal")
+    }
+    val qids = queries.map(_._1)
+    if (queries.isEmpty || (memberIds.isEmpty && !deny))
+      // empty batch, or an allow-set matching nothing: no pass can
+      // ever admit a row — skip the cluster sweep entirely
+      return spark.createDataset(Seq.empty[(Long, K, Double, Int)])(outEnc)
+        .toDF("qid", "id", "score", "rank")
+    val (packed, _) = packedBuckets[K](normalized)
+    val qvecs = queries.map { q =>
+      val v = q._2
+      if (normalized && Kn.normSqD(v) == 0.0) {
+        val e = new Array[Float](math.max(1, dimLocal)); e(0) = 1f; e
+      } else v
+    }
+    val qnorms =
+      if (normalized) null
+      else qvecs.map(v => math.sqrt(Kn.normSqD(v)))
+    val mset = new java.util.HashSet[K](math.max(16, memberIds.length * 2))
+    memberIds.foreach(mset.add)
+    val bcSet = spark.sparkContext.broadcast((mset, deny))
+    val kk = k
+    val ex = exact
+    val localOrd = ord
+    val global = Array.fill(queries.length)(new BoundedTopKG[K](kk)(localOrd))
+    try {
+      var prevNp = 0
+      var curNp = math.max(1, math.min(np0, math.max(nList, 1)))
+      var active: Array[Int] = queries.indices.toArray
+      var passes = 0
+      while (active.nonEmpty && prevNp < nList && nList > 0) {
+        passes += 1
+        // this pass scans ranking slices [prevNp, curNp) of each
+        // still-underfilled query, in parallel like searchMerged's
+        // probe scan
+        val act = active
+        val slices = new Array[Array[Int]](act.length)
+        java.util.stream.IntStream.range(0, act.length).parallel().forEach { i =>
+          val full = IvfIndex.probeIds(centroids, qvecs(act(i)), curNp)
+          slices(i) = java.util.Arrays.copyOfRange(
+            full, math.min(prevNp, full.length), full.length)
+        }
+        val inv = Array.fill(nList)(new scala.collection.mutable.ArrayBuffer[Int](4))
+        var ai = 0
+        while (ai < act.length) {
+          slices(ai).foreach(c => inv(c) += ai)
+          ai += 1
+        }
+        val cidToA: Array[Array[Int]] = inv.map(_.toArray)
+        val subQ = act.map(qvecs)
+        val subN = if (qnorms == null) null else act.map(qnorms)
+        val bc = spark.sparkContext.broadcast((subQ, subN, cidToA))
+        try {
+          val merged = packed.treeAggregate(null: Array[BoundedTopKG[K]])(
+            seqOp = (acc, pair) => {
+              val (qv, qn, c2a) = bc.value
+              val (mem, dny) = bcSet.value
+              val heaps = if (acc != null) acc
+                          else Array.fill(qv.length)(new BoundedTopKG[K](kk)(localOrd))
+              val cid = pair._1
+              val idxs = if (cid >= 0 && cid < c2a.length) c2a(cid)
+                         else Array.emptyIntArray
+              if (idxs.length > 0) {
+                val sq = new Array[Array[Float]](idxs.length)
+                val sh = new Array[BoundedTopKG[K]](idxs.length)
+                val sn = if (qn == null) null else new Array[Double](idxs.length)
+                var i = 0
+                while (i < idxs.length) {
+                  sq(i) = qv(idxs(i))
+                  sh(i) = heaps(idxs(i))
+                  if (sn != null) sn(i) = qn(idxs(i))
+                  i += 1
+                }
+                BlockStore.scoreBlockMember(sh, pair._2, sq, sn, mem, dny, ex)
+              }
+              heaps
+            },
+            combOp = (a, b) =>
+              if (a == null) b
+              else if (b == null) a
+              else {
+                var i = 0
+                while (i < a.length) { a(i).absorb(b(i)); i += 1 }
+                a
+              },
+            depth = 2)
+          if (merged != null) {
+            var i = 0
+            while (i < act.length) { global(act(i)).absorb(merged(i)); i += 1 }
+          }
+        } finally bc.destroy()
+        prevNp = curNp
+        active = act.filter(qi => global(qi).filled < kk)
+        curNp = math.min(nList, math.max(curNp * 2, curNp + 1))
+      }
+      lastFilteredPassesVar = passes
+      if (passes > 1)
+        // active at exit = queries STILL underfilled after the full
+        // sweep: the filtered store holds fewer than k rows for them
+        org.slf4j.LoggerFactory.getLogger("graft.ann").info(
+          "IvfIndex: filtered search re-probed adaptively — {} passes " +
+            "from initial nProbe {}; {} queries have < k filtered rows in the store",
+          passes, np0, active.length + 0)
+      val rows: Seq[(Long, K, Double, Int)] =
+        global.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.sortedHits().iterator.zipWithIndex.map { case ((id, s), r) =>
+            (qids(i), id, s, r + 1)
+          }
+        }.toSeq
+      spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
+    } finally bcSet.destroy()
   }
 
   /** IVF-SQ8 driver-batch top-k (round 12): [[searchMerged]]'s

@@ -716,6 +716,84 @@ class VdbStoreSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.query.exact")
   }
 
+  test("filtered-ANN strategy (O16): opt-in routing, exact parity at covering probes, adaptive re-probe, deny polarity, cap fallback") {
+    val s = freshStore(8)
+    // two well-separated clusters: a* near e0, b* near e4 — so a
+    // b-filtered query FROM the a direction probes a-buckets first
+    // and must re-probe to fill (the O16 scenario)
+    val rng = new scala.util.Random(7)
+    def mk(base: Int, tag: String) = (0 until 60).map { i =>
+      val v = new Array[Float](8)
+      v(base) = 1f
+      (0 until 8).foreach(j => v(j) = v(j) + (rng.nextFloat() - 0.5f) * 0.05f)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      rec(f"$tag$i%03d", v.map(x => (x / n).toFloat), s"""{"c": "$tag"}""")
+    }
+    s.upsert(mk(0, "a") ++ mk(4, "b"))
+    spark.conf.set("graft.query.exact", "true")
+    try {
+      val q = { val v = new Array[Float](8); v(0) = 1f; v }
+      val whereB = Some(get_json_object(col("meta"), "$.c") === "b")
+      s.enableAnn(nList = 4)
+      // conf OFF (the default): the blanket O28 exact bypass governs —
+      // filtered queries never touch the accelerator unasked
+      val exactB = s.queryOne(q, topK = 5, where = whereB)
+      assert(s.lastQueryStrategy.contains("exact-filtered"))
+      spark.conf.set("graft.ann.filtered", "true")
+      // routed, and at covering probes (nProbe = nList) bit-equal to
+      // the exact filtered scan under graft.query.exact
+      val annB = s.query(Seq(q), topK = 5, where = whereB, nProbe = 4).head
+      assert(s.lastQueryStrategy.contains("ann-filtered"))
+      assert(annB.map(h => (h.id, h.metrics)) ==
+        exactB.map(h => (h.id, h.metrics)))
+      // adaptive re-probe: at nProbe = 1 the a-direction query's first
+      // probe lands in an a-bucket where NO row passes the b filter —
+      // the refill loop must widen until k b-rows fill
+      val adaptive = s.query(Seq(q), topK = 5, where = whereB, nProbe = 1).head
+      assert(s.lastQueryStrategy.contains("ann-filtered"))
+      assert(adaptive.size == 5, s"adaptive refill underfilled: $adaptive")
+      assert(adaptive.forall(_.id.startsWith("b")))
+      assert(s.lastAnnFilteredPasses > 1,
+        s"expected a multi-pass refill, got ${s.lastAnnFilteredPasses}")
+      // a filter matching FEWER than k rows returns them all — the
+      // sweep provably reaches the last bucket before giving up,
+      // exactly the exact path's contract
+      val few = s.query(Seq(q), topK = 5,
+        where = Some(col("_id_").isin("b000", "b001")), nProbe = 1).head
+      assert(few.map(_.id).sorted == Seq("b000", "b001"))
+      // anti-selective polarity: when the match set overflows the cap
+      // but its complement fits, the complement broadcasts as a DENY
+      // set — still routed, still exact at covering probes
+      val whereMost = Some(!col("_id_").isin("a000", "a001", "a002"))
+      spark.conf.unset("graft.ann.filtered")
+      val exactMost = s.queryOne(q, topK = 5, where = whereMost)
+      assert(s.lastQueryStrategy.contains("exact-filtered"))
+      spark.conf.set("graft.ann.filtered", "true")
+      spark.conf.set("graft.ann.filtered.max", "10")
+      val denyHits = s.query(Seq(q), topK = 5, where = whereMost, nProbe = 4).head
+      assert(s.lastQueryStrategy.contains("ann-filtered"))
+      assert(denyHits.map(h => (h.id, h.metrics)) ==
+        exactMost.map(h => (h.id, h.metrics)))
+      // both the match set (60) and its complement (60) over the cap:
+      // logged fallback to the exact filtered scan
+      s.query(Seq(q), topK = 5, where = whereB, nProbe = 4)
+      assert(s.lastQueryStrategy.contains("exact-filtered"))
+      spark.conf.unset("graft.ann.filtered.max")
+      // the conservative better_than deviation still bypasses
+      s.queryOne(q, topK = 5, where = whereB, betterThan = Some(0.0))
+      assert(s.lastQueryStrategy.contains("exact-filtered"))
+      // ids restrictions route too (they are just another filter form)
+      val byIds = s.query(Seq(q), topK = 5,
+        ids = Some(Seq("b000", "b001", "b002", "a000")), nProbe = 4).head
+      assert(s.lastQueryStrategy.contains("ann-filtered"))
+      assert(byIds.size == 4)
+    } finally {
+      spark.conf.unset("graft.query.exact")
+      spark.conf.unset("graft.ann.filtered")
+      spark.conf.unset("graft.ann.filtered.max")
+    }
+  }
+
   test("hnsw strategy: routed, outranks ann, bypassed like ANN, dirtied by mutation") {
     val s = freshStore(8)
     // well-separated unit rows (the IvfIndexSpec fixture idea): graph
