@@ -593,6 +593,57 @@ object Bench {
       }
       recalls("headline_ivfpq_np32_of32") = perQPq.sum / math.max(1, perQPq.length)
 
+      // Filtered-ANN rows (round 16): the same 1000-query batch with a
+      // 50%-selectivity allow set pushed INTO the probed scan
+      // (searchMergedAllowed — the opt-in graft.ann.filtered path).
+      // The exact twin is picovdb_batch_1000q_where50 above, whose
+      // timed region honestly includes the per-call slice+pack this
+      // path exists to avoid; the _cover row probes every bucket and
+      // is therefore the EXACT filtered result (recall asserted below),
+      // directly comparable with where50's number.
+      val evenMember = graft.core.SetMember(
+        Array.tabulate(n.toInt / 2)(i => 2L * i))
+      def annFilteredSample(np: Int): Double = timed {
+        annIdx.searchMergedAllowed[Long](queries, k = topK, evenMember,
+          deny = false, nProbe = np, normalized = false).count()
+        ()
+      }
+      record("picovdb_ann_filtered50_1000q_np32", (1 to 3).map { _ =>
+        canarySample()
+        annFilteredSample(32)
+      })
+      retryIfSuspect("picovdb_ann_filtered50_1000q_np32")(annFilteredSample(32))
+      record("picovdb_ann_filtered50_1000q_cover", (1 to 3).map { _ =>
+        canarySample()
+        annFilteredSample(annIdx.nList)
+      })
+      retryIfSuspect("picovdb_ann_filtered50_1000q_cover")(
+        annFilteredSample(annIdx.nList))
+      // recall vs the filtered-exact ground truth (even rows only):
+      // the covering row scans every bucket so it must read ~1.0 —
+      // anything below the np158-style fp-tie drift (0.9999, gemm vs
+      // packed kernels near-tie flips) is a correctness bug, not a
+      // tuning artifact (the bit-level covering proof is q86/q87 +
+      // the VdbStoreSpec parity assertions)
+      val filteredExactTop = CosineTopK.gemmBlocks(
+          BlockStore.fromRDD(raw.filter(_._1 % 2 == 0), normalize = true),
+          queries, topK)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      Seq(32 -> "filtered50_np32", annIdx.nList -> "filtered50_cover")
+        .foreach { case (np, label) =>
+          val ids = annIdx.searchMergedAllowed[Long](queries, k = topK,
+              evenMember, deny = false, nProbe = np, normalized = false)
+            .select("qid", "id").collect()
+            .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+          val perQF = queries.map { case (qid, _) =>
+            val ex = filteredExactTop.getOrElse(qid, Set.empty[Long])
+            if (ex.isEmpty) 1.0
+            else ids.getOrElse(qid, Set.empty[Long]).count(ex).toDouble / ex.size
+          }
+          recalls(s"headline_$label") = perQF.sum / math.max(1, perQF.length)
+        }
+
       // Monotonicity retry (round 12): more probes can only cost more,
       // so median(np_i) > median(np_j) for np_i < np_j is physically
       // impossible — it means np_i's whole sample window ran under

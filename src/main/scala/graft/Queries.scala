@@ -1377,6 +1377,54 @@ object Queries {
         round(col("score"), 6).as("score"))
   }
 
+  /** Oracled facade bloom-rung entry (q87, round 16): with both exact
+    * id sets forced over a tiny `graft.ann.filtered.max`, the
+    * filtered query routes through the Bloom broadcast (strategy
+    * "ann-filtered+bloom" — asserted) at a deliberately brutal 30%
+    * false-positive rate. The verification semi-join + exact refill
+    * make the result EXACT at covering probes regardless of what the
+    * Bloom admits (VdbStore.query's eviction argument), so the same
+    * unit-normalized filtered top-k oracle hash-matches — the oracle
+    * is literally checking the FP-drop machinery under fire.
+    */
+  def vdbAnnFilteredBloom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val store = vdbStoreFor(spark, dir)
+    store.disableQ8(); store.disablePq(); store.disableBit()
+    store.enableAnn(16)
+    val queries = t(spark, dir, "embeddings")
+      .filter(col("vec_id") >= 280 && col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val k = 10
+    val keys = Seq("graft.ann.filtered", "graft.query.exact",
+      "graft.ann.filtered.max", "graft.ann.filtered.bloom.fpp")
+    val prev = keys.map(key => key -> spark.conf.getOption(key)).toMap
+    spark.conf.set("graft.ann.filtered", "true")
+    spark.conf.set("graft.query.exact", "true")
+    spark.conf.set("graft.ann.filtered.max", "2")
+    spark.conf.set("graft.ann.filtered.bloom.fpp", "0.3")
+    val hits =
+      try store.query(queries.map(_._2).toSeq, topK = k, nProbe = 16,
+        where = Some(col("_id_") >= "00000100"))
+      finally keys.foreach { key =>
+        prev(key) match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    require(store.lastQueryStrategy.contains("ann-filtered+bloom"),
+      s"facade routed ${store.lastQueryStrategy} instead of ann-filtered+bloom")
+    hits.zipWithIndex.flatMap { case (hs, qi) =>
+      hs.zipWithIndex.map { case (h, r) =>
+        (queries(qi)._1, (r + 1).toLong, h.id.toLong, h.metrics)
+      }
+    }.toSeq.toDF("qid", "rank", "vec_id", "score")
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("score"), 6).as("score"))
+  }
+
   // ---- binary-sketch store entry (q82) ----
 
   /** Per-dataset binary-sketch store, built once and cached: seeded
@@ -1849,6 +1897,7 @@ object Queries {
     "q84_vdb_ann_pq" -> (vdbAnnPq _),
     "q85_vdb_ann_bit" -> (vdbAnnBit _),
     "q86_vdb_ann_filtered" -> (vdbAnnFiltered _),
+    "q87_vdb_ann_filtered_bloom" -> (vdbAnnFilteredBloom _),
   )
 }
 
@@ -2461,6 +2510,8 @@ object Oracles {
     "q85_vdb_ann_bit" -> topkOracleUnit("vec_id >= 240 AND vec_id < 260", 10),
     "q86_vdb_ann_filtered" -> topkOracleUnit("vec_id >= 260 AND vec_id < 280", 10,
       storeFilter = "u.vec_id < 300"),
+    "q87_vdb_ann_filtered_bloom" -> topkOracleUnit(
+      "vec_id >= 280 AND vec_id < 300", 10, storeFilter = "u.vec_id >= 100"),
     // same salted-md5 determinism trick as q38; first key byte -> bucket
     "q57_corpus_shuffle" ->
       """WITH s AS (

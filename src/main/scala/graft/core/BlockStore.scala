@@ -272,7 +272,7 @@ object BlockStore {
       b: VecBlock[K],
       qs: Array[Array[Float]],
       qnorms: Array[Double],
-      member: java.util.HashSet[K],
+      member: MemberTest[K],
       deny: Boolean,
       exact: Boolean)(implicit ct: ClassTag[K]): Unit = {
     val rows = b.rows

@@ -100,6 +100,36 @@ final class GraftConf(spark: SparkSession) {
     opt("ann.filtered.max", "GRAFT_ANN_FILTERED_MAX").map(_.toInt)
       .getOrElse(4000000)
 
+  /** Bloom rung of the filtered-ANN path (on by default — it only
+    * activates when `graft.ann.filtered` is already opted into AND
+    * both the match set and its complement overflow
+    * `graft.ann.filtered.max`): a constant-size Bloom broadcast
+    * replaces the id set, false positives are dropped by an exact
+    * verification semi-join after the scan, and any query the drops
+    * underfill refills from the exact filtered scan — so results keep
+    * the exact-membership semantics at any selectivity. false
+    * disables the rung (both-overflow goes straight to the exact
+    * filtered scan).
+    */
+  def annFilteredBloom: Boolean =
+    opt("ann.filtered.bloom", "GRAFT_ANN_FILTERED_BLOOM")
+      .forall(_.toBoolean)
+
+  /** Bloom false-positive rate for the rung above. */
+  def annFilteredBloomFpp: Double =
+    opt("ann.filtered.bloom.fpp", "GRAFT_ANN_FILTERED_BLOOM_FPP")
+      .map(_.toDouble).getOrElse(0.03)
+
+  /** Candidate over-fetch for the Bloom rung: the scan keeps
+    * `k * overfetch` candidates so that dropping false positives
+    * still leaves k verified rows in the common case (k + falsePos ≤
+    * k·overfetch ⟹ no true top-k row was evicted — the exactness
+    * argument in VdbStore.query's bloom branch).
+    */
+  def annFilteredBloomOverfetch: Int =
+    opt("ann.filtered.bloom.overfetch", "GRAFT_ANN_FILTERED_BLOOM_OVERFETCH")
+      .map(_.toInt).getOrElse(4)
+
   /** Default efSearch beam for the sharded-HNSW strategy (the
     * reference's `ef_search`/`hnsw_ef_search` kwarg, default 32 there;
     * 64 here is the recall-first choice matching the nList/2 IVF

@@ -75,6 +75,9 @@ final class VdbStore private (
   //   "ann-filtered"   — opt-in (graft.ann.filtered): ids/where/whereFn
   //                      membership pushed into the probed IVF scan,
   //                      adaptive re-probe on underfill (O16)
+  //   "ann-filtered+bloom" — same, but both exact id sets overflowed
+  //                      the cap: Bloom broadcast + over-fetch +
+  //                      verification semi-join + exact refill
   //   "exact"          — full packed-scan (BlockStore SIMD) path
   //   "exact-filtered" — ids/where/whereFn candidates packed + scanned
   @volatile private var lastStrategy: Option[String] = None
@@ -88,6 +91,15 @@ final class VdbStore private (
     */
   def lastAnnFilteredPasses: Int =
     annIndex.map(_.lastFilteredPasses).getOrElse(0)
+
+  @volatile private var lastBloomRefills = 0
+
+  /** Queries the most recent "ann-filtered+bloom" query refilled from
+    * the exact scan after false-positive drops underfilled them; 0
+    * when the over-fetched scan covered everything (or no bloom query
+    * ran yet).
+    */
+  def lastBloomRefillCount: Int = lastBloomRefills
 
   private def timed[T](op: String)(f: => T): T = {
     spark.sparkContext.setJobDescription(s"graft.vdb.$op")
@@ -867,24 +879,38 @@ final class VdbStore private (
     // through to the exact filtered scan with a logged reason. The
     // conservative better_than bypass still applies (thresholded
     // queries stay exact), as does whereFn's post-score recheck.
-    val annFiltered: Option[(graft.operators.IvfIndex, Array[String], Boolean)] =
+    val annFiltered: Option[(graft.operators.IvfIndex, MemberTest[String], Boolean, Boolean)] =
       if (unfiltered || betterThan.isDefined || annNList.isEmpty ||
           !conf.annFilteredEnabled) None
       else {
         val cap = math.max(1, conf.annFilteredMax)
         val matches =
           cand.select(col("_id_")).limit(cap + 1).as[String].collect()
-        if (matches.length <= cap) refreshAnn().map(idx => (idx, matches, false))
+        if (matches.length <= cap)
+          refreshAnn().map(idx => (idx, SetMember(matches), false, false))
         else {
           val denied = active
             .join(cand.select(col("_id_")), Seq("_id_"), "left_anti")
             .select(col("_id_")).limit(cap + 1).as[String].collect()
-          if (denied.length <= cap) refreshAnn().map(idx => (idx, denied, true))
-          else {
+          if (denied.length <= cap)
+            refreshAnn().map(idx => (idx, SetMember(denied), true, false))
+          else if (conf.annFilteredBloom) {
+            // the scale rung: both exact sets overflow, so broadcast a
+            // constant-size Bloom over the match ids instead (built
+            // distributed — one aggregate over the filtered id column).
+            // Allow polarity only; false positives are dropped by the
+            // verification semi-join after the scan, underfills refill
+            // from the exact scan — see the bloom branch below.
+            val nMatch = cand.select(col("_id_")).count()
+            val bf = cand.stat.bloomFilter(
+              col("_id_"), math.max(1L, nMatch), conf.annFilteredBloomFpp)
+            refreshAnn().map(idx => (idx, BloomMember(bf), false, true))
+          } else {
             VdbStore.log.info(
               "graft: filtered-ANN requested but both the filter's match " +
                 s"set and its complement exceed graft.ann.filtered.max=$cap " +
-                "— serving the exact filtered scan instead")
+                "and the bloom rung is disabled — serving the exact " +
+                "filtered scan instead")
             None
           }
         }
@@ -910,7 +936,8 @@ final class VdbStore private (
     val useBit = !usePq && !useQ8 && hnsw.isEmpty && ann.isEmpty &&
       bitBits.isDefined && unfiltered && betterThan.isEmpty
     lastStrategy = Some(
-      if (annFiltered.isDefined) "ann-filtered"
+      if (annFiltered.exists(_._4)) "ann-filtered+bloom"
+      else if (annFiltered.isDefined) "ann-filtered"
       else if (hnsw.isDefined) "hnsw"
       else if (ann.isDefined && q8Enabled) "ann+q8"
       else if (ann.isDefined && pqM.isDefined) "ann+pq"
@@ -930,14 +957,69 @@ final class VdbStore private (
       // story). Precision matches the exact strategy: fp32 kernels by
       // default, graft.query.exact flips both to double — so at
       // covering nProbe results are bit-equal to exact-filtered.
-      val (idx, member, denySet) = annFiltered.get
+      val (idx, member, denySet, isBloom) = annFiltered.get
       val probes = if (nProbe > 0) nProbe else conf.annNProbeFor(idx.nList)
       val normQ = queries.map { case (i, v) => (i, NormalizeL2.normalize(v)) }
-      idx.searchMergedAllowed[String](normQ, topK, member, denySet, probes,
-          normalized = true, exact = conf.queryExact)
+      // bloom rung: over-fetch candidates so dropping false positives
+      // still leaves k verified rows. Exactness argument: the heap
+      // keeps the top scanK of (true matches ∪ false positives) by
+      // score; if ≥ k of those verify, every true top-k row of the
+      // probed mass is among them (a true top-k row ranks ≤ k + #FPs
+      // ≤ scanK in the union), so take-k-of-verified IS the exact
+      // filtered top-k at covering probes. Fewer than k verified —
+      // false positives evicted true rows — refills from the exact
+      // filtered scan for just those queries.
+      val scanK =
+        if (isBloom) math.max(topK,
+          topK * math.max(1, conf.annFilteredBloomOverfetch))
+        else topK
+      val raw = idx.searchMergedAllowed[String](normQ, scanK, member, denySet,
+          probes, normalized = true, exact = conf.queryExact)
         .select(col("qid"), col("id"), col("score"), col("rank"))
         .collect()
         .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
+      if (!isBloom) raw
+      else {
+        // exact verification of the (≤ Q x scanK) distinct candidate
+        // ids against the filter — one tiny semi-join
+        val candIds = raw.map(_._2).distinct
+        val verified: Set[String] =
+          if (candIds.isEmpty) Set.empty
+          else candIds.toDF("_id_")
+            .join(cand.select(col("_id_")), Seq("_id_"), "left_semi")
+            .as[String].collect().toSet
+        val byQ = raw.groupBy(_._1)
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double, Int)]
+        val refillQ = scala.collection.mutable.ArrayBuffer.empty[Int]
+        queries.foreach { case (qid, _) =>
+          val hits = byQ.getOrElse(qid, Seq.empty)
+          val ok = hits.filter(h => verified.contains(h._2))
+          // scanned fewer than scanK candidates in total ⟹ the heap
+          // never evicted anything: the verified rows are ALL matching
+          // probed rows, no refill can add more
+          if (ok.length >= topK || hits.length < scanK)
+            kept ++= ok.sortBy(_._4).take(topK).zipWithIndex
+              .map { case ((q, id, s, _), r) => (q, id, s, r + 1) }
+          else refillQ += qid.toInt
+        }
+        if (refillQ.nonEmpty) {
+          VdbStore.log.info(
+            s"graft: bloom filtered-ANN refilling ${refillQ.length} " +
+              s"queries whose verified candidates underfilled topK=$topK " +
+              "from the exact filtered scan")
+          lastBloomRefills = refillQ.length
+          val sub = refillQ.toArray.map(qi => queries(qi))
+          val bs = packCandidates(cand)
+          val merged = bs.topKMerged(sub, topK, None,
+            normalizeQueries = true, exact = conf.queryExact)
+          merged.iterator.zipWithIndex.foreach { case (hits, si) =>
+            hits.iterator.zipWithIndex.foreach { case ((id, s), r) =>
+              kept += ((sub(si)._1, id, s, r + 1))
+            }
+          }
+        } else lastBloomRefills = 0
+        kept.toSeq
+      }
     } else if (hnsw.isDefined) {
       // sharded-graph strategy: per-slab beam searches at efSearch
       // (explicit arg > graft.hnsw.ef conf — the reference's

@@ -712,11 +712,14 @@ final class IvfIndex(
     * the reference's adaptive over-fetch contract (O16: FAISS fetches
     * `top_k * buffer` and refetches a wider buffer whenever the
     * post-filter drops it under `top_k`, pico_vdb.py:717-775) done the
-    * probed-engine way. The filter is pushed INTO the bucket scan
-    * (broadcast membership set over row ids, allow or deny polarity —
-    * `deny = true` broadcasts the small COMPLEMENT of an
-    * anti-selective filter), so filtering itself can never cost
-    * recall; only probing can. Any query whose heap underfills after a
+    * probed-engine way. The filter is pushed INTO the bucket scan as a
+    * broadcast [[graft.core.MemberTest]] over row ids (exact
+    * [[graft.core.SetMember]] with allow or deny polarity — `deny =
+    * true` broadcasts the small COMPLEMENT of an anti-selective
+    * filter — or a [[graft.core.BloomMember]], allow-only, whose
+    * false positives the CALLER must verify and refill), so with an
+    * exact member the filtering itself can never cost recall; only
+    * probing can. Any query whose heap underfills after a
     * pass re-probes the NEXT slice of its centroid-ranked bucket order
     * (probe count doubling per pass — [[IvfIndex.probeIds]]' strict
     * (-score, cid) total order makes a longer ranking extend a shorter
@@ -737,7 +740,7 @@ final class IvfIndex(
     * the newly probed buckets of still-underfilled queries.
     */
   def searchMergedAllowed[K](queries: Array[(Long, Array[Float])], k: Int,
-                             memberIds: Array[K], deny: Boolean,
+                             member: graft.core.MemberTest[K], deny: Boolean,
                              nProbe: Int = 0, normalized: Boolean = true,
                              exact: Boolean = false)(
       implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
@@ -756,7 +759,7 @@ final class IvfIndex(
         s"IvfIndex.searchMergedAllowed: query $qid has dim ${v.length}, index dim is $dimLocal")
     }
     val qids = queries.map(_._1)
-    if (queries.isEmpty || (memberIds.isEmpty && !deny))
+    if (queries.isEmpty || (member.matchesNothing && !deny))
       // empty batch, or an allow-set matching nothing: no pass can
       // ever admit a row — skip the cluster sweep entirely
       return spark.createDataset(Seq.empty[(Long, K, Double, Int)])(outEnc)
@@ -771,9 +774,7 @@ final class IvfIndex(
     val qnorms =
       if (normalized) null
       else qvecs.map(v => math.sqrt(Kn.normSqD(v)))
-    val mset = new java.util.HashSet[K](math.max(16, memberIds.length * 2))
-    memberIds.foreach(mset.add)
-    val bcSet = spark.sparkContext.broadcast((mset, deny))
+    val bcSet = spark.sparkContext.broadcast((member, deny))
     val kk = k
     val ex = exact
     val localOrd = ord

@@ -775,9 +775,14 @@ class VdbStoreSpec extends AnyFunSuite {
       assert(denyHits.map(h => (h.id, h.metrics)) ==
         exactMost.map(h => (h.id, h.metrics)))
       // both the match set (60) and its complement (60) over the cap:
-      // logged fallback to the exact filtered scan
+      // the bloom rung takes over by default (its own spec below);
+      // with it disabled, logged fallback to the exact filtered scan
+      s.query(Seq(q), topK = 5, where = whereB, nProbe = 4)
+      assert(s.lastQueryStrategy.contains("ann-filtered+bloom"))
+      spark.conf.set("graft.ann.filtered.bloom", "false")
       s.query(Seq(q), topK = 5, where = whereB, nProbe = 4)
       assert(s.lastQueryStrategy.contains("exact-filtered"))
+      spark.conf.unset("graft.ann.filtered.bloom")
       spark.conf.unset("graft.ann.filtered.max")
       // the conservative better_than deviation still bypasses
       s.queryOne(q, topK = 5, where = whereB, betterThan = Some(0.0))
@@ -791,6 +796,64 @@ class VdbStoreSpec extends AnyFunSuite {
       spark.conf.unset("graft.query.exact")
       spark.conf.unset("graft.ann.filtered")
       spark.conf.unset("graft.ann.filtered.max")
+      spark.conf.unset("graft.ann.filtered.bloom")
+    }
+  }
+
+  test("filtered-ANN bloom rung: constant-size broadcast at both-sets-overflow, FP drops verified, exact refill") {
+    val s = freshStore(8)
+    // the adversarial fixture for Bloom false positives: the query
+    // points AT cluster a while the filter admits only cluster b — so
+    // every a-row the Bloom lets through scores ~1.0 and lands ON TOP
+    // of the candidate heap, forcing the verification drop (and, at
+    // overfetch 1, the exact refill) to do real work
+    val rng = new scala.util.Random(11)
+    def mk(base: Int, tag: String) = (0 until 60).map { i =>
+      val v = new Array[Float](8)
+      v(base) = 1f
+      (0 until 8).foreach(j => v(j) = v(j) + (rng.nextFloat() - 0.5f) * 0.05f)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      rec(f"$tag$i%03d", v.map(x => (x / n).toFloat), s"""{"c": "$tag"}""")
+    }
+    s.upsert(mk(0, "a") ++ mk(4, "b"))
+    spark.conf.set("graft.query.exact", "true")
+    spark.conf.set("graft.ann.filtered", "true")
+    // matches 60 > 2 and complement 60 > 2: both exact sets overflow
+    spark.conf.set("graft.ann.filtered.max", "2")
+    // a brutal fpp so false positives are guaranteed, not incidental
+    spark.conf.set("graft.ann.filtered.bloom.fpp", "0.4")
+    try {
+      val q = { val v = new Array[Float](8); v(0) = 1f; v }
+      val whereB = Some(get_json_object(col("meta"), "$.c") === "b")
+      s.enableAnn(nList = 4)
+      spark.conf.unset("graft.ann.filtered")
+      val exactB = s.queryOne(q, topK = 5, where = whereB)
+      assert(s.lastQueryStrategy.contains("exact-filtered"))
+      spark.conf.set("graft.ann.filtered", "true")
+      // covering probes: verified-take-k (plus refill when FPs evict)
+      // IS the exact filtered top-k — bit-equal under query.exact
+      val bloomHits = s.query(Seq(q), topK = 5, where = whereB, nProbe = 4).head
+      assert(s.lastQueryStrategy.contains("ann-filtered+bloom"))
+      assert(bloomHits.map(h => (h.id, h.metrics)) ==
+        exactB.map(h => (h.id, h.metrics)))
+      // overfetch 1: any false positive in the top-k evicts a true row
+      // — the refill path must fire and still land on the exact result
+      spark.conf.set("graft.ann.filtered.bloom.overfetch", "1")
+      val refilled = s.query(Seq(q), topK = 5, where = whereB, nProbe = 4).head
+      assert(s.lastQueryStrategy.contains("ann-filtered+bloom"))
+      assert(s.lastBloomRefillCount > 0,
+        "the a-scoring false positives must have evicted true rows at overfetch 1")
+      assert(refilled.map(h => (h.id, h.metrics)) ==
+        exactB.map(h => (h.id, h.metrics)))
+      spark.conf.unset("graft.ann.filtered.bloom.overfetch")
+      // rung disabled: both-overflow falls back to the exact scan
+      spark.conf.set("graft.ann.filtered.bloom", "false")
+      s.query(Seq(q), topK = 5, where = whereB, nProbe = 4)
+      assert(s.lastQueryStrategy.contains("exact-filtered"))
+    } finally {
+      Seq("graft.query.exact", "graft.ann.filtered", "graft.ann.filtered.max",
+        "graft.ann.filtered.bloom", "graft.ann.filtered.bloom.fpp",
+        "graft.ann.filtered.bloom.overfetch").foreach(spark.conf.unset)
     }
   }
 
