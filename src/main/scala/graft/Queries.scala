@@ -1416,6 +1416,16 @@ object Queries {
       }
     require(store.lastQueryStrategy.contains("ann-filtered+bloom"),
       s"facade routed ${store.lastQueryStrategy} instead of ann-filtered+bloom")
+    emitVdbTopk(spark, queries, hits)
+  }
+
+  /** Shared (qid, rank, vec_id, score) emit for the facade entries —
+    * zero-padded string ids map back to their numeric oracle ids.
+    */
+  private def emitVdbTopk(spark: SparkSession,
+      queries: Array[(Long, Array[Float])],
+      hits: Seq[Seq[core.VdbHit]]): DataFrame = {
+    import spark.implicits._
     hits.zipWithIndex.flatMap { case (hs, qi) =>
       hs.zipWithIndex.map { case (h, r) =>
         (queries(qi)._1, (r + 1).toLong, h.id.toLong, h.metrics)
@@ -1423,6 +1433,51 @@ object Queries {
     }.toSeq.toDF("qid", "rank", "vec_id", "score")
       .select(col("qid"), col("rank"), col("vec_id"),
         round(col("score"), 6).as("score"))
+  }
+
+  /** Oracled facade filtered+int8 composition entry (q88, round 16):
+    * `enableAnn` + `enableQ8` + `graft.ann.filtered` routes a
+    * where-restricted `query()` through
+    * [[operators.IvfIndex.searchMergedQ8Allowed]] (strategy
+    * "ann-filtered+q8" — asserted): the membership-filtered QUANTIZED
+    * candidate scan with the fp32 double rescore. Exact under
+    * nProbe = nList + covering `graft.q8.overfetch` (the q84
+    * covering argument applied to the filtered scan), so the
+    * unit-normalized filtered top-k oracle hash-matches.
+    */
+  def vdbAnnQ8Filtered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val store = vdbStoreFor(spark, dir)
+    store.disablePq(); store.disableBit()
+    store.enableAnn(16)
+    store.enableQ8()
+    val queries = t(spark, dir, "embeddings")
+      .filter(col("vec_id") >= 300 && col("vec_id") < 320)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val k = 10
+    val covering = ((store.count() / k) + 1).toString
+    val keys = Seq("graft.ann.filtered", "graft.query.exact", "graft.q8.overfetch")
+    val prev = keys.map(key => key -> spark.conf.getOption(key)).toMap
+    spark.conf.set("graft.ann.filtered", "true")
+    spark.conf.set("graft.query.exact", "true")
+    spark.conf.set("graft.q8.overfetch", covering)
+    val hits =
+      try store.query(queries.map(_._2).toSeq, topK = k, nProbe = 16,
+        where = Some(col("_id_") < "00000200"))
+      finally {
+        store.disableQ8()
+        keys.foreach { key =>
+          prev(key) match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+        }
+      }
+    require(store.lastQueryStrategy.contains("ann-filtered+q8"),
+      s"facade routed ${store.lastQueryStrategy} instead of ann-filtered+q8")
+    emitVdbTopk(spark, queries, hits)
   }
 
   // ---- binary-sketch store entry (q82) ----
@@ -1898,6 +1953,7 @@ object Queries {
     "q85_vdb_ann_bit" -> (vdbAnnBit _),
     "q86_vdb_ann_filtered" -> (vdbAnnFiltered _),
     "q87_vdb_ann_filtered_bloom" -> (vdbAnnFilteredBloom _),
+    "q88_vdb_ann_q8_filtered" -> (vdbAnnQ8Filtered _),
   )
 }
 
@@ -2512,6 +2568,8 @@ object Oracles {
       storeFilter = "u.vec_id < 300"),
     "q87_vdb_ann_filtered_bloom" -> topkOracleUnit(
       "vec_id >= 280 AND vec_id < 300", 10, storeFilter = "u.vec_id >= 100"),
+    "q88_vdb_ann_q8_filtered" -> topkOracleUnit(
+      "vec_id >= 300 AND vec_id < 320", 10, storeFilter = "u.vec_id < 200"),
     // same salted-md5 determinism trick as q38; first key byte -> bucket
     "q57_corpus_shuffle" ->
       """WITH s AS (

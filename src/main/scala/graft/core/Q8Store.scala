@@ -451,6 +451,50 @@ object Q8Store {
     }
   }
 
+  /** [[scoreBlock]] restricted to rows passing a membership test — the
+    * int8 twin of `BlockStore.scoreBlockMember` (round 16 filtered-ANN
+    * composition). Survivors compact into a temp Q8Block first so the
+    * tiled dequantize-scratch kernels still apply; all-pass blocks skip
+    * the copy.
+    */
+  private[graft] def scoreBlockMember[K](
+      heaps: Array[BoundedTopKG[K]],
+      b: Q8Block[K],
+      qs: Array[Array[Float]],
+      qnorms: Array[Double],
+      member: MemberTest[K],
+      deny: Boolean)(implicit ct: ClassTag[K]): Unit = {
+    val rows = b.rows
+    val keep = new Array[Int](rows)
+    var n = 0
+    var r = 0
+    while (r < rows) {
+      if (member.contains(b.ids(r)) != deny) { keep(n) = r; n += 1 }
+      r += 1
+    }
+    if (n == 0) return
+    if (n == rows) {
+      scoreBlock(heaps, b, qs, qnorms)
+      return
+    }
+    val dim = b.dim
+    val ids2 = new Array[K](n)
+    val codes2 = new Array[Byte](n * dim)
+    val scales2 = new Array[Float](n)
+    val norms2 = if (b.norms == null) null else new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val src = keep(i)
+      ids2(i) = b.ids(src)
+      System.arraycopy(b.codes, src * dim, codes2, i * dim, dim)
+      scales2(i) = b.scales(src)
+      if (norms2 != null) norms2(i) = b.norms(src)
+      i += 1
+    }
+    scoreBlock(heaps, new Q8Block[K](ids2, codes2, dim, scales2, norms2),
+      qs, qnorms)
+  }
+
   private[graft] def quantize[K](b: VecBlock[K]): Q8Block[K] = {
     val rows = b.rows
     val dim = b.dim

@@ -75,9 +75,12 @@ final class VdbStore private (
   //   "ann-filtered"   — opt-in (graft.ann.filtered): ids/where/whereFn
   //                      membership pushed into the probed IVF scan,
   //                      adaptive re-probe on underfill (O16)
-  //   "ann-filtered+bloom" — same, but both exact id sets overflowed
-  //                      the cap: Bloom broadcast + over-fetch +
-  //                      verification semi-join + exact refill
+  //   "ann-filtered+q8" — the int8 composition of the above (q8 also
+  //                      enabled): filtered QUANTIZED candidate scan +
+  //                      fp32 double rescore
+  //   "...+bloom" suffix — both exact id sets overflowed the cap:
+  //                      Bloom broadcast + over-fetch + verification
+  //                      semi-join + exact refill
   //   "exact"          — full packed-scan (BlockStore SIMD) path
   //   "exact-filtered" — ids/where/whereFn candidates packed + scanned
   @volatile private var lastStrategy: Option[String] = None
@@ -936,8 +939,13 @@ final class VdbStore private (
     val useBit = !usePq && !useQ8 && hnsw.isEmpty && ann.isEmpty &&
       bitBits.isDefined && unfiltered && betterThan.isEmpty
     lastStrategy = Some(
-      if (annFiltered.exists(_._4)) "ann-filtered+bloom"
-      else if (annFiltered.isDefined) "ann-filtered"
+      if (annFiltered.isDefined) {
+        // the int8 composition outranks the fp32 filtered scan like
+        // ann+q8 outranks ann; the bloom suffix reports the membership
+        // rung in play
+        (if (q8Enabled) "ann-filtered+q8" else "ann-filtered") +
+          (if (annFiltered.exists(_._4)) "+bloom" else "")
+      }
       else if (hnsw.isDefined) "hnsw"
       else if (ann.isDefined && q8Enabled) "ann+q8"
       else if (ann.isDefined && pqM.isDefined) "ann+pq"
@@ -973,8 +981,18 @@ final class VdbStore private (
         if (isBloom) math.max(topK,
           topK * math.max(1, conf.annFilteredBloomOverfetch))
         else topK
-      val raw = idx.searchMergedAllowed[String](normQ, scanK, member, denySet,
-          probes, normalized = true, exact = conf.queryExact)
+      // int8 composition: membership pushed into the QUANTIZED bucket
+      // scan (4x less candidate bandwidth), fp32 double rescore of the
+      // k x graft.q8.overfetch survivors — exact at covering probes +
+      // covering overfetch like the unfiltered ann+q8 (q84 argument)
+      val rawDf =
+        if (q8Enabled)
+          idx.searchMergedQ8Allowed[String](normQ, scanK, member, denySet,
+            probes, normalized = true, overfetch = conf.q8Overfetch)
+        else
+          idx.searchMergedAllowed[String](normQ, scanK, member, denySet,
+            probes, normalized = true, exact = conf.queryExact)
+      val raw = rawDf
         .select(col("qid"), col("id"), col("score"), col("rank"))
         .collect()
         .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq

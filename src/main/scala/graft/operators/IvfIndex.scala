@@ -978,6 +978,151 @@ final class IvfIndex(
         cidToQ, k, normalized), k)(outEnc)
   }
 
+  /** [[searchMergedAllowed]] composed with the int8 tier (round 16):
+    * the membership-filtered probed scan over the QUANTIZED bucket
+    * slabs — a filtered candidate scan streaming 4x fewer bytes,
+    * which at 100 TB is the difference between a filtered scan that
+    * fits cluster RAM and one that does not. Same adaptive re-probe
+    * contract as the fp32 variant (underfilled queries widen their
+    * probe slices until k candidates fill or every bucket is
+    * scanned), same [[graft.core.MemberTest]] rungs and polarity
+    * rules, same `overfetch` semantics as [[searchMergedQ8]]: the
+    * int8 scan keeps `k * overfetch` candidates, then the shared
+    * [[rescoreProbedMerged]] fp32 tail (restricted to every bucket
+    * ANY pass probed) re-ranks exactly, double-accumulated. At
+    * covering probes + covering overfetch the result is bit-equal to
+    * the exact filtered scan (oracled as q88). The PQ/bit tiers
+    * deliberately do NOT get filtered twins: int8 is the finest
+    * compressed substrate and the one a filtered scan composes with
+    * losslessly at covering overfetch; a filtered query on a pq/bit
+    * store serves through the fp32 filtered scan instead.
+    */
+  def searchMergedQ8Allowed[K](queries: Array[(Long, Array[Float])], k: Int,
+                               member: graft.core.MemberTest[K], deny: Boolean,
+                               nProbe: Int = 0, normalized: Boolean = true,
+                               overfetch: Int = 0)(
+      implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
+      rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)],
+      outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
+    import graft.core.{BoundedTopKG, Q8Store}
+    import graft.operators.{Kernels => Kn}
+    val spark = assigned.sparkSession
+    val np0 = resolveNProbe(nProbe, tier = "q8")
+    val dimLocal = dim
+    if (dimLocal > 0) queries.foreach { case (qid, v) =>
+      require(v.length == dimLocal,
+        s"IvfIndex.searchMergedQ8Allowed: query $qid has dim ${v.length}, index dim is $dimLocal")
+    }
+    val qids = queries.map(_._1)
+    if (queries.isEmpty || (member.matchesNothing && !deny))
+      return spark.createDataset(Seq.empty[(Long, K, Double, Int)])(outEnc)
+        .toDF("qid", "id", "score", "rank")
+    val q8Packed = packedQ8Buckets[K](normalized)
+    val qvecs = queries.map { q =>
+      val v = q._2
+      if (normalized && Kn.normSqD(v) == 0.0) {
+        val e = new Array[Float](math.max(1, dimLocal)); e(0) = 1f; e
+      } else v
+    }
+    val qnorms =
+      if (normalized) null
+      else qvecs.map(v => math.sqrt(Kn.normSqD(v)))
+    val scanK =
+      if (overfetch <= 0) k
+      else math.min(math.max(k.toLong * overfetch, k.toLong), Int.MaxValue.toLong).toInt
+    val bcSet = spark.sparkContext.broadcast((member, deny))
+    val kk = k
+    val sk = scanK
+    val localOrd = ord
+    val global = Array.fill(queries.length)(new BoundedTopKG[K](sk)(localOrd))
+    // accumulated cid -> GLOBAL query indices across every pass — the
+    // rescore tail must cover each query's whole probed footprint
+    val probedAcc = Array.fill(nList)(new scala.collection.mutable.ArrayBuffer[Int](4))
+    try {
+      var prevNp = 0
+      var curNp = math.max(1, math.min(np0, math.max(nList, 1)))
+      var active: Array[Int] = queries.indices.toArray
+      var passes = 0
+      while (active.nonEmpty && prevNp < nList && nList > 0) {
+        passes += 1
+        val act = active
+        val slices = new Array[Array[Int]](act.length)
+        java.util.stream.IntStream.range(0, act.length).parallel().forEach { i =>
+          val full = IvfIndex.probeIds(centroids, qvecs(act(i)), curNp)
+          slices(i) = java.util.Arrays.copyOfRange(
+            full, math.min(prevNp, full.length), full.length)
+        }
+        val inv = Array.fill(nList)(new scala.collection.mutable.ArrayBuffer[Int](4))
+        var ai = 0
+        while (ai < act.length) {
+          slices(ai).foreach { c => inv(c) += ai; probedAcc(c) += act(ai) }
+          ai += 1
+        }
+        val cidToA: Array[Array[Int]] = inv.map(_.toArray)
+        val subQ = act.map(qvecs)
+        val subN = if (qnorms == null) null else act.map(qnorms)
+        val bc = spark.sparkContext.broadcast((subQ, subN, cidToA))
+        try {
+          val merged = q8Packed.treeAggregate(null: Array[BoundedTopKG[K]])(
+            seqOp = (acc, pair) => {
+              val (qv, qn, c2a) = bc.value
+              val (mem, dny) = bcSet.value
+              val heaps = if (acc != null) acc
+                          else Array.fill(qv.length)(new BoundedTopKG[K](sk)(localOrd))
+              val cid = pair._1
+              val idxs = if (cid >= 0 && cid < c2a.length) c2a(cid)
+                         else Array.emptyIntArray
+              if (idxs.length > 0) {
+                val sq = new Array[Array[Float]](idxs.length)
+                val sh = new Array[BoundedTopKG[K]](idxs.length)
+                val sn = if (qn == null) null else new Array[Double](idxs.length)
+                var i = 0
+                while (i < idxs.length) {
+                  sq(i) = qv(idxs(i))
+                  sh(i) = heaps(idxs(i))
+                  if (sn != null) sn(i) = qn(idxs(i))
+                  i += 1
+                }
+                Q8Store.scoreBlockMember(sh, pair._2, sq, sn, mem, dny)
+              }
+              heaps
+            },
+            combOp = (a, b) =>
+              if (a == null) b
+              else if (b == null) a
+              else {
+                var i = 0
+                while (i < a.length) { a(i).absorb(b(i)); i += 1 }
+                a
+              },
+            depth = 2)
+          if (merged != null) {
+            var i = 0
+            while (i < act.length) { global(act(i)).absorb(merged(i)); i += 1 }
+          }
+        } finally bc.destroy()
+        prevNp = curNp
+        // refill target is k (the FINAL result size): overfetch slots
+        // buffer quantization error, they are not a fill obligation —
+        // sweeping the whole store to fill them would defeat probing
+        active = act.filter(qi => global(qi).filled < kk)
+        curNp = math.min(nList, math.max(curNp * 2, curNp + 1))
+      }
+      lastFilteredPassesVar = passes
+      if (passes > 1)
+        org.slf4j.LoggerFactory.getLogger("graft.ann").info(
+          "IvfIndex: filtered q8 search re-probed adaptively — {} passes " +
+            "from initial nProbe {}; {} queries have < k filtered rows in the store",
+          passes, np0, active.length + 0)
+      if (overfetch <= 0)
+        return emitMergedHits[K](spark, qids, global, kk)(outEnc)
+      val cidToQAll: Array[Array[Int]] = probedAcc.map(_.toArray)
+      emitMergedHits[K](spark, qids,
+        rescoreProbedMerged[K](global, queries.length, qvecs, qnorms,
+          cidToQAll, kk, normalized), kk)(outEnc)
+    } finally bcSet.destroy()
+  }
+
   /** Shared emit tail of the composed merged scans
     * ([[searchMergedQ8]] / [[searchMergedPq]]): per-query heaps ->
     * (qid, id, score, rank) rows under the common tie rule — ONE place

@@ -800,6 +800,59 @@ class VdbStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered-ANN q8 composition: quantized filtered scan + fp32 rescore, exact at covering probes+overfetch, adaptive, bloom-composable") {
+    val s = freshStore(8)
+    val rng = new scala.util.Random(13)
+    def mk(base: Int, tag: String) = (0 until 60).map { i =>
+      val v = new Array[Float](8)
+      v(base) = 1f
+      (0 until 8).foreach(j => v(j) = v(j) + (rng.nextFloat() - 0.5f) * 0.05f)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      rec(f"$tag$i%03d", v.map(x => (x / n).toFloat), s"""{"c": "$tag"}""")
+    }
+    s.upsert(mk(0, "a") ++ mk(4, "b"))
+    spark.conf.set("graft.query.exact", "true")
+    spark.conf.set("graft.ann.filtered", "true")
+    // covering overfetch: k * 16 = 80 >= the 60 matching rows, so the
+    // int8 candidate cut cannot drop a true hit (the q84 argument)
+    spark.conf.set("graft.q8.overfetch", "16")
+    try {
+      val q = { val v = new Array[Float](8); v(0) = 1f; v }
+      val whereB = Some(get_json_object(col("meta"), "$.c") === "b")
+      s.enableAnn(nList = 4)
+      s.enableQ8()
+      spark.conf.unset("graft.ann.filtered")
+      val exactB = s.queryOne(q, topK = 5, where = whereB)
+      assert(s.lastQueryStrategy.contains("exact-filtered"))
+      spark.conf.set("graft.ann.filtered", "true")
+      // routed through the composed scan, bit-equal at covering
+      // probes + covering overfetch (the rescore is always double)
+      val composed = s.query(Seq(q), topK = 5, where = whereB, nProbe = 4).head
+      assert(s.lastQueryStrategy.contains("ann-filtered+q8"))
+      assert(composed.map(h => (h.id, h.metrics)) ==
+        exactB.map(h => (h.id, h.metrics)))
+      // the adaptive refill holds through the composition
+      val adaptive = s.query(Seq(q), topK = 5, where = whereB, nProbe = 1).head
+      assert(adaptive.size == 5)
+      assert(s.lastAnnFilteredPasses > 1)
+      // bloom rung composes too: both exact sets over a tiny cap
+      spark.conf.set("graft.ann.filtered.max", "2")
+      val bloomQ8 = s.query(Seq(q), topK = 5, where = whereB, nProbe = 4).head
+      assert(s.lastQueryStrategy.contains("ann-filtered+q8+bloom"))
+      assert(bloomQ8.map(h => (h.id, h.metrics)) ==
+        exactB.map(h => (h.id, h.metrics)))
+      spark.conf.unset("graft.ann.filtered.max")
+      // tearing q8 down falls back to the fp32 filtered scan
+      s.disableQ8()
+      s.query(Seq(q), topK = 5, where = whereB, nProbe = 4)
+      assert(s.lastQueryStrategy.contains("ann-filtered"))
+      assert(!s.lastQueryStrategy.get.contains("+q8"))
+    } finally {
+      Seq("graft.query.exact", "graft.ann.filtered", "graft.q8.overfetch",
+        "graft.ann.filtered.max").foreach(spark.conf.unset)
+    }
+  }
+
   test("filtered-ANN bloom rung: constant-size broadcast at both-sets-overflow, FP drops verified, exact refill") {
     val s = freshStore(8)
     // the adversarial fixture for Bloom false positives: the query
