@@ -274,7 +274,9 @@ object BlockStore {
       qnorms: Array[Double],
       member: MemberTest[K],
       deny: Boolean,
-      exact: Boolean)(implicit ct: ClassTag[K]): Unit = {
+      exact: Boolean,
+      threshold: Double = Double.NegativeInfinity)(
+      implicit ct: ClassTag[K]): Unit = {
     val rows = b.rows
     val keep = new Array[Int](rows)
     var n = 0
@@ -285,7 +287,7 @@ object BlockStore {
     }
     if (n == 0) return
     if (n == rows) {
-      scoreBlock(heaps, b, qs, qnorms, Double.NegativeInfinity, exact)
+      scoreBlock(heaps, b, qs, qnorms, threshold, exact)
       return
     }
     val dim = b.dim
@@ -301,7 +303,7 @@ object BlockStore {
       i += 1
     }
     scoreBlock(heaps, new VecBlock[K](ids2, data2, dim, norms2), qs, qnorms,
-      Double.NegativeInfinity, exact)
+      threshold, exact)
   }
 
   /** Score one block into the per-query heaps. */

@@ -573,17 +573,29 @@ final class LocalReplica private[core] (
     * probe rule, [[graft.operators.IvfIndex.probeIds]]). Scoring is
     * the shared [[BlockStore.scoreBlock]] kernel, so exact results
     * match the distributed exact strategy hit-for-hit.
+    *
+    * `whereFn` is the reference's arbitrary-callable filter shape
+    * ((id, metaJson) => keep) on the serving path: it pushes into the
+    * slab scan as a [[PredicateMember]] and — mirroring the store's
+    * O28 default — forces the exact path (`nProbe` is ignored), so a
+    * filtered serving answer is never probe-approximate unasked.
     */
   def queryOne(vector: Array[Float], topK: Int = 10,
                betterThan: Option[Double] = None,
-               nProbe: Int = 0): Seq[VdbHit] = {
+               nProbe: Int = 0,
+               whereFn: Option[(String, String) => Boolean] = None): Seq[VdbHit] = {
     require(vector.length == dim,
       s"query vector dim mismatch: expected $dim, got ${vector.length}")
     val q = graft.functions.NormalizeL2.normalize(vector)
     val threshold = betterThan.getOrElse(Double.NegativeInfinity)
     val qs = Array(q)
+    val member: MemberTest[String] = whereFn match {
+      case Some(f) => new PredicateMember[String](id => f(id, metaOf.get(id)))
+      case None => null
+    }
     val probed: Array[Int] =
-      if (nProbe <= 0 || centroids.isEmpty || nProbe >= bucketBlocks.length)
+      if (member != null || nProbe <= 0 || centroids.isEmpty ||
+          nProbe >= bucketBlocks.length)
         Array.range(0, bucketBlocks.length)
       else graft.operators.IvfIndex.probeIds(centroids, q, nProbe)
     val blocks: Array[VecBlock[String]] = probed.flatMap(bucketBlocks(_))
@@ -591,17 +603,22 @@ final class LocalReplica private[core] (
     // a single query has parallel grain): per-slab heaps merged by
     // absorb — per-(row, query) scores are slab-independent and the
     // heap union is order-free, so this equals the sequential scan
+    def scanInto(h: BoundedTopKG[String], b: VecBlock[String]): Unit =
+      if (member == null)
+        BlockStore.scoreBlock(Array(h), b, qs, null, threshold, exactScore)
+      else
+        BlockStore.scoreBlockMember(Array(h), b, qs, null, member,
+          deny = false, exact = exactScore, threshold = threshold)
     val merged =
       if (blocks.length < 2) {
         val h = new BoundedTopKG[String](topK)
-        if (blocks.length == 1)
-          BlockStore.scoreBlock(Array(h), blocks(0), qs, null, threshold, exactScore)
+        if (blocks.length == 1) scanInto(h, blocks(0))
         h
       } else {
         val parts = new Array[BoundedTopKG[String]](blocks.length)
         java.util.stream.IntStream.range(0, blocks.length).parallel().forEach { i =>
           val h = new BoundedTopKG[String](topK)
-          BlockStore.scoreBlock(Array(h), blocks(i), qs, null, threshold, exactScore)
+          scanInto(h, blocks(i))
           parts(i) = h
         }
         parts.reduce { (a, b) => a.absorb(b); a }

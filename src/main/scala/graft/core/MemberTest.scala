@@ -39,6 +39,15 @@ object SetMember {
   }
 }
 
+/** Arbitrary-predicate membership — the whereFn shape. Used by the
+  * in-process replica's filtered scan (driver-local, so the closure
+  * never ships); distributed callers should prefer the set/bloom
+  * rungs, whose cost model is explicit.
+  */
+final class PredicateMember[K](p: K => Boolean) extends MemberTest[K] {
+  def contains(k: K): Boolean = p(k)
+}
+
 /** Bloom membership over string ids. Holds the filter SERIALIZED and
   * inflates once per JVM after broadcast — `spark.util.sketch`'s
   * implementation classes are not part of Spark's public serialization

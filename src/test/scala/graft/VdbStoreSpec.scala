@@ -1005,6 +1005,20 @@ class VdbStoreSpec extends AnyFunSuite {
     assert(pruned.nonEmpty && pruned.map(_.metrics).sliding(2).forall {
       case Seq(a, b) => a >= b; case _ => true
     })
+    // filtered serving (round 16): whereFn pushes into the slab scan
+    // and matches the store's filtered exact path hit-for-hit; nProbe
+    // is ignored under a filter (the O28 default mirrored)
+    val fn = (id: String, meta: String) => meta != null && meta.contains("\"g\": 2")
+    val wantF = s.queryOne(q, topK = 5, whereFn = Some(fn))
+    val gotF = repA.queryOne(q, topK = 5, whereFn = Some(fn))
+    assert(gotF.map(h => (h.id, h.metrics)) == wantF.map(h => (h.id, h.metrics)))
+    assert(repA.queryOne(q, topK = 5, nProbe = 1, whereFn = Some(fn))
+      .map(h => (h.id, h.metrics)) == wantF.map(h => (h.id, h.metrics)),
+      "a filtered replica query must ignore probe pruning")
+    // filter + threshold compose
+    val thr = wantF.headOption.map(_.metrics).getOrElse(0.0)
+    val gotFT = repA.queryOne(q, topK = 5, betterThan = Some(thr), whereFn = Some(fn))
+    assert(gotFT.map(_.id) == wantF.filter(_.metrics >= thr).map(_.id))
     // bound enforced
     intercept[IllegalArgumentException](s.localReplica(maxRows = 10))
   }
