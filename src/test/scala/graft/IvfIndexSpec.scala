@@ -247,6 +247,80 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(bkey(dm) == bkey(dp))
   }
 
+  test("searchMergedAllowed: filtered probed scan equals brute-force filtered top-k in both modes; deny/q8 twins agree") {
+    import graft.core.SetMember
+    def bruteFiltered(rows: Seq[(Long, Array[Float])], allowed: Long => Boolean,
+        qs: Array[(Long, Array[Float])], k: Int,
+        cosine: Boolean): Set[(Long, Int, Long)] =
+      qs.flatMap { case (qid, qv) =>
+        val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+        rows.filter(r => allowed(r._1)).map { case (id, v) =>
+          var s = 0.0
+          var i = 0
+          while (i < v.length) { s += qv(i).toDouble * v(i); i += 1 }
+          if (cosine) {
+            val vn = math.sqrt(v.map(x => x.toDouble * x).sum)
+            s = if (qn == 0.0 || vn == 0.0) 0.0 else s / (qn * vn)
+          }
+          (id, s)
+        }.sortBy(t => (-t._2, t._1)).take(k).zipWithIndex
+          .map { case ((id, _), r) => (qid, r + 1, id) }
+      }.toSet
+    def key(res: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      res.select("qid", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    // normalized store, covering probes: exact filtered by construction
+    val data = clusteredData()
+    val idx = IvfIndex.build(data.toDF("vec_id", "vec"), "vec_id", "vec", nList = 4)
+    val queries = data.filter(_._1 % 17 == 0).toArray
+    val allowSet = data.map(_._1).filter(_ % 3 == 0).toSet
+    val member = SetMember(allowSet.toArray)
+    val got = idx.searchMergedAllowed[Long](queries, k = 5, member,
+      deny = false, nProbe = 4, exact = true)
+    assert(key(got) == bruteFiltered(data, allowSet, queries, 5, cosine = false))
+    // deny polarity over the complement is the SAME effective set —
+    // bit-equal engine output
+    val denyMember = SetMember(data.map(_._1).filterNot(allowSet).toArray)
+    def bkey(res: org.apache.spark.sql.DataFrame) =
+      res.select("qid", "rank", "id", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(bkey(idx.searchMergedAllowed[Long](queries, k = 5, denyMember,
+        deny = true, nProbe = 4, exact = true)) ==
+      bkey(idx.searchMergedAllowed[Long](queries, k = 5, member,
+        deny = false, nProbe = 4, exact = true)))
+    // the int8 twin at covering overfetch rescores to the same hits
+    assert(key(idx.searchMergedQ8Allowed[Long](queries, k = 5, member,
+        deny = false, nProbe = 4, overfetch = 1000)) ==
+      bruteFiltered(data, allowSet, queries, 5, cosine = false))
+    // cosine mode (un-normalized store, norms carried through the
+    // membership compaction) against the double-cosine brute force
+    val rng = new scala.util.Random(47)
+    val rdata = (0 until 100).map { i =>
+      (i.toLong, Array.fill(8)((rng.nextFloat() - 0.5f) * 3f))
+    }
+    val ridx = IvfIndex.build(rdata.toDF("vec_id", "vec"), "vec_id", "vec",
+      nList = 4, normalized = false)
+    val rq = rdata.filter(_._1 % 23 == 0).toArray
+    val rAllow = rdata.map(_._1).filter(_ % 2 == 1).toSet
+    assert(key(ridx.searchMergedAllowed[Long](rq, k = 5, SetMember(rAllow.toArray),
+        deny = false, nProbe = 4, normalized = false, exact = true)) ==
+      bruteFiltered(rdata, rAllow, rq, 5, cosine = true))
+    // adaptive sweep contract: a 2-row allow set at nProbe = 1 returns
+    // exactly those 2 rows for every query (the full-sweep guarantee),
+    // in multiple passes
+    val tiny = idx.searchMergedAllowed[Long](queries, k = 5,
+      SetMember(Array(3L, 130L)), deny = false, nProbe = 1, exact = true)
+    assert(idx.lastFilteredPasses > 1)
+    val byQ = tiny.select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    queries.foreach { case (qid, _) =>
+      assert(byQ.getOrElse(qid, Set.empty) == Set(3L, 130L),
+        s"query $qid must sweep to both allowed rows")
+    }
+  }
+
   test("searchMergedQ8 (IVF-SQ8): rescored path bit-equal to searchMerged exact; scan-only agrees on separated data") {
     val data = clusteredData()
     val idx = IvfIndex.build(data.toDF("vec_id", "vec"), "vec_id", "vec", nList = 4)
