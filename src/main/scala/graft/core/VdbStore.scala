@@ -97,6 +97,27 @@ final class VdbStore private (
 
   @volatile private var lastBloomRefills = 0
 
+  // memoized filtered-ANN membership sets (bounded LRU, see the
+  // resolution block in query()): key -> (storeVersion, member, deny,
+  // isBloom). Stale versions are filtered on read and age out by LRU.
+  private val filterMemberCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (Long, MemberTest[String], Boolean, Boolean)](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Long, MemberTest[String], Boolean, Boolean)])
+            : Boolean = size() > 32
+      })
+
+  @volatile private var lastFilterMemberSourceVar = "none"
+
+  /** Where the most recent filtered-ANN query's membership set came
+    * from: "built" (distributed id-collect / bloom aggregate ran) or
+    * "cached" (memoized from an earlier identical filter on the same
+    * store version); "none" before any filtered-ANN query.
+    */
+  def lastFilterMemberSource: String = lastFilterMemberSourceVar
+
   /** Queries the most recent "ann-filtered+bloom" query refilled from
     * the exact scan after false-positive drops underfilled them; 0
     * when the over-fetched scan covered everything (or no bloom query
@@ -886,36 +907,66 @@ final class VdbStore private (
       if (unfiltered || betterThan.isDefined || annNList.isEmpty ||
           !conf.annFilteredEnabled) None
       else {
+        // membership-set memoization: the common production shape is
+        // the SAME filter across many query batches, and rebuilding
+        // the set costs a distributed id-collect (or a bloom
+        // aggregate) per call. Key = the deterministic Column/ids
+        // rendering + polarity knobs, valid for one store version
+        // (mutations change the match set). whereFn filters are
+        // uncacheable (no stable closure identity) and skip the memo.
         val cap = math.max(1, conf.annFilteredMax)
-        val matches =
-          cand.select(col("_id_")).limit(cap + 1).as[String].collect()
-        if (matches.length <= cap)
-          refreshAnn().map(idx => (idx, SetMember(matches), false, false))
-        else {
-          val denied = active
-            .join(cand.select(col("_id_")), Seq("_id_"), "left_anti")
-            .select(col("_id_")).limit(cap + 1).as[String].collect()
-          if (denied.length <= cap)
-            refreshAnn().map(idx => (idx, SetMember(denied), true, false))
-          else if (conf.annFilteredBloom) {
-            // the scale rung: both exact sets overflow, so broadcast a
-            // constant-size Bloom over the match ids instead (built
-            // distributed — one aggregate over the filtered id column).
-            // Allow polarity only; false positives are dropped by the
-            // verification semi-join after the scan, underfills refill
-            // from the exact scan — see the bloom branch below.
-            val nMatch = cand.select(col("_id_")).count()
-            val bf = cand.stat.bloomFilter(
-              col("_id_"), math.max(1L, nMatch), conf.annFilteredBloomFpp)
-            refreshAnn().map(idx => (idx, BloomMember(bf), false, true))
-          } else {
-            VdbStore.log.info(
-              "graft: filtered-ANN requested but both the filter's match " +
-                s"set and its complement exceed graft.ann.filtered.max=$cap " +
-                "and the bloom rung is disabled — serving the exact " +
-                "filtered scan instead")
-            None
+        val memoKey: Option[String] =
+          if (whereFn.isDefined) None
+          else Some(s"$cap|${conf.annFilteredBloom}|${conf.annFilteredBloomFpp}|" +
+            s"${where.map(_.toString).getOrElse("")}|" +
+            s"${ids.map(_.mkString(",")).getOrElse("")}")
+        val cached = memoKey.flatMap(k => Option(filterMemberCache.get(k)))
+          .filter(_._1 == storeVersion)
+        val resolved: Option[(MemberTest[String], Boolean, Boolean)] =
+          cached match {
+            case Some((_, m, dny, bloom)) =>
+              lastFilterMemberSourceVar = "cached"
+              Some((m, dny, bloom))
+            case None =>
+              lastFilterMemberSourceVar = "built"
+              val matches =
+                cand.select(col("_id_")).limit(cap + 1).as[String].collect()
+              val built: Option[(MemberTest[String], Boolean, Boolean)] =
+                if (matches.length <= cap) Some((SetMember(matches), false, false))
+                else {
+                  val denied = active
+                    .join(cand.select(col("_id_")), Seq("_id_"), "left_anti")
+                    .select(col("_id_")).limit(cap + 1).as[String].collect()
+                  if (denied.length <= cap)
+                    Some((SetMember(denied), true, false))
+                  else if (conf.annFilteredBloom) {
+                    // the scale rung: both exact sets overflow, so
+                    // broadcast a constant-size Bloom over the match
+                    // ids instead (built distributed — one aggregate
+                    // over the filtered id column). Allow polarity
+                    // only; false positives are dropped by the
+                    // verification semi-join after the scan,
+                    // underfills refill from the exact scan — see the
+                    // bloom branch below.
+                    val nMatch = cand.select(col("_id_")).count()
+                    val bf = cand.stat.bloomFilter(
+                      col("_id_"), math.max(1L, nMatch), conf.annFilteredBloomFpp)
+                    Some((BloomMember(bf), false, true))
+                  } else {
+                    VdbStore.log.info(
+                      "graft: filtered-ANN requested but both the filter's match " +
+                        s"set and its complement exceed graft.ann.filtered.max=$cap " +
+                        "and the bloom rung is disabled — serving the exact " +
+                        "filtered scan instead")
+                    None
+                  }
+                }
+              for (k <- memoKey; b <- built)
+                filterMemberCache.put(k, (storeVersion, b._1, b._2, b._3))
+              built
           }
+        resolved.flatMap { case (m, dny, bloom) =>
+          refreshAnn().map(idx => (idx, m, dny, bloom))
         }
       }
     // the graph strategy outranks IVF when both are enabled (same O28

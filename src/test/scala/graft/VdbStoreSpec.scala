@@ -746,6 +746,20 @@ class VdbStoreSpec extends AnyFunSuite {
       assert(s.lastQueryStrategy.contains("ann-filtered"))
       assert(annB.map(h => (h.id, h.metrics)) ==
         exactB.map(h => (h.id, h.metrics)))
+      assert(s.lastFilterMemberSource == "built")
+      // the SAME filter on the SAME store version memoizes its
+      // membership set — no second distributed id-collect
+      val annB2 = s.query(Seq(q), topK = 5, where = whereB, nProbe = 4).head
+      assert(s.lastFilterMemberSource == "cached")
+      assert(annB2.map(h => (h.id, h.metrics)) ==
+        annB.map(h => (h.id, h.metrics)))
+      // a mutation invalidates the memo (the match set may change)
+      s.upsert(Seq(rec("b999", {
+        val v = new Array[Float](8); v(4) = 1f; v
+      }, """{"c": "b"}""")))
+      s.query(Seq(q), topK = 5, where = whereB, nProbe = 4)
+      assert(s.lastFilterMemberSource == "built",
+        "a store mutation must rebuild the memoized membership set")
       // adaptive re-probe: at nProbe = 1 the a-direction query's first
       // probe lands in an a-bucket where NO row passes the b filter —
       // the refill loop must widen until k b-rows fill
