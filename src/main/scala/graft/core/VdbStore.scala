@@ -100,13 +100,19 @@ final class VdbStore private (
   // memoized filtered-ANN membership sets (bounded LRU, see the
   // resolution block in query()): key -> (storeVersion, member, deny,
   // isBloom). Stale versions are filtered on read and age out by LRU.
+  // Capacity 4, NOT a generous 32: each entry can be a
+  // graft.ann.filtered.max-sized id set (~200 MB at the 4M default),
+  // so the cache's worst case must stay a bounded fraction of driver
+  // heap — four distinct hot filters is already an unusual serving
+  // mix, and a miss only re-runs the id-collect the cache exists to
+  // amortize.
   private val filterMemberCache =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[String, (Long, MemberTest[String], Boolean, Boolean)](
-          16, 0.75f, true) {
+          8, 0.75f, true) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[String, (Long, MemberTest[String], Boolean, Boolean)])
-            : Boolean = size() > 32
+            : Boolean = size() > 4
       })
 
   @volatile private var lastFilterMemberSourceVar = "none"
