@@ -290,6 +290,37 @@ object BlockStore {
       scoreBlock(heaps, b, qs, qnorms, threshold, exact)
       return
     }
+    if (qs.length == 1) {
+      // batch size one: the dot4 panels amortize row loads across
+      // QUERIES, so there is nothing for the compaction to preserve —
+      // score the survivors in place instead of paying the copy
+      // (measured 2.8x on the single-query serving bench before this).
+      // Arithmetic mirrors scoreBlock's per-mode scalar loops exactly
+      // (double-dot / f32-dot, reciprocal-then-divide cosine), so the
+      // two shapes stay bit-equal.
+      val q = qs(0)
+      val h = heaps(0)
+      val cosine = qnorms != null
+      val qn = if (cosine) qnorms(0) else 0.0
+      val invQ = if (cosine) { if (qn == 0.0) 0.0 else 1.0 / qn } else 0.0
+      val d = b.dim
+      var i = 0
+      while (i < n) {
+        val r = keep(i)
+        var s =
+          if (exact) Kernels.dotPackedD(q, b.data, r * d)
+          else Kernels.dotPackedF(q, b.data, r * d).toDouble
+        if (cosine) {
+          val vn = b.norms(r)
+          s =
+            if (exact) { if (qn == 0.0 || vn == 0.0) 0.0 else s / (qn * vn) }
+            else { if (vn == 0.0) 0.0 else s * invQ / vn }
+        }
+        if (s >= threshold) h.offer(s, b.ids(r))
+        i += 1
+      }
+      return
+    }
     val dim = b.dim
     val ids2 = new Array[K](n)
     val data2 = new Array[Float](n * dim)

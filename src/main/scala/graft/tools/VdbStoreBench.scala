@@ -73,6 +73,12 @@ object VdbStoreBench {
     var rep: graft.core.LocalReplica = null
     timed("localReplica build (no ANN)") { rep = store.localReplica(); rep.size }
     perQuery("localReplica exact", 200)(q => rep.queryOne(q, topK = 10))
+    // filtered serving (round 16): whereFn pushed into the slab scan —
+    // ~50% selectivity on the trailing id digit; the cost should be
+    // exact-scan plus one membership test per row
+    val servFn = (id: String, _: String) => id.charAt(id.length - 1) <= '4'
+    perQuery("localReplica filtered 50%", 200)(q =>
+      rep.queryOne(q, topK = 10, whereFn = Some(servFn)))
     perQuery("localReplica get(id)", 10000)(_ => rep.get("id000042"))
     rep = null // ~430 MB of slabs; the later tier phases need the heap
     store.enableAnn()
