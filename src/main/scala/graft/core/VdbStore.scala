@@ -921,8 +921,12 @@ final class VdbStore private (
         // (mutations change the match set). whereFn filters are
         // uncacheable (no stable closure identity) and skip the memo.
         val cap = math.max(1, conf.annFilteredMax)
+        // skip the memo for huge explicit id lists: rendering millions
+        // of ids into the key would cost as much as the collect the
+        // memo saves, and hashing instead would risk a collision
+        // serving the WRONG membership set
         val memoKey: Option[String] =
-          if (whereFn.isDefined) None
+          if (whereFn.isDefined || ids.exists(_.size > 10000)) None
           else Some(s"$cap|${conf.annFilteredBloom}|${conf.annFilteredBloomFpp}|" +
             s"${where.map(_.toString).getOrElse("")}|" +
             s"${ids.map(_.mkString(",")).getOrElse("")}")
