@@ -806,6 +806,19 @@ class VdbStoreSpec extends AnyFunSuite {
         ids = Some(Seq("b000", "b001", "b002", "a000")), nProbe = 4).head
       assert(s.lastQueryStrategy.contains("ann-filtered"))
       assert(byIds.size == 4)
+      // whereFn (the arbitrary-callable form) routes as well — it has
+      // no stable closure identity so it never memoizes, and the
+      // post-score recheck still applies on top
+      val fnB = (_: String, meta: String) => meta != null && meta.contains("\"c\": \"b\"")
+      val viaFn = s.query(Seq(q), topK = 5, whereFn = Some(fnB), nProbe = 4).head
+      assert(s.lastQueryStrategy.contains("ann-filtered"))
+      assert(s.lastFilterMemberSource == "built")
+      assert(viaFn.map(h => (h.id, h.metrics)) ==
+        s.queryOne(q, topK = 5, where = whereB).map(h => (h.id, h.metrics)),
+        "whereFn and the equivalent Column filter must agree")
+      s.query(Seq(q), topK = 5, whereFn = Some(fnB), nProbe = 4)
+      assert(s.lastFilterMemberSource == "built",
+        "whereFn filters must never serve a memoized membership set")
     } finally {
       spark.conf.unset("graft.query.exact")
       spark.conf.unset("graft.ann.filtered")
