@@ -1227,6 +1227,11 @@ object Bench {
           retrieval(s"ann_np$np") = m.toDouble
         }
         retrieval("ann_q8_npdef") = r.composedMismatches.toDouble
+        // round 16: filtered-ANN parity vs the exact filtered scan at
+        // covering probes — allow-set rung and the forced bloom rung
+        // (both must read 0)
+        retrieval("ann_filtered_cover") = r.filteredMismatches.toDouble
+        retrieval("ann_filtered_bloom") = r.bloomFilteredMismatches.toDouble
         retrieval("n_queries") = r.nQueries.toDouble
         retrieval("n_list") = r.annNList.toDouble
         // text-featurized block (VERDICT r10 missing #1): the same

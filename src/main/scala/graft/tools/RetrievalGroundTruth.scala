@@ -46,7 +46,17 @@ object RetrievalGroundTruth {
       q8Mismatches: Int = -1,
       /** Mismatches through the composed ann+q8 strategy at the
         * default nProbe (round 12). */
-      composedMismatches: Int = -1)
+      composedMismatches: Int = -1,
+      /** Top-5 disagreements between the filtered-ANN allow-set rung
+        * at covering probes and the exact filtered scan (round 16 —
+        * must be 0: covering membership-filtered probing IS the exact
+        * filtered result). -1 when the run skipped the filtered leg.
+        */
+      filteredMismatches: Int = -1,
+      /** Same parity through the Bloom rung (tiny cap + fpp 0.3
+        * forced), exercising the FP verification + refill machinery
+        * on the lifecycle corpus. */
+      bloomFilteredMismatches: Int = -1)
 
   /** Deterministic unit-norm clustered corpus + perturbed queries.
     * Returns (docs, queries) where queries pair each query vector with
@@ -170,7 +180,44 @@ object RetrievalGroundTruth {
     require(loaded.lastQueryStrategy.contains("ann+q8"),
       s"expected ann+q8 strategy, got ${loaded.lastQueryStrategy}")
     val composedMis = mismatches(composedHits)
-    Result(nDocs, nQueries, exactMis, annResults, nList, q8Mis, composedMis)
+
+    // filtered-ANN parity on the lifecycle corpus (round 16): with the
+    // opt-in on, a cluster-restricted query at covering probes must
+    // reproduce the exact filtered scan's top-5 list for list —
+    // through the allow-set rung AND the bloom rung (tiny cap + a
+    // brutal fpp forced, so the FP verification + refill machinery is
+    // what earns the zero).
+    loaded.disableQ8()
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val whereEven =
+      get_json_object(col("meta"), "$.cluster").cast("int") % 2 === 0
+    val exactF = loaded.query(qVecs, topK = 5, where = Some(whereEven))
+    require(loaded.lastQueryStrategy.contains("exact-filtered"),
+      s"expected exact-filtered strategy, got ${loaded.lastQueryStrategy}")
+    def listMis(a: Seq[Seq[graft.core.VdbHit]],
+                b: Seq[Seq[graft.core.VdbHit]]): Int =
+      a.zip(b).count { case (x, y) => x.map(_.id) != y.map(_.id) }
+    val sconf = spark.conf
+    val (filteredMis, bloomMis) =
+      try {
+        sconf.set("graft.ann.filtered", "true")
+        val fHits = loaded.query(qVecs, topK = 5, where = Some(whereEven),
+          nProbe = nList)
+        require(loaded.lastQueryStrategy.contains("ann-filtered"),
+          s"expected ann-filtered strategy, got ${loaded.lastQueryStrategy}")
+        sconf.set("graft.ann.filtered.max", "2")
+        sconf.set("graft.ann.filtered.bloom.fpp", "0.3")
+        val bHits = loaded.query(qVecs, topK = 5, where = Some(whereEven),
+          nProbe = nList)
+        require(loaded.lastQueryStrategy.contains("ann-filtered+bloom"),
+          s"expected ann-filtered+bloom strategy, got ${loaded.lastQueryStrategy}")
+        (listMis(fHits, exactF), listMis(bHits, exactF))
+      } finally {
+        Seq("graft.ann.filtered", "graft.ann.filtered.max",
+          "graft.ann.filtered.bloom.fpp").foreach(sconf.unset)
+      }
+    Result(nDocs, nQueries, exactMis, annResults, nList, q8Mis, composedMis,
+      filteredMis, bloomMis)
   }
 
   /** Text-featurized variant (VERDICT r10 "what's missing" #1): the
@@ -312,7 +359,9 @@ object RetrievalGroundTruth {
     println(s"retrieval_mismatch exact=${r.exactMismatches} " +
       s"q8=${r.q8Mismatches} " +
       r.annMismatches.map { case (np, m) => s"np$np=$m" }.mkString(" ") +
-      s" nList=${r.annNList} nQueries=${r.nQueries}")
+      s" filtered_cover=${r.filteredMismatches} " +
+      s"filtered_bloom=${r.bloomFilteredMismatches} " +
+      s"nList=${r.annNList} nQueries=${r.nQueries}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val rt = runTextFeaturized(spark, s"$dir/store-text",
       s"$sfDir/documents.parquet")
