@@ -456,10 +456,15 @@ final class LocalReplica private[core] (
           s"graft: failed to write replica PQ cache at $path: ${e.getMessage}")
     }
 
-  /** Exact double-accumulated rescore of `cands` against the fp32
-    * slabs — the SAME arithmetic as the distributed strategies'
-    * rescore tail, so at covering overfetch the compressed paths
-    * match [[queryOne]] hit-for-hit.
+  /** Full-precision rescore of `cands` against the fp32 slabs, in the
+    * replica's `exactScore` precision (ADVICE r16): double
+    * accumulation under `graft.query.exact` — the distributed rescore
+    * tail's arithmetic — and the float32 kernel otherwise, matching
+    * [[queryOne]]'s scoring mode. Without this the documented
+    * "queryOneQ8/queryOnePq match queryOne hit-for-hit at covering
+    * overfetch" claim held only for exact-cut replicas: near-tie
+    * scores could order differently between a double rescore and a
+    * float32 exact scan.
     */
   private def rescoreExact(q: Array[Float], cands: Seq[String],
                            topK: Int): Seq[VdbHit] = {
@@ -469,9 +474,13 @@ final class LocalReplica private[core] (
       if (slot != null) {
         val (b, r) = slot
         val off = r * b.dim
-        var s = 0.0
-        var i = 0
-        while (i < b.dim) { s += q(i).toDouble * b.data(off + i); i += 1 }
+        val s =
+          if (exactScore) {
+            var acc = 0.0
+            var i = 0
+            while (i < b.dim) { acc += q(i).toDouble * b.data(off + i); i += 1 }
+            acc
+          } else graft.operators.Kernels.dotPackedF(q, b.data, off).toDouble
         h.offer(s, id)
       }
     }

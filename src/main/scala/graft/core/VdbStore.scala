@@ -826,10 +826,26 @@ final class VdbStore private (
       .unionByName(prepared)
       .unionByName(current.filter(col("deleted"))
         .join(prepared.select("_id_"), Seq("_id_"), "left_anti"))
-    // the touched set references `prepared`'s plan, so an incremental
-    // graph refresh re-evaluates the batch's id projection once more —
-    // bounded by the batch, never the store
-    swap(next, HnswTouchIds(prepared.select("_id_"), nUpd + nIns))
+    // the touched-id set is collected EAGERLY at swap time (ADVICE
+    // r16): a lazy plan over the caller's batch DataFrame could be
+    // non-deterministic or no longer readable at the next graph
+    // refresh (streaming micro-batch source, dropped temp view),
+    // silently under-reporting touched ids and leaving stale slab
+    // graphs. Bounded: eager only under graft.hnsw.incr.cap — the
+    // only regime where the delta is ever consumed (past the cap the
+    // refresh full-rebuilds regardless, so HnswTouchUnknown is
+    // equivalent and drops the batch-plan reference) — and only when
+    // the graph strategy is enabled at all (otherwise the touch
+    // declaration is ignored; Unknown stays the safe default against
+    // a concurrent enable).
+    val nTouched = nUpd + nIns
+    val touch: HnswTouch =
+      if (hnswParams.isDefined && nTouched <= conf.hnswIncrCap) {
+        import spark.implicits._
+        val idArr = prepared.select(col("_id_")).as[String].collect()
+        HnswTouchIds(idArr.toSeq.toDF("_id_"), idArr.length.toLong)
+      } else HnswTouchUnknown
+    swap(next, touch)
     annMutationsSinceFit += nUpd + nIns
     (nUpd, nIns)
   }
@@ -924,12 +940,34 @@ final class VdbStore private (
         // skip the memo for huge explicit id lists: rendering millions
         // of ids into the key would cost as much as the collect the
         // memo saves, and hashing instead would risk a collision
-        // serving the WRONG membership set
+        // serving the WRONG membership set. Also skip it when the
+        // where Column embeds a ScalaUDF or any non-deterministic
+        // expression (ADVICE r16): Column.toString renders every UDF
+        // as e.g. "UDF(meta)" regardless of its closure, so two
+        // different predicates would collide on the key and the LRU
+        // would serve the WRONG membership set — the same
+        // closure-identity hazard that already excludes whereFn. A
+        // conversion failure skips the memo too (conservative: a miss
+        // only re-runs the collect the memo amortizes).
+        // detection runs on the ANALYZED plan of a zero-row filter —
+        // driver-only analysis, no job — because Column itself no
+        // longer exposes its expression tree publicly
+        def whereMemoSafe: Boolean = where.forall { p =>
+          scala.util.Try {
+            val analyzed =
+              active.limit(0).filter(p).queryExecution.analyzed
+            !analyzed.exists(_.expressions.exists(_.exists(e =>
+              e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF] ||
+                !e.deterministic)))
+          }.getOrElse(false)
+        }
+        // ids render length-prefixed so the key is injective:
+        // Seq("a,b") and Seq("a", "b") must not collide (ADVICE r16)
         val memoKey: Option[String] =
-          if (whereFn.isDefined || ids.exists(_.size > 10000)) None
+          if (whereFn.isDefined || ids.exists(_.size > 10000) || !whereMemoSafe) None
           else Some(s"$cap|${conf.annFilteredBloom}|${conf.annFilteredBloomFpp}|" +
             s"${where.map(_.toString).getOrElse("")}|" +
-            s"${ids.map(_.mkString(",")).getOrElse("")}")
+            s"${ids.map(_.map(id => s"${id.length}:$id").mkString(",")).getOrElse("")}")
         val cached = memoKey.flatMap(k => Option(filterMemberCache.get(k)))
           .filter(_._1 == storeVersion)
         val resolved: Option[(MemberTest[String], Boolean, Boolean)] =

@@ -89,8 +89,22 @@ final class HnswStore[K](
   /** Force the build; returns (total rows, shard count). */
   def materialize(): (Long, Int) = {
     val counts = shards.map(_.block.rows.toLong).collect()
+    // executor copies of lineage-only broadcasts (rebuildTouched's
+    // dirty set — ADVICE r16) are safe to free once every shard is
+    // materialized; unpersist not destroy, so an evicted kept shard
+    // recomputing through its lineage just re-fetches from the driver
+    val rel = releaseOnMaterialize
+    releaseOnMaterialize = Nil
+    rel.foreach(_.unpersist(false))
     (counts.sum, counts.length)
   }
+
+  // broadcast handles referenced only by this store's shard lineage,
+  // freed from executors at the first materialize() (see above);
+  // without this each incremental refresh would leak a broadcast of
+  // up to graft.hnsw.incr.cap ids for the life of the store
+  @volatile private[operators] var releaseOnMaterialize:
+    List[org.apache.spark.broadcast.Broadcast[_]] = Nil
 
   /** Store dimension (one tiny job on first use; empty store → -1). */
   lazy val dim: Int =
@@ -199,16 +213,21 @@ final class HnswStore[K](
     }
     val repack = survivors.union(changed)
     val nRows = repack.count()
-    if (nRows == 0)
-      return new HnswStore[K](spark, keep, normalized, m, efConstruction)
+    if (nRows == 0) {
+      val out = new HnswStore[K](spark, keep, normalized, m, efConstruction)
+      out.releaseOnMaterialize = List(bc)
+      return out
+    }
     val rowDim = repack.map(_._2.length).take(1).head
     val rowsPerSlab = math.max(1, maxBlockFloats / math.max(1, rowDim))
     val nPart = math.max(1L, (nRows + rowsPerSlab - 1) / rowsPerSlab).toInt
     val extra = HnswStore.fromRDD(spark, repack.repartition(nPart),
       normalize = false, assumeNormalized = normalized,
       m = m, efConstruction = efConstruction, maxBlockFloats = maxBlockFloats)
-    new HnswStore[K](spark, keep.union(extra.shards), normalized,
+    val out = new HnswStore[K](spark, keep.union(extra.shards), normalized,
       m, efConstruction)
+    out.releaseOnMaterialize = List(bc)
+    out
   }
 
   /** Batch top-k as one shuffle-free job, the [[graft.core.BlockStore.topKMerged]]
