@@ -122,6 +122,69 @@ final class Hnsw private (
     ids.zip(sims).take(k)
   }
 
+  /** Membership-filtered top-k (round 17) — the FAISS
+    * `SearchParametersHNSW.sel` / hnswlib `BaseFilterFunctor` shape:
+    * the filter applies at RESULT collection, never during graph
+    * traversal (skipping non-members while walking would disconnect
+    * the navigable small world exactly where the filter is selective
+    * — the known filtered-HNSW failure mode). The layer-0 beam keeps
+    * expanding until `ef` ACCEPTED nodes are held and the best
+    * frontier candidate scores below the worst of them, so cost grows
+    * naturally as selectivity drops — the graph analog of
+    * IvfIndex.searchMergedAllowed's probe widening. May return fewer
+    * than k hits when fewer than k accepted nodes are reachable at
+    * this beam; callers widen ef / fall back to the exact member scan
+    * ([[graft.operators.HnswStore.scoreShardMember]] owns that loop).
+    */
+  def searchFiltered(q: Array[Float], k: Int, ef: Int,
+                     accept: Int => Boolean): Array[(Int, Double)] = {
+    require(q.length == dim, s"query dim ${q.length} != index dim $dim")
+    if (n == 0) return Array.empty
+    val (ep, eps) = descend(q, 0)
+    val efk = math.max(ef, k)
+    val visited = new java.util.BitSet(n)
+    // frontier: max-heap over ALL visited nodes; results: min-heap of
+    // ACCEPTED nodes only, size <= efk — termination reads results, so
+    // a selective filter keeps the walk alive until enough members
+    // surface (or the frontier exhausts the component)
+    val cand = new java.util.PriorityQueue[(Double, Int)](
+      (a, b) => java.lang.Double.compare(b._1, a._1))
+    val res = new java.util.PriorityQueue[(Double, Int)](
+      (a, b) => java.lang.Double.compare(a._1, b._1))
+    visited.set(ep)
+    cand.add((eps, ep))
+    if (accept(ep)) res.add((eps, ep))
+    while (!cand.isEmpty) {
+      val c = cand.poll()
+      if (res.size >= efk && c._1 < res.peek()._1) {
+        cand.clear()
+      } else {
+        val ns = nbrs(c._2)(0)
+        val cnt = nbrCnt(c._2)(0)
+        var i = 0
+        while (i < cnt) {
+          val e = ns(i)
+          if (!visited.get(e)) {
+            visited.set(e)
+            val se = sim(q, e)
+            if (res.size < efk || se > res.peek()._1) {
+              cand.add((se, e))
+              if (accept(e)) {
+                res.add((se, e))
+                if (res.size > efk) res.poll()
+              }
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    val out = new Array[(Double, Int)](res.size)
+    var i = out.length - 1
+    while (i >= 0) { out(i) = res.poll(); i -= 1 } // best-first order
+    out.take(k).map { case (s, id) => (id, s) }
+  }
+
   /** Serialize the graph TOPOLOGY (levels / neighbor lists / entry) —
     * plain int arrays, no vectors: the caller owns the packed matrix
     * and re-supplies it to [[Hnsw.readGraph]] on load. This is the

@@ -78,6 +78,12 @@ final class VdbStore private (
   //   "ann-filtered+q8" — the int8 composition of the above (q8 also
   //                      enabled): filtered QUANTIZED candidate scan +
   //                      fp32 double rescore
+  //   "hnsw-filtered"  — the graph rung of the same opt-in (round 17):
+  //                      membership applied at beam RESULT collection
+  //                      inside each shard graph (FAISS IDSelector
+  //                      shape), adaptive ef widening on underfill,
+  //                      exact member scan at a row-covering beam;
+  //                      outranks ann-filtered like hnsw outranks ann
   //   "...+bloom" suffix — both exact id sets overflowed the cap:
   //                      Bloom broadcast + over-fetch + verification
   //                      semi-join + exact refill
@@ -116,6 +122,18 @@ final class VdbStore private (
       })
 
   @volatile private var lastFilterMemberSourceVar = "none"
+
+  @volatile private var lastFilterPolarityVar = "none"
+
+  /** Membership rung of the most recent filtered-accelerator query's
+    * set: "allow" (match ids broadcast), "deny" (the complement of an
+    * anti-selective filter), "bloom" (both exact sets overflowed the
+    * cap — constant-size Bloom + verification + refill), or "none"
+    * (no filtered-accelerator query yet, or the resolution fell back
+    * to the exact filtered scan). Round-17 telemetry so the deny rung
+    * is machine-checkable per round (q90) like allow/bloom.
+    */
+  def lastFilterPolarity: String = lastFilterPolarityVar
 
   /** Where the most recent filtered-ANN query's membership set came
     * from: "built" (distributed id-collect / bloom aggregate ran) or
@@ -914,19 +932,24 @@ final class VdbStore private (
     // candidates; routing thresholded queries to the exact path keeps
     // their results deterministic.
     val unfiltered = ids.isEmpty && where.isEmpty && whereFn.isEmpty
-    // Filtered-ANN routing (round 16, opt-in via graft.ann.filtered —
-    // O16 made real): instead of the blanket exact bypass, a filtered
-    // query with the IVF accelerator enabled pushes its filter INTO
-    // the probed bucket scan as a broadcast membership set and
-    // re-probes adaptively on underfill. The membership set is the
-    // filter's matching ids when they fit under graft.ann.filtered.max
-    // (allow polarity), else the COMPLEMENT when that fits (deny
-    // polarity — anti-selective filters); when both overflow, fall
+    // Filtered-accelerator routing (round 16 for IVF, round 17 for the
+    // graph strategy; opt-in via graft.ann.filtered — O16 made real):
+    // instead of the blanket exact bypass, a filtered query with an
+    // accelerator enabled pushes its filter INTO the accelerated scan
+    // as a broadcast membership set — the probed IVF bucket scan with
+    // adaptive re-probe, or the per-shard HNSW beam search with
+    // adaptive ef widening (result-collection filtering, the FAISS
+    // IDSelector shape). The membership set is the filter's matching
+    // ids when they fit under graft.ann.filtered.max (allow polarity),
+    // else the COMPLEMENT when that fits (deny polarity —
+    // anti-selective filters); when both overflow, a Bloom broadcast
+    // (verification + refill keep it exact-membership), else fall
     // through to the exact filtered scan with a logged reason. The
     // conservative better_than bypass still applies (thresholded
     // queries stay exact), as does whereFn's post-score recheck.
-    val annFiltered: Option[(graft.operators.IvfIndex, MemberTest[String], Boolean, Boolean)] =
-      if (unfiltered || betterThan.isDefined || annNList.isEmpty ||
+    val filteredMember: Option[(MemberTest[String], Boolean, Boolean)] =
+      if (unfiltered || betterThan.isDefined ||
+          (annNList.isEmpty && hnswParams.isEmpty) ||
           !conf.annFilteredEnabled) None
       else {
         // membership-set memoization: the common production shape is
@@ -1013,15 +1036,33 @@ final class VdbStore private (
                 filterMemberCache.put(k, (storeVersion, b._1, b._2, b._3))
               built
           }
-        resolved.flatMap { case (m, dny, bloom) =>
-          refreshAnn().map(idx => (idx, m, dny, bloom))
+        lastFilterPolarityVar = resolved match {
+          case Some((_, _, true)) => "bloom"
+          case Some((_, true, _)) => "deny"
+          case Some(_) => "allow"
+          case None => "none"
         }
+        resolved
+      }
+    // the graph strategy outranks IVF for the filtered opt-in exactly
+    // as it does unfiltered (hnsw > ann — it is the recall-class
+    // upgrade); round 17 closes the hnsw+filter exact-repack cliff
+    val hnswFiltered: Option[(graft.operators.HnswStore[String], MemberTest[String], Boolean, Boolean)] =
+      if (hnswParams.isEmpty) None
+      else filteredMember.flatMap { case (m, dny, bloom) =>
+        refreshHnsw().map(h => (h, m, dny, bloom))
+      }
+    val annFiltered: Option[(graft.operators.IvfIndex, MemberTest[String], Boolean, Boolean)] =
+      if (hnswFiltered.isDefined || annNList.isEmpty) None
+      else filteredMember.flatMap { case (m, dny, bloom) =>
+        refreshAnn().map(idx => (idx, m, dny, bloom))
       }
     // the graph strategy outranks IVF when both are enabled (same O28
     // bypass rules; the conservative better_than deviation applies to
     // every accelerator alike)
     val hnsw =
-      if (annFiltered.isEmpty && unfiltered && betterThan.isEmpty) refreshHnsw()
+      if (annFiltered.isEmpty && hnswFiltered.isEmpty && unfiltered &&
+          betterThan.isEmpty) refreshHnsw()
       else None
     val ann =
       if (hnsw.isEmpty && unfiltered && betterThan.isEmpty) refreshAnn()
@@ -1038,7 +1079,11 @@ final class VdbStore private (
     val useBit = !usePq && !useQ8 && hnsw.isEmpty && ann.isEmpty &&
       bitBits.isDefined && unfiltered && betterThan.isEmpty
     lastStrategy = Some(
-      if (annFiltered.isDefined) {
+      if (hnswFiltered.isDefined)
+        // graph beam search with result-collection membership; no
+        // compression composition (the graph traverses fp32 slabs)
+        "hnsw-filtered" + (if (hnswFiltered.exists(_._4)) "+bloom" else "")
+      else if (annFiltered.isDefined) {
         // the int8 composition outranks the fp32 filtered scan like
         // ann+q8 outranks ann; the bloom suffix reports the membership
         // rung in play
@@ -1058,14 +1103,18 @@ final class VdbStore private (
 
     val queries = vectors.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toArray
     // (qid, id, score, rank) on the driver — Q x k rows either way
-    val ranked: Seq[(Long, String, Double, Int)] = if (annFiltered.isDefined) {
-      // filtered-ANN strategy: membership-filtered probed scan with
-      // adaptive re-probe (searchMergedAllowed's scaladoc has the O16
+    val ranked: Seq[(Long, String, Double, Int)] =
+    if (hnswFiltered.isDefined || annFiltered.isDefined) {
+      // filtered-accelerator strategies: membership pushed into the
+      // accelerated scan — the HNSW per-shard beam search with
+      // result-collection filtering + adaptive ef widening
+      // (searchMergedMember), or the IVF probed scan with adaptive
+      // re-probe (searchMergedAllowed — its scaladoc has the O16
       // story). Precision matches the exact strategy: fp32 kernels by
-      // default, graft.query.exact flips both to double — so at
-      // covering nProbe results are bit-equal to exact-filtered.
-      val (idx, member, denySet, isBloom) = annFiltered.get
-      val probes = if (nProbe > 0) nProbe else conf.annNProbeFor(idx.nList)
+      // default, graft.query.exact flips both to double — so at a
+      // covering beam/nProbe results are bit-equal to exact-filtered.
+      val isBloom =
+        hnswFiltered.map(_._4).orElse(annFiltered.map(_._4)).getOrElse(false)
       val normQ = queries.map { case (i, v) => (i, NormalizeL2.normalize(v)) }
       // bloom rung: over-fetch candidates so dropping false positives
       // still leaves k verified rows. Exactness argument: the heap
@@ -1080,17 +1129,28 @@ final class VdbStore private (
         if (isBloom) math.max(topK,
           topK * math.max(1, conf.annFilteredBloomOverfetch))
         else topK
-      // int8 composition: membership pushed into the QUANTIZED bucket
-      // scan (4x less candidate bandwidth), fp32 double rescore of the
-      // k x graft.q8.overfetch survivors — exact at covering probes +
-      // covering overfetch like the unfiltered ann+q8 (q84 argument)
-      val rawDf =
-        if (q8Enabled)
-          idx.searchMergedQ8Allowed[String](normQ, scanK, member, denySet,
-            probes, normalized = true, overfetch = conf.q8Overfetch)
-        else
-          idx.searchMergedAllowed[String](normQ, scanK, member, denySet,
-            probes, normalized = true, exact = conf.queryExact)
+      val rawDf = hnswFiltered match {
+        case Some((h, member, denySet, _)) =>
+          // graph rung: explicit efSearch arg > graft.hnsw.ef conf,
+          // like the unfiltered hnsw strategy
+          val ef = if (efSearch > 0) efSearch else conf.hnswEf
+          h.searchMergedMember(normQ, scanK, member, denySet, ef,
+            exact = conf.queryExact)
+        case None =>
+          val (idx, member, denySet, _) = annFiltered.get
+          val probes = if (nProbe > 0) nProbe else conf.annNProbeFor(idx.nList)
+          // int8 composition: membership pushed into the QUANTIZED
+          // bucket scan (4x less candidate bandwidth), fp32 double
+          // rescore of the k x graft.q8.overfetch survivors — exact at
+          // covering probes + covering overfetch like the unfiltered
+          // ann+q8 (q84 argument)
+          if (q8Enabled)
+            idx.searchMergedQ8Allowed[String](normQ, scanK, member, denySet,
+              probes, normalized = true, overfetch = conf.q8Overfetch)
+          else
+            idx.searchMergedAllowed[String](normQ, scanK, member, denySet,
+              probes, normalized = true, exact = conf.queryExact)
+      }
       val raw = rawDf
         .select(col("qid"), col("id"), col("score"), col("rank"))
         .collect()

@@ -297,6 +297,104 @@ final class HnswStore[K](
     spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
   }
 
+  /** Exact member-scan fallbacks the most recent [[searchMergedMember]]
+    * call's shards performed (one count per (query, shard) whose
+    * filtered beam exhausted its component under k accepted rows —
+    * see the underfill proof in [[HnswStore.scoreShardMember]]). 0 =
+    * every shard filled every query from its graph; grows as the
+    * filter gets selective relative to shard size — the
+    * lastFilteredPasses analog for the graph strategy.
+    */
+  @volatile private var lastMemberWideningsVar: Long = 0L
+  def lastMemberFallbackScans: Long = lastMemberWideningsVar
+
+  /** Membership-filtered batch top-k (round 17) — the graph-strategy
+    * twin of [[graft.operators.IvfIndex.searchMergedAllowed]], closing
+    * the last strategy×filter combination that fell back to the
+    * per-call exact repack scan. The filter ships as ONE broadcast
+    * [[graft.core.MemberTest]] (exact allow/deny set or Bloom — the
+    * caller owns Bloom FP verification + refill, as in the IVF twin)
+    * and applies at beam RESULT collection inside each shard's graph
+    * ([[graft.core.Hnsw.searchFiltered]] — the FAISS
+    * `SearchParametersHNSW.sel` shape: traversal never skips nodes, so
+    * selective filters cannot disconnect the walk; the beam instead
+    * keeps expanding until ef ACCEPTED rows are in hand, the
+    * searchMergedAllowed adaptive-widening analog built into the walk
+    * itself). A (query, shard) whose beam STILL underfills k has
+    * provably exhausted its entry component (see the proof in
+    * [[HnswStore.scoreShardMember]]) and snaps to the exact member
+    * scan over the slab ([[graft.core.BlockStore.scoreBlockMember]])
+    * — so a query returns fewer than k rows ONLY when the filtered
+    * store holds fewer than k rows, the exact path's contract.
+    * `exact = true` (or `ef >= every shard's rows`) makes the whole
+    * call the exact filtered scan — scoring arithmetic identical to
+    * [[searchMerged]]`(exact = true)` over the member rows, which is
+    * what the q89 oracle hash-matches.
+    *
+    * Scale terms: one bounded/constant membership broadcast, one
+    * depth-2 treeAggregate (shards × Q × k heap traffic — identical
+    * to [[searchMerged]]), zero shuffles, zero repacks: the per-call
+    * O(matches) candidate repack of the exact filtered path — the
+    * scale cliff this twin removes — never happens; filtering rides
+    * the CACHED shard slabs.
+    */
+  def searchMergedMember(queries: Array[(Long, Array[Float])], k: Int,
+                         member: graft.core.MemberTest[K], deny: Boolean,
+                         ef: Int = 64, exact: Boolean = false)(
+      implicit outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)])
+      : DataFrame = {
+    val d = dim
+    if (d > 0) queries.foreach { case (qid, v) =>
+      require(v.length == d,
+        s"HnswStore.searchMergedMember: query $qid has dim ${v.length}, store dim is $d")
+    }
+    val (qids, qvecs, qnorms, qunits) =
+      HnswStore.prepQueries(queries, normalized, exact)
+    if (queries.isEmpty || (member.matchesNothing && !deny)) {
+      lastMemberWideningsVar = 0L
+      return spark.createDataset(Seq.empty[(Long, K, Double, Int)])(outEnc)
+        .toDF("qid", "id", "score", "rank")
+    }
+    val sc = shards.sparkContext
+    val widen = sc.longAccumulator("graft.hnsw.member.fallback.scans")
+    val bc = sc.broadcast((qvecs, qnorms, qunits, member, deny))
+    val kk = k
+    val efk = math.max(ef, k)
+    val ex = exact
+    val localOrd = ord
+    val localCt = ct // bound locally so the closure doesn't capture `this`
+    val merged =
+      try {
+        shards.treeAggregate(null: Array[BoundedTopKG[K]])(
+          seqOp = (acc, shard) => {
+            val (qv, qn, qu, mem, dny) = bc.value
+            val heaps = if (acc != null) acc
+                        else Array.fill(qv.length)(new BoundedTopKG[K](kk)(localOrd))
+            HnswStore.scoreShardMember(heaps, shard, qv, qn, qu, kk, efk,
+              ex, mem, dny, widen)(localCt)
+            heaps
+          },
+          combOp = (a, b) =>
+            if (a == null) b
+            else if (b == null) a
+            else {
+              var i = 0
+              while (i < a.length) { a(i).absorb(b(i)); i += 1 }
+              a
+            },
+          depth = 2)
+      } finally bc.destroy()
+    lastMemberWideningsVar = widen.value
+    val rows: Seq[(Long, K, Double, Int)] =
+      if (merged == null) Seq.empty
+      else merged.iterator.zipWithIndex.flatMap { case (h, i) =>
+        h.sortedHits().iterator.take(kk).zipWithIndex.map {
+          case ((id, s), r) => (qids(i), id, s, r + 1)
+        }
+      }.toSeq
+    spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
+  }
+
   /** Dataset-query twin of [[searchMerged]] — the gemmQueries shape,
     * for query tables beyond driver memory: each query partition packs
     * ONCE (persisted + materialized before the cartesian stage, so the
@@ -454,6 +552,69 @@ object HnswStore {
         while (h < hits.length) {
           heaps(qi).offer(hits(h)._2, ids(hits(h)._1))
           h += 1
+        }
+        qi += 1
+      }
+    }
+  }
+
+  /** One shard's contribution to every query's heap under a
+    * membership filter — see [[HnswStore!.searchMergedMember]]. In
+    * exact mode (or when the beam already covers the slab) this IS the
+    * exact member scan; otherwise each query runs the filtered beam
+    * search, snapping to the exact member scan on underfill (see the
+    * component-exhaustion proof inline) — so a shard under-reports a
+    * query only when it truly holds fewer than k member rows.
+    */
+  private[operators] def scoreShardMember[K](
+      heaps: Array[BoundedTopKG[K]],
+      shard: HnswShard[K],
+      qvecs: Array[Array[Float]],
+      qnorms: Array[Double],
+      qunits: Array[Array[Float]],
+      k: Int, ef: Int, exact: Boolean,
+      member: graft.core.MemberTest[K], deny: Boolean,
+      widen: org.apache.spark.util.LongAccumulator)(
+      implicit ct: ClassTag[K]): Unit = {
+    val d = shard.block.dim
+    var vi = 0
+    while (vi < qvecs.length) {
+      require(qvecs(vi).length == d,
+        s"HnswStore: query dim ${qvecs(vi).length} != store dim $d — " +
+          "a truncated dot product would silently score row prefixes")
+      vi += 1
+    }
+    val rows = shard.block.rows
+    if (exact || ef >= rows) {
+      BlockStore.scoreBlockMember(heaps, shard.block, qvecs, qnorms,
+        member, deny, exact)
+    } else {
+      val ids = shard.block.ids
+      val accept = (i: Int) => member.contains(ids(i)) != deny
+      var qi = 0
+      while (qi < qunits.length) {
+        val hits = shard.graph.searchFiltered(qunits(qi), k, ef, accept)
+        if (hits.length >= k) {
+          var h = 0
+          while (h < hits.length) {
+            heaps(qi).offer(hits(h)._2, ids(hits(h)._1))
+            h += 1
+          }
+        } else {
+          // underfill proof: searchFiltered's early-exit requires
+          // ef accepted nodes in hand, so with FEWER the walk ran the
+          // frontier dry — the entire entry component was visited and
+          // holds < k accepted nodes. Re-walking at a wider ef would
+          // visit the same set; only the exact member scan can add
+          // rows (members outside the component), so snap straight to
+          // it. This is the completeness half of the contract: a shard
+          // under-reports a query only when it truly holds < k member
+          // rows.
+          if (widen != null) widen.add(1L)
+          val qv = Array(qvecs(qi))
+          val qn = if (qnorms == null) null else Array(qnorms(qi))
+          BlockStore.scoreBlockMember(Array(heaps(qi)), shard.block,
+            qv, qn, member, deny, exact)
         }
         qi += 1
       }

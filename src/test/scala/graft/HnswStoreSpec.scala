@@ -270,6 +270,79 @@ class HnswStoreSpec extends AnyFunSuite {
     appended.unpersist(); store.unpersist()
   }
 
+  test("searchMergedMember: exact member parity at covering beam, allow + deny polarity") {
+    // cosine mode (raw rows) so the brute oracle's dot/(|q||v|) is the
+    // store's own exact arithmetic — the existing exact-parity fixture
+    val data = randData(600, 16, seed = 101, unit = false)
+    val store = HnswStore.fromDataset[Long](
+      data.toDS(), normalize = false, numShards = 5)
+    val queries = data.take(8).toArray
+    val memberIds = data.map(_._1).filter(_ % 3 == 0)
+    val member = graft.core.SetMember(memberIds.toArray)
+    // allow: equals brute force over the member rows only (ef covers
+    // every shard, so the exact member scan serves — the q89 argument)
+    val wantAllow = brute(data.filter(t => t._1 % 3 == 0), queries.toSeq, 6)
+    val gotAllow = store.searchMergedMember(queries, 6, member, deny = false,
+        ef = 600, exact = true)
+      .select("qid", "rank", "id", "score").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(gotAllow.length == 8 * 6)
+    gotAllow.foreach { case (qid, rank, id, score) =>
+      val (wid, wscore) = wantAllow(qid)(rank - 1)
+      assert(id == wid && math.abs(score - wscore) < 1e-9,
+        s"allow qid=$qid rank=$rank: got ($id,$score) want ($wid,$wscore)")
+    }
+    // deny: the SAME set excludes instead — brute force over the rest
+    val wantDeny = brute(data.filter(t => t._1 % 3 != 0), queries.toSeq, 6)
+    val gotDeny = store.searchMergedMember(queries, 6, member, deny = true,
+        ef = 600, exact = true)
+      .select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    gotDeny.foreach { case (qid, rank, id) =>
+      assert(id == wantDeny(qid)(rank - 1)._1, s"deny qid=$qid rank=$rank id=$id")
+    }
+    store.unpersist()
+  }
+
+  test("searchMergedMember: selective filter fills k past the beam; sub-k only when members < k (exact-scan snap)") {
+    val data = randData(1200, 16, seed = 103, unit = true)
+    val store = HnswStore.fromDataset[Long](
+      data.toDS(), normalize = false, assumeNormalized = true, numShards = 3)
+    val queries = data.take(6).toArray
+    // ~3% selectivity vs a k-sized beam: an UNFILTERED ef=8 beam holds
+    // ~0 members, but the filtered beam keeps walking until 8 ACCEPTED
+    // rows are in hand — every query must fill k with members only
+    val memberIds = data.map(_._1).filter(_ % 37 == 0).toArray
+    val member = graft.core.SetMember(memberIds)
+    val got = store.searchMergedMember(queries, 5, member, deny = false, ef = 8)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byQ = got.groupBy(_._1)
+    queries.foreach { case (qid, _) =>
+      assert(byQ.getOrElse(qid, Array.empty).length == 5,
+        s"qid=$qid underfilled despite ${memberIds.length} member rows")
+    }
+    val memberSet = memberIds.toSet
+    assert(got.forall(t => memberSet(t._2)), "non-member id surfaced")
+    // fewer member rows than k: ALL of them come back (the exact-scan
+    // snap makes the shard complete), never more — and the snap is
+    // observable in the fallback telemetry
+    val tiny = graft.core.SetMember(Array(5L, 17L, 23L))
+    val gotTiny = store.searchMergedMember(queries, 10, tiny, deny = false, ef = 8)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    queries.foreach { case (qid, _) =>
+      assert(gotTiny.filter(_._1 == qid).map(_._2).sorted.toSeq == Seq(5L, 17L, 23L),
+        s"qid=$qid must surface exactly the 3 member rows")
+    }
+    assert(store.lastMemberFallbackScans > 0,
+      "a 3-member filter at k=10 must have snapped to the member scan")
+    // matches-nothing allow set short-circuits to an empty result
+    val none = graft.core.SetMember(Array.empty[Long])
+    assert(store.searchMergedMember(queries, 5, none, deny = false, ef = 8)
+      .count() == 0)
+    store.unpersist()
+  }
+
   test("graph search is deterministic across repeated calls") {
     val data = randData(400, 16, seed = 53, unit = true)
     val store = HnswStore.fromDataset[Long](

@@ -827,6 +827,159 @@ class VdbStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered-HNSW strategy (round 17): outranks ann-filtered, exact at covering ef, bloom-composable, polarity telemetry") {
+    val s = freshStore(8)
+    val rng = new scala.util.Random(29)
+    def mk(base: Int, tag: String) = (0 until 60).map { i =>
+      val v = new Array[Float](8)
+      v(base) = 1f
+      (0 until 8).foreach(j => v(j) = v(j) + (rng.nextFloat() - 0.5f) * 0.05f)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      rec(f"$tag$i%03d", v.map(x => (x / n).toFloat), s"""{"c": "$tag"}""")
+    }
+    s.upsert(mk(0, "a") ++ mk(4, "b"))
+    spark.conf.set("graft.query.exact", "true")
+    try {
+      val q = { val v = new Array[Float](8); v(0) = 1f; v }
+      val whereB = Some(get_json_object(col("meta"), "$.c") === "b")
+      s.enableHnsw()
+      // conf OFF: the blanket O28 exact bypass still governs the graph
+      // strategy — hnsw+filter was THE remaining exact-repack cliff
+      val exactB = s.queryOne(q, topK = 5, where = whereB)
+      assert(s.lastQueryStrategy.contains("exact-filtered"))
+      spark.conf.set("graft.ann.filtered", "true")
+      // routed through the graph rung, and at a store-covering ef the
+      // per-shard exact member scan serves — bit-equal to the exact
+      // filtered scan under graft.query.exact
+      val hnswB = s.query(Seq(q), topK = 5, where = whereB, efSearch = 200).head
+      assert(s.lastQueryStrategy.contains("hnsw-filtered"))
+      assert(s.lastFilterPolarity == "allow")
+      assert(hnswB.map(h => (h.id, h.metrics)) ==
+        exactB.map(h => (h.id, h.metrics)))
+      // at a PARTIAL beam the graph path still fills k with members
+      // (the filtered beam expands until enough accepted rows)
+      val partial = s.query(Seq(q), topK = 5, where = whereB, efSearch = 6).head
+      assert(s.lastQueryStrategy.contains("hnsw-filtered"))
+      assert(partial.size == 5 && partial.forall(_.id.startsWith("b")))
+      // precedence: with BOTH accelerators enabled the graph rung
+      // outranks the IVF one, mirroring the unfiltered hnsw > ann
+      s.enableAnn(nList = 4)
+      s.query(Seq(q), topK = 5, where = whereB, efSearch = 200)
+      assert(s.lastQueryStrategy.contains("hnsw-filtered"))
+      s.disableHnsw()
+      s.query(Seq(q), topK = 5, where = whereB, nProbe = 4)
+      assert(s.lastQueryStrategy.exists(_.startsWith("ann-filtered")))
+      s.disableAnn()
+      s.enableHnsw()
+      // deny polarity flows through the graph rung too: an
+      // anti-selective filter broadcasts its complement
+      val whereMost = Some(!col("_id_").isin("a000", "a001", "a002"))
+      spark.conf.set("graft.ann.filtered.max", "10")
+      val exactMost = {
+        spark.conf.unset("graft.ann.filtered")
+        val r = s.queryOne(q, topK = 5, where = whereMost)
+        spark.conf.set("graft.ann.filtered", "true")
+        r
+      }
+      val denyHits = s.query(Seq(q), topK = 5, where = whereMost,
+        efSearch = 200).head
+      assert(s.lastQueryStrategy.contains("hnsw-filtered"))
+      assert(s.lastFilterPolarity == "deny")
+      assert(denyHits.map(h => (h.id, h.metrics)) ==
+        exactMost.map(h => (h.id, h.metrics)))
+      // bloom rung under the graph strategy: both exact sets overflow
+      // the tiny cap, the Bloom admits false positives, verification +
+      // refill keep the result exact at a covering beam
+      val bloomB = s.query(Seq(q), topK = 5, where = whereB, efSearch = 200).head
+      assert(s.lastQueryStrategy.contains("hnsw-filtered+bloom"))
+      assert(s.lastFilterPolarity == "bloom")
+      assert(bloomB.map(h => (h.id, h.metrics)) ==
+        exactB.map(h => (h.id, h.metrics)))
+      // the conservative better_than deviation still bypasses
+      s.queryOne(q, topK = 5, where = whereB, betterThan = Some(0.0))
+      assert(s.lastQueryStrategy.contains("exact-filtered"))
+    } finally {
+      spark.conf.unset("graft.query.exact")
+      spark.conf.unset("graft.ann.filtered")
+      spark.conf.unset("graft.ann.filtered.max")
+      s.disableHnsw(); s.disableAnn()
+    }
+  }
+
+  test("filtered-accelerator memo is store-version-scoped across micro-batch-style swaps (round 17 soak)") {
+    // the streaming x filtered-ANN interaction: every upsertDF swap
+    // bumps the store version, so a memoized membership set from the
+    // previous micro-batch must NEVER serve the next one (it would
+    // silently drop rows the new batch added to the filter's match set)
+    val s = freshStore(4)
+    import spark.implicits._
+    def batch(ids: Seq[String]) = ids.map { id =>
+      (id, Array(1f, 0f, 0f, 0f), s"""{"g": "x"}""")
+    }.toDF("_id_", "vector", "meta")
+    s.upsertDF(batch(Seq("x000", "x001", "x002")))
+    s.enableAnn(nList = 2)
+    spark.conf.set("graft.ann.filtered", "true")
+    try {
+      val q = Array(1f, 0f, 0f, 0f)
+      val whereX = Some(get_json_object(col("meta"), "$.g") === "x")
+      val h1 = s.query(Seq(q), topK = 10, where = whereX, nProbe = 2).head
+      assert(s.lastFilterMemberSource == "built")
+      assert(h1.size == 3)
+      val h1b = s.query(Seq(q), topK = 10, where = whereX, nProbe = 2).head
+      assert(s.lastFilterMemberSource == "cached")
+      assert(h1b.size == 3)
+      // micro-batch 2 adds a matching row: the memo must rebuild and
+      // the new row must be findable immediately
+      s.upsertDF(batch(Seq("x003")))
+      val h2 = s.query(Seq(q), topK = 10, where = whereX, nProbe = 2).head
+      assert(s.lastFilterMemberSource == "built",
+        "a version swap must invalidate the memoized membership set")
+      assert(h2.size == 4 && h2.exists(_.id == "x003"),
+        s"stale membership served after a micro-batch swap: ${h2.map(_.id)}")
+      // and the rebuilt set memoizes again for the next steady batch
+      s.query(Seq(q), topK = 10, where = whereX, nProbe = 2)
+      assert(s.lastFilterMemberSource == "cached")
+    } finally {
+      spark.conf.unset("graft.ann.filtered")
+      s.disableAnn()
+    }
+  }
+
+  test("filtered-accelerator memo skips UDF-backed and ambiguous-id filters (ADVICE r16)") {
+    val s = freshStore(4)
+    s.upsert(Seq(
+      rec("a,b", Array(1f, 0f, 0f, 0f), """{"n": 1}"""),
+      rec("a", Array(0.9f, 0.1f, 0f, 0f), """{"n": 2}"""),
+      rec("b", Array(0.8f, 0.2f, 0f, 0f), """{"n": 3}"""),
+      rec("c", Array(0f, 1f, 0f, 0f), """{"n": 4}""")))
+    s.enableAnn(nList = 2)
+    spark.conf.set("graft.ann.filtered", "true")
+    try {
+      val q = Array(1f, 0f, 0f, 0f)
+      // two DIFFERENT UDF closures whose Columns render identically
+      // ("UDF(meta)"): memoizing either would serve the wrong set to
+      // the other — both must skip the memo entirely
+      val u1 = udf((m: String) => m != null && m.contains("1"))
+      val u2 = udf((m: String) => m != null && m.contains("4"))
+      val h1 = s.query(Seq(q), topK = 4, where = Some(u1(col("meta")))).head
+      assert(s.lastFilterMemberSource == "built")
+      val h2 = s.query(Seq(q), topK = 4, where = Some(u2(col("meta")))).head
+      assert(s.lastFilterMemberSource == "built",
+        "a UDF-backed where must never serve a memoized membership set")
+      assert(h1.map(_.id) == Seq("a,b") && h2.map(_.id) == Seq("c"),
+        s"UDF filters crossed: ${h1.map(_.id)} / ${h2.map(_.id)}")
+      // id lists that would collide under naive comma-joining must not
+      // share a memo entry: Seq("a,b") vs Seq("a", "b")
+      val hAB = s.query(Seq(q), topK = 4, ids = Some(Seq("a,b"))).head
+      val hA_B = s.query(Seq(q), topK = 4, ids = Some(Seq("a", "b"))).head
+      assert(hAB.map(_.id) == Seq("a,b"), s"got ${hAB.map(_.id)}")
+      assert(hA_B.map(_.id).toSet == Set("a", "b"), s"got ${hA_B.map(_.id)}")
+    } finally {
+      spark.conf.unset("graft.ann.filtered")
+      s.disableAnn()
+    }
+  }
+
   test("filtered-ANN q8 composition: quantized filtered scan + fp32 rescore, exact at covering probes+overfetch, adaptive, bloom-composable") {
     val s = freshStore(8)
     val rng = new scala.util.Random(13)
