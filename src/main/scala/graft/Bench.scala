@@ -950,6 +950,21 @@ object Bench {
             shardTop.getOrElse(qid, Set.empty[Long])
               .count(truth(qi)).toDouble / topK
           }.sum / math.max(1, qNorm.length)
+        // round 17: the graph rung of the filtered opt-in — 50%
+        // selectivity membership pushed into the per-shard beam search
+        // (result-collection filtering; the exact repack twin is
+        // picovdb_batch_1000q_where50 in the facade section)
+        val fMember = graft.core.SetMember(
+          rows.map(_._1).filter(_ % 2 == 0))
+        def shardFilteredBatch(ef: Int): Double = timed {
+          shardStore.searchMergedMember(qNorm, topK, fMember,
+            deny = false, ef).count()
+          ()
+        }
+        record("picovdb_hnsw_filtered50_1000q_ef32",
+          (1 to 3).map(_ => shardFilteredBatch(32)))
+        retryIfSuspect("picovdb_hnsw_filtered50_1000q_ef32")(
+          shardFilteredBatch(32))
       } finally {
         if (shardStore != null) shardStore.unpersist()
       }
@@ -1232,6 +1247,8 @@ object Bench {
         // (both must read 0)
         retrieval("ann_filtered_cover") = r.filteredMismatches.toDouble
         retrieval("ann_filtered_bloom") = r.bloomFilteredMismatches.toDouble
+        // round 17: the graph rung at a store-covering beam (must be 0)
+        retrieval("hnsw_filtered_cover") = r.hnswFilteredMismatches.toDouble
         retrieval("n_queries") = r.nQueries.toDouble
         retrieval("n_list") = r.annNList.toDouble
         // text-featurized block (VERDICT r10 missing #1): the same

@@ -102,6 +102,81 @@ object FilteredAnnSmoke {
     timed("filtered-ANN+q8 1000q np32 of4")(filteredAnnQ8(32))
     timed("filtered-ANN+q8 1000q np32 (again)")(filteredAnnQ8(32))
 
+    // ---- round 17: Dataset-query filtered twin (searchPackedAllowed) ----
+    val qds = spark.createDataset(queries.toSeq).repartition(8)
+    def filteredPacked(np: Int): Long =
+      idx.searchPackedAllowed[Long](qds, k = topK, member, deny = false,
+        nProbe = np, normalized = false).count()
+    timed("filtered-packed 1000q np32")(filteredPacked(32))
+    timed("filtered-packed 1000q np32 (again)")(filteredPacked(32))
+
+    // ---- round 17: filtered HNSW (the graph rung) vs the exact repack ----
+    // SPARK_GRAFT_SMOKE_HNSW=0 skips the build (it dominates wall at 10M)
+    if (sys.env.getOrElse("SPARK_GRAFT_SMOKE_HNSW", "1") == "1") {
+      var hst: graft.operators.HnswStore[Long] = null
+      timed("hnsw shard build") {
+        hst = graft.operators.HnswStore.fromRDD(spark, raw,
+          normalize = true, m = 16, efConstruction = 100,
+          numShards = parts).persist()
+        hst.materialize()._1
+      }
+      def hnswFiltered(ef: Int): Long =
+        hst.searchMergedMember(queries, topK, member, deny = false, ef).count()
+      timed("hnsw-filtered 1000q ef64")(hnswFiltered(64))
+      println(s"FILTSMOKE   hnsw member fallback scans: ${hst.lastMemberFallbackScans}")
+      timed("hnsw-filtered 1000q ef64 (again)")(hnswFiltered(64))
+      hst.unpersist()
+    }
+
+    // release the engine-path caches before the facade phase (the 10M
+    // pass would otherwise hold raw + bucket + q8 + facade copies)
+    idx.unpersistAssigned()
+
+    // ---- round 17: bloom rung END-TO-END (facade: build + scan +
+    // verification semi-join + refill) at a forced mid-selectivity cap ----
+    if (sys.env.getOrElse("SPARK_GRAFT_SMOKE_BLOOM", "1") == "1") {
+      import org.apache.spark.sql.functions.{col, lit, lpad, expr}
+      val store = graft.core.VdbStore.empty(spark, dim)
+      timed("vdb upsertDF (facade store)") {
+        store.upsertDF(raw.toDF("_id_", "vector")
+          .withColumn("_id_", lpad(col("_id_").cast("string"), 10, "0"))
+          .withColumn("meta", lit(null).cast("string")), dedupIds = false)
+        store.count()
+      }
+      store.enableAnn()
+      timed("vdb ann build + pack (1 query)") {
+        store.query(Seq(queries(0)._2), topK = 1).head.size.toLong
+      }
+      spark.conf.set("graft.ann.filtered", "true")
+      // 50% selectivity with the cap at n/100: match set AND complement
+      // both overflow -> the Bloom rung a 100 TB store actually runs in
+      spark.conf.set("graft.ann.filtered.max", (n / 100).toString)
+      val whereEven = Some(expr("CAST(_id_ AS LONG) % 2 = 0"))
+      val qvecs = queries.map(_._2).toSeq
+      def bloomBatch(): Long = {
+        val hits = store.query(qvecs, topK = topK, where = whereEven)
+        require(store.lastQueryStrategy.exists(_.endsWith("+bloom")),
+          s"expected the bloom rung, got ${store.lastQueryStrategy}")
+        hits.map(_.size.toLong).sum
+      }
+      timed("vdb bloom cold (build+scan+verify)")(bloomBatch())
+      println(s"FILTSMOKE   bloom refills (fpp=0.03): ${store.lastBloomRefillCount}" +
+        s", member source: ${store.lastFilterMemberSource}")
+      timed("vdb bloom warm")(bloomBatch())
+      println(s"FILTSMOKE   bloom refills (fpp=0.03, warm): ${store.lastBloomRefillCount}" +
+        s", member source: ${store.lastFilterMemberSource}")
+      // brutal fpp: how much over-fetch + refill the verification layer
+      // absorbs when the filter lies 30% of the time
+      spark.conf.set("graft.ann.filtered.bloom.fpp", "0.3")
+      timed("vdb bloom cold fpp=0.3")(bloomBatch())
+      println(s"FILTSMOKE   bloom refills (fpp=0.3): ${store.lastBloomRefillCount}")
+      timed("vdb bloom warm fpp=0.3")(bloomBatch())
+      println(s"FILTSMOKE   bloom refills (fpp=0.3, warm): ${store.lastBloomRefillCount}")
+      spark.conf.unset("graft.ann.filtered.bloom.fpp")
+      spark.conf.unset("graft.ann.filtered.max")
+      spark.conf.unset("graft.ann.filtered")
+    }
+
     spark.stop()
   }
 }

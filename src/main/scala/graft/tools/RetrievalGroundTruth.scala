@@ -56,7 +56,12 @@ object RetrievalGroundTruth {
       /** Same parity through the Bloom rung (tiny cap + fpp 0.3
         * forced), exercising the FP verification + refill machinery
         * on the lifecycle corpus. */
-      bloomFilteredMismatches: Int = -1)
+      bloomFilteredMismatches: Int = -1,
+      /** Same parity through the GRAPH rung (round 17 — strategy
+        * "hnsw-filtered" at a store-covering beam, where every shard
+        * serves the exact member scan; must be 0). -1 when skipped.
+        */
+      hnswFilteredMismatches: Int = -1)
 
   /** Deterministic unit-norm clustered corpus + perturbed queries.
     * Returns (docs, queries) where queries pair each query vector with
@@ -198,7 +203,7 @@ object RetrievalGroundTruth {
                 b: Seq[Seq[graft.core.VdbHit]]): Int =
       a.zip(b).count { case (x, y) => x.map(_.id) != y.map(_.id) }
     val sconf = spark.conf
-    val (filteredMis, bloomMis) =
+    val (filteredMis, bloomMis, hnswFMis) =
       try {
         sconf.set("graft.ann.filtered", "true")
         val fHits = loaded.query(qVecs, topK = 5, where = Some(whereEven),
@@ -211,13 +216,25 @@ object RetrievalGroundTruth {
           nProbe = nList)
         require(loaded.lastQueryStrategy.contains("ann-filtered+bloom"),
           s"expected ann-filtered+bloom strategy, got ${loaded.lastQueryStrategy}")
-        (listMis(fHits, exactF), listMis(bHits, exactF))
+        // graph rung (round 17): hnsw outranks ann under the same
+        // opt-in; at a store-covering beam every shard serves the
+        // exact member scan, so the list-for-list parity must be 0
+        Seq("graft.ann.filtered.max", "graft.ann.filtered.bloom.fpp")
+          .foreach(sconf.unset)
+        loaded.enableHnsw()
+        val hHits = loaded.query(qVecs, topK = 5, where = Some(whereEven),
+          efSearch = nDocs)
+        require(loaded.lastQueryStrategy.contains("hnsw-filtered"),
+          s"expected hnsw-filtered strategy, got ${loaded.lastQueryStrategy}")
+        loaded.disableHnsw()
+        (listMis(fHits, exactF), listMis(bHits, exactF), listMis(hHits, exactF))
       } finally {
+        loaded.disableHnsw()
         Seq("graft.ann.filtered", "graft.ann.filtered.max",
           "graft.ann.filtered.bloom.fpp").foreach(sconf.unset)
       }
     Result(nDocs, nQueries, exactMis, annResults, nList, q8Mis, composedMis,
-      filteredMis, bloomMis)
+      filteredMis, bloomMis, hnswFMis)
   }
 
   /** Text-featurized variant (VERDICT r10 "what's missing" #1): the

@@ -321,6 +321,59 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("searchPackedAllowed (bulk filtered twin): bit-equal to searchMergedAllowed, covering + partial probes, deny, adaptive, dup qids") {
+    import graft.core.SetMember
+    val data = clusteredData()
+    val idx = IvfIndex.build(data.toDF("vec_id", "vec"), "vec_id", "vec", nList = 4)
+    val queries = data.filter(_._1 % 17 == 0).toArray
+    val qds = queries.toSeq.toDS().repartition(3)
+    val allowSet = data.map(_._1).filter(_ % 3 == 0).toSet
+    val member = SetMember(allowSet.toArray)
+    def bkey(res: org.apache.spark.sql.DataFrame) =
+      res.select("qid", "rank", "id", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    // covering probes (flat-pack route) == the driver-batch twin,
+    // bit-for-bit — this is the q94 oracle's exactness argument
+    assert(bkey(idx.searchPackedAllowed[Long](qds, 5, member, deny = false,
+        nProbe = 4, exact = true)) ==
+      bkey(idx.searchMergedAllowed[Long](queries, 5, member, deny = false,
+        nProbe = 4, exact = true)))
+    // deny polarity over the complement: same effective set, bit-equal
+    val denyMember = SetMember(data.map(_._1).filterNot(allowSet).toArray)
+    assert(bkey(idx.searchPackedAllowed[Long](qds, 5, denyMember, deny = true,
+        nProbe = 4, exact = true)) ==
+      bkey(idx.searchMergedAllowed[Long](queries, 5, member, deny = false,
+        nProbe = 4, exact = true)))
+    // partial probes: both twins scan the same centroid-ranked slices
+    // under the same underfill rule, so they stay bit-equal below the
+    // covering snap too
+    assert(bkey(idx.searchPackedAllowed[Long](qds, 5, member, deny = false,
+        nProbe = 1, exact = true)) ==
+      bkey(idx.searchMergedAllowed[Long](queries, 5, member, deny = false,
+        nProbe = 1, exact = true)))
+    // adaptive sweep contract, fully distributed: a 2-row allow set at
+    // nProbe = 1 returns exactly those rows for every query, and the
+    // sweep took multiple passes
+    val tiny = idx.searchPackedAllowed[Long](qds, 5,
+      SetMember(Array(3L, 130L)), deny = false, nProbe = 1, exact = true)
+    val byQ = tiny.select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(idx.lastFilteredPasses > 1)
+    queries.foreach { case (qid, _) =>
+      assert(byQ.getOrElse(qid, Set.empty) == Set(3L, 130L),
+        s"query $qid must sweep to both allowed rows")
+    }
+    // duplicate qids stay independent results (per-row unique keying)
+    val dupDs = Seq(queries(0), queries(0)).toDS()
+    val dup = idx.searchPackedAllowed[Long](dupDs, 5, member, deny = false,
+      nProbe = 4, exact = true).select("qid", "rank").collect()
+    assert(dup.length == 10, s"duplicate qids must each keep k rows: ${dup.length}")
+    // matches-nothing allow set short-circuits
+    assert(idx.searchPackedAllowed[Long](qds, 5,
+      SetMember(Array.empty[Long]), deny = false, nProbe = 4).count() == 0)
+  }
+
   test("searchMergedQ8 (IVF-SQ8): rescored path bit-equal to searchMerged exact; scan-only agrees on separated data") {
     val data = clusteredData()
     val idx = IvfIndex.build(data.toDF("vec_id", "vec"), "vec_id", "vec", nList = 4)

@@ -36,6 +36,15 @@ class RetrievalGroundTruthSpec extends AnyFunSuite {
       s"expected 0 ann+q8 mismatches, got ${result.composedMismatches}")
   }
 
+  test("filtered rungs at covering probes/beam are exact parity: 0 mismatches") {
+    assert(result.filteredMismatches == 0,
+      s"allow-set rung: expected 0, got ${result.filteredMismatches}")
+    assert(result.bloomFilteredMismatches == 0,
+      s"bloom rung: expected 0, got ${result.bloomFilteredMismatches}")
+    assert(result.hnswFilteredMismatches == 0,
+      s"graph rung: expected 0, got ${result.hnswFilteredMismatches}")
+  }
+
   test("ANN at nProbe = nList is exact parity: 0 mismatches") {
     val parity = result.annMismatches.collectFirst {
       case (np, m) if np == result.annNList => m
