@@ -1583,16 +1583,32 @@ object Queries {
     * ladder's dispatch the way q84/q85 oracled pq/bit.
     */
   private def vdbAutoTopk(spark: SparkSession, dir: String,
-      lo: Long, hi: Long, memBytes: Long, expectTier: String,
+      lo: Long, hi: Long, expectTier: String,
       expectStrategy: String, overfetchKey: String): DataFrame = {
     val store = vdbStoreFor(spark, dir)
     store.disableAnn()
+    // the forced budget derives from the STORE'S measured size, so the
+    // entry lands on the intended rung at every SF (the sf0.01 table
+    // has 500 embeddings, sf0.1 has 2000 — a fixed byte budget picked
+    // different rungs per SF, caught by the r17 bench pass). With
+    // headroom 0.5, budget = memBytes/2:
+    //   q8:  budget = rows*dim       (int8 resident, fp32 4x over)
+    //   pq:  budget = rows*dim/2     (int8 spills, m-byte codes fit)
+    //   bit: budget = rows*m/2       (even PQ codes spill)
+    val rows = store.count()
+    val m = core.PqStore.autoM(store.dim).toLong
+    val memBytes = expectTier match {
+      case "q8" => 2L * rows * store.dim
+      case "pq" => rows * store.dim
+      case _ => rows * m
+    }
     val prevMem = spark.conf.getOption("graft.auto.mem.bytes")
     spark.conf.set("graft.auto.mem.bytes", memBytes.toString)
     try {
       val tier = store.enableAuto()
       require(tier == expectTier,
-        s"auto tier picked '$tier' at $memBytes budget bytes, expected '$expectTier'")
+        s"auto tier picked '$tier' at $memBytes budget bytes " +
+          s"($rows rows x ${store.dim} dims), expected '$expectTier'")
     } finally prevMem match {
       case Some(v) => spark.conf.set("graft.auto.mem.bytes", v)
       case None => spark.conf.unset("graft.auto.mem.bytes")
@@ -1602,18 +1618,15 @@ object Queries {
   }
 
   def vdbAutoQ8(spark: SparkSession, dir: String): DataFrame =
-    // 500 x 64-d: fp32 128 kB > 50 kB budget >= int8 32 kB -> q8 rung
-    vdbAutoTopk(spark, dir, 360L, 380L, memBytes = 100000L,
+    vdbAutoTopk(spark, dir, 360L, 380L,
       expectTier = "q8", expectStrategy = "ann+q8", "graft.q8.overfetch")
 
   def vdbAutoPq(spark: SparkSession, dir: String): DataFrame =
-    // 10 kB budget: int8 32 kB spills, PQ codes (m=8) 4 kB fit -> pq rung
-    vdbAutoTopk(spark, dir, 380L, 400L, memBytes = 20000L,
+    vdbAutoTopk(spark, dir, 380L, 400L,
       expectTier = "pq", expectStrategy = "ann+pq", "graft.pq.overfetch")
 
   def vdbAutoBit(spark: SparkSession, dir: String): DataFrame =
-    // 1 kB budget: even PQ codes spill -> sign-bit rung, the last resort
-    vdbAutoTopk(spark, dir, 400L, 420L, memBytes = 2000L,
+    vdbAutoTopk(spark, dir, 400L, 420L,
       expectTier = "bit", expectStrategy = "ann+bit", "graft.bit.overfetch")
 
   /** Oracled bulk filtered-ANN entry (q94, round 17): the

@@ -395,6 +395,68 @@ final class HnswStore[K](
     spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
   }
 
+  /** Dataset-query twin of [[searchMergedMember]] (round 17) — the
+    * [[searchPacked]] shape with the membership filter pushed into
+    * each (query slab × graph shard) pair's beam searches (and the
+    * same underfill → exact-member-scan snap), so bulk pipelines
+    * whose query batch is a TABLE get the graph rung too. Same
+    * persisted-store precondition as [[searchPacked]] (an uncached
+    * shard RDD would rebuild every graph per query partition), same
+    * reduction topology, and bit-identical to [[searchMergedMember]]
+    * at the same (k, ef, exact) — spec-pinned.
+    */
+  def searchPackedMember(queries: Dataset[(Long, Array[Float])], k: Int,
+                         member: graft.core.MemberTest[K], deny: Boolean,
+                         ef: Int = 64, exact: Boolean = false)(
+      implicit outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)])
+      : DataFrame = {
+    val kk = k
+    val efk = math.max(ef, k)
+    val ex = exact
+    val norm = normalized
+    val localOrd = ord
+    val localCt = ct
+    require(HnswStore.effectivelyPersisted(shards),
+      "searchPackedMember requires a persisted store (call .persist() and " +
+        "materialize once) — every query partition would otherwise " +
+        "rebuild every shard graph")
+    if (member.matchesNothing && !deny)
+      return spark.createDataset(Seq.empty[(Long, K, Double, Int)])(outEnc)
+        .toDF("qid", "id", "score", "rank")
+    val bcMem = shards.sparkContext.broadcast((member, deny))
+    val qblocks = queries.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val arr = it.toArray
+      if (arr.isEmpty) Iterator.empty
+      else Iterator((pi, HnswStore.prepQueries(arr, norm, ex)))
+    }.setName("graft.hnsw.qprep").persist(StorageLevel.MEMORY_AND_DISK)
+    swapQPrep(qblocks)
+    qblocks.count()
+    materialize()
+    val partials = qblocks.cartesian(shards).map {
+      case ((pi, (qids, qvecs, qnorms, qunits)), shard) =>
+        val (mem, dny) = bcMem.value
+        val heaps =
+          Array.fill(qids.length)(new BoundedTopKG[K](kk)(localOrd))
+        HnswStore.scoreShardMember(heaps, shard, qvecs, qnorms, qunits,
+          kk, efk, ex, mem, dny, null)(localCt)
+        (pi, (qids, heaps))
+    }
+    val merged = partials.reduceByKey { (x, y) =>
+      val a = x._2; val b = y._2
+      var i = 0
+      while (i < a.length) { a(i).absorb(b(i)); i += 1 }
+      x
+    }
+    val rows = merged.flatMap { case (_, (qids, heaps)) =>
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.sortedHits().iterator.take(kk).zipWithIndex.map {
+          case ((id, s), r) => (qids(qi), id, s, r + 1)
+        }
+      }
+    }
+    spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
+  }
+
   /** Dataset-query twin of [[searchMerged]] — the gemmQueries shape,
     * for query tables beyond driver memory: each query partition packs
     * ONCE (persisted + materialized before the cartesian stage, so the

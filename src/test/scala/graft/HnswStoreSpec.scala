@@ -343,6 +343,39 @@ class HnswStoreSpec extends AnyFunSuite {
     store.unpersist()
   }
 
+  test("searchPackedMember (Dataset queries) is bit-identical to searchMergedMember, covering + partial beam + deny") {
+    val data = randData(500, 16, seed = 107, unit = false)
+    val store = HnswStore.fromDataset[Long](
+      data.toDS(), normalize = false, numShards = 4).persist()
+    store.materialize()
+    val queries = data.take(12).toArray
+    val qds = queries.toSeq.toDS().repartition(5)
+    val member = graft.core.SetMember(
+      data.map(_._1).filter(_ % 3 == 0).toArray)
+    def frame(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("rank"), col("id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3))))
+      .toSeq.sortBy(t => (t._1, t._2))
+    // covering beam (exact member scan) and partial beam, allow + deny
+    assert(frame(store.searchPackedMember(qds, 6, member, deny = false,
+        ef = 500, exact = true)) ==
+      frame(store.searchMergedMember(queries, 6, member, deny = false,
+        ef = 500, exact = true)))
+    assert(frame(store.searchPackedMember(qds, 6, member, deny = false, ef = 16)) ==
+      frame(store.searchMergedMember(queries, 6, member, deny = false, ef = 16)))
+    assert(frame(store.searchPackedMember(qds, 6, member, deny = true, ef = 16)) ==
+      frame(store.searchMergedMember(queries, 6, member, deny = true, ef = 16)))
+    // unpersisted store is a hard error (would rebuild graphs per
+    // query partition), matching searchPacked's contract
+    val bare = HnswStore.fromDataset[Long](
+      data.toDS(), normalize = false, numShards = 2)
+    intercept[IllegalArgumentException] {
+      bare.searchPackedMember(qds, 3, member, deny = false)
+    }
+    store.unpersist()
+  }
+
   test("graph search is deterministic across repeated calls") {
     val data = randData(400, 16, seed = 53, unit = true)
     val store = HnswStore.fromDataset[Long](
