@@ -244,6 +244,39 @@ final class LocalReplica private[core] (
     }.toSeq
   }
 
+  /** Membership-filtered graph top-k (round 17, requires
+    * [[buildHnsw]]) — the serving twin of
+    * [[graft.operators.HnswStore.searchMergedMember]]. The whereFn
+    * filter ((id, metaJson) => keep, the reference's callable shape)
+    * applies at beam RESULT collection ([[Hnsw.searchFiltered]], the
+    * FAISS `IDSelector` shape — traversal never skips nodes, the beam
+    * expands until ef accepted rows), and an underfilled beam — which
+    * has provably exhausted the graph's entry component — snaps to
+    * the exact filtered slab scan, so sub-k results happen only when
+    * the filtered replica holds fewer than k rows. Explicit by NAME:
+    * the default serving path under a filter stays the exact scan
+    * ([[queryOne]] with whereFn — the store's O28 default); calling
+    * this is the opt-in to graph recall under the filter, mirroring
+    * `graft.ann.filtered` on the distributed store.
+    */
+  def queryOneHnswFiltered(vector: Array[Float], topK: Int = 10,
+                           ef: Int = 64,
+                           whereFn: (String, String) => Boolean): Seq[VdbHit] = {
+    require(hnswIdx != null, "call buildHnsw() first")
+    require(vector.length == dim,
+      s"query vector dim mismatch: expected $dim, got ${vector.length}")
+    val q = graft.functions.NormalizeL2.normalize(vector)
+    val ids = hnswIds
+    val hits = hnswIdx.searchFiltered(q, topK, ef,
+      node => { val id = ids(node); whereFn(id, metaOf.get(id)) })
+    if (hits.length >= topK)
+      hits.map { case (node, s) =>
+        val id = ids(node)
+        VdbHit(id, s, Option(metaOf.get(id)), None)
+      }.toSeq
+    else queryOne(vector, topK, whereFn = Some(whereFn))
+  }
+
   // ---- optional compression tiers (round 16): the store's q8/pq
   // serving rungs, in-process. Same shape as the distributed
   // strategies — compressed candidate scan, then the exact

@@ -173,4 +173,34 @@ class HnswSpec extends AnyFunSuite {
     assert(per.sum / per.length >= 0.85,
       s"serving-path recall@10 = ${per.sum / per.length}")
   }
+
+  test("LocalReplica.queryOneHnswFiltered: members only, covering-beam parity, sub-k snap") {
+    val rng = new scala.util.Random(37)
+    val s = VdbStore.empty(spark, 16)
+    val recs = (0 until 400).map { i =>
+      VdbRecord(f"f$i%04d", Array.fill(16)(rng.nextFloat() - 0.5f),
+        s"""{"par": ${i % 2}}""")
+    }
+    s.upsert(recs)
+    val rep = s.localReplica()
+    rep.buildHnsw()
+    val isOdd = (_: String, meta: String) => meta != null && meta.contains("\"par\": 1")
+    val q = recs(7).vector
+    // at a row-covering beam the filtered walk holds every reachable
+    // member; parity with the exact filtered scan (same slabs, same
+    // f32 arithmetic) must be hit-for-hit
+    val exactF = rep.queryOne(q, topK = 8, whereFn = Some(isOdd))
+    val graphF = rep.queryOneHnswFiltered(q, topK = 8, ef = 400, whereFn = isOdd)
+    assert(graphF.map(h => (h.id, h.metrics)) ==
+      exactF.map(h => (h.id, h.metrics)))
+    // partial beam: k member rows, members only
+    val partial = rep.queryOneHnswFiltered(q, topK = 8, ef = 16, whereFn = isOdd)
+    assert(partial.size == 8 && partial.forall(h => isOdd(h.id, h.metaJson.orNull)))
+    // a filter matching fewer than k rows returns exactly those (the
+    // underfill -> exact-scan snap), never more, never an error
+    val three = Set("f0001", "f0003", "f0005")
+    val tiny = rep.queryOneHnswFiltered(q, topK = 10, ef = 16,
+      whereFn = (id, _) => three(id))
+    assert(tiny.map(_.id).toSet == three, s"got ${tiny.map(_.id)}")
+  }
 }
