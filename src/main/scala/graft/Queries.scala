@@ -1656,6 +1656,34 @@ object Queries {
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Oracled bulk filtered IVF-SQ8 entry (q95, round 17): the int8
+    * composition of the Dataset-query filtered twin
+    * ([[operators.IvfIndex.searchPackedQ8Allowed]] — fused
+    * membership-filtered int8 candidate scan + co-located fp32
+    * rescore). At covering probes + covering overfetch it is the
+    * exact filtered scan, so the raw-cosine filtered top-k oracle
+    * hash-matches; bit-parity with the fp32 bulk twin and the
+    * driver-batch q8 twin is spec-pinned in IvfIndexSpec.
+    */
+  def annIvfQ8FilteredDs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") >= 440 && col("vec_id") < 460)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val idx = operators.IvfIndex.cached(s"$dir/embeddings#16")(
+      operators.IvfIndex.build(emb, "vec_id", "embedding", nList = 16,
+        normalized = false))
+    val memberIds = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id")).as[Long].collect()
+    val nAll = emb.count()
+    idx.searchPackedQ8Allowed[Long](queries, k = 10,
+        core.SetMember(memberIds), deny = false,
+        nProbe = idx.nList, normalized = false,
+        overfetch = ((nAll / 10) + 1).toInt)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), round(col("score"), 6).as("score"))
+  }
+
   // ---- binary-sketch store entry (q82) ----
 
   /** Per-dataset binary-sketch store, built once and cached: seeded
@@ -2136,6 +2164,7 @@ object Queries {
     "q92_vdb_auto_pq" -> (vdbAutoPq _),
     "q93_vdb_auto_bit" -> (vdbAutoBit _),
     "q94_ann_ivf_filtered_ds" -> (annIvfFilteredDs _),
+    "q95_ann_ivf_q8_filtered_ds" -> (annIvfQ8FilteredDs _),
   )
 }
 
@@ -2770,6 +2799,9 @@ object Oracles {
     // the exact filtered raw-cosine scan
     "q94_ann_ivf_filtered_ds" -> topkOracle(
       "vec_id >= 420 AND vec_id < 440", "vec_id % 2 = 0", 10, None),
+    // q95: its int8 composition at covering probes + covering overfetch
+    "q95_ann_ivf_q8_filtered_ds" -> topkOracle(
+      "vec_id >= 440 AND vec_id < 460", "vec_id % 2 = 0", 10, None),
     // same salted-md5 determinism trick as q38; first key byte -> bucket
     "q57_corpus_shuffle" ->
       """WITH s AS (

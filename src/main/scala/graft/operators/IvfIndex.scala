@@ -1043,6 +1043,13 @@ final class IvfIndex(
           }
       }
       val passResult = partials.reduceByKey((a, b) => { a._2.absorb(b._2); a })
+      // the mutating absorb may run map-side against the PERSISTED
+      // previous-round heaps (reduceByKey's combiner seeds with the
+      // cached object itself) — safe only because the old `results` is
+      // unpersisted right below, before anything could read the
+      // mutated cache again; an eviction-recompute rebuilds
+      // deterministically from lineage with fresh heaps. Keep the
+      // unpersist (inside swapPackedAllowedState) adjacent to this.
       val merged = results.union(passResult)
         .reduceByKey((a, b) => { a._2.absorb(b._2); a })
       val mergedP = merged.setName("graft.ivf.filtered.heaps")
@@ -1071,6 +1078,143 @@ final class IvfIndex(
     val rows =
       results.flatMap { case (_, (qid, h)) =>
         h.sortedHits().iterator.zipWithIndex.map { case ((id, s), r) =>
+          (qid, id, s, r + 1)
+        }
+      }.setName("graft.ivf.filtered.out")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rows.count()
+    swapPackedAllowedState(List(rows))
+    qprep.unpersist(false)
+    spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
+  }
+
+  /** Membership-filtered bulk IVF-SQ8 top-k (round 17) — the int8
+    * composition of [[searchPackedAllowed]], completing the
+    * filtered × {driver-batch, Dataset} × {fp32, int8} matrix. Same
+    * adaptive probe-slice loop (per-row seeded heaps, shrinking
+    * distributed join of still-underfilled rows, no bucket rescans),
+    * but each pass runs [[searchPackedQ8]]'s FUSED cogroup: the
+    * membership-filtered int8 candidate scan
+    * ([[graft.core.Q8Store.scoreBlockMember]] — 4× less filtered
+    * candidate bandwidth) feeds a per-bucket fp32 rescore of the
+    * `k × overfetch` surviving MEMBER rows from the co-located fp32
+    * blocks, one pass, no extra shuffle. At covering probes +
+    * covering overfetch the result is bit-equal to
+    * `searchPackedAllowed(exact = true)` (spec-pinned; oracled as
+    * q95). `overfetch <= 0` returns the scan-only approximate
+    * ranking. Same MemberTest rungs/polarity; Bloom callers own
+    * verification + refill.
+    */
+  def searchPackedQ8Allowed[K](
+      queries: org.apache.spark.sql.Dataset[(Long, Array[Float])], k: Int,
+      member: graft.core.MemberTest[K], deny: Boolean,
+      nProbe: Int = 0, normalized: Boolean = true, overfetch: Int = 0)(
+      implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
+      rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)],
+      outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
+    import graft.core.{BoundedTopKG, Q8Block, Q8Store, VecBlock}
+    import graft.operators.{Kernels => Kn}
+    val spark = assigned.sparkSession
+    val sc = spark.sparkContext
+    val np0 = resolveNProbe(nProbe, tier = "q8")
+    val dimLocal = dim
+    val kk = k
+    val scanK =
+      if (overfetch <= 0) k
+      else math.min(math.max(k.toLong * overfetch, k.toLong), Int.MaxValue.toLong).toInt
+    val doRescore = overfetch > 0
+    val normStore = normalized
+    val localOrd = ord
+    if (member.matchesNothing && !deny) {
+      lastFilteredPassesVar = 0
+      return spark.createDataset(Seq.empty[(Long, K, Double, Int)])(outEnc)
+        .toDF("qid", "id", "score", "rank")
+    }
+    val bcMem = sc.broadcast((member, deny))
+    val (fpPacked, part) = packedBuckets[K](normalized)
+    val q8Packed = packedQ8Buckets[K](normalized)
+    val bcCent = sc.broadcast(centroids)
+    val qprep = queries.rdd.zipWithUniqueId().map { case ((qid, v), uid) =>
+      if (dimLocal > 0) require(v.length == dimLocal,
+        s"IvfIndex.searchPackedQ8Allowed: query $qid has dim ${v.length}, index dim is $dimLocal")
+      val pv =
+        if (normStore && Kn.normSqD(v) == 0.0) {
+          val e = new Array[Float](math.max(1, dimLocal)); e(0) = 1f; e
+        } else v
+      (uid, (qid, pv))
+    }.setName("graft.ivf.filtered.qprep")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    qprep.count()
+    var results: org.apache.spark.rdd.RDD[(Long, (Long, BoundedTopKG[K]))] =
+      qprep.mapValues { case (qid, _) => (qid, new BoundedTopKG[K](kk)(localOrd)) }
+    var active: org.apache.spark.rdd.RDD[(Long, (Long, Array[Float]))] = qprep
+    var activeN = 1L
+    var prevNp = 0
+    var curNp = math.max(1, math.min(np0, math.max(nList, 1)))
+    var passes = 0
+    while (activeN > 0 && prevNp < nList && nList > 0) {
+      passes += 1
+      val lo = prevNp
+      val hi = curNp
+      val probes = active.flatMap { case (uid, (qid, pv)) =>
+        val full = IvfIndex.probeIds(bcCent.value, pv, hi)
+        java.util.Arrays.copyOfRange(full, math.min(lo, full.length), full.length)
+          .map(c => (c, (uid, qid, pv)))
+      }
+      val partials = q8Packed.cogroup(fpPacked, probes, part).flatMap {
+        case (_, (q8Blocks, fpBlocks, qs)) =>
+          if (q8Blocks.isEmpty || qs.isEmpty) Iterator.empty
+          else {
+            val (mem, dny) = bcMem.value
+            val qarr = qs.toArray
+            val qvecs = qarr.map(_._3)
+            val qnorms =
+              if (normStore) null
+              else qvecs.map(v => math.sqrt(Kn.normSqD(v)))
+            // membership-filtered int8 candidate scan over this
+            // bucket's quantized slabs
+            val scanHeaps = Array.fill(qarr.length)(new BoundedTopKG[K](scanK))
+            q8Blocks.foreach(b => Q8Store.scoreBlockMember(
+              scanHeaps, b.asInstanceOf[Q8Block[K]], qvecs, qnorms, mem, dny))
+            val outHeaps =
+              if (!doRescore) scanHeaps
+              else {
+                // fused fp32 rescore: the candidates are MEMBER rows
+                // by construction, so the plain candidate-restricted
+                // rescore needs no second membership check
+                val approx = scanHeaps.map(_.sortedHits())
+                val cands = Q8Store.CandIndex.build[K](approx)
+                val heaps = Array.fill(qarr.length)(new BoundedTopKG[K](kk))
+                fpBlocks.foreach(b => Q8Store.rescoreBlock(
+                  heaps, b.asInstanceOf[VecBlock[K]], cands, qvecs, qnorms))
+                heaps
+              }
+            qarr.iterator.zip(outHeaps.iterator).map { case ((uid, qid, _), h) =>
+              (uid, (qid, h))
+            }
+          }
+      }
+      val passResult = partials.reduceByKey((a, b) => { a._2.absorb(b._2); a })
+      // same cached-object-mutation discipline as searchPackedAllowed:
+      // the old `results` is unpersisted immediately below
+      val merged = results.union(passResult)
+        .reduceByKey((a, b) => { a._2.absorb(b._2); a })
+      val mergedP = merged.setName("graft.ivf.filtered.heaps")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      activeN = mergedP.filter(_._2._2.filled < kk).count()
+      swapPackedAllowedState(List(qprep, mergedP))
+      results = mergedP
+      prevNp = hi
+      if (activeN > 0) {
+        val under = mergedP.filter(_._2._2.filled < kk).mapValues(_ => ())
+        active = qprep.join(under).mapValues(_._1)
+      }
+      curNp = math.min(nList, math.max(curNp * 2, curNp + 1))
+    }
+    lastFilteredPassesVar = passes
+    val rows =
+      results.flatMap { case (_, (qid, h)) =>
+        h.sortedHits().iterator.take(kk).zipWithIndex.map { case ((id, s), r) =>
           (qid, id, s, r + 1)
         }
       }.setName("graft.ivf.filtered.out")

@@ -372,6 +372,30 @@ class IvfIndexSpec extends AnyFunSuite {
     // matches-nothing allow set short-circuits
     assert(idx.searchPackedAllowed[Long](qds, 5,
       SetMember(Array.empty[Long]), deny = false, nProbe = 4).count() == 0)
+
+    // the int8 composition (fused filtered scan + fp32 rescore): at
+    // covering probes + covering overfetch it equals the exact bulk
+    // filtered twin bit-for-bit, and the driver-batch q8 twin's hits
+    val q8Covering = idx.searchPackedQ8Allowed[Long](qds, 5, member,
+      deny = false, nProbe = 4, overfetch = 1000)
+    assert(bkey(q8Covering) ==
+      bkey(idx.searchPackedAllowed[Long](qds, 5, member, deny = false,
+        nProbe = 4, exact = true)))
+    def ikey(res: org.apache.spark.sql.DataFrame) =
+      res.select("qid", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ikey(q8Covering) ==
+      ikey(idx.searchMergedQ8Allowed[Long](queries, 5, member,
+        deny = false, nProbe = 4, overfetch = 1000)))
+    // adaptive sweep holds through the fused composition too
+    val tinyQ8 = idx.searchPackedQ8Allowed[Long](qds, 5,
+      SetMember(Array(3L, 130L)), deny = false, nProbe = 1, overfetch = 1000)
+    val byQ8 = tinyQ8.select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    queries.foreach { case (qid, _) =>
+      assert(byQ8.getOrElse(qid, Set.empty) == Set(3L, 130L),
+        s"q8 bulk filtered: query $qid must sweep to both allowed rows")
+    }
   }
 
   test("searchMergedQ8 (IVF-SQ8): rescored path bit-equal to searchMerged exact; scan-only agrees on separated data") {
