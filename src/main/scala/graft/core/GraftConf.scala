@@ -74,16 +74,20 @@ final class GraftConf(spark: SparkSession) {
   def annSampleCap: Int =
     opt("ann.sample.cap", "GRAFT_ANN_SAMPLE_CAP").map(_.toInt).getOrElse(20000)
 
-  /** Opt-in filtered-ANN routing (round 16): when true and the IVF
-    * accelerator is enabled, ids/where/whereFn-restricted queries
-    * route through [[graft.operators.IvfIndex.searchMergedAllowed]]
-    * (membership pushed into the probed bucket scan + adaptive
-    * re-probe on underfill — O16 made real) instead of the exact
-    * filtered scan. OFF by default deliberately: it changes the
-    * recall semantics of filtered queries from exact to
-    * IVF-approximate at partial nProbe, which must be the user's
-    * explicit trade (the reference always serves filtered queries
-    * exactly, pico_vdb.py:667-668, and so do we until asked).
+  /** Opt-in filtered-accelerator routing (round 16 IVF, round 17
+    * HNSW): when true and an accelerator is enabled,
+    * ids/where/whereFn-restricted queries route through the
+    * accelerated scan with the filter pushed in as a broadcast
+    * membership set — [[graft.operators.IvfIndex.searchMergedAllowed]]
+    * (probed bucket scan + adaptive re-probe on underfill — O16 made
+    * real), or [[graft.operators.HnswStore.searchMergedMember]] when
+    * the graph strategy is enabled (result-collection filtering in
+    * the per-shard beam + exact-member-scan snap; outranks the IVF
+    * rung like hnsw outranks ann). OFF by default deliberately: it
+    * changes the recall semantics of filtered queries from exact to
+    * accelerator-approximate at partial nProbe/ef, which must be the
+    * user's explicit trade (the reference always serves filtered
+    * queries exactly, pico_vdb.py:667-668, and so do we until asked).
     */
   def annFilteredEnabled: Boolean =
     opt("ann.filtered", "GRAFT_ANN_FILTERED").exists(_.toBoolean)
