@@ -101,6 +101,14 @@ final class VdbStore private (
   def lastAnnFilteredPasses: Int =
     annIndex.map(_.lastFilteredPasses).getOrElse(0)
 
+  /** Exact member-scan snaps the most recent "hnsw-filtered" query's
+    * shards performed (one per (query, shard) whose filtered beam
+    * exhausted its component under k accepted rows) — the graph rung's
+    * lastAnnFilteredPasses analog; 0 before any hnsw-filtered query.
+    */
+  def lastHnswFilteredFallbackScans: Long =
+    hnswCache.map(_._3.lastMemberFallbackScans).getOrElse(0L)
+
   @volatile private var lastBloomRefills = 0
 
   // memoized filtered-ANN membership sets (bounded LRU, see the

@@ -898,6 +898,18 @@ class VdbStoreSpec extends AnyFunSuite {
       // the conservative better_than deviation still bypasses
       s.queryOne(q, topK = 5, where = whereB, betterThan = Some(0.0))
       assert(s.lastQueryStrategy.contains("exact-filtered"))
+      // fallback telemetry: with a genuinely partial beam (exact off,
+      // k and ef below the shard row counts) a 2-member filter forces
+      // the component-exhaustion snap in every shard lacking members
+      spark.conf.unset("graft.ann.filtered.max")
+      spark.conf.set("graft.query.exact", "false")
+      val tiny2 = s.query(Seq(q), topK = 2,
+        where = Some(col("_id_").isin("b000", "b001")), efSearch = 2).head
+      spark.conf.set("graft.query.exact", "true")
+      assert(s.lastQueryStrategy.contains("hnsw-filtered"))
+      assert(tiny2.map(_.id).sorted == Seq("b000", "b001"))
+      assert(s.lastHnswFilteredFallbackScans > 0,
+        "a sub-k member set must register exact-scan snaps")
     } finally {
       spark.conf.unset("graft.query.exact")
       spark.conf.unset("graft.ann.filtered")
