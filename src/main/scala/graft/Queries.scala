@@ -1684,6 +1684,45 @@ object Queries {
         col("id").as("vec_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Oracled bulk-facade entry (q96, round 17): `VdbStore.queryDF` —
+    * the Dataset-query twin of the reference's `query()` contract —
+    * dispatching a where-restricted query TABLE through the
+    * filtered-ANN rung at covering probes (strategy asserted), with
+    * the query vectors never collected to the driver. The same
+    * unit-normalized filtered top-k oracle as q86 hash-matches, plus
+    * the joined-meta output shape is exercised end-to-end.
+    */
+  def vdbQueryDfFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val store = vdbStoreFor(spark, dir)
+    store.disableQ8(); store.disablePq(); store.disableBit()
+    store.disableHnsw()
+    store.enableAnn(16)
+    val qdf = t(spark, dir, "embeddings")
+      .filter(col("vec_id") >= 460 && col("vec_id") < 480)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val keys = Seq("graft.ann.filtered", "graft.query.exact")
+    val prev = keys.map(key => key -> spark.conf.getOption(key)).toMap
+    spark.conf.set("graft.ann.filtered", "true")
+    spark.conf.set("graft.query.exact", "true")
+    val hits =
+      try store.queryDF(qdf, "qid", "qvec", topK = 10, nProbe = 16,
+          where = Some(col("_id_") < "00000300"))
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("_id_").cast("long").as("vec_id"),
+          round(col("score"), 6).as("score"))
+        // materialize under the conf overrides (queryDF is lazy)
+        .localCheckpoint(true)
+      finally keys.foreach { key =>
+        prev(key) match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    require(store.lastQueryStrategy.contains("ann-filtered"),
+      s"bulk facade routed ${store.lastQueryStrategy} instead of ann-filtered")
+    hits
+  }
+
   // ---- binary-sketch store entry (q82) ----
 
   /** Per-dataset binary-sketch store, built once and cached: seeded
@@ -2165,6 +2204,7 @@ object Queries {
     "q93_vdb_auto_bit" -> (vdbAutoBit _),
     "q94_ann_ivf_filtered_ds" -> (annIvfFilteredDs _),
     "q95_ann_ivf_q8_filtered_ds" -> (annIvfQ8FilteredDs _),
+    "q96_vdb_querydf_filtered" -> (vdbQueryDfFiltered _),
   )
 }
 
@@ -2802,6 +2842,10 @@ object Oracles {
     // q95: its int8 composition at covering probes + covering overfetch
     "q95_ann_ivf_q8_filtered_ds" -> topkOracle(
       "vec_id >= 440 AND vec_id < 460", "vec_id % 2 = 0", 10, None),
+    // q96: the bulk FACADE (queryDF) through the filtered rung at
+    // covering probes — the q86 oracle shape over a query table
+    "q96_vdb_querydf_filtered" -> topkOracleUnit(
+      "vec_id >= 460 AND vec_id < 480", 10, storeFilter = "u.vec_id < 300"),
     // same salted-md5 determinism trick as q38; first key byte -> bucket
     "q57_corpus_shuffle" ->
       """WITH s AS (

@@ -959,113 +959,7 @@ final class VdbStore private (
       if (unfiltered || betterThan.isDefined ||
           (annNList.isEmpty && hnswParams.isEmpty) ||
           !conf.annFilteredEnabled) None
-      else {
-        // membership-set memoization: the common production shape is
-        // the SAME filter across many query batches, and rebuilding
-        // the set costs a distributed id-collect (or a bloom
-        // aggregate) per call. Key = the deterministic Column/ids
-        // rendering + polarity knobs, valid for one store version
-        // (mutations change the match set). whereFn filters are
-        // uncacheable (no stable closure identity) and skip the memo.
-        val cap = math.max(1, conf.annFilteredMax)
-        // skip the memo for huge explicit id lists: rendering millions
-        // of ids into the key would cost as much as the collect the
-        // memo saves, and hashing instead would risk a collision
-        // serving the WRONG membership set. Also skip it when the
-        // where Column embeds a ScalaUDF or any non-deterministic
-        // expression (ADVICE r16): Column.toString renders every UDF
-        // as e.g. "UDF(meta)" regardless of its closure, so two
-        // different predicates would collide on the key and the LRU
-        // would serve the WRONG membership set — the same
-        // closure-identity hazard that already excludes whereFn. A
-        // conversion failure skips the memo too (conservative: a miss
-        // only re-runs the collect the memo amortizes).
-        // detection runs on the ANALYZED plan of a zero-row filter —
-        // driver-only analysis, no job — because Column itself no
-        // longer exposes its expression tree publicly
-        def whereMemoSafe: Boolean = where.forall { p =>
-          scala.util.Try {
-            val analyzed =
-              active.limit(0).filter(p).queryExecution.analyzed
-            !analyzed.exists(_.expressions.exists(_.exists(e =>
-              e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF] ||
-                !e.deterministic)))
-          }.getOrElse(false)
-        }
-        // ids render length-prefixed so the key is injective:
-        // Seq("a,b") and Seq("a", "b") must not collide (ADVICE r16)
-        val memoKey: Option[String] =
-          if (whereFn.isDefined || ids.exists(_.size > 10000) || !whereMemoSafe) None
-          else Some(s"$cap|${conf.annFilteredBloom}|${conf.annFilteredBloomFpp}|" +
-            s"${where.map(_.toString).getOrElse("")}|" +
-            s"${ids.map(_.map(id => s"${id.length}:$id").mkString(",")).getOrElse("")}")
-        val cached = memoKey.flatMap(k => Option(filterMemberCache.get(k)))
-          .filter(_._1 == storeVersion)
-        val resolved: Option[(MemberTest[String], Boolean, Boolean)] =
-          cached match {
-            case Some((_, m, dny, bloom)) =>
-              lastFilterMemberSourceVar = "cached"
-              Some((m, dny, bloom))
-            case None =>
-              lastFilterMemberSourceVar = "built"
-              val matches =
-                cand.select(col("_id_")).limit(cap + 1).as[String].collect()
-              val built: Option[(MemberTest[String], Boolean, Boolean)] =
-                if (matches.length <= cap) Some((SetMember(matches), false, false))
-                else {
-                  val denied = active
-                    .join(cand.select(col("_id_")), Seq("_id_"), "left_anti")
-                    .select(col("_id_")).limit(cap + 1).as[String].collect()
-                  if (denied.length <= cap)
-                    Some((SetMember(denied), true, false))
-                  else if (conf.annFilteredBloom) {
-                    // the scale rung: both exact sets overflow, so
-                    // broadcast a constant-size Bloom over the match
-                    // ids instead (built distributed — one aggregate
-                    // over the filtered id column). Allow polarity
-                    // only; false positives are dropped by the
-                    // verification semi-join after the scan,
-                    // underfills refill from the exact scan — see the
-                    // bloom branch below.
-                    // single-pass sizing (VERDICT r16 wrong #4): the
-                    // active row count is an upper bound on the match
-                    // count and reads off the CACHED store, so the
-                    // dedicated match-count pass is skipped whenever
-                    // the oversized filter stays a bounded broadcast
-                    // (<= 32x cap ~ 150 MB at default fpp). An
-                    // overestimate only LOWERS the realized fpp. Past
-                    // that bound (match count could be thousands of
-                    // times the cap at extreme scale) the exact count
-                    // pass is cheaper than an oversized broadcast.
-                    val actN = active.count()
-                    val expected =
-                      if (actN <= 32L * cap) actN
-                      else cand.select(col("_id_")).count()
-                    val bf = cand.stat.bloomFilter(
-                      col("_id_"), math.max(1L, expected),
-                      conf.annFilteredBloomFpp)
-                    Some((BloomMember(bf), false, true))
-                  } else {
-                    VdbStore.log.info(
-                      "graft: filtered-ANN requested but both the filter's match " +
-                        s"set and its complement exceed graft.ann.filtered.max=$cap " +
-                        "and the bloom rung is disabled — serving the exact " +
-                        "filtered scan instead")
-                    None
-                  }
-                }
-              for (k <- memoKey; b <- built)
-                filterMemberCache.put(k, (storeVersion, b._1, b._2, b._3))
-              built
-          }
-        lastFilterPolarityVar = resolved match {
-          case Some((_, _, true)) => "bloom"
-          case Some((_, true, _)) => "deny"
-          case Some(_) => "allow"
-          case None => "none"
-        }
-        resolved
-      }
+      else resolveFilterMember(cand, ids, where, whereFn)
     // the graph strategy outranks IVF for the filtered opt-in exactly
     // as it does unfiltered (hnsw > ann — it is the recall-class
     // upgrade); round 17 closes the hnsw+filter exact-repack cliff
@@ -1356,6 +1250,275 @@ final class VdbStore private (
           byId.get(id).map(h => VdbHit(id, score, h.metaJson, h.vector))
       }.filter(h => whereFn.forall(f => f(h.id, h.metaJson.orNull))) // post-score recheck
     }
+  }
+
+
+  /** Bulk (Dataset-query) twin of [[query]] (round 17): the same
+    * strategy dispatch for query batches that are themselves a TABLE
+    * — beyond driver memory, the scale shape [[query]]'s driver-array
+    * contract (the reference's own API) can't take. Nothing collects:
+    * queries flow through the packed bulk engines
+    * (`searchPacked`/`searchPackedQ8`/`searchPackedPq`,
+    * `HnswStore.searchPacked`, `CosineTopK.gemmQueries`, and the
+    * round-17 filtered twins), and the result comes back as a
+    * DataFrame `(qid, _id_, score, rank, meta)` — Q × k rows, meta
+    * attached by one join against the store.
+    *
+    * Semantics mirror [[query]] — O28 bypass, the conservative
+    * better_than deviation, the `graft.ann.filtered` opt-in with
+    * hnsw > ann precedence, allow/deny membership, zero-query → e0 —
+    * with three honest deviations, each routed to a STRICTLY
+    * more-accurate path and logged:
+    *  - the Bloom membership rung serves the exact filtered scan here
+    *    (its verification + refill loop is driver-batch machinery);
+    *  - a flat compression tier (q8/pq/bit WITHOUT the IVF
+    *    accelerator) serves the exact scan (no bulk flat compressed
+    *    engines exist — composing with enableAnn restores the
+    *    compressed bulk path);
+    *  - ann+bit serves the fp32 probed scan (no bulk bit twin).
+    * `lastQueryStrategy` reports the path actually taken.
+    */
+  def queryDF(queries: DataFrame, qidCol: String, qvecCol: String,
+              topK: Int = 10,
+              betterThan: Option[Double] = None,
+              where: Option[Column] = None,
+              ids: Option[Seq[String]] = None,
+              whereFn: Option[(String, String) => Boolean] = None,
+              nProbe: Int = 0,
+              efSearch: Int = 0): DataFrame = timed("queryDF") {
+    import spark.implicits._
+    val qds = queries
+      .select(col(qidCol).cast(LongType).as("qid"),
+        col(qvecCol).cast(ArrayType(FloatType)).as("qvec"))
+      .as[(Long, Array[Float])]
+      // the write-time normalization contract, applied query-side like
+      // query()'s driver prep (zero -> e0 inside NormalizeL2)
+      .map { case (qid, v) => (qid, NormalizeL2.normalize(v)) }
+
+    var cand = active
+    ids.foreach { list =>
+      cand =
+        if (list.size <= conf.inListMax) cand.filter(col("_id_").isin(list: _*))
+        else cand.join(broadcast(list.distinct.toDF("_id_")), Seq("_id_"), "left_semi")
+    }
+    where.foreach { p => cand = cand.filter(p) }
+    whereFn.foreach { f =>
+      val u = udf((id: String, m: String) => f(id, m))
+      cand = cand.filter(u(col("_id_"), col("meta")))
+    }
+    val unfiltered = ids.isEmpty && where.isEmpty && whereFn.isEmpty
+
+    val filteredMember: Option[(MemberTest[String], Boolean, Boolean)] =
+      if (unfiltered || betterThan.isDefined ||
+          (annNList.isEmpty && hnswParams.isEmpty) ||
+          !conf.annFilteredEnabled) None
+      else resolveFilterMember(cand, ids, where, whereFn)
+    if (filteredMember.exists(_._3))
+      VdbStore.log.info(
+        "graft: queryDF filter resolved to the Bloom rung — the bulk " +
+          "facade serves the exact filtered scan instead (the " +
+          "verification + refill loop is driver-batch machinery); use " +
+          "query() for bloom-rung serving")
+    val setMember = filteredMember.filterNot(_._3)
+    val hnswFiltered =
+      if (hnswParams.isEmpty) None
+      else setMember.flatMap { case (m, dny, _) =>
+        refreshHnsw().map(h => (h, m, dny))
+      }
+    val annFiltered =
+      if (hnswFiltered.isDefined || annNList.isEmpty) None
+      else setMember.flatMap { case (m, dny, _) =>
+        refreshAnn().map(idx => (idx, m, dny))
+      }
+    val hnsw =
+      if (hnswFiltered.isEmpty && annFiltered.isEmpty && unfiltered &&
+          betterThan.isEmpty) refreshHnsw()
+      else None
+    val ann =
+      if (hnsw.isEmpty && hnswFiltered.isEmpty && annFiltered.isEmpty &&
+          unfiltered && betterThan.isEmpty) refreshAnn()
+      else None
+    val ef = if (efSearch > 0) efSearch else conf.hnswEf
+
+    val hits: DataFrame = hnswFiltered match {
+      case Some((h, m, dny)) =>
+        lastStrategy = Some("hnsw-filtered")
+        h.searchPackedMember(qds, topK, m, dny, ef, exact = conf.queryExact)
+      case None => annFiltered match {
+        case Some((idx, m, dny)) =>
+          val probes = if (nProbe > 0) nProbe else conf.annNProbeFor(idx.nList)
+          if (q8Enabled) {
+            lastStrategy = Some("ann-filtered+q8")
+            idx.searchPackedQ8Allowed[String](qds, topK, m, dny, probes,
+              normalized = true, overfetch = conf.q8Overfetch)
+          } else {
+            lastStrategy = Some("ann-filtered")
+            idx.searchPackedAllowed[String](qds, topK, m, dny, probes,
+              normalized = true, exact = conf.queryExact)
+          }
+        case None => hnsw match {
+          case Some(h) =>
+            lastStrategy = Some("hnsw")
+            h.searchPacked(qds, topK, ef)
+          case None => ann match {
+            case Some(idx) =>
+              val probes =
+                if (nProbe > 0) nProbe else conf.annNProbeFor(idx.nList)
+              if (q8Enabled) {
+                lastStrategy = Some("ann+q8")
+                idx.searchPackedQ8[String](qds, topK, probes,
+                  normalized = true, overfetch = conf.q8Overfetch)
+              } else if (pqM.isDefined) {
+                lastStrategy = Some("ann+pq")
+                idx.searchPackedPq[String](qds, topK, probes,
+                  normalized = true, overfetch = conf.pqOverfetch, m = pqM.get)
+              } else {
+                if (bitBits.isDefined)
+                  VdbStore.log.info(
+                    "graft: queryDF has no bulk ann+bit engine — serving " +
+                      "the fp32 probed scan (strictly more accurate)")
+                lastStrategy = Some("ann")
+                idx.searchPacked[String](qds, topK, probes,
+                  normalized = true, exact = conf.queryExact)
+              }
+            case None =>
+              if (unfiltered && betterThan.isEmpty &&
+                  (q8Enabled || pqM.isDefined || bitBits.isDefined))
+                VdbStore.log.info(
+                  "graft: queryDF has no bulk flat compressed engines — " +
+                    "serving the exact scan (compose with enableAnn() for " +
+                    "the compressed bulk path)")
+              lastStrategy = Some(if (unfiltered) "exact" else "exact-filtered")
+              val bs = if (unfiltered) blockStore() else packCandidates(cand)
+              graft.operators.CosineTopK.gemmQueries[String](bs, qds, topK,
+                betterThan, exact = conf.queryExact)
+          }
+        }
+      }
+    }
+    hits.join(active.select(col("_id_"), col("meta")),
+        hits("id") === col("_id_"), "left")
+      .select(hits("qid"), col("_id_"), hits("score"), hits("rank"),
+        col("meta"))
+  }
+
+  /** Resolve a filtered query's broadcast membership set (shared by
+    * [[query]] and [[queryDF]]): the memoized allow → deny → Bloom
+    * ladder. See the inline comments — this is round 16's resolution
+    * block verbatim, extracted in round 17 for the bulk facade.
+    */
+  private def resolveFilterMember(
+      cand: DataFrame,
+      ids: Option[Seq[String]],
+      where: Option[Column],
+      whereFn: Option[(String, String) => Boolean])
+      : Option[(MemberTest[String], Boolean, Boolean)] = {
+    import spark.implicits._
+    // membership-set memoization: the common production shape is
+    // the SAME filter across many query batches, and rebuilding
+    // the set costs a distributed id-collect (or a bloom
+    // aggregate) per call. Key = the deterministic Column/ids
+    // rendering + polarity knobs, valid for one store version
+    // (mutations change the match set). whereFn filters are
+    // uncacheable (no stable closure identity) and skip the memo.
+    val cap = math.max(1, conf.annFilteredMax)
+        // skip the memo for huge explicit id lists: rendering millions
+        // of ids into the key would cost as much as the collect the
+        // memo saves, and hashing instead would risk a collision
+        // serving the WRONG membership set. Also skip it when the
+        // where Column embeds a ScalaUDF or any non-deterministic
+        // expression (ADVICE r16): Column.toString renders every UDF
+        // as e.g. "UDF(meta)" regardless of its closure, so two
+        // different predicates would collide on the key and the LRU
+        // would serve the WRONG membership set — the same
+        // closure-identity hazard that already excludes whereFn. A
+        // conversion failure skips the memo too (conservative: a miss
+        // only re-runs the collect the memo amortizes).
+        // detection runs on the ANALYZED plan of a zero-row filter —
+        // driver-only analysis, no job — because Column itself no
+        // longer exposes its expression tree publicly
+        def whereMemoSafe: Boolean = where.forall { p =>
+          scala.util.Try {
+            val analyzed =
+              active.limit(0).filter(p).queryExecution.analyzed
+            !analyzed.exists(_.expressions.exists(_.exists(e =>
+              e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF] ||
+                !e.deterministic)))
+          }.getOrElse(false)
+        }
+        // ids render length-prefixed so the key is injective:
+        // Seq("a,b") and Seq("a", "b") must not collide (ADVICE r16)
+        val memoKey: Option[String] =
+          if (whereFn.isDefined || ids.exists(_.size > 10000) || !whereMemoSafe) None
+          else Some(s"$cap|${conf.annFilteredBloom}|${conf.annFilteredBloomFpp}|" +
+            s"${where.map(_.toString).getOrElse("")}|" +
+            s"${ids.map(_.map(id => s"${id.length}:$id").mkString(",")).getOrElse("")}")
+        val cached = memoKey.flatMap(k => Option(filterMemberCache.get(k)))
+          .filter(_._1 == storeVersion)
+        val resolved: Option[(MemberTest[String], Boolean, Boolean)] =
+          cached match {
+            case Some((_, m, dny, bloom)) =>
+              lastFilterMemberSourceVar = "cached"
+              Some((m, dny, bloom))
+            case None =>
+              lastFilterMemberSourceVar = "built"
+              val matches =
+                cand.select(col("_id_")).limit(cap + 1).as[String].collect()
+              val built: Option[(MemberTest[String], Boolean, Boolean)] =
+                if (matches.length <= cap) Some((SetMember(matches), false, false))
+                else {
+                  val denied = active
+                    .join(cand.select(col("_id_")), Seq("_id_"), "left_anti")
+                    .select(col("_id_")).limit(cap + 1).as[String].collect()
+                  if (denied.length <= cap)
+                    Some((SetMember(denied), true, false))
+                  else if (conf.annFilteredBloom) {
+                    // the scale rung: both exact sets overflow, so
+                    // broadcast a constant-size Bloom over the match
+                    // ids instead (built distributed — one aggregate
+                    // over the filtered id column). Allow polarity
+                    // only; false positives are dropped by the
+                    // verification semi-join after the scan,
+                    // underfills refill from the exact scan — see the
+                    // bloom branch below.
+                    // single-pass sizing (VERDICT r16 wrong #4): the
+                    // active row count is an upper bound on the match
+                    // count and reads off the CACHED store, so the
+                    // dedicated match-count pass is skipped whenever
+                    // the oversized filter stays a bounded broadcast
+                    // (<= 32x cap ~ 150 MB at default fpp). An
+                    // overestimate only LOWERS the realized fpp. Past
+                    // that bound (match count could be thousands of
+                    // times the cap at extreme scale) the exact count
+                    // pass is cheaper than an oversized broadcast.
+                    val actN = active.count()
+                    val expected =
+                      if (actN <= 32L * cap) actN
+                      else cand.select(col("_id_")).count()
+                    val bf = cand.stat.bloomFilter(
+                      col("_id_"), math.max(1L, expected),
+                      conf.annFilteredBloomFpp)
+                    Some((BloomMember(bf), false, true))
+                  } else {
+                    VdbStore.log.info(
+                      "graft: filtered-ANN requested but both the filter's match " +
+                        s"set and its complement exceed graft.ann.filtered.max=$cap " +
+                        "and the bloom rung is disabled — serving the exact " +
+                        "filtered scan instead")
+                    None
+                  }
+                }
+              for (k <- memoKey; b <- built)
+                filterMemberCache.put(k, (storeVersion, b._1, b._2, b._3))
+              built
+          }
+        lastFilterPolarityVar = resolved match {
+          case Some((_, _, true)) => "bloom"
+          case Some((_, true, _)) => "deny"
+          case Some(_) => "allow"
+          case None => "none"
+        }
+        resolved
   }
 
   // Store-version-cached packed matrix for the unfiltered query path.

@@ -918,6 +918,80 @@ class VdbStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("queryDF (bulk facade): strategy dispatch parity with query() across exact/threshold/ann/hnsw/filtered") {
+    val s = freshStore(8)
+    val rng = new scala.util.Random(41)
+    def mk(base: Int, tag: String) = (0 until 60).map { i =>
+      val v = new Array[Float](8)
+      v(base) = 1f
+      (0 until 8).foreach(j => v(j) = v(j) + (rng.nextFloat() - 0.5f) * 0.05f)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      rec(f"$tag$i%03d", v.map(x => (x / n).toFloat), s"""{"c": "$tag"}""")
+    }
+    val recs = mk(0, "a") ++ mk(4, "b")
+    s.upsert(recs)
+    import spark.implicits._
+    val qvecs = recs.take(6).map(_.vector)
+    val qdf = qvecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("qid", "qvec")
+    spark.conf.set("graft.query.exact", "true")
+    try {
+      def viaDF(topK: Int = 5, betterThan: Option[Double] = None,
+                where: Option[org.apache.spark.sql.Column] = None,
+                nProbe: Int = 0, efSearch: Int = 0) =
+        s.queryDF(qdf, "qid", "qvec", topK, betterThan, where,
+            nProbe = nProbe, efSearch = efSearch)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(3), r.getString(1),
+            math.rint(r.getDouble(2) * 1e9)))
+          .toSeq.sortBy(t => (t._1, t._2))
+      def viaBatch(topK: Int = 5, betterThan: Option[Double] = None,
+                   where: Option[org.apache.spark.sql.Column] = None,
+                   nProbe: Int = 0, efSearch: Int = 0) =
+        s.query(qvecs, topK, betterThan, where, nProbe = nProbe,
+            efSearch = efSearch)
+          .zipWithIndex.flatMap { case (hs, qi) =>
+            hs.zipWithIndex.map { case (h, r) =>
+              (qi.toLong, r + 1, h.id, math.rint(h.metrics * 1e9))
+            }
+          }.sortBy(t => (t._1, t._2))
+      // exact
+      assert(viaDF() == viaBatch())
+      assert(s.lastQueryStrategy.contains("exact"))
+      // threshold routes exact and agrees
+      assert(viaDF(betterThan = Some(0.5)) == viaBatch(betterThan = Some(0.5)))
+      // exact-filtered
+      val whereB = Some(get_json_object(col("meta"), "$.c") === "b")
+      assert(viaDF(where = whereB) == viaBatch(where = whereB))
+      assert(s.lastQueryStrategy.contains("exact-filtered"))
+      // ann at covering probes == exact; strategy reported
+      s.enableAnn(nList = 4)
+      assert(viaDF(nProbe = 4) == viaBatch(nProbe = 4))
+      assert(s.lastQueryStrategy.contains("ann"))
+      // ann-filtered (opt-in) at covering probes == the exact twin
+      spark.conf.set("graft.ann.filtered", "true")
+      assert(viaDF(where = whereB, nProbe = 4) ==
+        viaBatch(where = whereB, nProbe = 4))
+      assert(s.lastQueryStrategy.contains("ann-filtered"))
+      // hnsw outranks; bulk graph path is bit-identical to the
+      // driver-batch one (HnswStoreSpec pins searchPacked==searchMerged)
+      s.enableHnsw()
+      assert(viaDF(efSearch = 64) == viaBatch(efSearch = 64))
+      assert(s.lastQueryStrategy.contains("hnsw"))
+      // hnsw-filtered at a store-covering beam == exact-filtered
+      assert(viaDF(where = whereB, efSearch = 200) ==
+        viaBatch(where = whereB, efSearch = 200))
+      assert(s.lastQueryStrategy.contains("hnsw-filtered"))
+      // meta rides along
+      val metas = s.queryDF(qdf, "qid", "qvec", 3).select("meta").collect()
+      assert(metas.nonEmpty && metas.forall(!_.isNullAt(0)))
+    } finally {
+      spark.conf.unset("graft.query.exact")
+      spark.conf.unset("graft.ann.filtered")
+      s.disableHnsw(); s.disableAnn()
+    }
+  }
+
   test("filtered-accelerator memo is store-version-scoped across micro-batch-style swaps (round 17 soak)") {
     // the streaming x filtered-ANN interaction: every upsertDF swap
     // bumps the store version, so a memoized membership set from the
