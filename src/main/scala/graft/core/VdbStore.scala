@@ -865,8 +865,15 @@ final class VdbStore private (
     // declaration is ignored; Unknown stays the safe default against
     // a concurrent enable).
     val nTouched = nUpd + nIns
+    // the collect is also gated on a LIVE delta (cached graph exists
+    // and no prior swap poisoned it — review r17): without a consumer,
+    // hnswNoteMutation discards the ids and the extra job per
+    // micro-batch would be pure ingest overhead. A stale read racing a
+    // concurrent enable degrades to HnswTouchUnknown → full rebuild —
+    // never a wrong graph.
     val touch: HnswTouch =
-      if (hnswParams.isDefined && nTouched <= conf.hnswIncrCap) {
+      if (hnswParams.isDefined && hnswCache.isDefined && hnswDirtyValid &&
+          nTouched <= conf.hnswIncrCap) {
         import spark.implicits._
         val idArr = prepared.select(col("_id_")).as[String].collect()
         HnswTouchIds(idArr.toSeq.toDF("_id_"), idArr.length.toLong)
@@ -919,17 +926,7 @@ final class VdbStore private (
     if (vectors.isEmpty) return Seq.empty
     import spark.implicits._
 
-    var cand = active
-    ids.foreach { list =>
-      cand =
-        if (list.size <= conf.inListMax) cand.filter(col("_id_").isin(list: _*))
-        else cand.join(broadcast(list.distinct.toDF("_id_")), Seq("_id_"), "left_semi")
-    }
-    where.foreach { p => cand = cand.filter(p) }
-    whereFn.foreach { f =>
-      val u = udf((id: String, m: String) => f(id, m))
-      cand = cand.filter(u(col("_id_"), col("meta")))
-    }
+    val cand = restrictCandidates(ids, where, whereFn)
 
     // O28 bypass rule (pico_vdb.py:667-668): any ids/where restriction
     // forces the exact path; the ANN accelerator only serves unfiltered
@@ -1295,17 +1292,7 @@ final class VdbStore private (
       // query()'s driver prep (zero -> e0 inside NormalizeL2)
       .map { case (qid, v) => (qid, NormalizeL2.normalize(v)) }
 
-    var cand = active
-    ids.foreach { list =>
-      cand =
-        if (list.size <= conf.inListMax) cand.filter(col("_id_").isin(list: _*))
-        else cand.join(broadcast(list.distinct.toDF("_id_")), Seq("_id_"), "left_semi")
-    }
-    where.foreach { p => cand = cand.filter(p) }
-    whereFn.foreach { f =>
-      val u = udf((id: String, m: String) => f(id, m))
-      cand = cand.filter(u(col("_id_"), col("meta")))
-    }
+    val cand = restrictCandidates(ids, where, whereFn)
     val unfiltered = ids.isEmpty && where.isEmpty && whereFn.isEmpty
 
     val filteredMember: Option[(MemberTest[String], Boolean, Boolean)] =
@@ -1313,12 +1300,16 @@ final class VdbStore private (
           (annNList.isEmpty && hnswParams.isEmpty) ||
           !conf.annFilteredEnabled) None
       else resolveFilterMember(cand, ids, where, whereFn)
-    if (filteredMember.exists(_._3))
+    if (filteredMember.exists(_._3)) {
       VdbStore.log.info(
         "graft: queryDF filter resolved to the Bloom rung — the bulk " +
           "facade serves the exact filtered scan instead (the " +
           "verification + refill loop is driver-batch machinery); use " +
           "query() for bloom-rung serving")
+      // the discarded set never serves, so the polarity telemetry must
+      // report the fallback, not the rung that was resolved and dropped
+      lastFilterPolarityVar = "none"
+    }
     val setMember = filteredMember.filterNot(_._3)
     val hnswFiltered =
       if (hnswParams.isEmpty) None
@@ -1396,10 +1387,47 @@ final class VdbStore private (
         }
       }
     }
-    hits.join(active.select(col("_id_"), col("meta")),
-        hits("id") === col("_id_"), "left")
+    // INNER join, matching query()'s hit-assembly semantics: a hit
+    // whose row vanished under a concurrent mutation is dropped, never
+    // emitted with null id/meta (review r17). The post-score whereFn
+    // recheck also mirrors query(): the reference re-validates its
+    // callable after releasing the lock (pico_vdb.py:768-770), so a
+    // time-varying predicate drops now-rejected rows here too.
+    val joined = hits.join(active.select(col("_id_"), col("meta")),
+        hits("id") === col("_id_"))
       .select(hits("qid"), col("_id_"), hits("score"), hits("rank"),
         col("meta"))
+    whereFn match {
+      case Some(f) =>
+        val u = udf((id: String, m: String) => f(id, m))
+        joined.filter(u(col("_id_"), col("meta")))
+      case None => joined
+    }
+  }
+
+  /** The candidate restriction shared by [[query]] and [[queryDF]]:
+    * active rows narrowed by the id list (isin under
+    * `graft.inlist.max`, broadcast semi-join above — no giant
+    * expression trees), the Column predicate, and the opaque whereFn
+    * callable (a UDF full scan in both systems by contract).
+    */
+  private def restrictCandidates(
+      ids: Option[Seq[String]],
+      where: Option[Column],
+      whereFn: Option[(String, String) => Boolean]): DataFrame = {
+    import spark.implicits._
+    var cand = active
+    ids.foreach { list =>
+      cand =
+        if (list.size <= conf.inListMax) cand.filter(col("_id_").isin(list: _*))
+        else cand.join(broadcast(list.distinct.toDF("_id_")), Seq("_id_"), "left_semi")
+    }
+    where.foreach { p => cand = cand.filter(p) }
+    whereFn.foreach { f =>
+      val u = udf((id: String, m: String) => f(id, m))
+      cand = cand.filter(u(col("_id_"), col("meta")))
+    }
+    cand
   }
 
   /** Resolve a filtered query's broadcast membership set (shared by

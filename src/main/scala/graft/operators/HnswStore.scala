@@ -420,10 +420,14 @@ final class HnswStore[K](
       "searchPackedMember requires a persisted store (call .persist() and " +
         "materialize once) — every query partition would otherwise " +
         "rebuild every shard graph")
-    if (member.matchesNothing && !deny)
+    if (member.matchesNothing && !deny) {
+      lastMemberWideningsVar = 0L
       return spark.createDataset(Seq.empty[(Long, K, Double, Int)])(outEnc)
         .toDF("qid", "id", "score", "rank")
-    val bcMem = shards.sparkContext.broadcast((member, deny))
+    }
+    val sc = shards.sparkContext
+    val widen = sc.longAccumulator("graft.hnsw.member.fallback.scans")
+    val bcMem = sc.broadcast((member, deny))
     val qblocks = queries.rdd.mapPartitionsWithIndex { (pi, it) =>
       val arr = it.toArray
       if (arr.isEmpty) Iterator.empty
@@ -438,7 +442,7 @@ final class HnswStore[K](
         val heaps =
           Array.fill(qids.length)(new BoundedTopKG[K](kk)(localOrd))
         HnswStore.scoreShardMember(heaps, shard, qvecs, qnorms, qunits,
-          kk, efk, ex, mem, dny, null)(localCt)
+          kk, efk, ex, mem, dny, widen)(localCt)
         (pi, (qids, heaps))
     }
     val merged = partials.reduceByKey { (x, y) =>
@@ -453,7 +457,14 @@ final class HnswStore[K](
           case ((id, s), r) => (qids(qi), id, s, r + 1)
         }
       }
-    }
+    }.setName("graft.hnsw.member.out")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize eagerly so the fallback telemetry (an accumulator,
+    // populated only by task execution) is current when this returns —
+    // the review-r17 stale-counter fix; the output is Q × k rows
+    rows.count()
+    lastMemberWideningsVar = widen.value
+    swapQPrep(rows) // latest-call slot: qblocks superseded, rows cached
     spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
   }
 

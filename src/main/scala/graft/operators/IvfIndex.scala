@@ -1000,30 +1000,8 @@ final class IvfIndex(
     }
 
     val (packed, part) = packedBuckets[K](normalized)
-    val bcCent = sc.broadcast(centroids)
-    // accumulated per-row heaps across passes, SEEDED with an empty
-    // heap per query row — a row whose probe slice lands only on empty
-    // buckets emits no partial, and without the seed it would vanish
-    // from the underfilled set and never re-probe (searchMergedAllowed
-    // keeps driver-side heaps for every query; this is the distributed
-    // equivalent)
-    var results: org.apache.spark.rdd.RDD[(Long, (Long, BoundedTopKG[K]))] =
-      qprep.mapValues { case (qid, _) => (qid, new BoundedTopKG[K](kk)(localOrd)) }
-    var active: org.apache.spark.rdd.RDD[(Long, (Long, Array[Float]))] = qprep
-    var activeN = 1L // any nonzero sentinel; refreshed after each pass
-    var prevNp = 0
-    var curNp = math.max(1, math.min(np0, math.max(nList, 1)))
-    var passes = 0
-    while (activeN > 0 && prevNp < nList && nList > 0) {
-      passes += 1
-      val lo = prevNp
-      val hi = curNp
-      val probes = active.flatMap { case (uid, (qid, pv)) =>
-        val full = IvfIndex.probeIds(bcCent.value, pv, hi)
-        java.util.Arrays.copyOfRange(full, math.min(lo, full.length), full.length)
-          .map(c => (c, (uid, qid, pv)))
-      }
-      val partials = packed.cogroup(probes, part).flatMap {
+    adaptiveFilteredLoop[K](qprep, kk, np0, probes =>
+      packed.cogroup(probes, part).flatMap {
         case (_, (blocks, qs)) =>
           if (blocks.isEmpty || qs.isEmpty) Iterator.empty
           else {
@@ -1041,8 +1019,51 @@ final class IvfIndex(
               (uid, (qid, h))
             }
           }
+      }.reduceByKey((a, b) => { a._2.absorb(b._2); a }))
+  }
+
+  /** The adaptive probe-slice driver shared by [[searchPackedAllowed]]
+    * and [[searchPackedQ8Allowed]] (review r17: the two copies had
+    * already drifted cosmetically). `passPartials` turns one pass's
+    * probe rows `(cid, (uid, qid, prepped-vector))` into per-row
+    * result heaps, reduced by uid. Everything else is shared: per-row
+    * SEEDED heaps (a row whose probe slice lands only on empty buckets
+    * emits no partial and would otherwise vanish from the underfilled
+    * set — searchMergedAllowed keeps driver-side heaps per query; this
+    * is the distributed equivalent), strict probe-order slices (no
+    * bucket rescans), a shrinking shuffle join of still-underfilled
+    * rows per pass (no driver traffic), the per-pass heap merge with
+    * its cached-mutation discipline, and the eager Q × k output
+    * materialization under the latest-call-only state cache.
+    */
+  private def adaptiveFilteredLoop[K](
+      qprep: org.apache.spark.rdd.RDD[(Long, (Long, Array[Float]))],
+      kk: Int, np0: Int,
+      passPartials: org.apache.spark.rdd.RDD[(Int, (Long, Long, Array[Float]))]
+        => org.apache.spark.rdd.RDD[(Long, (Long, graft.core.BoundedTopKG[K]))])(
+      implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
+      outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
+    import graft.core.BoundedTopKG
+    val spark = assigned.sparkSession
+    val localOrd = ord
+    val bcCent = spark.sparkContext.broadcast(centroids)
+    var results: org.apache.spark.rdd.RDD[(Long, (Long, BoundedTopKG[K]))] =
+      qprep.mapValues { case (qid, _) => (qid, new BoundedTopKG[K](kk)(localOrd)) }
+    var active: org.apache.spark.rdd.RDD[(Long, (Long, Array[Float]))] = qprep
+    var activeN = 1L // any nonzero sentinel; refreshed after each pass
+    var prevNp = 0
+    var curNp = math.max(1, math.min(np0, math.max(nList, 1)))
+    var passes = 0
+    while (activeN > 0 && prevNp < nList && nList > 0) {
+      passes += 1
+      val lo = prevNp
+      val hi = curNp
+      val probes = active.flatMap { case (uid, (qid, pv)) =>
+        val full = IvfIndex.probeIds(bcCent.value, pv, hi)
+        java.util.Arrays.copyOfRange(full, math.min(lo, full.length), full.length)
+          .map(c => (c, (uid, qid, pv)))
       }
-      val passResult = partials.reduceByKey((a, b) => { a._2.absorb(b._2); a })
+      val passResult = passPartials(probes)
       // the mutating absorb may run map-side against the PERSISTED
       // previous-round heaps (reduceByKey's combiner seeds with the
       // cached object itself) — safe only because the old `results` is
@@ -1061,10 +1082,7 @@ final class IvfIndex(
       results = mergedP
       prevNp = hi
       if (activeN > 0) {
-        // next pass re-probes ONLY the underfilled rows — a shrinking
-        // shuffle join of qprep against their uids, no driver traffic
-        val under = mergedP.filter(_._2._2.filled < kk)
-          .mapValues(_ => ())
+        val under = mergedP.filter(_._2._2.filled < kk).mapValues(_ => ())
         active = qprep.join(under).mapValues(_._1)
       }
       curNp = math.min(nList, math.max(curNp * 2, curNp + 1))
@@ -1077,7 +1095,7 @@ final class IvfIndex(
         passes, np0, activeN + 0L)
     val rows =
       results.flatMap { case (_, (qid, h)) =>
-        h.sortedHits().iterator.zipWithIndex.map { case ((id, s), r) =>
+        h.sortedHits().iterator.take(kk).zipWithIndex.map { case ((id, s), r) =>
           (qid, id, s, r + 1)
         }
       }.setName("graft.ivf.filtered.out")
@@ -1133,7 +1151,6 @@ final class IvfIndex(
     val bcMem = sc.broadcast((member, deny))
     val (fpPacked, part) = packedBuckets[K](normalized)
     val q8Packed = packedQ8Buckets[K](normalized)
-    val bcCent = sc.broadcast(centroids)
     val qprep = queries.rdd.zipWithUniqueId().map { case ((qid, v), uid) =>
       if (dimLocal > 0) require(v.length == dimLocal,
         s"IvfIndex.searchPackedQ8Allowed: query $qid has dim ${v.length}, index dim is $dimLocal")
@@ -1145,23 +1162,8 @@ final class IvfIndex(
     }.setName("graft.ivf.filtered.qprep")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     qprep.count()
-    var results: org.apache.spark.rdd.RDD[(Long, (Long, BoundedTopKG[K]))] =
-      qprep.mapValues { case (qid, _) => (qid, new BoundedTopKG[K](kk)(localOrd)) }
-    var active: org.apache.spark.rdd.RDD[(Long, (Long, Array[Float]))] = qprep
-    var activeN = 1L
-    var prevNp = 0
-    var curNp = math.max(1, math.min(np0, math.max(nList, 1)))
-    var passes = 0
-    while (activeN > 0 && prevNp < nList && nList > 0) {
-      passes += 1
-      val lo = prevNp
-      val hi = curNp
-      val probes = active.flatMap { case (uid, (qid, pv)) =>
-        val full = IvfIndex.probeIds(bcCent.value, pv, hi)
-        java.util.Arrays.copyOfRange(full, math.min(lo, full.length), full.length)
-          .map(c => (c, (uid, qid, pv)))
-      }
-      val partials = q8Packed.cogroup(fpPacked, probes, part).flatMap {
+    adaptiveFilteredLoop[K](qprep, kk, np0, probes =>
+      q8Packed.cogroup(fpPacked, probes, part).flatMap {
         case (_, (q8Blocks, fpBlocks, qs)) =>
           if (q8Blocks.isEmpty || qs.isEmpty) Iterator.empty
           else {
@@ -1173,7 +1175,7 @@ final class IvfIndex(
               else qvecs.map(v => math.sqrt(Kn.normSqD(v)))
             // membership-filtered int8 candidate scan over this
             // bucket's quantized slabs
-            val scanHeaps = Array.fill(qarr.length)(new BoundedTopKG[K](scanK))
+            val scanHeaps = Array.fill(qarr.length)(new BoundedTopKG[K](scanK)(localOrd))
             q8Blocks.foreach(b => Q8Store.scoreBlockMember(
               scanHeaps, b.asInstanceOf[Q8Block[K]], qvecs, qnorms, mem, dny))
             val outHeaps =
@@ -1184,7 +1186,7 @@ final class IvfIndex(
                 // rescore needs no second membership check
                 val approx = scanHeaps.map(_.sortedHits())
                 val cands = Q8Store.CandIndex.build[K](approx)
-                val heaps = Array.fill(qarr.length)(new BoundedTopKG[K](kk))
+                val heaps = Array.fill(qarr.length)(new BoundedTopKG[K](kk)(localOrd))
                 fpBlocks.foreach(b => Q8Store.rescoreBlock(
                   heaps, b.asInstanceOf[VecBlock[K]], cands, qvecs, qnorms))
                 heaps
@@ -1193,36 +1195,7 @@ final class IvfIndex(
               (uid, (qid, h))
             }
           }
-      }
-      val passResult = partials.reduceByKey((a, b) => { a._2.absorb(b._2); a })
-      // same cached-object-mutation discipline as searchPackedAllowed:
-      // the old `results` is unpersisted immediately below
-      val merged = results.union(passResult)
-        .reduceByKey((a, b) => { a._2.absorb(b._2); a })
-      val mergedP = merged.setName("graft.ivf.filtered.heaps")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      activeN = mergedP.filter(_._2._2.filled < kk).count()
-      swapPackedAllowedState(List(qprep, mergedP))
-      results = mergedP
-      prevNp = hi
-      if (activeN > 0) {
-        val under = mergedP.filter(_._2._2.filled < kk).mapValues(_ => ())
-        active = qprep.join(under).mapValues(_._1)
-      }
-      curNp = math.min(nList, math.max(curNp * 2, curNp + 1))
-    }
-    lastFilteredPassesVar = passes
-    val rows =
-      results.flatMap { case (_, (qid, h)) =>
-        h.sortedHits().iterator.take(kk).zipWithIndex.map { case ((id, s), r) =>
-          (qid, id, s, r + 1)
-        }
-      }.setName("graft.ivf.filtered.out")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rows.count()
-    swapPackedAllowedState(List(rows))
-    qprep.unpersist(false)
-    spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
+      }.reduceByKey((a, b) => { a._2.absorb(b._2); a }))
   }
 
   /** IVF-SQ8 driver-batch top-k (round 12): [[searchMerged]]'s
