@@ -1258,21 +1258,29 @@ final class VdbStore private (
     * (`searchPacked`/`searchPackedQ8`/`searchPackedPq`,
     * `HnswStore.searchPacked`, `CosineTopK.gemmQueries`, and the
     * round-17 filtered twins), and the result comes back as a
-    * DataFrame `(qid, _id_, score, rank, meta)` — Q × k rows, meta
-    * attached by one join against the store.
+    * DataFrame `(qid, _id_, score, rank, meta)` — ≤ Q × k rows
+    * (fewer when the filtered store underfills k, as in [[query]]),
+    * ranks dense per qid, meta attached by one join against the
+    * store.
     *
     * Semantics mirror [[query]] — O28 bypass, the conservative
     * better_than deviation, the `graft.ann.filtered` opt-in with
     * hnsw > ann precedence, allow/deny membership, zero-query → e0 —
-    * with three honest deviations, each routed to a STRICTLY
-    * more-accurate path and logged:
+    * with four honest deviations, the first three routed to a
+    * STRICTLY more-accurate path and logged:
     *  - the Bloom membership rung serves the exact filtered scan here
     *    (its verification + refill loop is driver-batch machinery);
     *  - a flat compression tier (q8/pq/bit WITHOUT the IVF
     *    accelerator) serves the exact scan (no bulk flat compressed
     *    engines exist — composing with enableAnn restores the
     *    compressed bulk path);
-    *  - ann+bit serves the fp32 probed scan (no bulk bit twin).
+    *  - ann+bit serves the fp32 probed scan (no bulk bit twin);
+    *  - whereFn applies once, at candidate selection — there is no
+    *    post-score live re-validation: a bulk plan's closures are
+    *    captured with the plan (Spark serializes them once), so a
+    *    recheck UDF could never see a verdict change after the call.
+    *    Time-varying callables belong on [[query]], whose recheck
+    *    runs on the driver against live state.
     * `lastQueryStrategy` reports the path actually taken.
     */
   def queryDF(queries: DataFrame, qidCol: String, qvecCol: String,
@@ -1389,20 +1397,20 @@ final class VdbStore private (
     }
     // INNER join, matching query()'s hit-assembly semantics: a hit
     // whose row vanished under a concurrent mutation is dropped, never
-    // emitted with null id/meta (review r17). The post-score whereFn
-    // recheck also mirrors query(): the reference re-validates its
-    // callable after releasing the lock (pico_vdb.py:768-770), so a
-    // time-varying predicate drops now-rejected rows here too.
-    val joined = hits.join(active.select(col("_id_"), col("meta")),
+    // emitted with null id/meta (review r17). There is deliberately NO
+    // post-score whereFn recheck here (the fourth documented deviation
+    // in the scaladoc): query()'s recheck re-validates the live
+    // callable on the DRIVER after scoring (pico_vdb.py:768-770), but
+    // a bulk plan's closures are captured ONCE with the plan (measured:
+    // a second collect of the same frame still sees the
+    // serialization-time closure state), so a recheck UDF could never
+    // observe a verdict change after the call anyway — it would be the
+    // candidate filter re-run, not a re-validation. Time-varying
+    // callables belong on query().
+    hits.join(active.select(col("_id_"), col("meta")),
         hits("id") === col("_id_"))
       .select(hits("qid"), col("_id_"), hits("score"), hits("rank"),
         col("meta"))
-    whereFn match {
-      case Some(f) =>
-        val u = udf((id: String, m: String) => f(id, m))
-        joined.filter(u(col("_id_"), col("meta")))
-      case None => joined
-    }
   }
 
   /** The candidate restriction shared by [[query]] and [[queryDF]]:

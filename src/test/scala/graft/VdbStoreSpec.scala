@@ -985,6 +985,23 @@ class VdbStoreSpec extends AnyFunSuite {
       // meta rides along
       val metas = s.queryDF(qdf, "qid", "qvec", 3).select("meta").collect()
       assert(metas.nonEmpty && metas.forall(!_.isNullAt(0)))
+      // whereFn on the bulk facade applies at candidate selection (the
+      // documented fourth deviation: a bulk plan's closures are
+      // captured once with the plan, so post-score live re-validation
+      // is impossible by construction — measured, see queryDF's
+      // scaladoc); results agree with the Column-filter twin
+      s.disableHnsw()
+      val fnB = (_: String, m: String) =>
+        m != null && m.contains("\"c\": \"b\"")
+      val viaFnDF = s.queryDF(qdf, "qid", "qvec", topK = 5, nProbe = 4,
+          whereFn = Some(fnB))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(3), r.getString(1),
+          math.rint(r.getDouble(2) * 1e9)))
+        .toSeq.sortBy(t => (t._1, t._2))
+      assert(s.lastQueryStrategy.contains("ann-filtered"))
+      assert(viaFnDF == viaDF(where = whereB, nProbe = 4),
+        "whereFn and the equivalent Column filter must agree on queryDF")
     } finally {
       spark.conf.unset("graft.query.exact")
       spark.conf.unset("graft.ann.filtered")
