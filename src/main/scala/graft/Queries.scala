@@ -1723,6 +1723,195 @@ object Queries {
     hits
   }
 
+  /** Oracled bulk-facade bloom entry (q97, round 18 — VERDICT r17 next
+    * #1, the last scale cliff): with both exact id sets forced over a
+    * tiny `graft.ann.filtered.max`, a where-restricted `queryDF`
+    * routes through the Bloom broadcast (strategy "ann-filtered+bloom"
+    * — asserted; previously the bulk facade fell back to the per-call
+    * exact repack here) at a deliberately brutal 30% false-positive
+    * rate. The round-18 DISTRIBUTED verification semi-join + per-query
+    * exact refill make the result exact at covering probes regardless
+    * of what the Bloom admits (the `query()` eviction argument,
+    * shape-independent — parity with the driver bloom path is
+    * spec-pinned in VdbStoreSpec), so the q87 oracle shape
+    * hash-matches through the query-table facade.
+    */
+  def vdbQueryDfBloom(spark: SparkSession, dir: String): DataFrame = {
+    val store = vdbStoreFor(spark, dir)
+    store.disableQ8(); store.disablePq(); store.disableBit()
+    store.disableHnsw()
+    store.enableAnn(16)
+    val qdf = t(spark, dir, "embeddings")
+      .filter(col("vec_id") >= 480 && col("vec_id") < 500)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val keys = Seq("graft.ann.filtered", "graft.query.exact",
+      "graft.ann.filtered.max", "graft.ann.filtered.bloom.fpp")
+    val prev = keys.map(key => key -> spark.conf.getOption(key)).toMap
+    spark.conf.set("graft.ann.filtered", "true")
+    spark.conf.set("graft.query.exact", "true")
+    spark.conf.set("graft.ann.filtered.max", "2")
+    spark.conf.set("graft.ann.filtered.bloom.fpp", "0.3")
+    val hits =
+      try store.queryDF(qdf, "qid", "qvec", topK = 10, nProbe = 16,
+          where = Some(col("_id_") >= "00000100"))
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("_id_").cast("long").as("vec_id"),
+          round(col("score"), 6).as("score"))
+        .localCheckpoint(true)
+      finally keys.foreach { key =>
+        prev(key) match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    require(store.lastQueryStrategy.contains("ann-filtered+bloom"),
+      s"bulk facade routed ${store.lastQueryStrategy} instead of ann-filtered+bloom")
+    require(store.lastFilterPolarity == "bloom",
+      s"membership resolved as '${store.lastFilterPolarity}', expected bloom")
+    hits
+  }
+
+  /** Shared driver for the bulk-facade FLAT compressed-tier entries
+    * (q98-q100, round 18 — VERDICT r17 next #3): enable exactly one
+    * flat tier (no IVF, no graph), run an unfiltered query TABLE
+    * through `queryDF`, and assert the strategy telemetry reports the
+    * tier itself ("q8"/"pq"/"bit", NOT the exact-scan fallback these
+    * routes used to take). Covering overfetch makes each tier's
+    * compressed scan keep every row as a candidate, so the fp32 double
+    * rescore IS the exact result (the q55/q56 keep-all argument, bulk
+    * PackedScan-style) and the plain unit top-k oracle hash-matches.
+    */
+  private def vdbQueryDfFlatTier(spark: SparkSession, dir: String,
+      lo: Long, hi: Long, expectStrategy: String, overfetchKey: String,
+      enable: core.VdbStore => Unit,
+      disable: core.VdbStore => Unit): DataFrame = {
+    val store = vdbStoreFor(spark, dir)
+    store.disableAnn(); store.disableHnsw()
+    store.disableQ8(); store.disablePq(); store.disableBit()
+    enable(store)
+    val qdf = t(spark, dir, "embeddings")
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val covering = ((store.count() / 10) + 1).toString
+    val prev = spark.conf.getOption(overfetchKey)
+    spark.conf.set(overfetchKey, covering)
+    val hits =
+      try store.queryDF(qdf, "qid", "qvec", topK = 10)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("_id_").cast("long").as("vec_id"),
+          round(col("score"), 6).as("score"))
+        .localCheckpoint(true)
+      finally {
+        disable(store)
+        prev match {
+          case Some(v) => spark.conf.set(overfetchKey, v)
+          case None => spark.conf.unset(overfetchKey)
+        }
+      }
+    require(store.lastQueryStrategy.contains(expectStrategy),
+      s"bulk facade routed ${store.lastQueryStrategy} instead of $expectStrategy")
+    hits
+  }
+
+  def vdbQueryDfQ8(spark: SparkSession, dir: String): DataFrame =
+    vdbQueryDfFlatTier(spark, dir, 0L, 20L, "q8", "graft.q8.overfetch",
+      _.enableQ8(), _.disableQ8())
+
+  def vdbQueryDfPq(spark: SparkSession, dir: String): DataFrame =
+    vdbQueryDfFlatTier(spark, dir, 20L, 40L, "pq", "graft.pq.overfetch",
+      _.enablePq(), _.disablePq())
+
+  def vdbQueryDfBit(spark: SparkSession, dir: String): DataFrame =
+    vdbQueryDfFlatTier(spark, dir, 40L, 60L, "bit", "graft.bit.overfetch",
+      _.enableBit(), _.disableBit())
+
+  /** Oracled bulk-facade IVF+bit entry (q101, round 18): `enableAnn` +
+    * `enableBit` through `queryDF` now serves the composed bulk engine
+    * ([[operators.IvfIndex.searchPackedBit]] — Hamming candidate scan
+    * over the sketch bucket slabs, fused fp32 rescore from the
+    * co-located float blocks; strategy "ann+bit" asserted, previously
+    * the fp32 probed-scan fallback). Exact under nProbe = nList +
+    * covering `graft.bit.overfetch` (the q85 covering argument,
+    * per-bucket), so the unit top-k oracle hash-matches.
+    */
+  def vdbQueryDfAnnBit(spark: SparkSession, dir: String): DataFrame = {
+    val store = vdbStoreFor(spark, dir)
+    store.disableQ8(); store.disablePq(); store.disableHnsw()
+    store.enableAnn(16)
+    store.enableBit()
+    val qdf = t(spark, dir, "embeddings")
+      .filter(col("vec_id") >= 60 && col("vec_id") < 80)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val covering = ((store.count() / 10) + 1).toString
+    val prev = spark.conf.getOption("graft.bit.overfetch")
+    spark.conf.set("graft.bit.overfetch", covering)
+    val hits =
+      try store.queryDF(qdf, "qid", "qvec", topK = 10, nProbe = 16)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("_id_").cast("long").as("vec_id"),
+          round(col("score"), 6).as("score"))
+        .localCheckpoint(true)
+      finally {
+        store.disableBit()
+        prev match {
+          case Some(v) => spark.conf.set("graft.bit.overfetch", v)
+          case None => spark.conf.unset("graft.bit.overfetch")
+        }
+      }
+    require(store.lastQueryStrategy.contains("ann+bit"),
+      s"bulk facade routed ${store.lastQueryStrategy} instead of ann+bit")
+    hits
+  }
+
+  /** Oracled facade filtered-graph+int8 entry (q102, round 18 —
+    * VERDICT r17 missing #3): `enableHnsw` + `enableQ8` +
+    * `graft.ann.filtered` routes a where-restricted `query()` through
+    * [[operators.HnswStore.searchMergedMemberQ8]] (strategy
+    * "hnsw-filtered+q8" — asserted): the per-shard beam walks the
+    * INT8-quantized unit slabs and the `k x graft.q8.overfetch`
+    * accepted survivors rescore in fp32 double. At a store-covering
+    * beam the quantized MEMBER SCAN serves (keeping the int8 machinery
+    * in the oracle loop), and covering overfetch makes every member
+    * row a candidate — exact, so the q89 filtered oracle shape
+    * hash-matches. Partial-beam behavior (int8 beam widening to the
+    * candidate cut, component-exhaustion snap) is spec-pinned in
+    * HnswStoreSpec — not SQL-oracleable.
+    */
+  def vdbHnswQ8Filtered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val store = vdbStoreFor(spark, dir)
+    store.disablePq(); store.disableBit(); store.disableAnn()
+    store.enableHnsw()
+    store.enableQ8()
+    val queries = t(spark, dir, "embeddings")
+      .filter(col("vec_id") >= 80 && col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val k = 10
+    val covering = ((store.count() / k) + 1).toString
+    val keys = Seq("graft.ann.filtered", "graft.q8.overfetch")
+    val prev = keys.map(key => key -> spark.conf.getOption(key)).toMap
+    spark.conf.set("graft.ann.filtered", "true")
+    spark.conf.set("graft.q8.overfetch", covering)
+    val hits =
+      try store.query(queries.map(_._2).toSeq, topK = k,
+        efSearch = store.count().toInt,
+        where = Some(col("_id_") < "00000300"))
+      finally {
+        store.disableHnsw(); store.disableQ8()
+        keys.foreach { key =>
+          prev(key) match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+        }
+      }
+    require(store.lastQueryStrategy.contains("hnsw-filtered+q8"),
+      s"facade routed ${store.lastQueryStrategy} instead of hnsw-filtered+q8")
+    emitVdbTopk(spark, queries, hits)
+  }
+
   // ---- binary-sketch store entry (q82) ----
 
   /** Per-dataset binary-sketch store, built once and cached: seeded
@@ -2205,6 +2394,12 @@ object Queries {
     "q94_ann_ivf_filtered_ds" -> (annIvfFilteredDs _),
     "q95_ann_ivf_q8_filtered_ds" -> (annIvfQ8FilteredDs _),
     "q96_vdb_querydf_filtered" -> (vdbQueryDfFiltered _),
+    "q97_vdb_querydf_bloom" -> (vdbQueryDfBloom _),
+    "q98_vdb_querydf_q8" -> (vdbQueryDfQ8 _),
+    "q99_vdb_querydf_pq" -> (vdbQueryDfPq _),
+    "q100_vdb_querydf_bit" -> (vdbQueryDfBit _),
+    "q101_vdb_querydf_ann_bit" -> (vdbQueryDfAnnBit _),
+    "q102_vdb_hnsw_q8_filtered" -> (vdbHnswQ8Filtered _),
   )
 }
 
@@ -2846,6 +3041,25 @@ object Oracles {
     // covering probes — the q86 oracle shape over a query table
     "q96_vdb_querydf_filtered" -> topkOracleUnit(
       "vec_id >= 460 AND vec_id < 480", 10, storeFilter = "u.vec_id < 300"),
+    // q97: the bulk facade's Bloom rung — round-18 distributed
+    // verification + refill make it exact at covering probes (the q87
+    // oracle shape over a query table)
+    "q97_vdb_querydf_bloom" -> topkOracleUnit(
+      "vec_id >= 480 AND vec_id < 500", 10, storeFilter = "u.vec_id >= 100"),
+    // q98-q100: the bulk facade's FLAT compressed tiers (round 18) —
+    // exact at covering overfetch (each tier's scan keeps every row as
+    // a candidate, so the fp32 double rescore is the exact result)
+    "q98_vdb_querydf_q8" -> topkOracleUnit("vec_id < 20", 10),
+    "q99_vdb_querydf_pq" -> topkOracleUnit("vec_id >= 20 AND vec_id < 40", 10),
+    "q100_vdb_querydf_bit" -> topkOracleUnit("vec_id >= 40 AND vec_id < 60", 10),
+    // q101: the bulk facade's composed IVF+bit engine — exact under
+    // covering probes + covering overfetch like q85
+    "q101_vdb_querydf_ann_bit" -> topkOracleUnit(
+      "vec_id >= 60 AND vec_id < 80", 10),
+    // q102: the graph rung's int8 composition at a store-covering beam
+    // + covering overfetch == the exact filtered scan (the q89 shape)
+    "q102_vdb_hnsw_q8_filtered" -> topkOracleUnit(
+      "vec_id >= 80 AND vec_id < 100", 10, storeFilter = "u.vec_id < 300"),
     // same salted-md5 determinism trick as q38; first key byte -> bucket
     "q57_corpus_shuffle" ->
       """WITH s AS (

@@ -159,6 +159,52 @@ final class BitStore[K](
     val approx = topKMerged(qs, cap, normalizeQueries = false)
     Q8Store.rescoreCandidates(source, total, approx, qs, k, normalized)
   }
+
+  // latest-call-only cache for the bulk engine's materialized output
+  private val packedSlot = new LatestCallSlot
+
+  /** Bulk (Dataset-query) twin of [[rescoredTopK]] (round 18): the
+    * Hamming candidate scan + co-resident fp32 rescore over a query
+    * TABLE — the flat-bit entry in the tier × {driver-batch, Dataset}
+    * matrix (see [[PackedScan]]; oracled as q100). Query sketches are
+    * built ONCE per packed query partition (the `prep` stage — the
+    * hyperplane matrix regenerates from the seed inside the pack task,
+    * ~1 MB, never shuffled), so the scan streams only code words.
+    * Sketch dims are validated against each code block task-side, the
+    * [[topKMerged]] rule — mismatched hyperplanes are silent garbage.
+    */
+  def rescoredTopKPacked(
+      queries: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      k: Int,
+      overfetch: Int,
+      normalizeQueries: Boolean = true,
+      dim: Int = -1)(implicit
+      rowEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
+    val b = bits
+    val s = seed
+    val w = (bits + 63) >>> 6
+    PackedScan.rescoredTopKPacked[K, BitBlock[K], Array[Long]](
+      blocks, source, queries, k, overfetch, normalized, normalizeQueries,
+      dim,
+      prep = qvecs => {
+        val d = qvecs(0).length
+        val planes = BitStore.hyperplanes(b, d, s)
+        val qc = new Array[Long](qvecs.length * w)
+        var i = 0
+        while (i < qvecs.length) {
+          BitStore.encodeRow(qvecs(i), 0, d, planes, b, qc, i * w)
+          i += 1
+        }
+        qc
+      },
+      scan = (heaps, blk, qvecs, _, qcodes) => {
+        require(blk.dim == qvecs(0).length,
+          s"BitStore packed scan: query dim ${qvecs(0).length} != store " +
+            s"sketch dim ${blk.dim}")
+        BitStore.scoreBlock(heaps, blk, qcodes, b)
+      },
+      slot = packedSlot)
+  }
 }
 
 object BitStore {

@@ -185,6 +185,90 @@ final class Hnsw private (
     out.take(k).map { case (s, id) => (id, s) }
   }
 
+  /** [[searchFiltered]] with the walk's similarity reads taken from an
+    * INT8-quantized copy of the node matrix (round 18 — the graph half
+    * of the hnsw-filtered+q8 composition): `codes` is the row-major
+    * byte matrix (`round(v/scale)`, the [[Q8Block]] layout), `scales`
+    * the per-row dequantization factors. Identical traversal, entry
+    * descent, result-collection filtering and termination rule — only
+    * `sim` changes, so DRAM traffic during the beam drops 4× while the
+    * topology (built on fp32 rows) keeps its navigability. Returned
+    * scores are the APPROXIMATE int8 similarities — callers rescore
+    * the survivors against the fp32 slab
+    * ([[graft.operators.HnswStore.scoreShardMemberQ8]] owns that), the
+    * same candidate-generation/rescore split as every quantized tier.
+    * The underfill contract is unchanged: fewer than k hits ⟹ the
+    * entry component is exhausted (the [[searchFiltered]] proof — the
+    * quantized sims reorder the walk but never terminate it early
+    * while fewer than `ef` accepted nodes are held).
+    */
+  def searchFilteredQ8(q: Array[Float], k: Int, ef: Int,
+                       accept: Int => Boolean,
+                       codes: Array[Byte],
+                       scales: Array[Float]): Array[(Int, Double)] = {
+    require(q.length == dim, s"query dim ${q.length} != index dim $dim")
+    if (n == 0) return Array.empty
+    @inline def simQ(node: Int): Double =
+      Kernels.dotQ8F(q, codes, node * dim).toDouble * scales(node)
+    // greedy descent on int8 sims (descend() reads the fp32 matrix)
+    var ep = entry
+    var eps = simQ(ep)
+    var lc = maxLevel
+    while (lc > 0) {
+      var improved = true
+      while (improved) {
+        improved = false
+        val ns = nbrs(ep)(lc)
+        val cnt = nbrCnt(ep)(lc)
+        var i = 0
+        while (i < cnt) {
+          val s = simQ(ns(i))
+          if (s > eps) { eps = s; ep = ns(i); improved = true }
+          i += 1
+        }
+      }
+      lc -= 1
+    }
+    val efk = math.max(ef, k)
+    val visited = new java.util.BitSet(n)
+    val cand = new java.util.PriorityQueue[(Double, Int)](
+      (a, b) => java.lang.Double.compare(b._1, a._1))
+    val res = new java.util.PriorityQueue[(Double, Int)](
+      (a, b) => java.lang.Double.compare(a._1, b._1))
+    visited.set(ep)
+    cand.add((eps, ep))
+    if (accept(ep)) res.add((eps, ep))
+    while (!cand.isEmpty) {
+      val c = cand.poll()
+      if (res.size >= efk && c._1 < res.peek()._1) {
+        cand.clear()
+      } else {
+        val ns = nbrs(c._2)(0)
+        val cnt = nbrCnt(c._2)(0)
+        var i = 0
+        while (i < cnt) {
+          val e = ns(i)
+          if (!visited.get(e)) {
+            visited.set(e)
+            val se = simQ(e)
+            if (res.size < efk || se > res.peek()._1) {
+              cand.add((se, e))
+              if (accept(e)) {
+                res.add((se, e))
+                if (res.size > efk) res.poll()
+              }
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    val out = new Array[(Double, Int)](res.size)
+    var i = out.length - 1
+    while (i >= 0) { out(i) = res.poll(); i -= 1 } // best-first order
+    out.take(k).map { case (s, id) => (id, s) }
+  }
+
   /** Serialize the graph TOPOLOGY (levels / neighbor lists / entry) —
     * plain int arrays, no vectors: the caller owns the packed matrix
     * and re-supplies it to [[Hnsw.readGraph]] on load. This is the

@@ -303,6 +303,68 @@ final class PqStore[K](
     val approx = topKMerged(qs, cap, normalizeQueries = false)
     Q8Store.rescoreCandidates(source, total, approx, qs, k, normalized)
   }
+
+  // latest-call-only cache for the bulk engine's materialized output
+  private val packedSlot = new LatestCallSlot
+
+  /** Bulk (Dataset-query) twin of [[rescoredTopK]] (round 18): the ADC
+    * candidate scan + co-resident fp32 rescore over a query TABLE —
+    * the flat-pq entry in the tier × {driver-batch, Dataset} matrix
+    * (see [[PackedScan]]; oracled as q99). ADC tables are per-query
+    * `m * ksub` floats built INSIDE each (query slab × code block)
+    * scan task, chunked to `graft.pq.table.budget.mb` exactly like the
+    * driver-batch scan — bounded task memory, the table build repeated
+    * per code block (the [[graft.operators.IvfIndex.searchPackedPq]]
+    * trade, documented there: amortized over the block's rows at slab
+    * sizes). The codebook ships once as a broadcast, not per task
+    * closure.
+    */
+  def rescoredTopKPacked(
+      queries: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      k: Int,
+      overfetch: Int,
+      normalizeQueries: Boolean = true,
+      dim: Int = -1)(implicit
+      rowEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
+    val bcCb = blocks.sparkContext.broadcast(codebook)
+    // driver-side budget resolution (GraftConf is driver-only), same
+    // owner-session rule as topKMerged
+    val budgetMb = org.apache.spark.sql.SparkSession.getActiveSession
+      .filter(_.sparkContext eq blocks.sparkContext)
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession
+        .filter(_.sparkContext eq blocks.sparkContext))
+      .map(s => new GraftConf(s).pqTableBudgetMb)
+      .getOrElse(64)
+    val bytesPerQuery = codebook.m.toLong * codebook.ksub.toLong * 4L
+    val chunkSize = math.max(1,
+      math.min(Int.MaxValue.toLong,
+        (budgetMb.toLong << 20) / math.max(1L, bytesPerQuery)).toInt)
+    try PackedScan.rescoredTopKPacked[K, PqBlock[K], Null](
+      blocks, source, queries, k, overfetch, normalized, normalizeQueries,
+      dim,
+      prep = _ => null,
+      scan = (heaps, b, qvecs, qnorms, _) => {
+        val cb = bcCb.value
+        var start = 0
+        while (start < qvecs.length) {
+          val end = math.min(qvecs.length, start + chunkSize)
+          val tabs = new Array[Array[Float]](end - start)
+          var i = start
+          while (i < end) { tabs(i - start) = cb.adcTable(qvecs(i)); i += 1 }
+          val subH = java.util.Arrays.copyOfRange(heaps, start, end)
+          val subN =
+            if (qnorms == null) null
+            else java.util.Arrays.copyOfRange(qnorms, start, end)
+          PqStore.scoreBlock(subH, tabs, cb.ksub, b, subN)
+          start = end
+        }
+      },
+      slot = packedSlot)
+    // unpersist, not destroy: the materialized output's lineage still
+    // references the broadcast — an evicted partition recomputing on a
+    // real cluster re-fetches it from the driver
+    finally bcCb.unpersist(false)
+  }
 }
 
 object PqStore {

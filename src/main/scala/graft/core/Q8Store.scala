@@ -182,6 +182,34 @@ final class Q8Store[K](
     val approx = topKMerged(qs, cap, normalizeQueries = false)
     Q8Store.rescoreCandidates(source, total, approx, qs, k, normalized)
   }
+
+  // latest-call-only cache for the bulk engine's materialized output
+  private val packedSlot = new LatestCallSlot
+
+  /** Bulk (Dataset-query) twin of [[rescoredTopK]] (round 18): the
+    * int8 candidate scan + co-resident fp32 rescore for query batches
+    * that are themselves a TABLE — the flat-q8 entry in the
+    * tier × {driver-batch, Dataset} matrix (see [[PackedScan]] for the
+    * shape and the covering-overfetch exactness argument; oracled as
+    * q98). `normalizeQueries = false` is the pre-normalized-caller
+    * path (VdbStore.queryDF) — zero → e0 still applies. `dim > 0`
+    * validates query lengths at pack time. `overfetch` must be
+    * positive — keep-all is driver-batch-only by construction.
+    */
+  def rescoredTopKPacked(
+      queries: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      k: Int,
+      overfetch: Int,
+      normalizeQueries: Boolean = true,
+      dim: Int = -1)(implicit
+      rowEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame =
+    PackedScan.rescoredTopKPacked[K, Q8Block[K], Null](
+      blocks, source, queries, k, overfetch, normalized, normalizeQueries,
+      dim,
+      prep = _ => null,
+      scan = (heaps, b, qvecs, qnorms, _) =>
+        Q8Store.scoreBlock(heaps, b, qvecs, qnorms),
+      slot = packedSlot)
 }
 
 object Q8Store {

@@ -993,9 +993,12 @@ final class VdbStore private (
       bitBits.isDefined && unfiltered && betterThan.isEmpty
     lastStrategy = Some(
       if (hnswFiltered.isDefined)
-        // graph beam search with result-collection membership; no
-        // compression composition (the graph traverses fp32 slabs)
-        "hnsw-filtered" + (if (hnswFiltered.exists(_._4)) "+bloom" else "")
+        // graph beam search with result-collection membership; with q8
+        // enabled the beam traverses the int8 unit slabs and rescores
+        // survivors in fp32 double (round 18 — the composition the
+        // strategy that outranks ann-filtered was missing)
+        (if (q8Enabled) "hnsw-filtered+q8" else "hnsw-filtered") +
+          (if (hnswFiltered.exists(_._4)) "+bloom" else "")
       else if (annFiltered.isDefined) {
         // the int8 composition outranks the fp32 filtered scan like
         // ann+q8 outranks ann; the bloom suffix reports the membership
@@ -1047,8 +1050,17 @@ final class VdbStore private (
           // graph rung: explicit efSearch arg > graft.hnsw.ef conf,
           // like the unfiltered hnsw strategy
           val ef = if (efSearch > 0) efSearch else conf.hnswEf
-          h.searchMergedMember(normQ, scanK, member, denySet, ef,
-            exact = conf.queryExact)
+          // int8 composition (round 18): the beam walks the quantized
+          // unit slabs (4x less traversal bandwidth) and the
+          // k x graft.q8.overfetch accepted survivors rescore in fp32
+          // double — exact at covering beam + covering overfetch like
+          // ann-filtered+q8 (oracled as q102)
+          if (q8Enabled)
+            h.searchMergedMemberQ8(normQ, scanK, member, denySet, ef,
+              overfetch = conf.q8Overfetch)
+          else
+            h.searchMergedMember(normQ, scanK, member, denySet, ef,
+              exact = conf.queryExact)
         case None =>
           val (idx, member, denySet, _) = annFiltered.get
           val probes = if (nProbe > 0) nProbe else conf.annNProbeFor(idx.nList)
@@ -1265,16 +1277,15 @@ final class VdbStore private (
     *
     * Semantics mirror [[query]] — O28 bypass, the conservative
     * better_than deviation, the `graft.ann.filtered` opt-in with
-    * hnsw > ann precedence, allow/deny membership, zero-query → e0 —
-    * with four honest deviations, the first three routed to a
-    * STRICTLY more-accurate path and logged:
-    *  - the Bloom membership rung serves the exact filtered scan here
-    *    (its verification + refill loop is driver-batch machinery);
-    *  - a flat compression tier (q8/pq/bit WITHOUT the IVF
-    *    accelerator) serves the exact scan (no bulk flat compressed
-    *    engines exist — composing with enableAnn restores the
-    *    compressed bulk path);
-    *  - ann+bit serves the fp32 probed scan (no bulk bit twin);
+    * hnsw > ann precedence, allow/deny/Bloom membership (round 18
+    * distributes the Bloom verification + refill: one semi-join drops
+    * false positives, only provably-evicted queries re-run the exact
+    * filtered scan — see the bloom branch below), the full
+    * compression-tier dispatch (flat q8/pq/bit via the PackedScan bulk
+    * engines, ann+bit via searchPackedBit, hnsw-filtered+q8 via
+    * searchPackedMemberQ8 — all round 18; every strategy query()
+    * serves now has a bulk twin), and zero-query → e0. ONE honest
+    * deviation remains:
     *  - whereFn applies once, at candidate selection — there is no
     *    post-score live re-validation: a bulk plan's closures are
     *    captured with the plan (Spark serializes them once), so a
@@ -1308,25 +1319,15 @@ final class VdbStore private (
           (annNList.isEmpty && hnswParams.isEmpty) ||
           !conf.annFilteredEnabled) None
       else resolveFilterMember(cand, ids, where, whereFn)
-    if (filteredMember.exists(_._3)) {
-      VdbStore.log.info(
-        "graft: queryDF filter resolved to the Bloom rung — the bulk " +
-          "facade serves the exact filtered scan instead (the " +
-          "verification + refill loop is driver-batch machinery); use " +
-          "query() for bloom-rung serving")
-      // the discarded set never serves, so the polarity telemetry must
-      // report the fallback, not the rung that was resolved and dropped
-      lastFilterPolarityVar = "none"
-    }
-    val setMember = filteredMember.filterNot(_._3)
+    val isBloom = filteredMember.exists(_._3)
     val hnswFiltered =
       if (hnswParams.isEmpty) None
-      else setMember.flatMap { case (m, dny, _) =>
+      else filteredMember.flatMap { case (m, dny, _) =>
         refreshHnsw().map(h => (h, m, dny))
       }
     val annFiltered =
       if (hnswFiltered.isDefined || annNList.isEmpty) None
-      else setMember.flatMap { case (m, dny, _) =>
+      else filteredMember.flatMap { case (m, dny, _) =>
         refreshAnn().map(idx => (idx, m, dny))
       }
     val hnsw =
@@ -1338,21 +1339,39 @@ final class VdbStore private (
           unfiltered && betterThan.isEmpty) refreshAnn()
       else None
     val ef = if (efSearch > 0) efSearch else conf.hnswEf
+    // bloom rung (round 18 — previously the bulk facade's one fallback
+    // to the exact repack): over-fetch so dropping false positives
+    // still leaves k verified rows — query()'s eviction argument,
+    // shape-independent — then verify + refill DISTRIBUTED below
+    val scanK =
+      if (isBloom) math.max(topK,
+        topK * math.max(1, conf.annFilteredBloomOverfetch))
+      else topK
+    val bloomSuffix = if (isBloom) "+bloom" else ""
 
-    val hits: DataFrame = hnswFiltered match {
+    val rawHits: DataFrame = hnswFiltered match {
       case Some((h, m, dny)) =>
-        lastStrategy = Some("hnsw-filtered")
-        h.searchPackedMember(qds, topK, m, dny, ef, exact = conf.queryExact)
+        if (q8Enabled) {
+          // int8 composition (round 18): the per-shard beams walk the
+          // quantized unit slabs, survivors rescore fp32 double
+          lastStrategy = Some("hnsw-filtered+q8" + bloomSuffix)
+          h.searchPackedMemberQ8(qds, scanK, m, dny, ef,
+            overfetch = conf.q8Overfetch)
+        } else {
+          lastStrategy = Some("hnsw-filtered" + bloomSuffix)
+          h.searchPackedMember(qds, scanK, m, dny, ef,
+            exact = conf.queryExact)
+        }
       case None => annFiltered match {
         case Some((idx, m, dny)) =>
           val probes = if (nProbe > 0) nProbe else conf.annNProbeFor(idx.nList)
           if (q8Enabled) {
-            lastStrategy = Some("ann-filtered+q8")
-            idx.searchPackedQ8Allowed[String](qds, topK, m, dny, probes,
+            lastStrategy = Some("ann-filtered+q8" + bloomSuffix)
+            idx.searchPackedQ8Allowed[String](qds, scanK, m, dny, probes,
               normalized = true, overfetch = conf.q8Overfetch)
           } else {
-            lastStrategy = Some("ann-filtered")
-            idx.searchPackedAllowed[String](qds, topK, m, dny, probes,
+            lastStrategy = Some("ann-filtered" + bloomSuffix)
+            idx.searchPackedAllowed[String](qds, scanK, m, dny, probes,
               normalized = true, exact = conf.queryExact)
           }
         case None => hnsw match {
@@ -1371,30 +1390,110 @@ final class VdbStore private (
                 lastStrategy = Some("ann+pq")
                 idx.searchPackedPq[String](qds, topK, probes,
                   normalized = true, overfetch = conf.pqOverfetch, m = pqM.get)
+              } else if (bitBits.isDefined) {
+                // bulk IVF-bit engine (round 18 — previously fell back
+                // to the fp32 probed scan)
+                lastStrategy = Some("ann+bit")
+                idx.searchPackedBit[String](qds, topK, probes,
+                  normalized = true, overfetch = conf.bitOverfetch,
+                  bits = bitBits.get)
               } else {
-                if (bitBits.isDefined)
-                  VdbStore.log.info(
-                    "graft: queryDF has no bulk ann+bit engine — serving " +
-                      "the fp32 probed scan (strictly more accurate)")
                 lastStrategy = Some("ann")
                 idx.searchPacked[String](qds, topK, probes,
                   normalized = true, exact = conf.queryExact)
               }
             case None =>
-              if (unfiltered && betterThan.isEmpty &&
-                  (q8Enabled || pqM.isDefined || bitBits.isDefined))
-                VdbStore.log.info(
-                  "graft: queryDF has no bulk flat compressed engines — " +
-                    "serving the exact scan (compose with enableAnn() for " +
-                    "the compressed bulk path)")
-              lastStrategy = Some(if (unfiltered) "exact" else "exact-filtered")
-              val bs = if (unfiltered) blockStore() else packCandidates(cand)
-              graft.operators.CosineTopK.gemmQueries[String](bs, qds, topK,
-                betterThan, exact = conf.queryExact)
+              // bulk flat compressed engines (round 18 — previously the
+              // exact scan served these with a logged downgrade note):
+              // same precedence ladder as query()'s flat tiers. The
+              // facade pre-normalized qds above, so normalizeQueries
+              // stays false for driver-facade bit-parity.
+              val useQ8Flat = q8Enabled && unfiltered && betterThan.isEmpty
+              val usePqFlat = !useQ8Flat && pqM.isDefined && unfiltered &&
+                betterThan.isEmpty
+              val useBitFlat = !useQ8Flat && !usePqFlat && bitBits.isDefined &&
+                unfiltered && betterThan.isEmpty
+              if (useQ8Flat) {
+                lastStrategy = Some("q8")
+                q8Store().rescoredTopKPacked(qds, topK, conf.q8Overfetch,
+                  normalizeQueries = false, dim = dim)
+              } else if (usePqFlat) {
+                lastStrategy = Some("pq")
+                pqStoreAcc().rescoredTopKPacked(qds, topK, conf.pqOverfetch,
+                  normalizeQueries = false, dim = dim)
+              } else if (useBitFlat) {
+                lastStrategy = Some("bit")
+                bitStoreAcc().rescoredTopKPacked(qds, topK, conf.bitOverfetch,
+                  normalizeQueries = false, dim = dim)
+              } else {
+                lastStrategy = Some(if (unfiltered) "exact" else "exact-filtered")
+                val bs = if (unfiltered) blockStore() else packCandidates(cand)
+                graft.operators.CosineTopK.gemmQueries[String](bs, qds, topK,
+                  betterThan, exact = conf.queryExact)
+              }
           }
         }
       }
     }
+
+    // Bloom rung, distributed verification + refill (round 18 — the
+    // driver-batch loop at query()'s bloom branch re-expressed without
+    // collecting anything): drop false positives with ONE semi-join of
+    // the <= Q x scanK candidate rows against the filtered store, then
+    // refill ONLY the queries whose verified rows underfill topK AND
+    // whose scan heap actually filled (scanned < scanK ⟹ the heap
+    // never evicted: the verified rows are ALL matching scanned rows,
+    // no refill can add more — the VdbStore.query eviction argument,
+    // shape-independent). The refill is the exact filtered scan of
+    // just those query rows — the rare tail (0 refills measured at
+    // fpp 0.03 AND 0.3 in the round-17 10M smoke), never the per-call
+    // O(matches) repack for the whole batch this branch used to be.
+    val hits: DataFrame =
+      if (!isBloom) rawHits
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val verified = rawHits
+          .join(cand.select(col("_id_").as("id")), Seq("id"), "left_semi")
+        val scannedCnt = rawHits.groupBy("qid")
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("_scanned"))
+        val verifiedCnt = verified.groupBy("qid")
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("_verified"))
+        val refillQids = scannedCnt
+          .join(verifiedCnt, Seq("qid"), "left_outer")
+          .filter(coalesce(col("_verified"), lit(0L)) < topK &&
+            col("_scanned") >= scanK)
+          .select(col("qid"))
+          .persist()
+        val nRefill = refillQids.count()
+        lastBloomRefills = math.min(nRefill, Int.MaxValue.toLong).toInt
+        val keptBase =
+          if (nRefill == 0) verified
+          else verified.join(refillQids, Seq("qid"), "left_anti")
+        // dense re-rank of the verified survivors (Q x k rows — the
+        // window shuffle is result-sized, never store-sized)
+        val w = Window.partitionBy(col("qid")).orderBy(col("rank"))
+        val kept = keptBase
+          .withColumn("_rr", row_number().over(w))
+          .filter(col("_rr") <= topK)
+          .select(col("qid"), col("id"), col("score"), col("_rr").as("rank"))
+        if (nRefill == 0) { refillQids.unpersist(); kept }
+        else {
+          VdbStore.log.info(
+            s"graft: queryDF bloom rung refilling $nRefill queries whose " +
+              s"verified candidates underfilled topK=$topK from the exact " +
+              "filtered scan")
+          val subQ = qds.toDF("qid", "qvec")
+            .join(refillQids, Seq("qid"), "left_semi")
+            .select(col("qid"), col("qvec"))
+            .as[(Long, Array[Float])]
+          val bs = packCandidates(cand)
+          val refilled = graft.operators.CosineTopK.gemmQueries[String](
+            bs, subQ, topK, None, exact = conf.queryExact)
+          val out = kept.unionByName(refilled)
+          refillQids.unpersist()
+          out
+        }
+      }
     // INNER join, matching query()'s hit-assembly semantics: a hit
     // whose row vanished under a concurrent mutation is dropped, never
     // emitted with null id/meta (review r17). There is deliberately NO

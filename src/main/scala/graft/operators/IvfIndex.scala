@@ -2060,6 +2060,119 @@ final class IvfIndex(
     spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
   }
 
+  /** Bulk (Dataset-query) IVF-bit top-k (round 18): [[searchPackedQ8]]'s
+    * fused probe-shuffle shape over the BINARY-SKETCH bucket slabs —
+    * the last composed tier without a Dataset-query twin (queryDF
+    * previously fell back to the fp32 probed scan for ann+bit). Per
+    * probed bucket: queries arriving at the bucket sketch under the
+    * store's seeded hyperplanes (regenerated in-task from the seed —
+    * ~1 MB, never shuffled; repeated per bucket, the
+    * [[searchPackedPq]] per-bucket-prep trade), the Hamming XOR+popcount
+    * scan over the co-located sketch slabs keeps `k * overfetch`
+    * candidates per query, and the fused fp32 rescore re-ranks them
+    * from the SAME bucket's float blocks — no second job, no extra
+    * shuffle, float bytes touched only on candidate hits.
+    *
+    * The candidate cut is per-bucket (a SUPERSET of
+    * [[searchMergedBit]]'s global cut), so recall can only match or
+    * exceed the merged twin at equal overfetch; at covering probes +
+    * covering overfetch the rescored result is the exact scan (the
+    * q79/q82 keep-all argument applied per bucket — every member row
+    * of every probed bucket is a candidate), which the q101 catalog
+    * entry hash-matches against the DuckDB oracle. `overfetch <= 0`
+    * returns the scan-only angle-estimate ranking. Query prep,
+    * duplicate-qid independence, tie rule, output shape and the
+    * KNOWN nProbe >= nList probe-exchange cost all match
+    * [[searchPackedQ8]].
+    */
+  def searchPackedBit[K](queries: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                         k: Int, nProbe: Int = 0, normalized: Boolean = true,
+                         overfetch: Int = 0, bits: Int = 256)(
+      implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
+      rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)],
+      outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
+    import graft.core.{BitBlock, BitStore, BoundedTopKG, Q8Store, VecBlock}
+    import graft.operators.{Kernels => Kn}
+    val spark = assigned.sparkSession
+    val sc = spark.sparkContext
+    val np = resolveNProbe(nProbe, tier = "bit")
+    val dimLocal = dim
+    val kk = k
+    val scanK =
+      if (overfetch <= 0) k
+      else math.min(math.max(k.toLong * overfetch, k.toLong), Int.MaxValue.toLong).toInt
+    val doRescore = overfetch > 0
+    val normStore = normalized
+    val localOrd = ord
+    val nBits = bits
+    val (fpPacked, part) = packedBuckets[K](normalized)
+    val bitPacked = packedBitBuckets[K](normalized, bits)
+    val bcCent = sc.broadcast(centroids)
+    val probed = queries.rdd.zipWithUniqueId().flatMap { case ((qid, v), uid) =>
+      if (dimLocal > 0) require(v.length == dimLocal,
+        s"IvfIndex.searchPackedBit: query $qid has dim ${v.length}, index dim is $dimLocal")
+      val pv =
+        if (normStore && Kn.normSqD(v) == 0.0) {
+          val e = new Array[Float](math.max(1, dimLocal)); e(0) = 1f; e
+        } else v
+      IvfIndex.probeIds(bcCent.value, pv, np).map(c => (c, (uid, qid, pv)))
+    }
+    val partials = bitPacked.cogroup(fpPacked, probed, part).flatMap {
+      case (_, (bitBlocks, fpBlocks, qs)) =>
+        if (bitBlocks.isEmpty || qs.isEmpty) Iterator.empty
+        else {
+          val qarr = qs.toArray
+          val qvecs = qarr.map(_._3)
+          val qnorms =
+            if (normStore) null
+            else qvecs.map(v => math.sqrt(Kn.normSqD(v)))
+          // in-task query sketches under the pack's seeded hyperplanes
+          // (dims validated against each slab by the scan below)
+          val qDim = qvecs(0).length
+          val planes = BitStore.hyperplanes(nBits, qDim,
+            BitStore.DefaultSeed)
+          val w = (nBits + 63) >>> 6
+          val qcodes = new Array[Long](qvecs.length * w)
+          var i = 0
+          while (i < qvecs.length) {
+            BitStore.encodeRow(qvecs(i), 0, qDim, planes, nBits, qcodes, i * w)
+            i += 1
+          }
+          val scanHeaps = Array.fill(qarr.length)(new BoundedTopKG[K](scanK)(localOrd))
+          bitBlocks.foreach { blk0 =>
+            val blk = blk0.asInstanceOf[BitBlock[K]]
+            require(blk.dim == qDim,
+              s"IvfIndex.searchPackedBit: query dim $qDim != store sketch dim ${blk.dim}")
+            BitStore.scoreBlock(scanHeaps, blk, qcodes, nBits)
+          }
+          val outHeaps =
+            if (!doRescore) scanHeaps
+            else {
+              // fused rescore: candidates of THIS bucket probed against
+              // the co-located fp32 blocks of the same bucket
+              val approx = scanHeaps.map(_.sortedHits())
+              val cands = Q8Store.CandIndex.build[K](approx)
+              val heaps = Array.fill(qarr.length)(new BoundedTopKG[K](kk)(localOrd))
+              fpBlocks.foreach(b =>
+                Q8Store.rescoreBlock(heaps, b.asInstanceOf[VecBlock[K]], cands,
+                  qvecs, qnorms))
+              heaps
+            }
+          qarr.iterator.zip(outHeaps.iterator).map { case ((uid, qid, _), h) =>
+            (uid, (qid, h))
+          }
+        }
+    }
+    val rows = partials
+      .reduceByKey((a, b) => { a._2.absorb(b._2); a })
+      .flatMap { case (_, (qid, h)) =>
+        h.sortedHits().iterator.take(kk).zipWithIndex.map { case ((id, s), r) =>
+          (qid, id, s, r + 1)
+        }
+      }
+    spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
+  }
+
   /** Product-quantized twins of [[packedBuckets]] (IVF-PQ): the
     * codebook trains once from a bounded content-hashed sample of the
     * bucket slabs (N-independent — the PqStore.train contract), then

@@ -110,6 +110,15 @@ object FilteredAnnSmoke {
     timed("filtered-packed 1000q np32")(filteredPacked(32))
     timed("filtered-packed 1000q np32 (again)")(filteredPacked(32))
 
+    // ---- round 18: bulk int8 filtered twin (searchPackedQ8Allowed) —
+    // VERDICT r17 next #5: does the 4x candidate-bandwidth win survive
+    // the distributed adaptive loop? (q8 pack already cached above)
+    def filteredPackedQ8(np: Int): Long =
+      idx.searchPackedQ8Allowed[Long](qds, k = topK, member, deny = false,
+        nProbe = np, normalized = false, overfetch = 4).count()
+    timed("filtered-packed+q8 1000q np32 of4")(filteredPackedQ8(32))
+    timed("filtered-packed+q8 1000q np32 (again)")(filteredPackedQ8(32))
+
     // ---- round 17: filtered HNSW (the graph rung) vs the exact repack ----
     // SPARK_GRAFT_SMOKE_HNSW=0 skips the build (it dominates wall at 10M)
     if (sys.env.getOrElse("SPARK_GRAFT_SMOKE_HNSW", "1") == "1") {
@@ -172,6 +181,26 @@ object FilteredAnnSmoke {
       println(s"FILTSMOKE   bloom refills (fpp=0.3): ${store.lastBloomRefillCount}")
       timed("vdb bloom warm fpp=0.3")(bloomBatch())
       println(s"FILTSMOKE   bloom refills (fpp=0.3, warm): ${store.lastBloomRefillCount}")
+      spark.conf.unset("graft.ann.filtered.bloom.fpp")
+      // ---- round 18: the BULK facade through the bloom rung (the
+      // distributed verification semi-join + per-query refill that
+      // replaced r17's exact-repack fallback) ----
+      val qdfBulk = spark.createDataset(queries.toSeq)
+        .toDF("qid", "qvec").repartition(8)
+      def bloomBulk(): Long = {
+        val n = store.queryDF(qdfBulk, "qid", "qvec", topK = topK,
+          where = whereEven).count()
+        require(store.lastQueryStrategy.exists(_.endsWith("+bloom")),
+          s"expected the bulk bloom rung, got ${store.lastQueryStrategy}")
+        n
+      }
+      timed("vdb bloom BULK cold (fpp=0.03)")(bloomBulk())
+      println(s"FILTSMOKE   bulk bloom refills (fpp=0.03): ${store.lastBloomRefillCount}" +
+        s", member source: ${store.lastFilterMemberSource}")
+      timed("vdb bloom BULK warm")(bloomBulk())
+      spark.conf.set("graft.ann.filtered.bloom.fpp", "0.3")
+      timed("vdb bloom BULK warm fpp=0.3")(bloomBulk())
+      println(s"FILTSMOKE   bulk bloom refills (fpp=0.3): ${store.lastBloomRefillCount}")
       spark.conf.unset("graft.ann.filtered.bloom.fpp")
       spark.conf.unset("graft.ann.filtered.max")
       spark.conf.unset("graft.ann.filtered")

@@ -143,4 +143,34 @@ class BitStoreSpec extends AnyFunSuite {
     assert(bit.rescoredTopK(dup, 3, overfetch = 0).count() == 3)
     bit.unpersist(cascadeSource = true)
   }
+  test("bulk rescoredTopKPacked is bit-identical to the driver-batch twin (round 18)") {
+    import spark.implicits._
+    val rng = new java.util.Random(61)
+    val dim = 24
+    val rows = (0 until 300).map(i => (i.toLong, randVec(rng, dim)))
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = Array.tabulate(9)(i => (i.toLong, randVec(rng, dim)))
+    val bit = BitStore.fromBlockStore(
+      BlockStore.fromDataset(df.as[(Long, Array[Float])], normalize = false),
+      bits = 128).persist()
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("qid", "rank", "id", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    // query sketches build once per packed query partition (prep stage)
+    // under the store's seed, so parity with the driver twin is exact
+    val qds = spark.createDataset(queries.toSeq).repartition(3)
+    for (of <- Seq(4, 31)) { // partial AND covering (31 * 10 >= 300)
+      assert(canon(bit.rescoredTopKPacked(qds, 10, of)) ==
+        canon(bit.rescoredTopK(queries, 10, of)), s"overfetch=$of")
+    }
+    assert(canon(bit.rescoredTopKPacked(qds, 10, 31)) ==
+      canon(CosineTopK.gemmQueries[Long](bit.source, qds, 10, None, exact = true)))
+    intercept[IllegalArgumentException](bit.rescoredTopKPacked(qds, 10, 0))
+    // a mis-dimensioned query hits the sketch-dim guard task-side
+    val bad = spark.createDataset(Seq((99L, Array.fill(5)(0.1f))))
+    intercept[org.apache.spark.SparkException](
+      bit.rescoredTopKPacked(bad, 10, 4).count())
+    bit.unpersist(cascadeSource = true)
+  }
 }

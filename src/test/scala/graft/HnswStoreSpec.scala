@@ -376,6 +376,76 @@ class HnswStoreSpec extends AnyFunSuite {
     store.unpersist()
   }
 
+  test("searchMergedMemberQ8 (round 18): covering beam + covering overfetch == exact member scan; partial beam fills k; packed twin bit-identical") {
+    // cosine mode so the parity covers the norms path of the rescore
+    val data = randData(600, 16, seed = 109, unit = false)
+    val store = HnswStore.fromDataset[Long](
+      data.toDS(), normalize = false, numShards = 4).persist()
+    store.materialize()
+    val queries = data.take(8).toArray
+    val member = graft.core.SetMember(
+      data.map(_._1).filter(_ % 3 == 0).toArray)
+    def frame(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("rank"), col("id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3))))
+      .toSeq.sortBy(t => (t._1, t._2))
+    // covering: ef >= every shard's rows routes the int8 MEMBER SCAN
+    // (not a silent fp32 reroute), covering overfetch keeps every
+    // member row as a candidate, and the double rescore is bit-equal
+    // to the exact member scan — allow AND deny (the q102 argument)
+    val covering = (600 / 6) + 1
+    assert(frame(store.searchMergedMemberQ8(queries, 6, member, deny = false,
+        ef = 600, overfetch = covering)) ==
+      frame(store.searchMergedMember(queries, 6, member, deny = false,
+        ef = 600, exact = true)))
+    assert(frame(store.searchMergedMemberQ8(queries, 6, member, deny = true,
+        ef = 600, overfetch = covering)) ==
+      frame(store.searchMergedMember(queries, 6, member, deny = true,
+        ef = 600, exact = true)))
+    // partial beam, selective filter (~3%): the int8 filtered beam
+    // keeps walking until the candidate cut is in hand — every query
+    // fills k with members only, exact ids on this fixture
+    val sel = graft.core.SetMember(data.map(_._1).filter(_ % 37 == 0).toArray)
+    val gotSel = store.searchMergedMemberQ8(queries, 5, sel, deny = false,
+        ef = 12, overfetch = 4)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val selSet = data.map(_._1).filter(_ % 37 == 0).toSet
+    assert(gotSel.groupBy(_._1).forall(_._2.length == 5))
+    assert(gotSel.forall(t => selSet(t._2)), "non-member id surfaced")
+    // sub-k member set: the component-exhaustion snap completes every
+    // shard — exactly the member rows come back, telemetry registers
+    val tiny = graft.core.SetMember(Array(5L, 17L, 23L))
+    val gotTiny = store.searchMergedMemberQ8(queries, 10, tiny, deny = false,
+        ef = 8, overfetch = 4)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    queries.foreach { case (qid, _) =>
+      assert(gotTiny.filter(_._1 == qid).map(_._2).sorted.toSeq == Seq(5L, 17L, 23L),
+        s"qid=$qid must surface exactly the 3 member rows")
+    }
+    assert(store.lastMemberFallbackScans > 0,
+      "a 3-member filter at k=10 must have snapped to the member scan")
+    // Dataset-query twin is bit-identical at covering AND partial beam
+    val qds = queries.toSeq.toDS().repartition(3)
+    assert(frame(store.searchPackedMemberQ8(qds, 6, member, deny = false,
+        ef = 600, overfetch = covering)) ==
+      frame(store.searchMergedMemberQ8(queries, 6, member, deny = false,
+        ef = 600, overfetch = covering)))
+    assert(frame(store.searchPackedMemberQ8(qds, 5, sel, deny = false,
+        ef = 12, overfetch = 4)) ==
+      frame(store.searchMergedMemberQ8(queries, 5, sel, deny = false,
+        ef = 12, overfetch = 4)))
+    // matches-nothing short-circuits; unpersisted store is a hard error
+    val none = graft.core.SetMember(Array.empty[Long])
+    assert(store.searchMergedMemberQ8(queries, 5, none, deny = false).count() == 0)
+    val bare = HnswStore.fromDataset[Long](
+      data.toDS(), normalize = false, numShards = 2)
+    intercept[IllegalArgumentException] {
+      bare.searchPackedMemberQ8(qds, 3, member, deny = false)
+    }
+    store.unpersist()
+  }
+
   test("graph search is deterministic across repeated calls") {
     val data = randData(400, 16, seed = 53, unit = true)
     val store = HnswStore.fromDataset[Long](

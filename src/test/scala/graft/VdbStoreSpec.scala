@@ -1009,6 +1009,223 @@ class VdbStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("queryDF bloom rung (round 18): distributed verification + refill matches query()'s driver bloom path and the exact twin") {
+    val s = freshStore(8)
+    val rng = new scala.util.Random(43)
+    def mk(base: Int, tag: String) = (0 until 60).map { i =>
+      val v = new Array[Float](8)
+      v(base) = 1f
+      (0 until 8).foreach(j => v(j) = v(j) + (rng.nextFloat() - 0.5f) * 0.05f)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      rec(f"$tag$i%03d", v.map(x => (x / n).toFloat), s"""{"c": "$tag"}""")
+    }
+    val recs = mk(0, "a") ++ mk(4, "b")
+    s.upsert(recs)
+    import spark.implicits._
+    val qvecs = recs.take(6).map(_.vector)
+    val qdf = qvecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("qid", "qvec")
+    s.enableAnn(nList = 4)
+    val whereB = Some(get_json_object(col("meta"), "$.c") === "b")
+    spark.conf.set("graft.query.exact", "true")
+    spark.conf.set("graft.ann.filtered", "true")
+    // both the 60-row match set and its 60-row complement overflow the
+    // forced cap -> the Bloom rung, at a brutal false-positive rate so
+    // the verification semi-join actually works for its living
+    spark.conf.set("graft.ann.filtered.max", "2")
+    spark.conf.set("graft.ann.filtered.bloom.fpp", "0.3")
+    try {
+      def canonDF(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(3), r.getString(1),
+          math.rint(r.getDouble(2) * 1e9)))
+        .toSeq.sortBy(t => (t._1, t._2))
+      val viaDF = canonDF(s.queryDF(qdf, "qid", "qvec", 5, where = whereB,
+        nProbe = 4))
+      assert(s.lastQueryStrategy.contains("ann-filtered+bloom"),
+        s"bulk facade routed ${s.lastQueryStrategy}")
+      assert(s.lastFilterPolarity == "bloom",
+        s"polarity ${s.lastFilterPolarity} — the r17 fallback override must be gone")
+      val bulkRefills = s.lastBloomRefillCount
+      val viaBatch = s.query(qvecs, 5, where = whereB, nProbe = 4)
+        .zipWithIndex.flatMap { case (hs, qi) =>
+          hs.zipWithIndex.map { case (h, r) =>
+            (qi.toLong, r + 1, h.id, math.rint(h.metrics * 1e9))
+          }
+        }.sortBy(t => (t._1, t._2))
+      assert(s.lastQueryStrategy.contains("ann-filtered+bloom"))
+      assert(viaDF == viaBatch,
+        "bulk bloom (distributed verify + refill) must match the driver loop")
+      assert(bulkRefills >= 0 && s.lastBloomRefillCount >= 0)
+      // and both equal the exact filtered scan at covering probes
+      spark.conf.set("graft.ann.filtered", "false")
+      val exact = canonDF(s.queryDF(qdf, "qid", "qvec", 5, where = whereB))
+      assert(s.lastQueryStrategy.contains("exact-filtered"))
+      assert(viaDF == exact, "bloom rung must be exact at covering probes")
+      // a sub-k member tail: restrict to 3 ids via the bloom machinery
+      // (cap 2 < 3 matches AND < 117 complement) — every query gets
+      // exactly the 3 rows, verified, never a false positive
+      spark.conf.set("graft.ann.filtered", "true")
+      val tiny = Some(col("_id_").isin("b000", "b001", "b002"))
+      val gotTiny = s.queryDF(qdf, "qid", "qvec", 5, where = tiny, nProbe = 4)
+        .select("qid", "_id_").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(s.lastQueryStrategy.exists(_.endsWith("+bloom")))
+      (0 until 6).foreach { qi =>
+        assert(gotTiny.filter(_._1 == qi).map(_._2).sorted.toSeq ==
+          Seq("b000", "b001", "b002"), s"qid=$qi bloom sub-k tail wrong")
+      }
+    } finally {
+      spark.conf.unset("graft.query.exact")
+      spark.conf.unset("graft.ann.filtered")
+      spark.conf.unset("graft.ann.filtered.max")
+      spark.conf.unset("graft.ann.filtered.bloom.fpp")
+      s.disableAnn()
+    }
+  }
+
+  test("queryDF flat compressed tiers (round 18): q8/pq/bit strategies serve the bulk engines and match the driver facade") {
+    val s = freshStore(8)
+    val rng = new scala.util.Random(47)
+    val recs = (0 until 150).map { i =>
+      val v = Array.fill(8)((rng.nextFloat() - 0.5f))
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      rec(f"v$i%03d", v.map(x => (x / n).toFloat), s"""{"i": $i}""")
+    }
+    s.upsert(recs)
+    import spark.implicits._
+    val qvecs = recs.take(5).map(_.vector)
+    val qdf = qvecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("qid", "qvec")
+    def canonDF(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getString(1),
+        math.rint(r.getDouble(2) * 1e9)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    def viaBatch(topK: Int) = s.query(qvecs, topK)
+      .zipWithIndex.flatMap { case (hs, qi) =>
+        hs.zipWithIndex.map { case (h, r) =>
+          (qi.toLong, r + 1, h.id, math.rint(h.metrics * 1e9))
+        }
+      }.sortBy(t => (t._1, t._2))
+    val covering = ((150 / 5) + 1).toString
+    val tiers = Seq(
+      ("q8", "graft.q8.overfetch", () => s.enableQ8(), () => s.disableQ8()),
+      ("pq", "graft.pq.overfetch", () => s.enablePq(), () => s.disablePq()),
+      ("bit", "graft.bit.overfetch", () => s.enableBit(), () => s.disableBit()))
+    tiers.foreach { case (tier, key, enable, disable) =>
+      enable()
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, covering)
+      try {
+        val viaDF = canonDF(s.queryDF(qdf, "qid", "qvec", 5))
+        assert(s.lastQueryStrategy.contains(tier),
+          s"bulk facade routed ${s.lastQueryStrategy}, expected $tier " +
+            "(the r17 exact-scan fallback must be gone)")
+        val drv = viaBatch(5)
+        assert(s.lastQueryStrategy.contains(tier))
+        assert(viaDF == drv, s"$tier: bulk != driver facade at covering overfetch")
+      } finally {
+        disable()
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    }
+    // threshold still routes exact (the conservative deviation)
+    s.enableQ8()
+    try {
+      s.queryDF(qdf, "qid", "qvec", 5, betterThan = Some(0.2)).collect()
+      assert(s.lastQueryStrategy.contains("exact"))
+    } finally s.disableQ8()
+  }
+
+  test("hnsw-filtered+q8 precedence (round 18): the graph rung composes with int8 and outranks ann-filtered+q8") {
+    val s = freshStore(8)
+    val rng = new scala.util.Random(51)
+    val recs = (0 until 120).map { i =>
+      val v = Array.fill(8)((rng.nextFloat() - 0.5f))
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      rec(f"w$i%03d", v.map(x => (x / n).toFloat), s"""{"g": ${i % 2}}""")
+    }
+    s.upsert(recs)
+    val q = recs.head.vector
+    val whereEven = Some(get_json_object(col("meta"), "$.g") === "0")
+    spark.conf.set("graft.ann.filtered", "true")
+    val covering = ((120 / 5) + 1).toString
+    spark.conf.set("graft.q8.overfetch", covering)
+    s.enableAnn(nList = 4)
+    s.enableHnsw()
+    s.enableQ8()
+    try {
+      // covering beam + covering overfetch == the exact filtered scan
+      val got = s.query(Seq(q), topK = 5, where = whereEven,
+        efSearch = 120).head
+      assert(s.lastQueryStrategy.contains("hnsw-filtered+q8"),
+        s"routed ${s.lastQueryStrategy} — the graph rung must compose with q8")
+      spark.conf.set("graft.ann.filtered", "false")
+      spark.conf.set("graft.query.exact", "true")
+      val exact = s.query(Seq(q), topK = 5, where = whereEven).head
+      assert(got.map(h => (h.id, math.rint(h.metrics * 1e9))) ==
+        exact.map(h => (h.id, math.rint(h.metrics * 1e9))))
+      // without q8 the same route reports the fp32 graph rung
+      spark.conf.set("graft.ann.filtered", "true")
+      s.disableQ8()
+      s.query(Seq(q), topK = 5, where = whereEven, efSearch = 120)
+      assert(s.lastQueryStrategy.contains("hnsw-filtered") &&
+        !s.lastQueryStrategy.exists(_.contains("q8")))
+    } finally {
+      spark.conf.unset("graft.ann.filtered")
+      spark.conf.unset("graft.q8.overfetch")
+      spark.conf.unset("graft.query.exact")
+      s.disableQ8(); s.disableHnsw(); s.disableAnn()
+    }
+  }
+
+  test("queryDF under micro-batch-style swaps (round 18 soak): version churn never serves stale membership or stale packs") {
+    // the r17 memo-staleness soak, re-run through the BULK facade: each
+    // upsertDF swap bumps the store version mid-stream of repeated
+    // queryDF calls — the memoized membership set, the cached bucket
+    // packs and the adaptive-loop state (swapPackedAllowedState) must
+    // all be version-scoped, so every batch sees exactly the rows the
+    // filter matches at that version
+    val s = freshStore(4)
+    import spark.implicits._
+    def batch(ids: Seq[String]) = ids.map { id =>
+      (id, Array(1f, 0f, 0f, 0f), s"""{"g": "x"}""")
+    }.toDF("_id_", "vector", "meta")
+    s.upsertDF(batch(Seq("x000", "x001", "x002")))
+    s.enableAnn(nList = 2)
+    spark.conf.set("graft.ann.filtered", "true")
+    try {
+      val qdf = Seq((0L, Array(1f, 0f, 0f, 0f))).toDF("qid", "qvec")
+      val whereX = Some(get_json_object(col("meta"), "$.g") === "x")
+      def hitIds(): Seq[String] =
+        s.queryDF(qdf, "qid", "qvec", 10, where = whereX, nProbe = 2)
+          .select("_id_").collect().map(_.getString(0)).sorted.toSeq
+      assert(hitIds() == Seq("x000", "x001", "x002"))
+      assert(s.lastQueryStrategy.contains("ann-filtered"))
+      assert(s.lastFilterMemberSource == "built")
+      assert(hitIds() == Seq("x000", "x001", "x002"))
+      assert(s.lastFilterMemberSource == "cached")
+      // micro-batches 2..4: each swap must invalidate the memo AND the
+      // new row must be findable through the bulk facade immediately
+      (3 to 5).foreach { n =>
+        s.upsertDF(batch(Seq(f"x$n%03d")))
+        val want = (0 to n).map(i => f"x$i%03d")
+        assert(hitIds() == want,
+          s"stale bulk state after micro-batch swap at n=$n")
+        assert(s.lastFilterMemberSource == "built",
+          "a version swap must invalidate the memoized membership set")
+      }
+      // deletes swap versions too; the bulk facade tracks them
+      s.delete(Seq("x000"))
+      assert(hitIds() == (1 to 5).map(i => f"x$i%03d"))
+    } finally {
+      spark.conf.unset("graft.ann.filtered")
+      s.disableAnn()
+    }
+  }
+
   test("filtered-accelerator memo is store-version-scoped across micro-batch-style swaps (round 17 soak)") {
     // the streaming x filtered-ANN interaction: every upsertDF swap
     // bumps the store version, so a memoized membership set from the
