@@ -164,6 +164,8 @@ final class PqStore[K](
                 cascadeSource: Boolean = false): Unit = {
     blocks.unpersist(blocking)
     if (cascadeSource) source.blocks.unpersist(blocking)
+    // LatestCallSlot teardown (see Q8Store.unpersist)
+    packedSlot.swap(Nil)
   }
 
   /** Force the build; returns total row count. */

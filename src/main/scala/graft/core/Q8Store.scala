@@ -80,6 +80,10 @@ final class Q8Store[K](
                 cascadeSource: Boolean = false): Unit = {
     blocks.unpersist(blocking)
     if (cascadeSource) source.blocks.unpersist(blocking)
+    // the LatestCallSlot teardown its scaladoc promises: without this a
+    // discarded store instance (version swap, disableQ8) would leak its
+    // persisted bulk-output RDD for the SparkContext lifetime
+    packedSlot.swap(Nil)
   }
 
   /** Force the build; returns total row count. */

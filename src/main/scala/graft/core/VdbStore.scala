@@ -1303,7 +1303,7 @@ final class VdbStore private (
               nProbe: Int = 0,
               efSearch: Int = 0): DataFrame = timed("queryDF") {
     import spark.implicits._
-    val qds = queries
+    val qds0 = queries
       .select(col(qidCol).cast(LongType).as("qid"),
         col(qvecCol).cast(ArrayType(FloatType)).as("qvec"))
       .as[(Long, Array[Float])]
@@ -1348,6 +1348,30 @@ final class VdbStore private (
         topK * math.max(1, conf.annFilteredBloomOverfetch))
       else topK
     val bloomSuffix = if (isBloom) "+bloom" else ""
+    // Surrogate row keys for the bloom branch (round-18 review): the
+    // verification + refill bookkeeping below groups by qid, so two
+    // query ROWS sharing a user qid would merge their counts — doubling
+    // `_scanned` past the eviction test — and interleave their hits in
+    // the re-rank window. Every bulk engine keeps query rows
+    // independent (the gemmQueries duplicate-qid rule); a unique
+    // surrogate key keeps the bloom bookkeeping row-scoped too, mapped
+    // back to the user qid after assembly. The rowkeys RDD pins the
+    // uid assignment (one count) so the map frame and the query set
+    // can never disagree on ids across recomputation.
+    val (qds, bloomQidMap) =
+      if (!isBloom) (qds0, None)
+      else {
+        val z = qds0.rdd.zipWithUniqueId()
+          .map { case ((qid, v), uid) => (uid, qid, v) }
+          .setName("graft.querydf.bloom.rowkeys")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        z.count()
+        val mapDf = spark
+          .createDataset(z.map { case (uid, qid, _) => (uid, qid) })
+          .toDF("qid", "_user_qid")
+        val qq = spark.createDataset(z.map { case (uid, _, v) => (uid, v) })
+        (qq, Some(mapDf))
+      }
 
     val rawHits: DataFrame = hnswFiltered match {
       case Some((h, m, dny)) =>
@@ -1476,22 +1500,35 @@ final class VdbStore private (
           .withColumn("_rr", row_number().over(w))
           .filter(col("_rr") <= topK)
           .select(col("qid"), col("id"), col("score"), col("_rr").as("rank"))
-        if (nRefill == 0) { refillQids.unpersist(); kept }
-        else {
-          VdbStore.log.info(
-            s"graft: queryDF bloom rung refilling $nRefill queries whose " +
-              s"verified candidates underfilled topK=$topK from the exact " +
-              "filtered scan")
-          val subQ = qds.toDF("qid", "qvec")
-            .join(refillQids, Seq("qid"), "left_semi")
-            .select(col("qid"), col("qvec"))
-            .as[(Long, Array[Float])]
-          val bs = packCandidates(cand)
-          val refilled = graft.operators.CosineTopK.gemmQueries[String](
-            bs, subQ, topK, None, exact = conf.queryExact)
-          val out = kept.unionByName(refilled)
-          refillQids.unpersist()
-          out
+        val assembled =
+          if (nRefill == 0) { refillQids.unpersist(); kept }
+          else {
+            VdbStore.log.info(
+              s"graft: queryDF bloom rung refilling $nRefill queries whose " +
+                s"verified candidates underfilled topK=$topK from the exact " +
+                "filtered scan")
+            val subQ = qds.toDF("qid", "qvec")
+              .join(refillQids, Seq("qid"), "left_semi")
+              .select(col("qid"), col("qvec"))
+              .as[(Long, Array[Float])]
+            val bs = packCandidates(cand)
+            val refilled = graft.operators.CosineTopK.gemmQueries[String](
+              bs, subQ, topK, None, exact = conf.queryExact)
+            // refillQids stays persisted: kept (left_anti) and subQ
+            // (left_semi) reference it from the LAZY returned plan, so
+            // unpersisting here would re-run the verification
+            // aggregations on every downstream action (round-18
+            // review); the ContextCleaner drops it with the plan.
+            kept.unionByName(refilled)
+          }
+        // surrogate -> user qid (the Q x k hits side of a broadcast
+        // join against the Q-row key map — never a store shuffle)
+        bloomQidMap match {
+          case Some(mapDf) => assembled
+            .join(org.apache.spark.sql.functions.broadcast(mapDf), Seq("qid"))
+            .select(col("_user_qid").as("qid"), col("id"), col("score"),
+              col("rank"))
+          case None => assembled
         }
       }
     // INNER join, matching query()'s hit-assembly semantics: a hit

@@ -20,21 +20,7 @@ import graft.core.{BlockStore, BoundedTopKG, Hnsw, VecBlock}
 final class HnswShard[K](
     val block: VecBlock[K],
     val unit: Array[Float],
-    val graph: Hnsw) extends Serializable {
-
-  /** INT8-quantized copy of the UNIT matrix the graph traverses —
-    * derived lazily on the first hnsw-filtered+q8 query (round 18) and
-    * cached with the shard object for the store's lifetime (the
-    * packedQ8Buckets trade: +25% shard memory buys a 4× cheaper beam).
-    * `@transient`: never serialized, never in the [[HnswIO]] snapshot
-    * format — an executor re-derives it deterministically from `unit`.
-    * norms stay null deliberately: the graph walks unit rows, so the
-    * dequantized dot IS the cosine estimate.
-    */
-  @transient lazy val q8: graft.core.Q8Block[K] =
-    graft.core.Q8Store.quantize(
-      new VecBlock[K](block.ids, unit, block.dim, null))
-}
+    val graph: Hnsw) extends Serializable
 
 /** Distributed sharded-HNSW vector index: `RDD[HnswShard]`, one graph
   * per bounded slab (≤ `maxBlockFloats` floats ≈ 128 MB), persisted
@@ -83,6 +69,44 @@ final class HnswStore[K](
   def unpersist(blocking: Boolean = false): Unit = {
     shards.unpersist(blocking)
     swapQPrep(null)
+    synchronized {
+      if (q8ShardsRef != null) { q8ShardsRef.unpersist(blocking); q8ShardsRef = null }
+    }
+  }
+
+  /** INT8 sibling of `shards` — each shard paired with the quantized
+    * copy of the UNIT matrix its graph traverses (the packedQ8Buckets
+    * trade: +25% shard memory buys a 4× cheaper beam). A derived
+    * PERSISTED RDD, not a lazy field on the shard (round-18 review):
+    * a task reading a shard partition non-locally deserializes a fresh
+    * HnswShard, so a @transient-lazy copy would re-run the full-slab
+    * quantize once per remote fetch — up to qparts times per shard per
+    * packed call. Here the narrow map keeps the pairs co-located with
+    * the fp32 shard cache, remote fetches ship the quantized BYTES,
+    * and an eviction recomputes exactly one lost partition. Derived on
+    * the first hnsw-filtered+q8 query, so only that strategy pays the
+    * memory; never serialized into the [[HnswIO]] snapshot (re-derived
+    * deterministically from the units). norms stay null deliberately:
+    * the graph walks unit rows, so the dequantized dot IS the cosine
+    * estimate.
+    */
+  @volatile private var q8ShardsRef: RDD[(HnswShard[K], graft.core.Q8Block[K])] = null
+
+  private def q8Shards(): RDD[(HnswShard[K], graft.core.Q8Block[K])] = {
+    val cur = q8ShardsRef
+    if (cur != null) cur
+    else synchronized {
+      if (q8ShardsRef == null) {
+        val derived = shards.map { sh =>
+          (sh, graft.core.Q8Store.quantize(
+            new VecBlock[K](sh.block.ids, sh.unit, sh.block.dim, null)))
+        }.setName("graft.hnsw.q8shards")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        derived.count()
+        q8ShardsRef = derived
+      }
+      q8ShardsRef
+    }
   }
 
   /** [[searchPacked]]'s per-call packed-query cache — latest call only,
@@ -529,13 +553,13 @@ final class HnswStore[K](
     val localCt = ct
     val merged =
       try {
-        shards.treeAggregate(null: Array[BoundedTopKG[K]])(
-          seqOp = (acc, shard) => {
+        q8Shards().treeAggregate(null: Array[BoundedTopKG[K]])(
+          seqOp = (acc, pair) => {
             val (qv, qn, qu, mem, dny) = bc.value
             val heaps = if (acc != null) acc
                         else Array.fill(qv.length)(new BoundedTopKG[K](kk)(localOrd))
-            HnswStore.scoreShardMemberQ8(heaps, shard, qv, qn, qu, kk, efk,
-              scanK, mem, dny, widen)(localCt, localOrd)
+            HnswStore.scoreShardMemberQ8(heaps, pair._1, pair._2, qv, qn, qu,
+              kk, efk, scanK, mem, dny, widen)(localCt, localOrd)
             heaps
           },
           combOp = (a, b) =>
@@ -598,12 +622,12 @@ final class HnswStore[K](
     swapQPrep(qblocks)
     qblocks.count()
     materialize()
-    val partials = qblocks.cartesian(shards).map {
-      case ((pi, (qids, qvecs, qnorms, qunits)), shard) =>
+    val partials = qblocks.cartesian(q8Shards()).map {
+      case ((pi, (qids, qvecs, qnorms, qunits)), (shard, q8)) =>
         val (mem, dny) = bcMem.value
         val heaps =
           Array.fill(qids.length)(new BoundedTopKG[K](kk)(localOrd))
-        HnswStore.scoreShardMemberQ8(heaps, shard, qvecs, qnorms, qunits,
+        HnswStore.scoreShardMemberQ8(heaps, shard, q8, qvecs, qnorms, qunits,
           kk, efk, scanK, mem, dny, widen)(localCt, localOrd)
         (pi, (qids, heaps))
     }
@@ -870,6 +894,7 @@ object HnswStore {
   private[operators] def scoreShardMemberQ8[K](
       heaps: Array[BoundedTopKG[K]],
       shard: HnswShard[K],
+      q8: graft.core.Q8Block[K],
       qvecs: Array[Array[Float]],
       qnorms: Array[Double],
       qunits: Array[Array[Float]],
@@ -888,7 +913,6 @@ object HnswStore {
     }
     val rows = shard.block.rows
     val ids = shard.block.ids
-    val q8 = shard.q8
     if (ef >= rows) {
       // covering beam: int8 member scan (unit rows, so qnorms = null —
       // the dequantized dot IS the cosine estimate) + fused rescore

@@ -1867,13 +1867,48 @@ final class IvfIndex(
       implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
       rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)],
       outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
-    import graft.core.{BoundedTopKG, Q8Block, Q8Store, VecBlock}
+    import graft.core.Q8Store
+    val np = resolveNProbe(nProbe, tier = "q8")
+    packedFusedTopK[K, graft.core.Q8Block[K]]("searchPackedQ8", queries, k,
+      np, normalized, overfetch, packedQ8Buckets[K](normalized),
+      (scanHeaps, _, _, blocks, qvecs, qnorms) =>
+        // int8 candidate scan over this bucket's quantized slabs
+        blocks.foreach(b => Q8Store.scoreBlock(scanHeaps, b, qvecs, qnorms)))
+  }
+
+  /** The shared engine of the packed composed tiers —
+    * [[searchPackedQ8]] / [[searchPackedPq]] / [[searchPackedBit]]
+    * differ ONLY in the per-bucket candidate scan (int8 dot / ADC
+    * tables / sketch encode + Hamming), so the probe exchange, the
+    * fused cogroup, the shared fp32 rescore and the uid-keyed merge
+    * live once here and a fix lands once (round-18 review: the three
+    * bodies had already been copied verbatim). Shape: zipWithUniqueId
+    * query prep with the zero→e0 convention, probe fan-out against the
+    * broadcast centroids, ONE cogroup pass per probed bucket — `scan`
+    * fills `k×overfetch`-bounded heaps from the tier's code slabs
+    * (receiving the bucket id and the broadcast centroids for
+    * per-bucket prep like residual offsets), then the survivors
+    * rescore against the CO-LOCATED fp32 blocks, fp32 bytes touched
+    * only on candidate hits — and the duplicate-qid-independent
+    * reduceByKey emit. `overfetch <= 0` skips the rescore (scan-only
+    * approximate ranking).
+    */
+  private def packedFusedTopK[K, B](
+      name: String,
+      queries: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      k: Int, np: Int, normalized: Boolean, overfetch: Int,
+      codePacked: org.apache.spark.rdd.RDD[(Int, B)],
+      scan: (Array[graft.core.BoundedTopKG[K]], Int, Array[Array[Double]],
+             Iterable[B], Array[Array[Float]], Array[Double]) => Unit)(
+      implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
+      ctB: scala.reflect.ClassTag[B],
+      rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)],
+      outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
+    import graft.core.{BoundedTopKG, Q8Store}
     import graft.operators.{Kernels => Kn}
     val spark = assigned.sparkSession
     val sc = spark.sparkContext
-    val np = resolveNProbe(nProbe, tier = "q8")
     val (fpPacked, part) = packedBuckets[K](normalized)
-    val q8Packed = packedQ8Buckets[K](normalized)
     val bcCent = sc.broadcast(centroids)
     val dimLocal = dim
     val kk = k
@@ -1882,28 +1917,27 @@ final class IvfIndex(
       else math.min(math.max(k.toLong * overfetch, k.toLong), Int.MaxValue.toLong).toInt
     val doRescore = overfetch > 0
     val normStore = normalized
+    val scanLocal = scan
     val probed = queries.rdd.zipWithUniqueId().flatMap { case ((qid, v), uid) =>
       if (dimLocal > 0) require(v.length == dimLocal,
-        s"IvfIndex.searchPackedQ8: query $qid has dim ${v.length}, index dim is $dimLocal")
+        s"IvfIndex.$name: query $qid has dim ${v.length}, index dim is $dimLocal")
       val pv =
         if (normStore && Kn.normSqD(v) == 0.0) {
           val e = new Array[Float](math.max(1, dimLocal)); e(0) = 1f; e
         } else v
       IvfIndex.probeIds(bcCent.value, pv, np).map(c => (c, (uid, qid, pv)))
     }
-    val partials = q8Packed.cogroup(fpPacked, probed, part).flatMap {
-      case (_, (q8Blocks, fpBlocks, qs)) =>
-        if (q8Blocks.isEmpty || qs.isEmpty) Iterator.empty
+    val partials = codePacked.cogroup(fpPacked, probed, part).flatMap {
+      case (cid, (codeBlocks, fpBlocks, qs)) =>
+        if (codeBlocks.isEmpty || qs.isEmpty) Iterator.empty
         else {
           val qarr = qs.toArray
           val qvecs = qarr.map(_._3)
           val qnorms =
             if (normStore) null
             else qvecs.map(v => math.sqrt(Kn.normSqD(v)))
-          // int8 candidate scan over this bucket's quantized slabs
           val scanHeaps = Array.fill(qarr.length)(new BoundedTopKG[K](scanK))
-          q8Blocks.foreach(b =>
-            Q8Store.scoreBlock(scanHeaps, b.asInstanceOf[Q8Block[K]], qvecs, qnorms))
+          scanLocal(scanHeaps, cid, bcCent.value, codeBlocks, qvecs, qnorms)
           val outHeaps =
             if (!doRescore) scanHeaps
             else {
@@ -1913,8 +1947,7 @@ final class IvfIndex(
               val cands = Q8Store.CandIndex.build[K](approx)
               val heaps = Array.fill(qarr.length)(new BoundedTopKG[K](kk))
               fpBlocks.foreach(b =>
-                Q8Store.rescoreBlock(heaps, b.asInstanceOf[VecBlock[K]], cands,
-                  qvecs, qnorms))
+                Q8Store.rescoreBlock(heaps, b, cands, qvecs, qnorms))
               heaps
             }
           qarr.iterator.zip(outHeaps.iterator).map { case ((uid, qid, _), h) =>
@@ -1978,86 +2011,31 @@ final class IvfIndex(
       implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
       rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)],
       outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
-    import graft.core.{BoundedTopKG, PqBlock, PqStore, Q8Store, VecBlock}
-    import graft.operators.{Kernels => Kn}
-    val spark = assigned.sparkSession
-    val sc = spark.sparkContext
+    import graft.core.PqStore
     val np = resolveNProbe(nProbe, tier = "pq")
-    val dimLocal = dim
-    val mm = if (m > 0) m else graft.core.PqStore.autoM(dimLocal)
-    val (fpPacked, part) = packedBuckets[K](normalized)
+    val mm = if (m > 0) m else graft.core.PqStore.autoM(dim)
     val (codebook, pqPacked) = packedPqBuckets[K](normalized, mm, byResidual)
-    val bcCent = sc.broadcast(centroids)
-    val bcCb = sc.broadcast(codebook)
+    val bcCb = assigned.sparkSession.sparkContext.broadcast(codebook)
     val useResidual = byResidual
-    val kk = k
-    val scanK =
-      if (overfetch <= 0) k
-      else math.min(math.max(k.toLong * overfetch, k.toLong), Int.MaxValue.toLong).toInt
-    val doRescore = overfetch > 0
-    val normStore = normalized
-    val probed = queries.rdd.zipWithUniqueId().flatMap { case ((qid, v), uid) =>
-      if (dimLocal > 0) require(v.length == dimLocal,
-        s"IvfIndex.searchPackedPq: query $qid has dim ${v.length}, index dim is $dimLocal")
-      val pv =
-        if (normStore && Kn.normSqD(v) == 0.0) {
-          val e = new Array[Float](math.max(1, dimLocal)); e(0) = 1f; e
-        } else v
-      IvfIndex.probeIds(bcCent.value, pv, np).map(c => (c, (uid, qid, pv)))
-    }
-    val partials = pqPacked.cogroup(fpPacked, probed, part).flatMap {
-      case (cid, (pqBlocks, fpBlocks, qs)) =>
-        if (pqBlocks.isEmpty || qs.isEmpty) Iterator.empty
-        else {
-          val qarr = qs.toArray
-          val qvecs = qarr.map(_._3)
-          val qnorms =
-            if (normStore) null
-            else qvecs.map(v => math.sqrt(Kn.normSqD(v)))
-          val cbk = bcCb.value
-          val tables = qvecs.map(cbk.adcTable)
-          val cents = bcCent.value
-          val c =
-            if (useResidual && cid >= 0 && cid < cents.length) cents(cid)
-            else null
-          val offsets =
-            if (c == null) null
-            else qvecs.map { q =>
-              var s = 0.0; var t = 0
-              while (t < q.length) { s += q(t) * c(t); t += 1 }
-              s
-            }
-          // ADC candidate scan over this bucket's code slabs
-          val scanHeaps = Array.fill(qarr.length)(new BoundedTopKG[K](scanK))
-          pqBlocks.foreach(b =>
-            PqStore.scoreBlock(scanHeaps, tables, cbk.ksub,
-              b.asInstanceOf[PqBlock[K]], qnorms, offsets))
-          val outHeaps =
-            if (!doRescore) scanHeaps
-            else {
-              // fused rescore: candidates of THIS bucket probed against
-              // the co-located fp32 blocks of the same bucket
-              val approx = scanHeaps.map(_.sortedHits())
-              val cands = Q8Store.CandIndex.build[K](approx)
-              val heaps = Array.fill(qarr.length)(new BoundedTopKG[K](kk))
-              fpBlocks.foreach(b =>
-                Q8Store.rescoreBlock(heaps, b.asInstanceOf[VecBlock[K]], cands,
-                  qvecs, qnorms))
-              heaps
-            }
-          qarr.iterator.zip(outHeaps.iterator).map { case ((uid, qid, _), h) =>
-            (uid, (qid, h))
+    packedFusedTopK[K, graft.core.PqBlock[K]]("searchPackedPq", queries, k,
+      np, normalized, overfetch, pqPacked,
+      (scanHeaps, cid, cents, blocks, qvecs, qnorms) => {
+        val cbk = bcCb.value
+        val tables = qvecs.map(cbk.adcTable)
+        val c =
+          if (useResidual && cid >= 0 && cid < cents.length) cents(cid)
+          else null
+        val offsets =
+          if (c == null) null
+          else qvecs.map { q =>
+            var s = 0.0; var t = 0
+            while (t < q.length) { s += q(t) * c(t); t += 1 }
+            s
           }
-        }
-    }
-    val rows = partials
-      .reduceByKey((a, b) => { a._2.absorb(b._2); a })
-      .flatMap { case (_, (qid, h)) =>
-        h.sortedHits().iterator.take(kk).zipWithIndex.map { case ((id, s), r) =>
-          (qid, id, s, r + 1)
-        }
-      }
-    spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
+        // ADC candidate scan over this bucket's code slabs
+        blocks.foreach(b =>
+          PqStore.scoreBlock(scanHeaps, tables, cbk.ksub, b, qnorms, offsets))
+      })
   }
 
   /** Bulk (Dataset-query) IVF-bit top-k (round 18): [[searchPackedQ8]]'s
@@ -2091,86 +2069,29 @@ final class IvfIndex(
       implicit ct: scala.reflect.ClassTag[K], ord: Ordering[K],
       rowEnc: org.apache.spark.sql.Encoder[(K, Array[Float], Int)],
       outEnc: org.apache.spark.sql.Encoder[(Long, K, Double, Int)]): DataFrame = {
-    import graft.core.{BitBlock, BitStore, BoundedTopKG, Q8Store, VecBlock}
-    import graft.operators.{Kernels => Kn}
-    val spark = assigned.sparkSession
-    val sc = spark.sparkContext
+    import graft.core.BitStore
     val np = resolveNProbe(nProbe, tier = "bit")
-    val dimLocal = dim
-    val kk = k
-    val scanK =
-      if (overfetch <= 0) k
-      else math.min(math.max(k.toLong * overfetch, k.toLong), Int.MaxValue.toLong).toInt
-    val doRescore = overfetch > 0
-    val normStore = normalized
-    val localOrd = ord
     val nBits = bits
-    val (fpPacked, part) = packedBuckets[K](normalized)
-    val bitPacked = packedBitBuckets[K](normalized, bits)
-    val bcCent = sc.broadcast(centroids)
-    val probed = queries.rdd.zipWithUniqueId().flatMap { case ((qid, v), uid) =>
-      if (dimLocal > 0) require(v.length == dimLocal,
-        s"IvfIndex.searchPackedBit: query $qid has dim ${v.length}, index dim is $dimLocal")
-      val pv =
-        if (normStore && Kn.normSqD(v) == 0.0) {
-          val e = new Array[Float](math.max(1, dimLocal)); e(0) = 1f; e
-        } else v
-      IvfIndex.probeIds(bcCent.value, pv, np).map(c => (c, (uid, qid, pv)))
-    }
-    val partials = bitPacked.cogroup(fpPacked, probed, part).flatMap {
-      case (_, (bitBlocks, fpBlocks, qs)) =>
-        if (bitBlocks.isEmpty || qs.isEmpty) Iterator.empty
-        else {
-          val qarr = qs.toArray
-          val qvecs = qarr.map(_._3)
-          val qnorms =
-            if (normStore) null
-            else qvecs.map(v => math.sqrt(Kn.normSqD(v)))
-          // in-task query sketches under the pack's seeded hyperplanes
-          // (dims validated against each slab by the scan below)
-          val qDim = qvecs(0).length
-          val planes = BitStore.hyperplanes(nBits, qDim,
-            BitStore.DefaultSeed)
-          val w = (nBits + 63) >>> 6
-          val qcodes = new Array[Long](qvecs.length * w)
-          var i = 0
-          while (i < qvecs.length) {
-            BitStore.encodeRow(qvecs(i), 0, qDim, planes, nBits, qcodes, i * w)
-            i += 1
-          }
-          val scanHeaps = Array.fill(qarr.length)(new BoundedTopKG[K](scanK)(localOrd))
-          bitBlocks.foreach { blk0 =>
-            val blk = blk0.asInstanceOf[BitBlock[K]]
-            require(blk.dim == qDim,
-              s"IvfIndex.searchPackedBit: query dim $qDim != store sketch dim ${blk.dim}")
-            BitStore.scoreBlock(scanHeaps, blk, qcodes, nBits)
-          }
-          val outHeaps =
-            if (!doRescore) scanHeaps
-            else {
-              // fused rescore: candidates of THIS bucket probed against
-              // the co-located fp32 blocks of the same bucket
-              val approx = scanHeaps.map(_.sortedHits())
-              val cands = Q8Store.CandIndex.build[K](approx)
-              val heaps = Array.fill(qarr.length)(new BoundedTopKG[K](kk)(localOrd))
-              fpBlocks.foreach(b =>
-                Q8Store.rescoreBlock(heaps, b.asInstanceOf[VecBlock[K]], cands,
-                  qvecs, qnorms))
-              heaps
-            }
-          qarr.iterator.zip(outHeaps.iterator).map { case ((uid, qid, _), h) =>
-            (uid, (qid, h))
-          }
+    packedFusedTopK[K, graft.core.BitBlock[K]]("searchPackedBit", queries, k,
+      np, normalized, overfetch, packedBitBuckets[K](normalized, bits),
+      (scanHeaps, _, _, blocks, qvecs, _) => {
+        // in-task query sketches under the pack's seeded hyperplanes
+        // (dims validated against each slab by the scan below)
+        val qDim = qvecs(0).length
+        val planes = BitStore.hyperplanes(nBits, qDim, BitStore.DefaultSeed)
+        val w = (nBits + 63) >>> 6
+        val qcodes = new Array[Long](qvecs.length * w)
+        var i = 0
+        while (i < qvecs.length) {
+          BitStore.encodeRow(qvecs(i), 0, qDim, planes, nBits, qcodes, i * w)
+          i += 1
         }
-    }
-    val rows = partials
-      .reduceByKey((a, b) => { a._2.absorb(b._2); a })
-      .flatMap { case (_, (qid, h)) =>
-        h.sortedHits().iterator.take(kk).zipWithIndex.map { case ((id, s), r) =>
-          (qid, id, s, r + 1)
+        blocks.foreach { blk =>
+          require(blk.dim == qDim,
+            s"IvfIndex.searchPackedBit: query dim $qDim != store sketch dim ${blk.dim}")
+          BitStore.scoreBlock(scanHeaps, blk, qcodes, nBits)
         }
-      }
-    spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
+      })
   }
 
   /** Product-quantized twins of [[packedBuckets]] (IVF-PQ): the

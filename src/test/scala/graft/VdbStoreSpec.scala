@@ -1074,6 +1074,32 @@ class VdbStoreSpec extends AnyFunSuite {
         assert(gotTiny.filter(_._1 == qi).map(_._2).sorted.toSeq ==
           Seq("b000", "b001", "b002"), s"qid=$qi bloom sub-k tail wrong")
       }
+      // duplicate user qids (round-18 review): two query ROWS sharing a
+      // qid stay independent through the bloom bookkeeping — the
+      // surrogate row keys keep _scanned/_verified row-scoped (a merged
+      // count would double past the eviction test and the re-rank
+      // window would take k of the interleaved 2k rows), so the output
+      // is the UNION of both rows' independent top-k (the gemmQueries
+      // duplicate-qid rule the non-bloom paths already follow)
+      val qa = qvecs(0)
+      val qb = recs(60).vector // a "b"-class vector, distinct results
+      val dupDf = Seq((7L, qa), (7L, qb)).toDF("qid", "qvec")
+      val gotDup = s.queryDF(dupDf, "qid", "qvec", 5, where = whereB,
+          nProbe = 4)
+        .select("qid", "_id_", "rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      assert(s.lastQueryStrategy.exists(_.endsWith("+bloom")))
+      assert(gotDup.forall(_._1 == 7L) && gotDup.length == 10,
+        s"duplicate qid must keep both rows' top-5 (got ${gotDup.length} rows)")
+      val sepDf = Seq((0L, qa), (1L, qb)).toDF("qid", "qvec")
+      val gotSep = s.queryDF(sepDf, "qid", "qvec", 5, where = whereB,
+          nProbe = 4)
+        .select("qid", "_id_", "rank").collect()
+        .map(r => (r.getString(1), r.getInt(2)))
+      assert(gotDup.map(t => (t._2, t._3)).sorted.toSeq ==
+        gotSep.sorted.toSeq,
+        "duplicate-qid output must be the multiset union of the rows' " +
+          "independent results")
     } finally {
       spark.conf.unset("graft.query.exact")
       spark.conf.unset("graft.ann.filtered")
@@ -1136,6 +1162,22 @@ class VdbStoreSpec extends AnyFunSuite {
     try {
       s.queryDF(qdf, "qid", "qvec", 5, betterThan = Some(0.2)).collect()
       assert(s.lastQueryStrategy.contains("exact"))
+    } finally s.disableQ8()
+    // teardown releases the bulk-output cache (round-18 review: the
+    // LatestCallSlot scaladoc promises an owner teardown via swap(Nil);
+    // without it every disable/version-swap leaked one persisted
+    // Q x k RDD for the SparkContext lifetime)
+    s.enableQ8()
+    try {
+      s.queryDF(qdf, "qid", "qvec", 5).collect()
+      val held = spark.sparkContext.getPersistentRDDs.collect {
+        case (id, r) if r.name == "graft.packedscan.out" => id
+      }.toSet
+      assert(held.nonEmpty, "the bulk flat engine should cache its output")
+      s.disableQ8()
+      val after = spark.sparkContext.getPersistentRDDs.keySet
+      assert(held.forall(id => !after.contains(id)),
+        "disableQ8 must release the packed bulk-output cache")
     } finally s.disableQ8()
   }
 
