@@ -269,6 +269,41 @@ final class Hnsw private (
     out.take(k).map { case (s, id) => (id, s) }
   }
 
+  /** INT8 copy of the node matrix for [[searchFilteredQ8]] — the
+    * [[Q8Store]] per-row layout (`round(v/scale)`, scale = maxAbs/127,
+    * all-zero rows code to 0). Computed on demand; the OWNER decides
+    * the caching policy (the serving replica holds one copy, the
+    * sharded store derives a persisted sibling RDD).
+    */
+  def quantizeNodes(): (Array[Byte], Array[Float]) = {
+    val codes = new Array[Byte](n * dim)
+    val scales = new Array[Float](n)
+    var r = 0
+    while (r < n) {
+      val off = r * dim
+      var maxAbs = 0f
+      var i = 0
+      while (i < dim) {
+        val a = math.abs(data(off + i))
+        if (a > maxAbs) maxAbs = a
+        i += 1
+      }
+      if (maxAbs > 0f) {
+        val scale = maxAbs / 127f
+        scales(r) = scale
+        val inv = 1f / scale
+        var j = 0
+        while (j < dim) {
+          val c = math.round(data(off + j) * inv)
+          codes(off + j) = (if (c > 127) 127 else if (c < -127) -127 else c).toByte
+          j += 1
+        }
+      }
+      r += 1
+    }
+    (codes, scales)
+  }
+
   /** Serialize the graph TOPOLOGY (levels / neighbor lists / entry) —
     * plain int arrays, no vectors: the caller owns the packed matrix
     * and re-supplies it to [[Hnsw.readGraph]] on load. This is the

@@ -277,6 +277,57 @@ final class LocalReplica private[core] (
     else queryOne(vector, topK, whereFn = Some(whereFn))
   }
 
+  @volatile private var hnswQ8Var: (Array[Byte], Array[Float]) = null
+
+  /** Quantize the graph's node matrix to int8, idempotently (requires
+    * [[buildHnsw]]) — the serving-side half of the hnsw-filtered+q8
+    * composition (round 18). No quick-load cache for the same reason
+    * as [[buildQ8]]: quantization costs one multiply+round per byte
+    * produced.
+    */
+  def buildHnswQ8(): Unit =
+    if (hnswQ8Var == null) synchronized {
+      require(hnswIdx != null, "call buildHnsw() first")
+      if (hnswQ8Var == null) hnswQ8Var = hnswIdx.quantizeNodes()
+    }
+
+  /** [[queryOneHnswFiltered]] with the int8 traversal composition
+    * (round 18, requires [[buildHnsw]] + [[buildHnswQ8]]) — the
+    * serving twin of the store's "hnsw-filtered+q8" strategy
+    * ([[graft.operators.HnswStore.searchMergedMemberQ8]]): the
+    * filtered beam walks the INT8 copy of the node matrix (4× less
+    * traversal bandwidth — the win matters most here, where the
+    * reference's 0.4 ms/query headline lives), widened to
+    * `max(ef, topK×overfetch)` so the candidate cut has that many
+    * ACCEPTED rows in hand, and the survivors rescore through
+    * [[rescoreExact]]'s double arithmetic — so at a covering beam +
+    * covering overfetch the result matches [[queryOne]]'s exact
+    * filtered scan hit-for-hit (spec-pinned). Underfill (< topK
+    * accepted — the beam provably exhausted the entry component, the
+    * [[Hnsw.searchFilteredQ8]] termination contract) snaps to the
+    * exact filtered scan, exactly like the fp32 twin. Explicit by
+    * NAME, the same opt-in rule as [[queryOneHnswFiltered]].
+    */
+  def queryOneHnswFilteredQ8(vector: Array[Float], topK: Int = 10,
+                             ef: Int = 64,
+                             whereFn: (String, String) => Boolean,
+                             overfetch: Int = 4): Seq[VdbHit] = {
+    require(hnswIdx != null, "call buildHnsw() first")
+    require(hnswQ8Var != null, "call buildHnswQ8() first")
+    require(vector.length == dim,
+      s"query vector dim mismatch: expected $dim, got ${vector.length}")
+    val q = graft.functions.NormalizeL2.normalize(vector)
+    val ids = hnswIds
+    val scanK = math.max(topK, topK * math.max(1, overfetch))
+    val (codes, scales) = hnswQ8Var
+    val hits = hnswIdx.searchFilteredQ8(q, scanK, math.max(ef, scanK),
+      node => { val id = ids(node); whereFn(id, metaOf.get(id)) },
+      codes, scales)
+    if (hits.length >= topK)
+      rescoreExact(q, hits.map(t => ids(t._1)).toSeq, topK)
+    else queryOne(vector, topK, whereFn = Some(whereFn))
+  }
+
   // ---- optional compression tiers (round 16): the store's q8/pq
   // serving rungs, in-process. Same shape as the distributed
   // strategies — compressed candidate scan, then the exact

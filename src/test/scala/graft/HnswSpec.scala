@@ -203,4 +203,47 @@ class HnswSpec extends AnyFunSuite {
       whereFn = (id, _) => three(id))
     assert(tiny.map(_.id).toSet == three, s"got ${tiny.map(_.id)}")
   }
+
+  test("LocalReplica.queryOneHnswFilteredQ8 (round 18): int8 beam + exact rescore, covering parity, sub-k snap") {
+    val rng = new scala.util.Random(41)
+    val s = VdbStore.empty(spark, 16)
+    val recs = (0 until 400).map { i =>
+      VdbRecord(f"g$i%04d", Array.fill(16)(rng.nextFloat() - 0.5f),
+        s"""{"par": ${i % 2}}""")
+    }
+    s.upsert(recs)
+    val rep = s.localReplica()
+    rep.buildHnsw()
+    intercept[IllegalArgumentException](
+      rep.queryOneHnswFilteredQ8(recs(0).vector, whereFn = (_, _) => true))
+    rep.buildHnswQ8()
+    val isOdd = (_: String, meta: String) =>
+      meta != null && meta.contains("\"par\": 1")
+    val q = recs(7).vector
+    // covering beam + covering candidate cut: the int8 walk holds every
+    // reachable member and the rescore IS the exact filtered scan's
+    // arithmetic — parity must be hit-for-hit
+    val exactF = rep.queryOne(q, topK = 8, whereFn = Some(isOdd))
+    val got = rep.queryOneHnswFilteredQ8(q, topK = 8, ef = 400,
+      whereFn = isOdd, overfetch = 50)
+    assert(got.map(h => (h.id, h.metrics)) ==
+      exactF.map(h => (h.id, h.metrics)))
+    // partial beam: k member rows, members only, and every score is
+    // the exact arithmetic for its id (int8 never leaks into output)
+    val exactScores = rep.queryOne(q, topK = 400, whereFn = Some(isOdd))
+      .map(h => h.id -> h.metrics).toMap
+    val partial = rep.queryOneHnswFilteredQ8(q, topK = 8, ef = 16,
+      whereFn = isOdd, overfetch = 2)
+    assert(partial.size == 8 &&
+      partial.forall(h => isOdd(h.id, h.metaJson.orNull)))
+    partial.foreach(h =>
+      assert(math.abs(h.metrics - exactScores(h.id)) < 1e-12,
+        s"${h.id}: partial-beam scores must be fp32-rescored"))
+    // a filter matching fewer than k rows returns exactly those (the
+    // underfill -> exact-scan snap), never more, never an error
+    val three = Set("g0001", "g0003", "g0005")
+    val tiny = rep.queryOneHnswFilteredQ8(q, topK = 10, ef = 16,
+      whereFn = (id, _) => three(id))
+    assert(tiny.map(_.id).toSet == three, s"got ${tiny.map(_.id)}")
+  }
 }
