@@ -115,6 +115,20 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Heartbeat hardening (BENCH_r18 postmortem): the driver-harness
+      // pass died with runner exit 56 = ExecutorExitCode.HEARTBEAT_FAILURE
+      // — in local[N] the in-JVM executor calls System.exit(56) after
+      // `spark.executor.heartbeat.maxFailures` consecutive missed
+      // heartbeats, which long GC pauses + sustained hypervisor
+      // cycle-stealing can produce on a 30-minute contaminated pass. A
+      // single-JVM executor self-terminating is pure downside (there is
+      // no other executor to fail over to), so make the tolerance
+      // effectively infinite for the bench process; a real cluster keeps
+      // its own defaults.
+      .config("spark.executor.heartbeatInterval", "20s")
+      .config("spark.executor.heartbeat.maxFailures", "10000")
+      .config("spark.network.timeout", "36000s")
+      .config("spark.rpc.askTimeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -190,6 +204,179 @@ object Bench {
       }
     }
     val picovdbOnly = sys.env.contains("SPARK_GRAFT_PICOVDB_ONLY")
+
+    // Result-state maps filled by the sections below. Declared up front
+    // (BENCH_r18 postmortem) so the emitter can run from a shutdown hook
+    // with whatever was measured when the JVM dies early.
+    val recalls = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // which probe strategy each np-sweep row actually ran (round 13:
+    // the probe-fraction crossover may snap a row to the exact
+    // all-list scan — the artifact must say so, not leave a reader
+    // inferring it from the recall column)
+    val annStrategies = scala.collection.mutable.LinkedHashMap[String, String]()
+    val retrieval = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // canaryRaw.size at the headline/catalog boundary; -1 until the
+    // headline sections finish (the emitter treats -1 as "all samples
+    // are headline samples" for an early abort)
+    var headlineCanaryCount = -1
+
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    // Locale.ROOT: a comma-decimal default locale must not break the
+    // one-line-JSON driver contract.
+    def jnum(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+
+    /** Emit the full + compact JSON lines and the BENCH_LAST.json
+      * artifact from the current result state. Idempotent (first caller
+      * wins): called once at the end of a normal run, and from the JVM
+      * shutdown hook below if the process dies before that — a bench
+      * that measured 130 entries and then got heartbeat-killed must
+      * still ship those 130 numbers (BENCH_r18.json shipped none).
+      */
+    val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def emitAll(): Unit = if (emitted.compareAndSet(false, true)) {
+      val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v) }
+        .mkString("{", ",", "}")
+      val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "}")
+      val rc = recalls.map { case (k, v) => jstr(k) + ":" + jnum(v) }
+        .mkString("{", ",", "}")
+      // _min/_max entries are spread diagnostics for an already-recorded
+      // median, and the ann_build _fit/_assign/_pack rows are components
+      // of the already-counted ann_build sum — both would double-count.
+      val total = results.collect {
+        case (k, v) if v >= 0 && !k.endsWith("_min") && !k.endsWith("_max") &&
+          !k.endsWith("_fit") && !k.endsWith("_assign") && !k.endsWith("_pack") => v
+      }.sum
+      // noise_canary: ratio of a fixed single-thread FMA loop to the
+      // run's global-minimum canary time (calibration + passes), sampled
+      // once per headline cold cycle (first 3) and once per interleaved
+      // catalog pass (last 3). Any entry > ~1.25 means that pass ran
+      // under host contention — read this run's numbers accordingly.
+      val canaryNominal = (canaryCalib ++ canaryRaw).min
+      val canaryRatios = canaryRaw.map(_ / canaryNominal)
+      val canaryJson = canaryRatios.map(jnum).mkString("[", ",", "]")
+      // Multi-core ratios use their own nominal: 8 threads on a quiet
+      // host take slightly longer wall than 1 (turbo/scheduler effects),
+      // so normalizing against the single-thread floor would bake in a
+      // false baseline offset.
+      val canaryMultiNominal = (canaryMultiCalib ++ canaryMultiRaw).min
+      val canaryMultiRatios = canaryMultiRaw.map(_ / canaryMultiNominal)
+      val canaryMultiJson = canaryMultiRatios.map(jnum).mkString("[", ",", "]")
+      val canaryFlagged = canaryRatios.exists(_ > 1.25) ||
+        canaryMultiRatios.exists(_ > 1.25)
+      // Self-description derived from the ACTUAL sample counts (ADVICE r8:
+      // the hardcoded "3 headline cycles then 3 catalog passes" text was
+      // wrong under SPARK_GRAFT_PICOVDB_ONLY, where the catalog loop is
+      // skipped and the array is shorter).
+      val headN =
+        if (headlineCanaryCount >= 0) headlineCanaryCount else canaryRaw.size
+      val catalogCanaryCount = canaryRaw.size - headN
+      val canaryLayout =
+        s"$headN headline samples (one per cold cycle, one " +
+        s"post-final-cycle witness, one per ANN build sample, one per ANN " +
+        s"query sample, one per q8 quantize/scan/rescore sample, one " +
+        s"post-ANN-section witness, one per suspect-retry sample)" +
+        (if (catalogCanaryCount > 0)
+           s" then $catalogCanaryCount catalog-pass/retry samples"
+         else " (catalog sweep skipped: picovdb-only mode)")
+      val minsJson = mins.map { case (k, v) => jstr(k) + ":" + jnum(v) }
+        .mkString("{", ",", "}")
+      val retrievalJson = retrieval.map { case (k, v) =>
+        jstr(k) + ":" + v.toInt.toString
+      }.mkString("{", ",", "}")
+      val suspectJson = suspects.map(jstr).mkString("[", ",", "]")
+      val notes = jstr(
+        "noise_canary = single-thread 100M-FMA time / run-global minimum; " +
+        "noise_canary_multi = slowest of 8 concurrent FMA chains / its own " +
+        s"run-global minimum (same sample points: $canaryLayout); " +
+        ">1.25 on either marks a contaminated pass. mins = per-entry " +
+        "minimum beside each recorded median; suspect lists entries with " +
+        "median/min > 1.5 (read median as upper bound, min as capability). " +
+        "Cache-building catalog entries " +
+        "(q23 simhash signatures, q26/q46 IVF build) record warm steady " +
+        "state since r7; their one-time build cost is in the run log, not here.")
+      val retriedJson = retried.map(jstr).mkString("[", ",", "]")
+      val annStrategyJson = annStrategies.map { case (k, v) =>
+        jstr(k) + ":" + jstr(v)
+      }.mkString("{", ",", "}")
+      val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$minsJson,"suspect":$suspectJson,"retried":$retriedJson,"ann_recall10":$rc,"ann_strategy":$annStrategyJson,"retrieval_mismatch":$retrievalJson,"noise_canary":$canaryJson,"noise_canary_multi":$canaryMultiJson,"noise_flagged":$canaryFlagged,"canary_nominal_sec":${jnum(canaryNominal)},"canary_multi_nominal_sec":${jnum(canaryMultiNominal)},"notes":$notes,"errors":$es,"sf":${jstr(sfDir)}}"""
+      println(jsonLine)
+      // Durable artifact (VERDICT r8 next-round #1): the stdout line above is
+      // the driver contract, but any finite tail capture can decapitate a
+      // single long line (BENCH_r08.json lost its headline entries that way).
+      // Write the identical JSON to a file beside the repo root, overwritten
+      // per run, so the record survives regardless of how stdout is captured.
+      try {
+        // Files.write, not PrintWriter: PrintWriter suppresses
+        // write/close IOExceptions (it only sets an error flag), which
+        // could leave a silently-truncated artifact while the success
+        // line below still printed — the exact failure mode this file
+        // exists to prevent.
+        val out = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
+        java.nio.file.Files.write(out,
+          (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"bench json also written to ${out.toAbsolutePath}")
+      } catch {
+        // NonFatal, not just IOException: Paths.get on a malformed
+        // SPARK_GRAFT_BENCH_OUT throws InvalidPathException (a
+        // RuntimeException), and the artifact write must never crash a
+        // bench whose stdout line is already complete
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"bench json file write failed (stdout line above is complete): $e")
+      }
+      // COMPACT line, printed LAST (round 12): the driver's artifact keeps
+      // only a ~2000-char tail of this process's output, and the full line
+      // above has outgrown it (BENCH_r10/r11 both carry "parsed": null —
+      // the tail decapitated the line mid-JSON, so no round has actually
+      // shipped a machine-parsed artifact since the line passed 2k chars).
+      // This line holds the headline rows, the trust flags, and a pointer
+      // to the full artifact file; it must stay well under the tail window
+      // even with sbt's trailing "[success]" line after it.
+      def isCatalogRow(k: String): Boolean =
+        k.startsWith("q") && k != "q45_merge_only"
+      val headlineJson = results.collect {
+        case (k, v) if !isCatalogRow(k) => jstr(k) + ":" + jnum(v)
+      }.mkString("{", ",", "}")
+      val catalogSec = results.collect {
+        case (k, v) if isCatalogRow(k) && v >= 0 => v
+      }.sum
+      val catalogN = results.count { case (k, _) => isCatalogRow(k) }
+      val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$headlineJson,"catalog_sec":${jnum(catalogSec)},"catalog_n":$catalogN,"suspect":$suspectJson,"retried":$retriedJson,"retrieval_mismatch":$retrievalJson,"noise_flagged":$canaryFlagged,"n_errors":${errors.size},"full":"BENCH_LAST.json","sf":${jstr(sfDir)}}"""
+      if (compact.length <= 1800) println(compact)
+      else {
+        // fallback: drop the per-row map rather than ship a truncated line
+        println(s"""{"metric":"total","value":$total,"unit":"sec","suspect":$suspectJson,"noise_flagged":$canaryFlagged,"n_errors":${errors.size},"full":"BENCH_LAST.json","sf":${jstr(sfDir)}}""")
+      }
+      System.out.flush()
+    }
+    // Last-resort emitter: if Spark's in-JVM executor (or anything else)
+    // calls System.exit before the normal emit — BENCH_r18 died via
+    // ExecutorExitCode.HEARTBEAT_FAILURE, unreachable by any try/catch —
+    // shutdown hooks still run, so the partial record ships with an
+    // explicit abort marker instead of nothing. The hook is removed on
+    // the normal path, and emitAll's first-caller-wins flag makes a
+    // hook race after a normal emit a no-op either way.
+    val emergencyEmit = new Thread(() => {
+      if (!emitted.get) {
+        errors("bench_abort") =
+          "JVM shutdown before normal emit (hard exit mid-run); " +
+          "recorded entries are the measurements completed before the abort"
+        emitAll()
+      }
+    }, "bench-emergency-emit")
+    Runtime.getRuntime.addShutdownHook(emergencyEmit)
+
+    // Everything measured runs inside this guard: a stray Throwable from
+    // inter-section code (the per-entry try/catches cover entries, not
+    // the glue between them) records bench_abort and falls through to the
+    // normal emit + exit 0, so the driver's sbt runner never sees a
+    // nonzero exit for a partial measurement failure.
+    try {
 
     // ---- picovdb-mirror workload (BASELINE.md scale) ----
     // Runs FIRST (right after warmup): the catalog sweep below heats the
@@ -407,12 +594,8 @@ object Bench {
     // trade). searchMerged, not searchPacked: a driver batch needs no
     // probe shuffle, and the treeAggregate path's only per-batch cost
     // is the probed fraction of the exact scan.
-    val recalls = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // which probe strategy each np-sweep row actually ran (round 13:
-    // the probe-fraction crossover may snap a row to the exact
-    // all-list scan — the artifact must say so, not leave a reader
-    // inferring it from the recall column)
-    val annStrategies = scala.collection.mutable.LinkedHashMap[String, String]()
+    // (recalls/annStrategies declared up front beside the other result
+    // state, so the emergency emitter can reach them)
     var annIdx: graft.operators.IvfIndex = null
     try {
       import spark.implicits._
@@ -977,7 +1160,7 @@ object Bench {
     // witness the ANN headline section too (it runs after the
     // post-cycle sample above; nothing else would record a burst here)
     canarySample()
-    val headlineCanaryCount = canaryRaw.size
+    headlineCanaryCount = canaryRaw.size
     store.unpersist()
     raw.unpersist()
 
@@ -1231,7 +1414,6 @@ object Bench {
     // reference prints "total num of mismatches" over 50 sampled
     // questions; exact must be 0, and the ANN curve is the recorded
     // recall/efficiency trade on structured data.
-    val retrieval = scala.collection.mutable.LinkedHashMap[String, Double]()
     if (!picovdbOnly) try {
       val dir = java.nio.file.Files.createTempDirectory("graft-bench-rgt")
       try {
@@ -1279,126 +1461,25 @@ object Bench {
           Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
     }
 
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
-    // Locale.ROOT: a comma-decimal default locale must not break the
-    // one-line-JSON driver contract.
-    def jnum(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v) }
-      .mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
-      .mkString("{", ",", "}")
-    val rc = recalls.map { case (k, v) => jstr(k) + ":" + jnum(v) }
-      .mkString("{", ",", "}")
-    // _min/_max entries are spread diagnostics for an already-recorded
-    // median, and the ann_build _fit/_assign/_pack rows are components
-    // of the already-counted ann_build sum — both would double-count.
-    val total = results.collect {
-      case (k, v) if v >= 0 && !k.endsWith("_min") && !k.endsWith("_max") &&
-        !k.endsWith("_fit") && !k.endsWith("_assign") && !k.endsWith("_pack") => v
-    }.sum
-    // noise_canary: ratio of a fixed single-thread FMA loop to the
-    // run's global-minimum canary time (calibration + passes), sampled
-    // once per headline cold cycle (first 3) and once per interleaved
-    // catalog pass (last 3). Any entry > ~1.25 means that pass ran
-    // under host contention — read this run's numbers accordingly.
-    val canaryNominal = (canaryCalib ++ canaryRaw).min
-    val canaryRatios = canaryRaw.map(_ / canaryNominal)
-    val canaryJson = canaryRatios.map(jnum).mkString("[", ",", "]")
-    // Multi-core ratios use their own nominal: 8 threads on a quiet
-    // host take slightly longer wall than 1 (turbo/scheduler effects),
-    // so normalizing against the single-thread floor would bake in a
-    // false baseline offset.
-    val canaryMultiNominal = (canaryMultiCalib ++ canaryMultiRaw).min
-    val canaryMultiRatios = canaryMultiRaw.map(_ / canaryMultiNominal)
-    val canaryMultiJson = canaryMultiRatios.map(jnum).mkString("[", ",", "]")
-    val canaryFlagged = canaryRatios.exists(_ > 1.25) ||
-      canaryMultiRatios.exists(_ > 1.25)
-    // Self-description derived from the ACTUAL sample counts (ADVICE r8:
-    // the hardcoded "3 headline cycles then 3 catalog passes" text was
-    // wrong under SPARK_GRAFT_PICOVDB_ONLY, where the catalog loop is
-    // skipped and the array is shorter).
-    val catalogCanaryCount = canaryRaw.size - headlineCanaryCount
-    val canaryLayout =
-      s"$headlineCanaryCount headline samples (one per cold cycle, one " +
-      s"post-final-cycle witness, one per ANN build sample, one per ANN " +
-      s"query sample, one per q8 quantize/scan/rescore sample, one " +
-      s"post-ANN-section witness, one per suspect-retry sample)" +
-      (if (catalogCanaryCount > 0)
-         s" then $catalogCanaryCount catalog-pass/retry samples"
-       else " (catalog sweep skipped: picovdb-only mode)")
-    val minsJson = mins.map { case (k, v) => jstr(k) + ":" + jnum(v) }
-      .mkString("{", ",", "}")
-    val retrievalJson = retrieval.map { case (k, v) =>
-      jstr(k) + ":" + v.toInt.toString
-    }.mkString("{", ",", "}")
-    val suspectJson = suspects.map(jstr).mkString("[", ",", "]")
-    val notes = jstr(
-      "noise_canary = single-thread 100M-FMA time / run-global minimum; " +
-      "noise_canary_multi = slowest of 8 concurrent FMA chains / its own " +
-      s"run-global minimum (same sample points: $canaryLayout); " +
-      ">1.25 on either marks a contaminated pass. mins = per-entry " +
-      "minimum beside each recorded median; suspect lists entries with " +
-      "median/min > 1.5 (read median as upper bound, min as capability). " +
-      "Cache-building catalog entries " +
-      "(q23 simhash signatures, q26/q46 IVF build) record warm steady " +
-      "state since r7; their one-time build cost is in the run log, not here.")
-    val retriedJson = retried.map(jstr).mkString("[", ",", "]")
-    val annStrategyJson = annStrategies.map { case (k, v) =>
-      jstr(k) + ":" + jstr(v)
-    }.mkString("{", ",", "}")
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$minsJson,"suspect":$suspectJson,"retried":$retriedJson,"ann_recall10":$rc,"ann_strategy":$annStrategyJson,"retrieval_mismatch":$retrievalJson,"noise_canary":$canaryJson,"noise_canary_multi":$canaryMultiJson,"noise_flagged":$canaryFlagged,"canary_nominal_sec":${jnum(canaryNominal)},"canary_multi_nominal_sec":${jnum(canaryMultiNominal)},"notes":$notes,"errors":$es,"sf":${jstr(sfDir)}}"""
-    println(jsonLine)
-    // Durable artifact (VERDICT r8 next-round #1): the stdout line above is
-    // the driver contract, but any finite tail capture can decapitate a
-    // single long line (BENCH_r08.json lost its headline entries that way).
-    // Write the identical JSON to a file beside the repo root, overwritten
-    // per run, so the record survives regardless of how stdout is captured.
-    try {
-      // Files.write, not PrintWriter: PrintWriter suppresses
-      // write/close IOExceptions (it only sets an error flag), which
-      // could leave a silently-truncated artifact while the success
-      // line below still printed — the exact failure mode this file
-      // exists to prevent.
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
-      java.nio.file.Files.write(out,
-        (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"bench json also written to ${out.toAbsolutePath}")
     } catch {
-      // NonFatal, not just IOException: Paths.get on a malformed
-      // SPARK_GRAFT_BENCH_OUT throws InvalidPathException (a
-      // RuntimeException), and the artifact write must never crash a
-      // bench whose stdout line is already complete
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"bench json file write failed (stdout line above is complete): $e")
+      // Inter-section glue failed (every entry has its own try/catch, so
+      // this is something structural). Record it and fall through to the
+      // normal emit: partial numbers + an explicit abort marker beat a
+      // dead JVM with no artifact.
+      case e: Throwable =>
+        errors("bench_abort") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+        System.err.println(s"bench aborted mid-run (partial record emitted): $e")
     }
-    // COMPACT line, printed LAST (round 12): the driver's artifact keeps
-    // only a ~2000-char tail of this process's output, and the full line
-    // above has outgrown it (BENCH_r10/r11 both carry "parsed": null —
-    // the tail decapitated the line mid-JSON, so no round has actually
-    // shipped a machine-parsed artifact since the line passed 2k chars).
-    // This line holds the headline rows, the trust flags, and a pointer
-    // to the full artifact file; it must stay well under the tail window
-    // even with sbt's trailing "[success]" line after it.
-    def isCatalogRow(k: String): Boolean =
-      k.startsWith("q") && k != "q45_merge_only"
-    val headlineJson = results.collect {
-      case (k, v) if !isCatalogRow(k) => jstr(k) + ":" + jnum(v)
-    }.mkString("{", ",", "}")
-    val catalogSec = results.collect {
-      case (k, v) if isCatalogRow(k) && v >= 0 => v
-    }.sum
-    val catalogN = results.count { case (k, _) => isCatalogRow(k) }
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$headlineJson,"catalog_sec":${jnum(catalogSec)},"catalog_n":$catalogN,"suspect":$suspectJson,"retried":$retriedJson,"retrieval_mismatch":$retrievalJson,"noise_flagged":$canaryFlagged,"n_errors":${errors.size},"full":"BENCH_LAST.json","sf":${jstr(sfDir)}}"""
-    if (compact.length <= 1800) println(compact)
-    else {
-      // fallback: drop the per-row map rather than ship a truncated line
-      println(s"""{"metric":"total","value":$total,"unit":"sec","suspect":$suspectJson,"noise_flagged":$canaryFlagged,"n_errors":${errors.size},"full":"BENCH_LAST.json","sf":${jstr(sfDir)}}""")
-    }
+
+    emitAll()
+    try Runtime.getRuntime.removeShutdownHook(emergencyEmit)
+    catch { case _: IllegalStateException => () } // already shutting down
     spark.stop()
+    // Explicit exit 0: spark.stop() occasionally leaves non-daemon
+    // threads that would hang the sbt runner past the driver's timeout;
+    // the record is already emitted, so a hard clean exit is strictly
+    // safer. (The shutdown hook is a no-op here — `emitted` is set.)
+    sys.exit(0)
   }
 }

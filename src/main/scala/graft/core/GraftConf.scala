@@ -124,6 +124,25 @@ final class GraftConf(spark: SparkSession) {
     opt("ann.filtered.bloom.fpp", "GRAFT_ANN_FILTERED_BLOOM_FPP")
       .map(_.toDouble).getOrElse(0.03)
 
+  /** Opt-in: bulk (`queryDF`) filtered-IVF queries compose with the
+    * int8 tier ([[graft.operators.IvfIndex.searchPackedQ8Allowed]])
+    * when q8 is enabled. Default OFF — the fp32 twin serves: at
+    * fp32-resident scale the bulk int8 filtered twin measured SLOWER
+    * than its fp32 sibling (10M×256: 33.0 s vs 23.8 s min,
+    * SCALING.md's bulk filtered rows), because the membership filter
+    * already prunes the probed scan and the quantize/rescore
+    * round-trip adds work without shrinking the resident set. Enable
+    * it when the fp32 blocks do NOT fit in cluster storage — the
+    * quantized candidate scan then replaces a spilling fp32 scan.
+    * Routing is telemetry-visible (`lastQueryStrategy`:
+    * "ann-filtered" vs "ann-filtered+q8"). The driver-batch `query()`
+    * composition keeps its own measured-win routing and ignores this
+    * knob.
+    */
+  def annFilteredBulkQ8: Boolean =
+    opt("ann.filtered.bulkq8", "GRAFT_ANN_FILTERED_BULKQ8")
+      .exists(_.toBoolean)
+
   /** Candidate over-fetch for the Bloom rung: the scan keeps
     * `k * overfetch` candidates so that dropping false positives
     * still leaves k verified rows in the common case (k + falsePos ≤

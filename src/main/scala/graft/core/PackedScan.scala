@@ -18,11 +18,20 @@ import graft.operators.Kernels
   * lineage — correct, one re-scan slower.
   */
 private[graft] final class LatestCallSlot extends Serializable {
-  @transient @volatile private var held: List[RDD[_]] = Nil
-  def swap(next: List[RDD[_]]): Unit = synchronized {
+  @transient @volatile private var held: List[AnyRef] = Nil
+  def swap(next: List[AnyRef]): Unit = synchronized {
     val prev = if (held == null) Nil else held
     held = next
-    prev.filterNot(p => next.exists(_ eq p)).foreach(_.unpersist(false))
+    prev.filterNot(p => next.exists(_ eq p)).foreach {
+      // Datasets persist through the CacheManager, not their underlying
+      // RDD — releasing one MUST go through Dataset.unpersist (round 19:
+      // the queryDF bloom rung holds a persisted DataFrame here)
+      case d: Dataset[_] => d.unpersist(false)
+      case r: RDD[_] => r.unpersist(false)
+      case other =>
+        throw new IllegalStateException(
+          s"LatestCallSlot holds only RDDs/Datasets, got ${other.getClass}")
+    }
   }
 }
 

@@ -207,6 +207,15 @@ final class VdbStore private (
     q8Cache = None
   }
 
+  // Latest-call slot for queryDF's bloom-rung per-call persisted state
+  // (the surrogate rowkeys RDD and, on a refill, the refill qid frame):
+  // each bulk call releases the previous call's pins, so a long-lived
+  // driver issuing bloom batches in a loop holds at most one call's
+  // Q-row state instead of accumulating until the ContextCleaner GCs
+  // the superseded plans (round 19 — the LatestCallSlot leak class the
+  // r18 flat-tier fix addressed, closed for the bloom route too).
+  private val bloomBulkSlot = new LatestCallSlot
+
   // Serializes the q8/pq/bit cache check-then-build: without it two
   // concurrent first queries both quantize+persist, leaking one
   // orphaned persisted RDD (and, for pq, a redundant driver k-means).
@@ -1348,6 +1357,9 @@ final class VdbStore private (
         topK * math.max(1, conf.annFilteredBloomOverfetch))
       else topK
     val bloomSuffix = if (isBloom) "+bloom" else ""
+    // Everything this call persists for the bloom rung, released by the
+    // NEXT queryDF call's slot swap (or held as the latest call's state)
+    val bloomHeld = List.newBuilder[AnyRef]
     // Surrogate row keys for the bloom branch (round-18 review): the
     // verification + refill bookkeeping below groups by qid, so two
     // query ROWS sharing a user qid would merge their counts — doubling
@@ -1366,6 +1378,7 @@ final class VdbStore private (
           .setName("graft.querydf.bloom.rowkeys")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         z.count()
+        bloomHeld += z
         val mapDf = spark
           .createDataset(z.map { case (uid, qid, _) => (uid, qid) })
           .toDF("qid", "_user_qid")
@@ -1389,7 +1402,13 @@ final class VdbStore private (
       case None => annFiltered match {
         case Some((idx, m, dny)) =>
           val probes = if (nProbe > 0) nProbe else conf.annNProbeFor(idx.nList)
-          if (q8Enabled) {
+          // int8 composition is OPT-IN on the bulk path (round 19,
+          // VERDICT r18 "what's wrong" #3): the q8 twin measured slower
+          // than the fp32 sibling at fp32-resident scale, so enableQ8()
+          // alone must not downgrade a bulk filtered query — see
+          // GraftConf.annFilteredBulkQ8 for the measured trade and when
+          // to turn it on.
+          if (q8Enabled && conf.annFilteredBulkQ8) {
             lastStrategy = Some("ann-filtered+q8" + bloomSuffix)
             idx.searchPackedQ8Allowed[String](qds, scanK, m, dny, probes,
               normalized = true, overfetch = conf.q8Overfetch)
@@ -1518,19 +1537,31 @@ final class VdbStore private (
             // (left_semi) reference it from the LAZY returned plan, so
             // unpersisting here would re-run the verification
             // aggregations on every downstream action (round-18
-            // review); the ContextCleaner drops it with the plan.
+            // review). The latest-call slot below releases it on the
+            // NEXT queryDF call instead of waiting for the
+            // ContextCleaner (round 19).
+            bloomHeld += refillQids
             kept.unionByName(refilled)
           }
-        // surrogate -> user qid (the Q x k hits side of a broadcast
-        // join against the Q-row key map — never a store shuffle)
+        // surrogate -> user qid: a plain equi-join — the hits side is
+        // Q x k rows and the map side Q rows, both result-sized, so AQE
+        // broadcasts the map when it measures small. NOT a forced
+        // broadcast hint (ADVICE r18): queryDF's contract is query
+        // batches too large for driver arrays, and a forced broadcast
+        // of the Q-row map would materialize exactly the driver-sized
+        // structure the rest of this path avoids.
         bloomQidMap match {
           case Some(mapDf) => assembled
-            .join(org.apache.spark.sql.functions.broadcast(mapDf), Seq("qid"))
+            .join(mapDf, Seq("qid"))
             .select(col("_user_qid").as("qid"), col("id"), col("score"),
               col("rank"))
           case None => assembled
         }
       }
+    // Latest-call release (round 19): this call's bloom pins supersede
+    // the previous call's — including a non-bloom call releasing a
+    // prior bloom call's state (an empty list swap).
+    bloomBulkSlot.swap(bloomHeld.result())
     // INNER join, matching query()'s hit-assembly semantics: a hit
     // whose row vanished under a concurrent mutation is dropped, never
     // emitted with null id/meta (review r17). There is deliberately NO

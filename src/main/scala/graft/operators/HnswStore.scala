@@ -74,32 +74,37 @@ final class HnswStore[K](
     }
   }
 
-  /** INT8 sibling of `shards` — each shard paired with the quantized
-    * copy of the UNIT matrix its graph traverses (the packedQ8Buckets
-    * trade: +25% shard memory buys a 4× cheaper beam). A derived
-    * PERSISTED RDD, not a lazy field on the shard (round-18 review):
-    * a task reading a shard partition non-locally deserializes a fresh
+  /** INT8 sibling of `shards` — the quantized copy of each shard's
+    * UNIT matrix, persisted as codes ONLY (the packedQ8Buckets trade:
+    * +25% shard memory buys a 4× cheaper beam). A derived PERSISTED
+    * RDD, not a lazy field on the shard (round-18 review): a task
+    * reading a shard partition non-locally deserializes a fresh
     * HnswShard, so a @transient-lazy copy would re-run the full-slab
     * quantize once per remote fetch — up to qparts times per shard per
-    * packed call. Here the narrow map keeps the pairs co-located with
-    * the fp32 shard cache, remote fetches ship the quantized BYTES,
-    * and an eviction recomputes exactly one lost partition. Derived on
-    * the first hnsw-filtered+q8 query, so only that strategy pays the
+    * packed call. NOT persisted as (shard, codes) PAIRS (ADVICE r18):
+    * a pair cache re-stores the full fp32 slab + graph beside the
+    * codes — double the storage accounting, a disk spill serializes
+    * the fp32 shard twice, and eviction pressure lands on the very
+    * caches the codes exist to protect. [[q8Shards]] re-pairs codes
+    * with shards lazily via zipPartitions — narrow, co-located with
+    * both caches, no third copy of anything. An eviction recomputes
+    * exactly one lost codes partition from its shard. Derived on the
+    * first hnsw-filtered+q8 query, so only that strategy pays the
     * memory; never serialized into the [[HnswIO]] snapshot (re-derived
     * deterministically from the units). norms stay null deliberately:
     * the graph walks unit rows, so the dequantized dot IS the cosine
     * estimate.
     */
-  @volatile private var q8ShardsRef: RDD[(HnswShard[K], graft.core.Q8Block[K])] = null
+  @volatile private var q8ShardsRef: RDD[graft.core.Q8Block[K]] = null
 
-  private def q8Shards(): RDD[(HnswShard[K], graft.core.Q8Block[K])] = {
+  private def q8Codes(): RDD[graft.core.Q8Block[K]] = {
     val cur = q8ShardsRef
     if (cur != null) cur
     else synchronized {
       if (q8ShardsRef == null) {
         val derived = shards.map { sh =>
-          (sh, graft.core.Q8Store.quantize(
-            new VecBlock[K](sh.block.ids, sh.unit, sh.block.dim, null)))
+          graft.core.Q8Store.quantize(
+            new VecBlock[K](sh.block.ids, sh.unit, sh.block.dim, null))
         }.setName("graft.hnsw.q8shards")
           .persist(StorageLevel.MEMORY_AND_DISK)
         derived.count()
@@ -108,6 +113,25 @@ final class HnswStore[K](
       q8ShardsRef
     }
   }
+
+  /** (shard, codes) pairs for the q8 beam paths: a lazy partition-wise
+    * zip of the two caches — 1:1 by construction (q8Codes is a narrow
+    * map of shards), with an explicit out-of-step guard because
+    * Iterator.zip would silently DROP a trailing shard instead of
+    * failing loudly.
+    */
+  private def q8Shards(): RDD[(HnswShard[K], graft.core.Q8Block[K])] =
+    shards.zipPartitions(q8Codes(), preservesPartitioning = true) { (a, b) =>
+      new Iterator[(HnswShard[K], graft.core.Q8Block[K])] {
+        def hasNext: Boolean = {
+          val l = a.hasNext; val r = b.hasNext
+          require(l == r,
+            "hnsw q8 codes cache out of step with the shard cache")
+          l
+        }
+        def next(): (HnswShard[K], graft.core.Q8Block[K]) = (a.next(), b.next())
+      }
+    }
 
   /** [[searchPacked]]'s per-call packed-query cache — latest call only,
     * the IvfIndex.lastFullScanQPrep discipline (VERDICT r14 wrong #1):
