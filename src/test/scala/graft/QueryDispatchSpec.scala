@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{VdbRecord, VdbStore}
+
+/** Exhaustive routing audit of `VdbStore.queryDF`'s dispatch ladder
+  * (VERDICT r18 next-round #8): the ladder is 12+ branches deep and was
+  * previously pinned only point-wise. This spec sweeps the FULL
+  * (q8, pq, bit, hnsw, ann, filtered, bloom, betterThan) lattice —
+  * every reachable combination, not a random sample — asserting that
+  * `lastQueryStrategy` matches an independently-written statement of
+  * the documented precedence, and that every route fills k rows per
+  * query on a covering corpus. The bulk filtered+q8 opt-in
+  * (`graft.ann.filtered.bulkq8`, round 19) is swept as an extra axis on
+  * the combos where it is reachable.
+  *
+  * Documented precedence (VdbStore scaladoc "strategy" section):
+  *   hnsw-filtered[+q8][+bloom] > ann-filtered[+q8 opt-in][+bloom]
+  *   > hnsw > ann+q8 > ann+pq > ann+bit > ann > q8 > pq > bit > exact;
+  *   any betterThan threshold bypasses every accelerator (exact /
+  *   exact-filtered), and filtered acceleration requires the
+  *   `graft.ann.filtered` opt-in. whereFn shares the `filtered` lattice
+  *   point with Column filters (same member-resolution path — pinned in
+  *   VdbStoreSpec's facade-parity test).
+  */
+class QueryDispatchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** The documented ladder, restated independently of the dispatch
+    * code. `filtered`: 0 = none, 1 = where (allow-set rung), 2 = where
+    * with both membership sets over the cap (bloom rung).
+    */
+  private def expectedStrategy(hnsw: Boolean, ann: Boolean, q8: Boolean,
+      pq: Boolean, bit: Boolean, filtered: Int, better: Boolean,
+      bulkQ8: Boolean): String = {
+    val bloomSuffix = if (filtered == 2) "+bloom" else ""
+    if (better) { if (filtered > 0) "exact-filtered" else "exact" }
+    else if (filtered > 0 && hnsw)
+      (if (q8) "hnsw-filtered+q8" else "hnsw-filtered") + bloomSuffix
+    else if (filtered > 0 && ann)
+      (if (q8 && bulkQ8) "ann-filtered+q8" else "ann-filtered") + bloomSuffix
+    else if (filtered > 0) "exact-filtered"
+    else if (hnsw) "hnsw"
+    else if (ann) {
+      if (q8) "ann+q8" else if (pq) "ann+pq" else if (bit) "ann+bit"
+      else "ann"
+    } else if (q8) "q8" else if (pq) "pq" else if (bit) "bit" else "exact"
+  }
+
+  test("queryDF dispatch lattice: every (q8,pq,bit,hnsw,ann,filtered,bloom,betterThan) combo routes per the documented precedence and fills k rows") {
+    val s = VdbStore.empty(spark, 8)
+    val rng = new scala.util.Random(71)
+    def mk(base: Int, tag: String) = (0 until 60).map { i =>
+      val v = new Array[Float](8)
+      v(base) = 1f
+      (0 until 8).foreach(j => v(j) = v(j) + (rng.nextFloat() - 0.5f) * 0.05f)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      VdbRecord(f"$tag$i%03d", v.map(x => (x / n).toFloat),
+        s"""{"c": "$tag"}""")
+    }
+    s.upsert(mk(0, "a") ++ mk(4, "b"))
+    import spark.implicits._
+    val qdf = Seq(
+      (0L, { val v = new Array[Float](8); v(0) = 1f; v }),
+      (1L, { val v = new Array[Float](8); v(4) = 1f; v }))
+      .toDF("qid", "qvec")
+    val whereB = get_json_object(col("meta"), "$.c") === "b"
+    val k = 3
+    // filtered acceleration is always opted in for the sweep; the
+    // opt-out collapse to exact-filtered is pinned separately below
+    spark.conf.set("graft.ann.filtered", "true")
+    var combos = 0
+    try {
+      for (hnsw <- Seq(false, true)) {
+        if (hnsw) s.enableHnsw() else s.disableHnsw()
+        for (ann <- Seq(false, true)) {
+          if (ann) s.enableAnn(nList = 4) else s.disableAnn()
+          for (q8 <- Seq(false, true)) {
+            if (q8) s.enableQ8() else s.disableQ8()
+            for (pq <- Seq(false, true)) {
+              if (pq) s.enablePq() else s.disablePq()
+              for (bit <- Seq(false, true)) {
+                if (bit) s.enableBit() else s.disableBit()
+                for {
+                  better <- Seq(false, true)
+                  filtered <- Seq(0, 1, 2)
+                  // the bulk q8 opt-in only reaches the ladder on the
+                  // ann-filtered rung; sweep it there, pin default
+                  // (false) everywhere else
+                  bulkQ8 <- if (q8 && ann && !hnsw && filtered > 0 && !better)
+                              Seq(false, true)
+                            else Seq(false)
+                } {
+                  if (filtered == 2) spark.conf.set("graft.ann.filtered.max", "2")
+                  else spark.conf.unset("graft.ann.filtered.max")
+                  if (bulkQ8) spark.conf.set("graft.ann.filtered.bulkq8", "true")
+                  else spark.conf.unset("graft.ann.filtered.bulkq8")
+                  val want = expectedStrategy(hnsw, ann, q8, pq, bit,
+                    filtered, better, bulkQ8)
+                  val combo = s"hnsw=$hnsw ann=$ann q8=$q8 pq=$pq bit=$bit " +
+                    s"filtered=$filtered better=$better bulkQ8=$bulkQ8"
+                  val rows = s.queryDF(qdf, "qid", "qvec", k,
+                      betterThan = if (better) Some(-1.0) else None,
+                      where = if (filtered > 0) Some(whereB) else None)
+                    .select("qid").collect().map(_.getLong(0))
+                  assert(s.lastQueryStrategy == Some(want),
+                    s"[$combo] routed ${s.lastQueryStrategy}, expected $want")
+                  val perQ = rows.groupBy(identity).view.mapValues(_.length)
+                  assert(Seq(0L, 1L).forall(q => perQ.getOrElse(q, 0) == k),
+                    s"[$combo] route $want underfilled: $perQ (want $k per query)")
+                  combos += 1
+                }
+              }
+            }
+          }
+        }
+      }
+      // 2(hnsw) x 2(ann) x 2(q8) x 2(pq) x 2(bit) x 2(better) x 3(filtered)
+      // = 192, plus the bulkQ8=true twin on the 8 reachable combos
+      assert(combos == 200, s"lattice coverage drifted: ran $combos combos")
+      // opt-out pin: without graft.ann.filtered, a filtered query
+      // bypasses every accelerator regardless of what is enabled
+      spark.conf.unset("graft.ann.filtered")
+      s.enableAnn(nList = 4); s.enableHnsw(); s.enableQ8()
+      s.queryDF(qdf, "qid", "qvec", k, where = Some(whereB)).collect()
+      assert(s.lastQueryStrategy == Some("exact-filtered"),
+        s"opt-out collapse broken: ${s.lastQueryStrategy}")
+    } finally {
+      Seq("graft.ann.filtered", "graft.ann.filtered.max",
+        "graft.ann.filtered.bulkq8").foreach(spark.conf.unset)
+      s.disableQ8(); s.disablePq(); s.disableBit()
+      s.disableHnsw(); s.disableAnn()
+    }
+  }
+}
