@@ -579,6 +579,24 @@ object Hnsw {
       out
     }
 
+    // full insertion PLAN for node i: candidate search + neighbor
+    // selection, both read-only against the frozen graph (round 19 —
+    // selectNeighbors reads only the packed matrix and the candidate
+    // list, so the diversification dot products move off the
+    // sequential commit path into the parallel batch phase). Returns
+    // the selected neighbor ids per layer, top layer last.
+    def planFor(i: Int): Array[Array[Int]] = {
+      val q = vec(i)
+      val cands = candidatesFor(i)
+      val out = new Array[Array[Int]](cands.length)
+      var lc = cands.length - 1
+      while (lc >= 0) {
+        out(lc) = selectNeighbors(q, cands(lc), m, diversify = lc == 0)
+        lc -= 1
+      }
+      out
+    }
+
     var i = 0
     // sequential seed phase — at least ONE node: the batch phase
     // descends from `entry`, and seedSequential=0 would leave it -1
@@ -608,22 +626,116 @@ object Hnsw {
     try {
       while (i < n) {
         val end = math.min(i + math.max(1, math.min(batch, i)), n)
-        val cands = new Array[Array[Array[(Double, Int)]]](end - i)
+        val plans = new Array[Array[Array[Int]]](end - i)
         val start = i
         if (pool == null) {
           var j = start
-          while (j < end) { cands(j - start) = candidatesFor(j); j += 1 }
+          while (j < end) { plans(j - start) = planFor(j); j += 1 }
         } else {
           val tasks = Array.tabulate(end - start) { off =>
             pool.submit(new java.util.concurrent.Callable[Unit] {
-              def call(): Unit = cands(off) = candidatesFor(start + off)
+              def call(): Unit = plans(off) = planFor(start + off)
             })
           }
           tasks.foreach(_.join())
         }
+        // Commit (round 19 — the serial half of the build used to
+        // dominate wall time at dim 1024: selection diversification +
+        // back-link prunes are all dot products). Decomposed into
+        // phases that are each conflict-free, producing a graph
+        // BIT-IDENTICAL to the one the sequential commit built:
+        //
+        //  1. own lists: sel(j) ⊆ frozen graph ⟹ never contains a
+        //     batch-mate, so no other batch node ever touches node j's
+        //     lists — plain array writes, no prune possible (|sel| <= m
+        //     <= cap).
+        //  2. back-links: every target nb is a PRE-batch node (sel came
+        //     from the frozen graph), so targets are disjoint from the
+        //     own-lists above. link(nb, j) reads/mutates only nb's own
+        //     per-layer list (+ the immutable matrix), so grouping ops
+        //     by target and applying each target's ops in the
+        //     sequential order — node asc, layer desc, selection
+        //     order — gives every target exactly the op subsequence the
+        //     sequential commit gave it ⟹ the same final list, while
+        //     distinct targets prune in parallel.
+        //  3. entry/maxLevel: node-order fold, as before.
         var j = start
         while (j < end) {
-          applyInsert(j, cands(j - start))
+          val sels = plans(j - start)
+          var lc = sels.length - 1
+          while (lc >= 0) {
+            val sel = sels(lc)
+            val own = nbrs(j)(lc)
+            var c = 0
+            var t = 0
+            while (t < sel.length) {
+              if (sel(t) != j) { own(c) = sel(t); c += 1 }
+              t += 1
+            }
+            nbrCnt(j)(lc) = c
+            lc -= 1
+          }
+          j += 1
+        }
+        // back-link ops grouped by target; (node, layer) packed into a
+        // long (layer <= 24 fits in 6 bits) to keep the group lists
+        // allocation-light
+        val byTarget =
+          new java.util.LinkedHashMap[Integer, java.util.ArrayList[java.lang.Long]]()
+        j = start
+        while (j < end) {
+          val sels = plans(j - start)
+          var lc = sels.length - 1
+          while (lc >= 0) {
+            val sel = sels(lc)
+            var t = 0
+            while (t < sel.length) {
+              val nb = sel(t)
+              if (nb != j) {
+                var ops = byTarget.get(nb)
+                if (ops == null) {
+                  ops = new java.util.ArrayList[java.lang.Long]()
+                  byTarget.put(nb, ops)
+                }
+                ops.add((j.toLong << 6) | lc)
+              }
+              t += 1
+            }
+            lc -= 1
+          }
+          j += 1
+        }
+        def applyTarget(nb: Int, ops: java.util.ArrayList[java.lang.Long]): Unit = {
+          var o = 0
+          while (o < ops.size()) {
+            val op = ops.get(o).longValue()
+            link(nb, (op >>> 6).toInt, (op & 63L).toInt)
+            o += 1
+          }
+        }
+        if (pool == null || byTarget.size() < 2) {
+          byTarget.forEach((nb, ops) => applyTarget(nb, ops))
+        } else {
+          val entries = new java.util.ArrayList(byTarget.entrySet())
+          val chunk = math.max(1, (entries.size() + par - 1) / par)
+          val tasks = (0 until entries.size() by chunk).map { lo =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = {
+                var e = lo
+                val hi = math.min(lo + chunk, entries.size())
+                while (e < hi) {
+                  val ent = entries.get(e)
+                  applyTarget(ent.getKey.intValue(), ent.getValue)
+                  e += 1
+                }
+              }
+            })
+          }
+          tasks.foreach(_.join())
+        }
+        j = start
+        while (j < end) {
+          if (levels(j) > maxLevel) { maxLevel = levels(j); entry = j }
           j += 1
         }
         i = end

@@ -94,6 +94,27 @@ class HnswSpec extends AnyFunSuite {
     assert(idx.search(data(7), 3, ef = 64).nonEmpty)
   }
 
+  test("parallel commit is parallelism-independent: sequential and pooled builds serialize byte-identically (round 19)") {
+    // the round-19 commit decomposition (parallel plan + per-target
+    // grouped back-links) claims a graph BIT-IDENTICAL to the
+    // sequential commit's; writeGraph bytes are the strongest equality
+    // check available. seedSequential=1 maximizes the batched phase.
+    val rng = new scala.util.Random(41)
+    val data = Array.tabulate(3000)(_ =>
+      normalize(Array.fill(32)(rng.nextFloat() - 0.5f)))
+    def bytesOf(parallelism: Int): Array[Byte] = {
+      val idx = Hnsw.build(flat(data), data.length, 32,
+        seedSequential = 1, parallelism = parallelism)
+      val bos = new java.io.ByteArrayOutputStream()
+      idx.writeGraph(new java.io.DataOutputStream(bos))
+      bos.toByteArray
+    }
+    val seq = bytesOf(1)
+    val par8 = bytesOf(8)
+    assert(java.util.Arrays.equals(seq, par8),
+      "pooled build must serialize byte-identically to the sequential one")
+  }
+
   test("build is deterministic: same input -> identical results") {
     val rng = new scala.util.Random(23)
     val data = Array.tabulate(600)(_ =>
