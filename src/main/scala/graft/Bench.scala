@@ -282,7 +282,12 @@ object Bench {
         s"post-ANN-section witness, one per suspect-retry sample)" +
         (if (catalogCanaryCount > 0)
            s" then $catalogCanaryCount catalog-pass/retry samples"
-         else " (catalog sweep skipped: picovdb-only mode)")
+         else if (picovdbOnly) " (catalog sweep skipped: picovdb-only mode)"
+         // round-19 review: an abort before the headline/catalog
+         // boundary must not claim picovdb-only mode was active
+         else if (headlineCanaryCount < 0)
+           " (run ended before the headline/catalog boundary)"
+         else " (no catalog samples recorded)")
       val minsJson = mins.map { case (k, v) => jstr(k) + ":" + jnum(v) }
         .mkString("{", ",", "}")
       val retrievalJson = retrieval.map { case (k, v) =>
@@ -361,12 +366,49 @@ object Bench {
     // explicit abort marker instead of nothing. The hook is removed on
     // the normal path, and emitAll's first-caller-wins flag makes a
     // hook race after a normal emit a no-op either way.
+    //
+    // Robustness (round-19 review): System.exit does NOT stop other
+    // threads, so the main thread may be mid-mutation of the mutable
+    // result maps while the hook iterates them — which can throw or, in
+    // the worst LinkedHashMap case, walk a broken link chain without
+    // terminating. The emit therefore runs on a BOUNDED daemon worker;
+    // if it throws or stalls, a minimal state-free record ships instead
+    // of nothing (printed last, so a tail parser picks it up).
+    def minimalFallback(reason: String): Unit = {
+      val line =
+        s"""{"metric":"total","value":-1,"unit":"sec","queries":{},"noise_flagged":true,"errors":{"bench_abort":${jstr(reason)}},"sf":${jstr(sfDir)}}"""
+      println(line)
+      System.out.flush()
+      try {
+        val out = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
+        java.nio.file.Files.write(out,
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     val emergencyEmit = new Thread(() => {
       if (!emitted.get) {
-        errors("bench_abort") =
-          "JVM shutdown before normal emit (hard exit mid-run); " +
-          "recorded entries are the measurements completed before the abort"
-        emitAll()
+        try {
+          errors("bench_abort") =
+            "JVM shutdown before normal emit (hard exit mid-run); " +
+            "recorded entries are the measurements completed before the abort"
+        } catch { case _: Throwable => () }
+        val worker = new Thread(() => {
+          try emitAll()
+          catch {
+            case t: Throwable =>
+              System.err.println(s"bench emergency emit failed: $t")
+              minimalFallback("emergency emit failed mid-iteration; " +
+                "partial numbers unrecoverable: " +
+                Option(t.getMessage).getOrElse(t.getClass.getName).take(150))
+          }
+        }, "bench-emergency-emit-worker")
+        worker.setDaemon(true)
+        worker.start()
+        worker.join(20000)
+        if (worker.isAlive)
+          minimalFallback("emergency emit stalled (result maps torn " +
+            "mid-mutation); no numbers recoverable")
       }
     }, "bench-emergency-emit")
     Runtime.getRuntime.addShutdownHook(emergencyEmit)

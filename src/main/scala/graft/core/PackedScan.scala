@@ -19,6 +19,11 @@ import graft.operators.Kernels
   */
 private[graft] final class LatestCallSlot extends Serializable {
   @transient @volatile private var held: List[AnyRef] = Nil
+  /** How many entities the slot currently pins (test instrumentation —
+    * suite-parallel specs cannot assert on global persisted-RDD counts
+    * without racing other suites' caches).
+    */
+  def size: Int = synchronized { if (held == null) 0 else held.size }
   def swap(next: List[AnyRef]): Unit = synchronized {
     val prev = if (held == null) Nil else held
     held = next

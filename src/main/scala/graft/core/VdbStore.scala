@@ -207,14 +207,19 @@ final class VdbStore private (
     q8Cache = None
   }
 
-  // Latest-call slot for queryDF's bloom-rung per-call persisted state
-  // (the surrogate rowkeys RDD and, on a refill, the refill qid frame):
-  // each bulk call releases the previous call's pins, so a long-lived
-  // driver issuing bloom batches in a loop holds at most one call's
-  // Q-row state instead of accumulating until the ContextCleaner GCs
-  // the superseded plans (round 19 — the LatestCallSlot leak class the
-  // r18 flat-tier fix addressed, closed for the bloom route too).
+  // Latest-call slot for queryDF's bloom-rung PINNED RESULT (the
+  // eagerly-materialized Q × k assembled frame): each bulk call —
+  // bloom or not — releases the previous bloom call's pin, so a
+  // long-lived driver issuing bloom batches in a loop caches exactly
+  // one call's result instead of accumulating until the ContextCleaner
+  // GCs superseded plans (round 19 — the LatestCallSlot leak class the
+  // r18 flat-tier fix addressed, closed for the bloom route too). The
+  // call's INTERMEDIATE pins (rowkeys RDD, refill-qid frame) release
+  // inside the call itself, right after the result materializes.
   private val bloomBulkSlot = new LatestCallSlot
+
+  /** Entities the bloom bulk slot currently pins (test hook). */
+  private[graft] def bloomBulkHeldCount: Int = bloomBulkSlot.size
 
   // Serializes the q8/pq/bit cache check-then-build: without it two
   // concurrent first queries both quantize+persist, leaking one
@@ -1357,9 +1362,21 @@ final class VdbStore private (
         topK * math.max(1, conf.annFilteredBloomOverfetch))
       else topK
     val bloomSuffix = if (isBloom) "+bloom" else ""
-    // Everything this call persists for the bloom rung, released by the
-    // NEXT queryDF call's slot swap (or held as the latest call's state)
+    // Intermediates this call persists for the bloom rung — the
+    // surrogate-rowkeys RDD and any refill-qid frame — released INSIDE
+    // this call once the assembled result is materialized (round-19
+    // review: releasing them from a later call's slot swap would let a
+    // superseded still-lazy result recompute zipWithUniqueId unpinned,
+    // silently misaligning surrogate keys on a nondeterministically-
+    // ordered query frame; in-call release after eager materialization
+    // makes the window zero on the normal path). The failure path
+    // releases them too.
     val bloomHeld = List.newBuilder[AnyRef]
+    def releaseBloomHeld(): Unit = bloomHeld.result().foreach {
+      case d: org.apache.spark.sql.Dataset[_] => d.unpersist(false)
+      case r: org.apache.spark.rdd.RDD[_] => r.unpersist(false)
+      case _ => ()
+    }
     // Surrogate row keys for the bloom branch (round-18 review): the
     // verification + refill bookkeeping below groups by qid, so two
     // query ROWS sharing a user qid would merge their counts — doubling
@@ -1492,8 +1509,12 @@ final class VdbStore private (
     // fpp 0.03 AND 0.3 in the round-17 10M smoke), never the per-call
     // O(matches) repack for the whole batch this branch used to be.
     val hits: DataFrame =
-      if (!isBloom) rawHits
-      else {
+      if (!isBloom) {
+        // a non-bloom call supersedes any previous bloom call's pinned
+        // result (latest-call discipline, round 19)
+        bloomBulkSlot.swap(Nil)
+        rawHits
+      } else try {
         import org.apache.spark.sql.expressions.Window
         val verified = rawHits
           .join(cand.select(col("_id_").as("id")), Seq("id"), "left_semi")
@@ -1533,13 +1554,10 @@ final class VdbStore private (
             val bs = packCandidates(cand)
             val refilled = graft.operators.CosineTopK.gemmQueries[String](
               bs, subQ, topK, None, exact = conf.queryExact)
-            // refillQids stays persisted: kept (left_anti) and subQ
-            // (left_semi) reference it from the LAZY returned plan, so
-            // unpersisting here would re-run the verification
-            // aggregations on every downstream action (round-18
-            // review). The latest-call slot below releases it on the
-            // NEXT queryDF call instead of waiting for the
-            // ContextCleaner (round 19).
+            // refillQids stays persisted until the eager
+            // materialization below: kept (left_anti) and subQ
+            // (left_semi) read it, and unpersisting first would re-run
+            // the verification aggregations (round-18 review)
             bloomHeld += refillQids
             kept.unionByName(refilled)
           }
@@ -1550,18 +1568,40 @@ final class VdbStore private (
         // batches too large for driver arrays, and a forced broadcast
         // of the Q-row map would materialize exactly the driver-sized
         // structure the rest of this path avoids.
-        bloomQidMap match {
+        val mapped = bloomQidMap match {
           case Some(mapDf) => assembled
             .join(mapDf, Seq("qid"))
             .select(col("_user_qid").as("qid"), col("id"), col("score"),
               col("rank"))
           case None => assembled
         }
+        // Materialize the assembled result NOW (Q x k rows), then
+        // release every intermediate this call pinned (round 19 — the
+        // latest-call discipline applied correctly to the bloom rung):
+        // the persisted result serves all downstream actions from
+        // cache, so the rowkeys/refill pins have done their job the
+        // moment the count returns. The ONE residual corner: a caller
+        // that re-collects THIS frame after a subsequent bulk call has
+        // swapped it out recomputes through an unpinned
+        // zipWithUniqueId — on a query frame whose partition order is
+        // nondeterministic (e.g. straight off a shuffle) that recompute
+        // can misalign surrogate keys. The flat tiers' documented
+        // recompute-on-supersede contract already tells callers to
+        // consume a bulk result before the next call; bloom inherits
+        // it with this sharper edge documented here.
+        val pinned = mapped
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinned.count()
+        bloomBulkSlot.swap(List(pinned))
+        releaseBloomHeld()
+        pinned
+      } catch {
+        case t: Throwable =>
+          // a failure between the first persist and the swap must not
+          // orphan this call's pins outside the slot (round-19 review)
+          releaseBloomHeld()
+          throw t
       }
-    // Latest-call release (round 19): this call's bloom pins supersede
-    // the previous call's — including a non-bloom call releasing a
-    // prior bloom call's state (an empty list swap).
-    bloomBulkSlot.swap(bloomHeld.result())
     // INNER join, matching query()'s hit-assembly semantics: a hit
     // whose row vanished under a concurrent mutation is dropped, never
     // emitted with null id/meta (review r17). There is deliberately NO

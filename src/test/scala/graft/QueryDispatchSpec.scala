@@ -50,16 +50,7 @@ class QueryDispatchSpec extends AnyFunSuite {
 
   test("queryDF dispatch lattice: every (q8,pq,bit,hnsw,ann,filtered,bloom,betterThan) combo routes per the documented precedence and fills k rows") {
     val s = VdbStore.empty(spark, 8)
-    val rng = new scala.util.Random(71)
-    def mk(base: Int, tag: String) = (0 until 60).map { i =>
-      val v = new Array[Float](8)
-      v(base) = 1f
-      (0 until 8).foreach(j => v(j) = v(j) + (rng.nextFloat() - 0.5f) * 0.05f)
-      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-      VdbRecord(f"$tag$i%03d", v.map(x => (x / n).toFloat),
-        s"""{"c": "$tag"}""")
-    }
-    s.upsert(mk(0, "a") ++ mk(4, "b"))
+    s.upsert(TestFixtures.twoClusterRecs(seed = 71))
     import spark.implicits._
     val qdf = Seq(
       (0L, { val v = new Array[Float](8); v(0) = 1f; v }),

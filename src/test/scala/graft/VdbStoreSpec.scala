@@ -1276,15 +1276,7 @@ class VdbStoreSpec extends AnyFunSuite {
     // opt-in, telemetry-visible, and result-equal at covering
     // probes+overfetch. The driver-batch query() keeps its own routing.
     val s = freshStore(8)
-    val rng = new scala.util.Random(61)
-    def mk(base: Int, tag: String) = (0 until 60).map { i =>
-      val v = new Array[Float](8)
-      v(base) = 1f
-      (0 until 8).foreach(j => v(j) = v(j) + (rng.nextFloat() - 0.5f) * 0.05f)
-      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-      rec(f"$tag$i%03d", v.map(x => (x / n).toFloat), s"""{"c": "$tag"}""")
-    }
-    s.upsert(mk(0, "a") ++ mk(4, "b"))
+    s.upsert(TestFixtures.twoClusterRecs(seed = 61))
     import spark.implicits._
     val qdf = Seq((0L, { val v = new Array[Float](8); v(0) = 1f; v }))
       .toDF("qid", "qvec")
@@ -1332,15 +1324,7 @@ class VdbStoreSpec extends AnyFunSuite {
     // ONE call's pins across repeated bloom bulk calls, and a non-bloom
     // call must release the last bloom call's state entirely.
     val s = freshStore(8)
-    val rng = new scala.util.Random(67)
-    def mk(base: Int, tag: String) = (0 until 60).map { i =>
-      val v = new Array[Float](8)
-      v(base) = 1f
-      (0 until 8).foreach(j => v(j) = v(j) + (rng.nextFloat() - 0.5f) * 0.05f)
-      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-      rec(f"$tag$i%03d", v.map(x => (x / n).toFloat), s"""{"c": "$tag"}""")
-    }
-    s.upsert(mk(0, "a") ++ mk(4, "b"))
+    s.upsert(TestFixtures.twoClusterRecs(seed = 67))
     import spark.implicits._
     val qdf = Seq((0L, { val v = new Array[Float](8); v(0) = 1f; v }))
       .toDF("qid", "qvec")
@@ -1356,25 +1340,28 @@ class VdbStoreSpec extends AnyFunSuite {
       .count(_.name == "graft.querydf.bloom.rowkeys")
     try {
       def call(): Unit = {
-        s.queryDF(qdf, "qid", "qvec", 5, where = whereB, nProbe = 4).collect()
+        val out = s.queryDF(qdf, "qid", "qvec", 5, where = whereB, nProbe = 4)
+        out.collect()
         assert(s.lastQueryStrategy.exists(_.endsWith("+bloom")),
           s"expected a bloom route, got ${s.lastQueryStrategy}")
+        // intermediates (rowkeys RDD, refill-qid frame) release INSIDE
+        // the call, the moment the result materializes — nothing waits
+        // for the next call or the ContextCleaner
+        assert(rowkeysHeld() == 0,
+          "bloom rowkeys must be released in-call after materialization")
+        // the slot pins exactly the latest call's materialized result
+        // (a global getPersistentRDDs count would race parallel suites)
+        assert(s.bloomBulkHeldCount == 1,
+          s"slot should pin exactly the latest result, holds ${s.bloomBulkHeldCount}")
       }
-      call()
-      assert(rowkeysHeld() == 1, "first bloom call should pin its rowkeys")
-      val baseline = spark.sparkContext.getPersistentRDDs.size
-      (1 to 5).foreach(_ => call())
-      assert(rowkeysHeld() == 1,
-        "bloom rowkeys RDDs accumulated across bulk calls (slot not swapping)")
-      assert(spark.sparkContext.getPersistentRDDs.size <= baseline,
-        s"persisted-RDD count grew across repeated bloom bulk calls: " +
-          s"$baseline -> ${spark.sparkContext.getPersistentRDDs.size}")
-      // a later NON-bloom bulk call supersedes the bloom pins too
+      (1 to 6).foreach(_ => call())
+      // a later NON-bloom bulk call supersedes the pinned result too
       spark.conf.unset("graft.ann.filtered.max")
       s.queryDF(qdf, "qid", "qvec", 5, where = whereB, nProbe = 4).collect()
       assert(s.lastQueryStrategy.exists(st => !st.contains("bloom")))
-      assert(rowkeysHeld() == 0,
-        "a non-bloom bulk call must release the previous bloom call's pins")
+      assert(s.bloomBulkHeldCount == 0,
+        "a non-bloom bulk call must release the previous bloom call's pin")
+      assert(rowkeysHeld() == 0)
     } finally {
       Seq("graft.ann.filtered", "graft.ann.filtered.max",
         "graft.ann.filtered.bloom.fpp",
