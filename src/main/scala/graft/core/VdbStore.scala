@@ -1363,20 +1363,24 @@ final class VdbStore private (
       else topK
     val bloomSuffix = if (isBloom) "+bloom" else ""
     // Intermediates this call persists for the bloom rung — the
-    // surrogate-rowkeys RDD and any refill-qid frame — released INSIDE
-    // this call once the assembled result is materialized (round-19
-    // review: releasing them from a later call's slot swap would let a
-    // superseded still-lazy result recompute zipWithUniqueId unpinned,
-    // silently misaligning surrogate keys on a nondeterministically-
-    // ordered query frame; in-call release after eager materialization
-    // makes the window zero on the normal path). The failure path
-    // releases them too.
+    // surrogate-rowkeys frame and any refill-qid frame — released
+    // INSIDE this call once the assembled result is materialized.
+    // Since round 20 the pins are a pure PERFORMANCE matter (one
+    // window shuffle shared by the map and query frames, one scan
+    // shared by the verification aggregations): the surrogate keys are
+    // content-derived and deterministic, so an unpinned recompute —
+    // including a re-collect of a superseded result — re-derives the
+    // SAME keys. The failure path releases them too.
     val bloomHeld = List.newBuilder[AnyRef]
     def releaseBloomHeld(): Unit = bloomHeld.result().foreach {
       case d: org.apache.spark.sql.Dataset[_] => d.unpersist(false)
       case r: org.apache.spark.rdd.RDD[_] => r.unpersist(false)
       case _ => ()
     }
+    // the bloom result frame this call is assembling, tracked so a
+    // failure between its persist and the slot swap cannot orphan its
+    // CacheManager entry (ADVICE r19)
+    var bloomPinnedInFlight: Option[DataFrame] = None
     // Surrogate row keys for the bloom branch (round-18 review): the
     // verification + refill bookkeeping below groups by qid, so two
     // query ROWS sharing a user qid would merge their counts — doubling
@@ -1384,22 +1388,60 @@ final class VdbStore private (
     // the re-rank window. Every bulk engine keeps query rows
     // independent (the gemmQueries duplicate-qid rule); a unique
     // surrogate key keeps the bloom bookkeeping row-scoped too, mapped
-    // back to the user qid after assembly. The rowkeys RDD pins the
-    // uid assignment (one count) so the map frame and the query set
-    // can never disagree on ids across recomputation.
+    // back to the user qid after assembly.
+    //
+    // The keys are DETERMINISTIC functions of row content, never of
+    // physical order (round 20, VERDICT r19 "what's wrong" #1 — the
+    // zipWithUniqueId predecessor depended on partition order, so a
+    // re-collect of a SUPERSEDED bloom result could recompute the map
+    // and hits branches under different orderings and silently
+    // mis-assign hits to qids): _h = xxhash64(seed, user qid, qvec)
+    // names the row's content, row_number within each _h group ordered
+    // by (qid, qvec) separates hash collisions and true duplicates —
+    // a total order up to bit-identical rows, whose interchange is
+    // observationally harmless (identical inputs, identical hits) —
+    // and the packed surrogate is xxhash64(seed, _h, _sub). An
+    // injectivity check (count == countDistinct over the batch) guards
+    // the ~Q²/2⁶⁴ packed-key collision by bumping the seed; the WINNING
+    // seed is baked into the plan as a literal, so every recompute,
+    // pinned or not, re-derives identical keys.
     val (qds, bloomQidMap) =
       if (!isBloom) (qds0, None)
       else {
-        val z = qds0.rdd.zipWithUniqueId()
-          .map { case ((qid, v), uid) => (uid, qid, v) }
-          .setName("graft.querydf.bloom.rowkeys")
+        import org.apache.spark.sql.expressions.Window
+        val base = qds0.toDF("_user_qid", "qvec")
+        def keyedAt(seed: Int): DataFrame = base
+          .withColumn("_h",
+            xxhash64(lit(seed), col("_user_qid"), col("qvec")))
+          .withColumn("_sub", row_number().over(
+            Window.partitionBy(col("_h"))
+              .orderBy(col("_user_qid"), col("qvec"))))
+          .withColumn("qid", xxhash64(lit(seed), col("_h"), col("_sub")))
+          .select(col("qid"), col("_user_qid"), col("qvec"))
+        var seed = 0
+        var keyed = keyedAt(seed)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        z.count()
-        bloomHeld += z
-        val mapDf = spark
-          .createDataset(z.map { case (uid, qid, _) => (uid, qid) })
-          .toDF("qid", "_user_qid")
-        val qq = spark.createDataset(z.map { case (uid, _, v) => (uid, v) })
+        var counts = keyed
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+            countDistinct(col("qid")).as("d"))
+          .head()
+        while (counts.getLong(0) != counts.getLong(1) && seed < 16) {
+          keyed.unpersist(false)
+          seed += 1
+          keyed = keyedAt(seed)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          counts = keyed
+            .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+              countDistinct(col("qid")).as("d"))
+            .head()
+        }
+        require(counts.getLong(0) == counts.getLong(1),
+          s"bloom surrogate keys not injective after $seed seed bumps " +
+            s"(${counts.getLong(0)} rows, ${counts.getLong(1)} distinct)")
+        bloomHeld += keyed
+        val mapDf = keyed.select(col("qid"), col("_user_qid"))
+        val qq = keyed.select(col("qid"), col("qvec"))
+          .as[(Long, Array[Float])]
         (qq, Some(mapDf))
       }
 
@@ -1580,26 +1622,31 @@ final class VdbStore private (
         // latest-call discipline applied correctly to the bloom rung):
         // the persisted result serves all downstream actions from
         // cache, so the rowkeys/refill pins have done their job the
-        // moment the count returns. The ONE residual corner: a caller
-        // that re-collects THIS frame after a subsequent bulk call has
-        // swapped it out recomputes through an unpinned
-        // zipWithUniqueId — on a query frame whose partition order is
-        // nondeterministic (e.g. straight off a shuffle) that recompute
-        // can misalign surrogate keys. The flat tiers' documented
-        // recompute-on-supersede contract already tells callers to
-        // consume a bulk result before the next call; bloom inherits
-        // it with this sharper edge documented here.
+        // moment the count returns. A caller that re-collects THIS
+        // frame after a subsequent bulk call has swapped it out
+        // recomputes the whole lineage unpinned — CORRECT since round
+        // 20 (the surrogate keys are deterministic content hashes, so
+        // the map-back and hits branches re-derive identical keys no
+        // matter how the query frame's partitions re-order), just one
+        // re-scan slower: the same recompute-on-supersede contract as
+        // the flat tiers.
         val pinned = mapped
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        bloomPinnedInFlight = Some(pinned)
         pinned.count()
         bloomBulkSlot.swap(List(pinned))
+        bloomPinnedInFlight = None
         releaseBloomHeld()
         pinned
       } catch {
         case t: Throwable =>
-          // a failure between the first persist and the swap must not
-          // orphan this call's pins outside the slot (round-19 review)
+          // a failure anywhere in the branch must not orphan this
+          // call's pins: the intermediates live outside the slot, and
+          // the result frame itself is persisted BEFORE the swap — if
+          // count() or the swap throws, its CacheManager entry would
+          // leak without this release (ADVICE r19)
           releaseBloomHeld()
+          bloomPinnedInFlight.foreach(_.unpersist(false))
           throw t
       }
     // INNER join, matching query()'s hit-assembly semantics: a hit

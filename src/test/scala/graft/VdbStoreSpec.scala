@@ -1109,6 +1109,74 @@ class VdbStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("queryDF bloom supersede (round 20): re-collecting a superseded bloom result recomputes row-correct — deterministic surrogate keys, no silent qid/hit misalignment") {
+    val s = freshStore(8)
+    s.upsert(TestFixtures.twoClusterRecs(seed = 61))
+    import spark.implicits._
+    val recs = TestFixtures.twoClusterRecs(seed = 61)
+    val qa = recs(0).vector
+    val qb = recs(60).vector
+    // a shuffled query frame WITH duplicate user qids: repartition puts
+    // a round-robin exchange in the lineage (the partition-order
+    // nondeterminism class the old zipWithUniqueId keys were exposed
+    // to), and qid 7 appears twice with DIFFERENT vectors — the case
+    // where a key misalignment would visibly swap hit sets
+    val qdfA = Seq((7L, qa), (7L, qb), (1L, qb), (2L, qa))
+      .toDF("qid", "qvec").repartition(5)
+    val whereB = Some(get_json_object(col("meta"), "$.c") === "b")
+    s.enableAnn(nList = 4)
+    spark.conf.set("graft.query.exact", "true")
+    spark.conf.set("graft.ann.filtered", "true")
+    spark.conf.set("graft.ann.filtered.max", "2")
+    spark.conf.set("graft.ann.filtered.bloom.fpp", "0.3")
+    try {
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), math.rint(r.getDouble(2) * 1e9)))
+        .toSeq.sorted
+      // bloom call A, consumed once while it is the latest call
+      val frameA = s.queryDF(qdfA, "qid", "qvec", 5, where = whereB,
+        nProbe = 4)
+      val gotA = canon(frameA)
+      assert(s.lastQueryStrategy.exists(_.endsWith("+bloom")),
+        s"fixture must exercise the bloom rung, routed ${s.lastQueryStrategy}")
+      // ground truth: the exact-filtered twin on DISTINCT qids (70/71
+      // stand in for the duplicated 7), remapped — independent of any
+      // engine's duplicate-qid convention
+      spark.conf.set("graft.ann.filtered", "false")
+      val qdfSep = Seq((70L, qa), (71L, qb), (1L, qb), (2L, qa))
+        .toDF("qid", "qvec")
+      val want = canon(s.queryDF(qdfSep, "qid", "qvec", 5, where = whereB))
+        .map { case (q, id, sc) => (if (q >= 70L) 7L else q, id, sc) }
+        .sorted
+      spark.conf.set("graft.ann.filtered", "true")
+      assert(gotA == want, "bloom result wrong while still latest")
+      // bulk call B supersedes A: the slot swap unpersists A's result,
+      // and A's own intermediates were already released in-call
+      s.queryDF(qdfA, "qid", "qvec", 5).collect()
+      assert(s.bloomBulkHeldCount == 0,
+        s"non-bloom call must leave the slot empty, holds ${s.bloomBulkHeldCount}")
+      // re-collecting the SUPERSEDED frame recomputes the whole bloom
+      // lineage unpinned; deterministic surrogate keys must re-derive
+      // the same qid/hit assignment (the r19 silent-wrong edge)
+      assert(canon(frameA) == want,
+        "superseded bloom frame recomputed with misaligned qid/hit rows")
+      // and again after ANOTHER bloom call took the slot (A recomputes
+      // while a different pinned bloom result is live)
+      val frameB = s.queryDF(qdfA, "qid", "qvec", 3, where = whereB,
+        nProbe = 4)
+      frameB.count()
+      assert(s.lastQueryStrategy.exists(_.endsWith("+bloom")))
+      assert(canon(frameA) == want,
+        "superseded bloom frame wrong after a later bloom call")
+    } finally {
+      spark.conf.unset("graft.query.exact")
+      spark.conf.unset("graft.ann.filtered")
+      spark.conf.unset("graft.ann.filtered.max")
+      spark.conf.unset("graft.ann.filtered.bloom.fpp")
+      s.disableAnn()
+    }
+  }
+
   test("queryDF flat compressed tiers (round 18): q8/pq/bit strategies serve the bulk engines and match the driver facade") {
     val s = freshStore(8)
     val rng = new scala.util.Random(47)
