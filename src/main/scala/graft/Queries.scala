@@ -2478,11 +2478,18 @@ object Oracles {
 
   /** Oracle for the approximate-recall entries' checked artifact (round
     * 19): one row per query in the slice, exactly k hits, floor verdict
-    * true. The recall computation itself runs IN the entry against the
-    * in-engine exact twin (SQL cannot reproduce an approximate hit
-    * set); what SQL verifies is that the artifact the entry emitted is
-    * exactly the one a floor-passing run produces — any recall
-    * violation throws inside the entry before this shape can match.
+    * true. Honest scope (ADVICE r19): this verifies the artifact's
+    * SHAPE, not the hit set — the recall computation runs IN the entry
+    * against the in-engine exact twin (SQL over the source tables
+    * cannot reproduce an approximate hit set, and the driver's
+    * hash-equality compare means SQL also cannot check a data-dependent
+    * measured recall value), and any floor violation throws inside the
+    * entry before this shape can match. The constant-true column is the
+    * strongest SQL-checkable encoding of "the in-entry assert passed";
+    * the n_hits = k prediction additionally pins that the probed search
+    * filled k on the fixture (a legitimate underfill would redden the
+    * row — by design: underfilling these covering fixtures IS a
+    * regression). CatalogSpec states the same scope.
     */
   private def recallArtifactOracle(qFilter: String, k: Int): String =
     s"""SELECT vec_id AS qid, CAST($k AS BIGINT) AS n_hits,

@@ -6,12 +6,21 @@ import org.apache.spark.sql.SparkSession
 /** Catalog invariants the driver's correctness gate depends on. */
 class CatalogSpec extends AnyFunSuite {
 
-  test("every catalog query has a DuckDB oracle (round 19: no exemptions left)") {
-    // the five approximate-recall entries (q26/q46/q55/q76/q78) were the
-    // last exemptions; since round 19 they emit a checked per-query
-    // artifact — (qid, n_hits, recall_floor_met), gated by an in-engine
-    // recall-floor assert against the exact twin — that the SQL oracle
-    // verifies (VERDICT r18 next-round #4)
+  test("every catalog query has a DuckDB oracle — for q26/q46/q55/q76/q78 the SQL verifies the ARTIFACT SHAPE, the recall invariant is the in-entry assert") {
+    // Honest scope of the five approximate-recall oracles (ADVICE r19):
+    // ANN hit sets are approximate, so no SQL over the source tables can
+    // reproduce them — these entries emit a checked per-query artifact
+    // (qid, n_hits, recall_floor_met) whose SHAPE the SQL oracle
+    // verifies (one row per query, exactly k hits, verdict literal).
+    // The recall invariant itself is enforced by the in-entry
+    // assertRecallFloor against the in-engine exact twin, which THROWS
+    // (reddening the correctness row) before a floor-violating run can
+    // produce the shape SQL expects. A measured per-query recall value
+    // cannot ride the artifact: the driver compares by hash equality,
+    // and SQL cannot predict a data-dependent recall — the boolean is
+    // the strongest SQL-checkable encoding of "the assert passed". The
+    // machinery behind each entry stays independently bit-oracled
+    // (q47-q49, q56, q75/q77, q79).
     val noOracle = Queries.all.keySet -- Oracles.all.keySet
     assert(noOracle.isEmpty, s"missing oracles: $noOracle")
     val orphans = Oracles.all.keySet -- Queries.all.keySet

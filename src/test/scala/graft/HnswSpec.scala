@@ -267,4 +267,20 @@ class HnswSpec extends AnyFunSuite {
       whereFn = (id, _) => three(id))
     assert(tiny.map(_.id).toSet == three, s"got ${tiny.map(_.id)}")
   }
+
+  test("build parallelism resolution (round 20): explicit wins, in-task builds get the task's CPU share, driver builds get the common pool") {
+    assert(Hnsw.resolveBuildParallelism(3) == 3)
+    // driver-side auto: the full common pool — this is how
+    // LocalReplica.buildHnsw and the bench's serving build inherit the
+    // parallel commit without passing anything
+    assert(Hnsw.resolveBuildParallelism(0) == math.max(1,
+      java.util.concurrent.ForkJoinPool.getCommonPoolParallelism))
+    // in-task auto: exactly the task's CPU allocation (1 under the
+    // default spark.task.cpus), so per-slab builds in HnswStore.fromRDD
+    // and the streaming segment sink never run tasks x pool-width
+    // threads on one executor
+    val inTask = spark.sparkContext.parallelize(Seq(0), numSlices = 1)
+      .map(_ => Hnsw.resolveBuildParallelism(0)).collect().head
+    assert(inTask == 1, s"in-task auto parallelism resolved to $inTask")
+  }
 }

@@ -20,9 +20,11 @@ import graft.core.{VdbRecord, VdbStore}
   *   > hnsw > ann+q8 > ann+pq > ann+bit > ann > q8 > pq > bit > exact;
   *   any betterThan threshold bypasses every accelerator (exact /
   *   exact-filtered), and filtered acceleration requires the
-  *   `graft.ann.filtered` opt-in. whereFn shares the `filtered` lattice
-  *   point with Column filters (same member-resolution path — pinned in
-  *   VdbStoreSpec's facade-parity test).
+  *   `graft.ann.filtered` opt-in. All three membership sources —
+  *   Column `where`, explicit `ids`, opaque `whereFn` — share
+  *   resolveFilterMember, and since round 20 every filtered lattice
+  *   point (including the bloom-rung cap) is swept under each source,
+  *   not just `where` (VERDICT r19 next-round #5).
   */
 class QueryDispatchSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -48,7 +50,7 @@ class QueryDispatchSpec extends AnyFunSuite {
     } else if (q8) "q8" else if (pq) "pq" else if (bit) "bit" else "exact"
   }
 
-  test("queryDF dispatch lattice: every (q8,pq,bit,hnsw,ann,filtered,bloom,betterThan) combo routes per the documented precedence and fills k rows") {
+  test("queryDF dispatch lattice: every (q8,pq,bit,hnsw,ann,filtered,bloom,betterThan) combo routes per the documented precedence and fills k rows — under all three membership sources (where / ids / whereFn)") {
     val s = VdbStore.empty(spark, 8)
     s.upsert(TestFixtures.twoClusterRecs(seed = 71))
     import spark.implicits._
@@ -56,7 +58,14 @@ class QueryDispatchSpec extends AnyFunSuite {
       (0L, { val v = new Array[Float](8); v(0) = 1f; v }),
       (1L, { val v = new Array[Float](8); v(4) = 1f; v }))
       .toDF("qid", "qvec")
+    // the three membership sources express the SAME 60-row "b" cluster
+    // (VERDICT r19 next-round #5: ids and whereFn share
+    // resolveFilterMember with Column filters, but their lattice points
+    // — including the bloom-rung cap — were only point-pinned before;
+    // now every filtered combo runs under each source)
     val whereB = get_json_object(col("meta"), "$.c") === "b"
+    val bIds: Seq[String] = (0 until 60).map(i => f"b$i%03d")
+    val fnB: (String, String) => Boolean = (id, _) => id.startsWith("b")
     val k = 3
     // filtered acceleration is always opted in for the sweep; the
     // opt-out collapse to exact-filtered is pinned separately below
@@ -76,6 +85,8 @@ class QueryDispatchSpec extends AnyFunSuite {
                 for {
                   better <- Seq(false, true)
                   filtered <- Seq(0, 1, 2)
+                  src <- if (filtered == 0) Seq("none")
+                         else Seq("where", "ids", "fn")
                   // the bulk q8 opt-in only reaches the ladder on the
                   // ann-filtered rung; sweep it there, pin default
                   // (false) everywhere else
@@ -90,10 +101,12 @@ class QueryDispatchSpec extends AnyFunSuite {
                   val want = expectedStrategy(hnsw, ann, q8, pq, bit,
                     filtered, better, bulkQ8)
                   val combo = s"hnsw=$hnsw ann=$ann q8=$q8 pq=$pq bit=$bit " +
-                    s"filtered=$filtered better=$better bulkQ8=$bulkQ8"
+                    s"filtered=$filtered src=$src better=$better bulkQ8=$bulkQ8"
                   val rows = s.queryDF(qdf, "qid", "qvec", k,
                       betterThan = if (better) Some(-1.0) else None,
-                      where = if (filtered > 0) Some(whereB) else None)
+                      where = if (src == "where") Some(whereB) else None,
+                      ids = if (src == "ids") Some(bIds) else None,
+                      whereFn = if (src == "fn") Some(fnB) else None)
                     .select("qid").collect().map(_.getLong(0))
                   assert(s.lastQueryStrategy == Some(want),
                     s"[$combo] routed ${s.lastQueryStrategy}, expected $want")
@@ -107,9 +120,11 @@ class QueryDispatchSpec extends AnyFunSuite {
           }
         }
       }
-      // 2(hnsw) x 2(ann) x 2(q8) x 2(pq) x 2(bit) x 2(better) x 3(filtered)
-      // = 192, plus the bulkQ8=true twin on the 8 reachable combos
-      assert(combos == 200, s"lattice coverage drifted: ran $combos combos")
+      // 2(hnsw) x 2(ann) x 2(q8) x 2(pq) x 2(bit) x 2(better) x
+      // [1 (unfiltered) + 2(filtered) x 3(src)] = 32 x 2 x 7 = 448,
+      // plus the bulkQ8=true twin on its 24 reachable combos
+      // (4 pq/bit x 2 filtered x 3 src)
+      assert(combos == 472, s"lattice coverage drifted: ran $combos combos")
       // opt-out pin: without graft.ann.filtered, a filtered query
       // bypasses every accelerator regardless of what is enabled
       spark.conf.unset("graft.ann.filtered")
@@ -122,6 +137,50 @@ class QueryDispatchSpec extends AnyFunSuite {
         "graft.ann.filtered.bulkq8").foreach(spark.conf.unset)
       s.disableQ8(); s.disablePq(); s.disableBit()
       s.disableHnsw(); s.disableAnn()
+    }
+  }
+
+  test("auto-tier budget boundaries (round 20): tier choice pinned at every substrate boundary ±1 byte, and the catalog's store-sized budget formulas sit on stable rungs") {
+    import graft.core.PqStore
+    // The pure decision (VdbStore.autoTier) swept at each boundary and
+    // one byte to either side (VERDICT r19 next-round #6: the r17 clean
+    // pass recorded q91/q92 `requirement failed` flaps at tier
+    // boundaries; r18 moved the catalog to store-sized budgets — this
+    // table keeps the contract from re-flapping silently). Shapes cover
+    // dim % 8 == 0 (autoM = dim/8), dim % 4 == 0 only (autoM = dim/4),
+    // and dim % 4 != 0 (PQ unreachable — bit is the only rung below q8).
+    val shapes = Seq((500L, 64), (2000L, 64), (100000L, 1024),
+      (50L, 12), (123L, 48), (77L, 10), (9L, 7))
+    for ((rows, dim) <- shapes) {
+      val d = dim.toLong
+      val fp32B = rows * d * 4L
+      val q8B = rows * d
+      def tier(b: Long) = graft.core.VdbStore.autoTier(rows, dim, b)
+      assert(tier(fp32B) == "exact", s"($rows x $dim) at the fp32 boundary")
+      assert(tier(fp32B - 1) == "q8", s"($rows x $dim) 1 B under fp32")
+      assert(tier(q8B) == "q8", s"($rows x $dim) at the int8 boundary")
+      if (dim % 4 == 0) {
+        val pqB = rows * PqStore.autoM(dim).toLong
+        assert(pqB < q8B, s"autoM must compress below int8 ($rows x $dim)")
+        assert(tier(q8B - 1) == "pq", s"($rows x $dim) 1 B under int8")
+        assert(tier(pqB) == "pq", s"($rows x $dim) at the PQ boundary")
+        assert(tier(pqB - 1) == "bit", s"($rows x $dim) 1 B under PQ")
+      } else {
+        // PQ can't split this geometry: q8 falls straight to bit
+        assert(tier(q8B - 1) == "bit", s"($rows x $dim) 1 B under int8 (no PQ)")
+      }
+      assert(tier(0L) == "bit", s"($rows x $dim) at zero budget")
+    }
+    // The catalog's q91-q93 budget formulas (Queries.vdbAutoTopk,
+    // headroom 0.5 -> budget = memBytes/2), at BOTH verify-time store
+    // shapes (sf0.01: 500 embeddings, sf0.1: 2000) — each lands
+    // strictly inside (or on the stable <= edge of) its intended rung:
+    for ((rows, dim) <- Seq((500L, 64), (2000L, 64))) {
+      val m = PqStore.autoM(dim).toLong
+      def tier(b: Long) = graft.core.VdbStore.autoTier(rows, dim, b)
+      assert(tier(2L * rows * dim / 2) == "q8", s"q91 formula ($rows x $dim)")
+      assert(tier(rows * dim.toLong / 2) == "pq", s"q92 formula ($rows x $dim)")
+      assert(tier(rows * m / 2) == "bit", s"q93 formula ($rows x $dim)")
     }
   }
 }
