@@ -260,23 +260,33 @@ object Bench {
     def jnum(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
 
+    // outcome flags the shutdown hook waits on (review r20): set by a
+    // successful full artifact write and by a shipped minimal record
+    val artifactWritten = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val minimalShipped = new java.util.concurrent.atomic.AtomicBoolean(false)
     /** Minimal state-free record: ships when the full emit itself fails
-      * or stalls. A minimal record is by definition not a clean pass, so
-      * its default artifact target is the dirty-pass file (never
-      * BENCH_LAST.json — see the clean-pass gate in emitAll).
+      * or stalls. First caller wins (a failed main-thread emit and the
+      * shutdown hook must not ship two). The file write is SKIPPED when
+      * a full artifact already landed this run — a torn-map failure
+      * AFTER the full Files.write must not clobber 130 measured entries
+      * with an empty record (review r20). A minimal record is by
+      * definition not a clean pass, so its default artifact target is
+      * the dirty-pass file (never BENCH_LAST.json — see the clean-pass
+      * gate in emitAll).
       */
-    def minimalFallback(reason: String): Unit = {
-      val line =
-        s"""{"metric":"total","value":-1,"unit":"sec","queries":{},"noise_flagged":true,"errors":{"bench_abort":${jstr(reason)}},"sf":${jstr(sfDir)}}"""
-      println(line)
-      System.out.flush()
-      try {
-        val out = java.nio.file.Paths.get(
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DIRTY.json"))
-        java.nio.file.Files.write(out,
-          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      } catch { case scala.util.control.NonFatal(_) => () }
-    }
+    def minimalFallback(reason: String): Unit =
+      if (minimalShipped.compareAndSet(false, true)) {
+        val line =
+          s"""{"metric":"total","value":-1,"unit":"sec","queries":{},"noise_flagged":true,"errors":{"bench_abort":${jstr(reason)}},"sf":${jstr(sfDir)}}"""
+        println(line)
+        System.out.flush()
+        if (!artifactWritten.get) try {
+          val out = java.nio.file.Paths.get(
+            sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DIRTY.json"))
+          java.nio.file.Files.write(out,
+            (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
     // emitStarted guards reentry; emitted flips only AFTER a successful
     // emit (ADVICE r19: setting one flag up front meant an exception
     // mid-emit lost both output lines AND disarmed the shutdown hook —
@@ -392,6 +402,7 @@ object Bench {
         val out = java.nio.file.Paths.get(outName)
         java.nio.file.Files.write(out,
           (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        artifactWritten.set(true)
         System.err.println(s"bench json also written to ${out.toAbsolutePath}" +
           (if (cleanPass) "" else " (pass not clean: BENCH_LAST.json left untouched)"))
       } catch {
@@ -468,10 +479,18 @@ object Bench {
         }, "bench-emergency-emit-worker")
         worker.setDaemon(true)
         worker.start()
-        worker.join(20000)
-        if (worker.isAlive)
-          minimalFallback("emergency emit stalled (result maps torn " +
-            "mid-mutation); no numbers recoverable")
+        // Bounded wait on the OUTCOME flags, not the worker thread
+        // (review r20): if the main thread was already mid-emit
+        // (emitStarted true), the worker no-ops instantly — the record
+        // we are waiting for is the MAIN thread's, which System.exit
+        // does not stop. Either a full emit or a minimal record must
+        // exist before this hook returns and the JVM halts.
+        val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+        while (!emitted.get && !minimalShipped.get &&
+               System.nanoTime() < deadline) Thread.sleep(100)
+        if (!emitted.get && !minimalShipped.get)
+          minimalFallback("emit stalled at JVM shutdown (in-flight or " +
+            "result maps torn mid-mutation); no numbers recoverable")
       }
     }, "bench-emergency-emit")
     Runtime.getRuntime.addShutdownHook(emergencyEmit)
@@ -1370,14 +1389,15 @@ object Bench {
           suspects.contains(n) && !errors.contains(n)
         }
         if (sus.nonEmpty) {
-          // canary-gate the retry pass like retryIfSuspect (VERDICT r19
-          // #4): wait for a clean read (bounded), then stamp the pass's
-          // witness ratio on every entry it retries
-          val ratio = awaitCleanCanary()
+          // canary-gate EVERY retried entry like retryIfSuspect (VERDICT
+          // r19 #4; review r20 — one gate per pass goes stale minutes
+          // into a long suspect list): wait for a clean read (bounded)
+          // immediately before each entry's retry sample and stamp that
+          // entry's own witness ratio
           sus.foreach { case (name, fn) =>
             retried += name
             retryCanaryRatios(name) =
-              retryCanaryRatios.getOrElse(name, Nil) :+ ratio
+              retryCanaryRatios.getOrElse(name, Nil) :+ awaitCleanCanary()
             try record(name, allSamples(name) :+ timed { force(fn(spark, sfDir)) })
             catch {
               case e: Throwable =>

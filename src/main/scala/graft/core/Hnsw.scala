@@ -387,21 +387,6 @@ object Hnsw {
     new Hnsw(dim, data, n, m, levels, nbrs, nbrCnt, entry, maxLevel)
   }
 
-  /** Build over a packed matrix; `ids` row i lives at `data(i*dim)`.
-    * Deterministic for a fixed input order. `batch` > 1 runs each
-    * batch's candidate searches in parallel against the frozen graph.
-    *
-    * `parallelism` bounds the search threads: <= 0 is auto — inside a
-    * Spark task it is the task's CPU allocation (`TaskContext.cpus`,
-    * usually 1 → sequential, so per-slab builds in
-    * [[graft.operators.HnswStore.fromRDD]] stay within their task's
-    * share instead of `tasks x pool-width` oversubscribing the
-    * JVM-wide common pool — ADVICE r13); on the driver it is the
-    * common pool's width. Parallel searches run on a DEDICATED
-    * ForkJoinPool (never the common pool, which the serving replica's
-    * query fan-out shares). The graph is parallelism-independent:
-    * batch searches are read-only and links apply in node order.
-    */
   /** The auto build-parallelism resolution, spec-pinned (round 20,
     * VERDICT r19 next-round #7): explicit wins; otherwise INSIDE a
     * Spark task the build gets exactly the task's CPU allocation
@@ -420,6 +405,21 @@ object Hnsw {
       .getOrElse(math.max(1,
         java.util.concurrent.ForkJoinPool.getCommonPoolParallelism))
 
+  /** Build over a packed matrix; `ids` row i lives at `data(i*dim)`.
+    * Deterministic for a fixed input order. `batch` > 1 runs each
+    * batch's candidate searches in parallel against the frozen graph.
+    *
+    * `parallelism` bounds the search threads: <= 0 is auto — inside a
+    * Spark task it is the task's CPU allocation (`TaskContext.cpus`,
+    * usually 1 → sequential, so per-slab builds in
+    * [[graft.operators.HnswStore.fromRDD]] stay within their task's
+    * share instead of `tasks x pool-width` oversubscribing the
+    * JVM-wide common pool — ADVICE r13); on the driver it is the
+    * common pool's width. Parallel searches run on a DEDICATED
+    * ForkJoinPool (never the common pool, which the serving replica's
+    * query fan-out shares). The graph is parallelism-independent:
+    * batch searches are read-only and links apply in node order.
+    */
   def build(data: Array[Float], n: Int, dim: Int,
             m: Int = 16, efConstruction: Int = 100,
             batch: Int = 256, seedSequential: Int = 1024,

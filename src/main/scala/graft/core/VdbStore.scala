@@ -1418,26 +1418,36 @@ final class VdbStore private (
               .orderBy(col("_user_qid"), col("qvec"))))
           .withColumn("qid", xxhash64(lit(seed), col("_h"), col("_sub")))
           .select(col("qid"), col("_user_qid"), col("qvec"))
+        // persist + injectivity aggregation in one self-guarded step: a
+        // failed aggregation job (executor loss, cancellation) must not
+        // orphan the frame it just pinned (review r20)
+        def persistAndCheck(seed: Int): (DataFrame, Long, Long) = {
+          val k = keyedAt(seed)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val c = k
+              .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+                countDistinct(col("qid")).as("d"))
+              .head()
+            (k, c.getLong(0), c.getLong(1))
+          } catch {
+            case t: Throwable => k.unpersist(false); throw t
+          }
+        }
         var seed = 0
-        var keyed = keyedAt(seed)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        var counts = keyed
-          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
-            countDistinct(col("qid")).as("d"))
-          .head()
-        while (counts.getLong(0) != counts.getLong(1) && seed < 16) {
+        var (keyed, nRows, nDistinct) = persistAndCheck(seed)
+        while (nRows != nDistinct && seed < 16) {
           keyed.unpersist(false)
           seed += 1
-          keyed = keyedAt(seed)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          counts = keyed
-            .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
-              countDistinct(col("qid")).as("d"))
-            .head()
+          val r = persistAndCheck(seed)
+          keyed = r._1; nRows = r._2; nDistinct = r._3
         }
-        require(counts.getLong(0) == counts.getLong(1),
-          s"bloom surrogate keys not injective after $seed seed bumps " +
-            s"(${counts.getLong(0)} rows, ${counts.getLong(1)} distinct)")
+        if (nRows != nDistinct) {
+          keyed.unpersist(false)
+          throw new IllegalStateException(
+            s"bloom surrogate keys not injective after $seed seed bumps " +
+              s"($nRows rows, $nDistinct distinct)")
+        }
         bloomHeld += keyed
         val mapDf = keyed.select(col("qid"), col("_user_qid"))
         val qq = keyed.select(col("qid"), col("qvec"))
@@ -1445,7 +1455,7 @@ final class VdbStore private (
         (qq, Some(mapDf))
       }
 
-    val rawHits: DataFrame = hnswFiltered match {
+    val rawHits: DataFrame = try { hnswFiltered match {
       case Some((h, m, dny)) =>
         if (q8Enabled) {
           // int8 composition (round 18): the per-shard beams walk the
@@ -1536,6 +1546,11 @@ final class VdbStore private (
           }
         }
       }
+    } } catch {
+      // plan construction between the rowkeys pin and the hits try must
+      // not orphan the pin either (review r20); a no-op for non-bloom
+      // calls (the held list is empty)
+      case t: Throwable => releaseBloomHeld(); throw t
     }
 
     // Bloom rung, distributed verification + refill (round 18 — the
