@@ -1410,6 +1410,14 @@ final class VdbStore private (
       else {
         import org.apache.spark.sql.expressions.Window
         val base = qds0.toDF("_user_qid", "qvec")
+        // the window's hash shuffle would otherwise spread the batch
+        // over all spark.sql.shuffle.partitions — and the pack-based
+        // engines downstream build one query SLAB per partition, so a
+        // small batch would fan the (slabs × code blocks) cartesian 32×
+        // (measured: q97 1.4 s → 4.5 s steady). Coalesce back to the
+        // caller's partition count; narrow, and key VALUES are
+        // content-derived so placement cannot affect them.
+        val qParts = math.max(1, qds0.rdd.getNumPartitions)
         def keyedAt(seed: Int): DataFrame = base
           .withColumn("_h",
             xxhash64(lit(seed), col("_user_qid"), col("qvec")))
@@ -1418,6 +1426,7 @@ final class VdbStore private (
               .orderBy(col("_user_qid"), col("qvec"))))
           .withColumn("qid", xxhash64(lit(seed), col("_h"), col("_sub")))
           .select(col("qid"), col("_user_qid"), col("qvec"))
+          .coalesce(qParts)
         // persist + injectivity aggregation in one self-guarded step: a
         // failed aggregation job (executor loss, cancellation) must not
         // orphan the frame it just pinned (review r20)
