@@ -209,16 +209,41 @@ object Bench {
       val nomM = (canaryMultiCalib ++ canaryMultiRaw).min
       math.max(canaryRaw.last / nom1, canaryMultiRaw.last / nomM)
     }
-    /** Sample the canary until it reads clean (<= 1.25) or the bounded
-      * waits run out; returns the last ratio (the retry's witness).
+    /** Sample the canary until it reads clean (<= 1.25) or the wait
+      * budget runs out; returns the last ratio (the retry's witness).
+      * Budget (round 21, VERDICT r20 what's-wrong #1): the old bound of
+      * 5 waits x 3 s ~= 15 s gave up inside the minutes-long steal
+      * bursts SCALING.md documents, so driver passes shipped suspects
+      * whose retries re-measured the same burst. Now the total sleep
+      * budget is SPARK_GRAFT_CANARY_WAIT_S seconds (default 120) with
+      * exponential backoff between samples (2 s doubling to 30 s), so a
+      * burst that clears within the budget yields a clean-witnessed
+      * retry instead of a suspect row.
       */
+    val canaryWaitBudgetS: Double =
+      sys.env.get("SPARK_GRAFT_CANARY_WAIT_S").map(_.toDouble).getOrElse(120.0)
     def awaitCleanCanary(): Double = {
       var ratio = gatedCanaryRatio()
-      var waits = 0
-      while (ratio > 1.25 && waits < 5) {
-        Thread.sleep(3000)
+      var slept = 0.0
+      var stepS = 2.0
+      while (ratio > 1.25 && slept < canaryWaitBudgetS) {
+        Thread.sleep((stepS * 1000).toLong)
+        slept += stepS
+        stepS = math.min(stepS * 2.0, 30.0)
         ratio = gatedCanaryRatio()
-        waits += 1
+      }
+      ratio
+    }
+    /** One canary-gated wait recorded as the retry witness for every
+      * entry the upcoming retry sample will feed (round 21, ADVICE r20:
+      * the extra-cycle / warm / ann-rebuild loops re-sampled without a
+      * gate or a witness, so the artifact's "retries are canary-gated"
+      * note overstated them).
+      */
+    def gateRetry(names: String*): Double = {
+      val ratio = awaitCleanCanary()
+      names.foreach { n =>
+        retryCanaryRatios(n) = retryCanaryRatios.getOrElse(n, Nil) :+ ratio
       }
       ratio
     }
@@ -227,9 +252,7 @@ object Bench {
       while (suspects.contains(name) && t < extra && allSamples.contains(name)) {
         retried += name
         Thread.sleep(500)
-        val ratio = awaitCleanCanary()
-        retryCanaryRatios(name) =
-          retryCanaryRatios.getOrElse(name, Nil) :+ ratio
+        gateRetry(name)
         record(name, allSamples(name) :+ sampler)
         t += 1
       }
@@ -353,8 +376,9 @@ object Bench {
       val canaryLayout =
         s"$headN headline samples (one per cold cycle, one " +
         s"post-final-cycle witness, one per ANN build sample, one per ANN " +
-        s"query sample, one per q8 quantize/scan/rescore sample, one " +
-        s"post-ANN-section witness, one or more per suspect retry — retries are canary-gated, see retry_canary)" +
+        s"query sample, one per q8 quantize/scan/rescore sample, one per " +
+        s"replica-build sample, one post-ANN-section witness, one or more " +
+        s"per suspect retry — every retry path is canary-gated, see retry_canary)" +
         (if (catalogCanaryCount > 0)
            s" then $catalogCanaryCount catalog-pass/retry samples"
          else if (picovdbOnly) " (catalog sweep skipped: picovdb-only mode)"
@@ -617,7 +641,7 @@ object Bench {
             suspects.contains("picovdb_batch_1000q")) && extraCycles < 2) {
       retried += "picovdb_insert_100k"; retried += "picovdb_batch_1000q"
       Thread.sleep(1000)
-      canarySample()
+      gateRetry("picovdb_insert_100k", "picovdb_batch_1000q")
       store.unpersist()
       val ti = timed {
         store = BlockStore.fromRDD(raw, normalize = true).persist()
@@ -674,7 +698,7 @@ object Bench {
            && warmRetries < 2) {
       retried += "picovdb_batch_1000q_warm"
       Thread.sleep(1000)
-      canarySample()
+      gateRetry("picovdb_batch_1000q_warm")
       record("picovdb_batch_1000q_warm",
         allSamples("picovdb_batch_1000q_warm") :+ warmBatch())
       warmRetries += 1
@@ -777,7 +801,8 @@ object Bench {
       while (suspects.contains("picovdb_ann_build") && buildRetries < 2) {
         retried += "picovdb_ann_build"
         Thread.sleep(1000)
-        canarySample()
+        gateRetry("picovdb_ann_build", "picovdb_ann_build_fit",
+          "picovdb_ann_build_assign", "picovdb_ann_build_pack")
         annIdx.unpersistAssigned()
         var cents: Array[Array[Double]] = null
         val tFit = timed {
@@ -970,7 +995,7 @@ object Bench {
               // contention burst owned np_lo's window — resampling
               // inside the same burst burns the budget for nothing
               Thread.sleep(1000)
-              canarySample()
+              gateRetry(kLo)
               record(kLo, allSamples(kLo) :+ timed {
                 annIdx.searchMerged[Long](queries, k = topK, nProbe = lo,
                   normalized = false).count()
@@ -1230,6 +1255,37 @@ object Bench {
             .map(h => rows(h._1)._1).count(truth(qi)) / topK.toDouble
         }
         recalls(s"hnsw_ef$ef") = per.sum / math.max(1, per.length)
+      }
+
+      // ---- serving-replica HNSW build (round 21, VERDICT r20
+      // next-round #6/#8): tools/ReplicaBuildProbe's hand-run wall
+      // folded into the bench so the <=25 s target (r19 #7) is tracked
+      // per round. Fixture prep — the upsertDF ingest and each sample's
+      // replica cut (a collect) — is untimed like the serving rows'
+      // data prep above; the timed region is exactly
+      // localReplica().buildHnsw(), which must inherit the parallel
+      // commit via Hnsw.resolveBuildParallelism. A FRESH replica per
+      // sample because buildHnsw is idempotent per replica.
+      {
+        import spark.implicits._
+        var repStore: graft.core.VdbStore = null
+        try {
+          val repBatch = raw.map { case (id, v) =>
+            (f"id$id%06d", v, null: String)
+          }.toDF("_id_", "vector", "meta")
+          repStore = graft.core.VdbStore.empty(spark, dim)
+          repStore.upsertDF(repBatch, dedupIds = false)
+          def replicaBuildSample(): Double = {
+            canarySample()
+            val rep = repStore.localReplica()
+            timed { rep.buildHnsw(); () }
+          }
+          record("picovdb_replica_hnsw_build",
+            (1 to 3).map(_ => replicaBuildSample()))
+          retryIfSuspect("picovdb_replica_hnsw_build")(replicaBuildSample())
+        } finally {
+          if (repStore != null) repStore.releaseCaches()
+        }
       }
 
       // ---- sharded-HNSW rows (round 13, operators.HnswStore): the

@@ -1395,16 +1395,27 @@ final class VdbStore private (
     // zipWithUniqueId predecessor depended on partition order, so a
     // re-collect of a SUPERSEDED bloom result could recompute the map
     // and hits branches under different orderings and silently
-    // mis-assign hits to qids): _h = xxhash64(seed, user qid, qvec)
-    // names the row's content, row_number within each _h group ordered
-    // by (qid, qvec) separates hash collisions and true duplicates —
-    // a total order up to bit-identical rows, whose interchange is
-    // observationally harmless (identical inputs, identical hits) —
-    // and the packed surrogate is xxhash64(seed, _h, _sub). An
-    // injectivity check (count == countDistinct over the batch) guards
-    // the ~Q²/2⁶⁴ packed-key collision by bumping the seed; the WINNING
-    // seed is baked into the plan as a literal, so every recompute,
-    // pinned or not, re-derives identical keys.
+    // mis-assign hits to qids). Fast path (round 21): when
+    // xxhash64(0, user qid, qvec) is already injective over the batch
+    // it is the surrogate directly — no window, no shuffle. Otherwise:
+    // _h = xxhash64(seed, user qid, qvec) names the row's content,
+    // row_number within each _h group ordered by (qid, qvec) separates
+    // hash collisions and true duplicates — a total order up to
+    // bit-identical rows, whose interchange is observationally
+    // harmless (identical inputs, identical hits) — and the packed
+    // surrogate is xxhash64(seed, _h, _sub). An injectivity check
+    // (count == countDistinct over the batch) guards the ~Q²/2⁶⁴
+    // packed-key collision by bumping the seed; the WINNING key plan
+    // (fast or windowed, and its seed) is baked in as literals, so
+    // every recompute, pinned or not, re-derives identical keys.
+    //
+    // Scope (ADVICE r20 #4): the recompute-determinism guarantee
+    // assumes the SOURCE lineage of the query frame is itself
+    // deterministic — a frame built from unordered sample()/limit can
+    // re-derive different ROWS on recompute, which no keying scheme
+    // can mask. The flat tiers' recompute-on-supersede contract makes
+    // the same assumption implicitly; callers supplying
+    // content-nondeterministic frames must pin them first.
     val (qds, bloomQidMap) =
       if (!isBloom) (qds0, None)
       else {
@@ -1418,6 +1429,21 @@ final class VdbStore private (
         // caller's partition count; narrow, and key VALUES are
         // content-derived so placement cannot affect them.
         val qParts = math.max(1, qds0.rdd.getNumPartitions)
+        // Window-free fast path (round 21, VERDICT r20 next-round #4 —
+        // the r20 determinism trade cost q97 +8%): when the direct
+        // content hash is already injective over the batch (the
+        // overwhelmingly common distinct-row case), it IS the surrogate
+        // key — no row_number window, no Q-row shuffle, no
+        // coalesce-back. Still a pure deterministic function of row
+        // content, so the supersede/recompute guarantee is unchanged.
+        // True duplicate rows (identical qid+qvec) collide under EVERY
+        // seed, so only the duplicate/collision case falls into the
+        // windowed keying below; the injectivity aggregation runs in
+        // both paths, as before.
+        def hashedAt(seed: Int): DataFrame = base
+          .withColumn("qid",
+            xxhash64(lit(seed), col("_user_qid"), col("qvec")))
+          .select(col("qid"), col("_user_qid"), col("qvec"))
         def keyedAt(seed: Int): DataFrame = base
           .withColumn("_h",
             xxhash64(lit(seed), col("_user_qid"), col("qvec")))
@@ -1430,8 +1456,8 @@ final class VdbStore private (
         // persist + injectivity aggregation in one self-guarded step: a
         // failed aggregation job (executor loss, cancellation) must not
         // orphan the frame it just pinned (review r20)
-        def persistAndCheck(seed: Int): (DataFrame, Long, Long) = {
-          val k = keyedAt(seed)
+        def persistAndCheck(df: DataFrame): (DataFrame, Long, Long) = {
+          val k = df
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             val c = k
@@ -1443,19 +1469,26 @@ final class VdbStore private (
             case t: Throwable => k.unpersist(false); throw t
           }
         }
-        var seed = 0
-        var (keyed, nRows, nDistinct) = persistAndCheck(seed)
-        while (nRows != nDistinct && seed < 16) {
-          keyed.unpersist(false)
-          seed += 1
-          val r = persistAndCheck(seed)
-          keyed = r._1; nRows = r._2; nDistinct = r._3
-        }
+        var (keyed, nRows, nDistinct) = persistAndCheck(hashedAt(0))
         if (nRows != nDistinct) {
+          // duplicates or a hash collision in the batch: take the
+          // windowed keying with the seed-bump loop (the r20 shape)
           keyed.unpersist(false)
-          throw new IllegalStateException(
-            s"bloom surrogate keys not injective after $seed seed bumps " +
-              s"($nRows rows, $nDistinct distinct)")
+          var seed = 0
+          val r0 = persistAndCheck(keyedAt(seed))
+          keyed = r0._1; nRows = r0._2; nDistinct = r0._3
+          while (nRows != nDistinct && seed < 16) {
+            keyed.unpersist(false)
+            seed += 1
+            val r = persistAndCheck(keyedAt(seed))
+            keyed = r._1; nRows = r._2; nDistinct = r._3
+          }
+          if (nRows != nDistinct) {
+            keyed.unpersist(false)
+            throw new IllegalStateException(
+              s"bloom surrogate keys not injective after $seed seed bumps " +
+                s"($nRows rows, $nDistinct distinct)")
+          }
         }
         bloomHeld += keyed
         val mapDf = keyed.select(col("qid"), col("_user_qid"))
@@ -2128,6 +2161,30 @@ final class VdbStore private (
     * full rebuild, never a silently wrong graph). The parameter is
     * required so a future mutation path cannot forget to decide.
     */
+  /** Release every Spark-side cache this store pins — the cached
+    * snapshot, the packed block cache, the q8/pq/bit tier caches, the
+    * HNSW shard store and the ANN assignment (round 21: bench/tool
+    * hygiene so a fixture store cannot leak pinned blocks into later
+    * measured sections). END-OF-LIFE only: a snapshot that was
+    * lineage-cut by localCheckpoint loses its data when unpinned, so
+    * the store must not be queried after this.
+    */
+  private[graft] def releaseCaches(): Unit = {
+    current.unpersist(false)
+    blockCache.foreach(_._2.unpersist())
+    blockCache = None
+    q8Cache.foreach(_._2.unpersist(false))
+    q8Cache = None
+    pqCache.foreach(_._2.unpersist(false))
+    pqCache = None
+    bitCache.foreach(_._2.unpersist(false))
+    bitCache = None
+    hnswCache.foreach(_._3.unpersist())
+    hnswCache = None
+    annIndex.foreach(_.unpersistAssigned())
+    annIndex = None
+  }
+
   private def swap(next: DataFrame, touch: HnswTouch): Unit = {
     // Cache the new snapshot; long upsert chains get their lineage cut by
     // a local checkpoint so plans don't grow unboundedly.

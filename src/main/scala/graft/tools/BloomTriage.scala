@@ -55,6 +55,38 @@ object BloomTriage {
         println(s"JOB $id ${j.status()} stages=${stages.mkString(" | ")}")
       }
     }
+    // Round 21: optional plan dump of a q97-MIRROR frame, because the
+    // catalog entry localCheckpoints its result — the committed plan
+    // would be an opaque LogicalRDD scan. This rebuilds the identical
+    // store/conf/query fixture and explains the frame queryDF actually
+    // returns, so plans/r21 evidences the keying shape (windowed r20
+    // vs window-free fast path r21). Usage: first CLI arg = output
+    // file path.
+    if (args.nonEmpty) {
+      import org.apache.spark.sql.functions._
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val st = graft.core.VdbStore.empty(spark, dim)
+      st.upsertDF(emb.select(
+        lpad(col("vec_id").cast("string"), 8, "0").as("_id_"),
+        col("embedding").as("vector"),
+        lit(null).cast("string").as("meta")))
+      st.enableAnn(16)
+      spark.conf.set("graft.ann.filtered", "true")
+      spark.conf.set("graft.query.exact", "true")
+      spark.conf.set("graft.ann.filtered.max", "2")
+      spark.conf.set("graft.ann.filtered.bloom.fpp", "0.3")
+      val qdf = emb.filter(col("vec_id") >= 480 && col("vec_id") < 500)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val frame = st.queryDF(qdf, "qid", "qvec", topK = 10, nProbe = 16,
+        where = Some(col("_id_") >= "00000100"))
+      val txt = frame.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val out = java.nio.file.Paths.get(args(0))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(out, txt)
+      println(s"q97-mirror plan written to ${args(0)}")
+    }
     spark.stop()
   }
 }

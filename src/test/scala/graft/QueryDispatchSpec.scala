@@ -140,6 +140,78 @@ class QueryDispatchSpec extends AnyFunSuite {
     }
   }
 
+  test("betterThan pruning slice (round 21, VERDICT r20 next-round #7): a threshold that actually prunes routes exact / exact-filtered AND returns exactly the independently-computed thresholded hit set, under every membership source") {
+    // The 472-combo sweep above pins ROUTING with betterThan = -1.0
+    // (filters nothing). This slice re-runs the better=true rung at a
+    // threshold that genuinely prunes on the two-cluster fixture
+    // (cross-cluster cosine ~0, in-cluster ~1, thr = 0.3 sits >0.25
+    // from both), asserting result parity against a driver-side
+    // restatement of the documented semantics: admit score >= thr,
+    // then top-k (BlockStore.scoreBlock; reference pico_vdb.py:745
+    // skips score < better_than). k exceeds the cluster size so the
+    // hit SET is exactly the thresholded member set — no float-tie
+    // ambiguity at a top-k boundary.
+    val s = VdbStore.empty(spark, 8)
+    val recs = TestFixtures.twoClusterRecs(seed = 71)
+    s.upsert(recs)
+    import spark.implicits._
+    val q0 = { val v = new Array[Float](8); v(0) = 1f; v }
+    val q1 = { val v = new Array[Float](8); v(4) = 1f; v }
+    val qdf = Seq((0L, q0), (1L, q1)).toDF("qid", "qvec")
+    val whereB = get_json_object(col("meta"), "$.c") === "b"
+    val bIds: Seq[String] = (0 until 60).map(i => f"b$i%03d")
+    val fnB: (String, String) => Boolean = (id, _) => id.startsWith("b")
+    val k = 100
+    val thr = 0.3
+    def scoreOf(q: Array[Float], v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < q.length) { s += q(i).toDouble * v(i).toDouble; i += 1 }
+      s
+    }
+    def truthSet(q: Array[Float], member: String => Boolean): Set[String] =
+      recs.filter(r => member(r.id))
+        .filter(r => scoreOf(q, r.vector) >= thr).map(_.id).toSet
+    spark.conf.set("graft.ann.filtered", "true")
+    try {
+      for (accel <- Seq(false, true)) {
+        // the bypass must hold whether or not accelerators are enabled
+        if (accel) { s.enableHnsw(); s.enableAnn(nList = 4); s.enableQ8() }
+        else { s.disableHnsw(); s.disableAnn(); s.disableQ8() }
+        for (src <- Seq("none", "where", "ids", "fn")) {
+          val member: String => Boolean =
+            if (src == "none") _ => true else _.startsWith("b")
+          val got = s.queryDF(qdf, "qid", "qvec", k,
+              betterThan = Some(thr),
+              where = if (src == "where") Some(whereB) else None,
+              ids = if (src == "ids") Some(bIds) else None,
+              whereFn = if (src == "fn") Some(fnB) else None)
+            .select("qid", "_id_").collect()
+            .groupBy(_.getLong(0)).view
+            .mapValues(_.map(_.getString(1)).toSet).toMap
+          val want = if (src == "none") "exact" else "exact-filtered"
+          assert(s.lastQueryStrategy == Some(want),
+            s"[accel=$accel src=$src] routed ${s.lastQueryStrategy}")
+          Seq(0L -> q0, 1L -> q1).foreach { case (qid, q) =>
+            val expect = truthSet(q, member)
+            assert(got.getOrElse(qid, Set.empty) == expect,
+              s"[accel=$accel src=$src qid=$qid] hit set != exact-filtered " +
+                s"ground truth (got ${got.getOrElse(qid, Set.empty).size}, " +
+                s"want ${expect.size})")
+          }
+          // the slice must PRUNE: q0 scores ~0 against cluster b, so
+          // the filtered rung returns nothing for it, and the
+          // unfiltered rung drops the opposite cluster entirely
+          if (src != "none") assert(truthSet(q0, member).isEmpty)
+          else assert(truthSet(q0, member) == recs.map(_.id)
+            .filter(_.startsWith("a")).toSet)
+        }
+      }
+    } finally {
+      spark.conf.unset("graft.ann.filtered")
+      s.disableQ8(); s.disableHnsw(); s.disableAnn()
+    }
+  }
+
   test("auto-tier budget boundaries (round 20): tier choice pinned at every substrate boundary ±1 byte, and the catalog's store-sized budget formulas sit on stable rungs") {
     import graft.core.PqStore
     // The pure decision (VdbStore.autoTier) swept at each boundary and

@@ -1177,6 +1177,64 @@ class VdbStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("queryDF bloom keying windowed fallback (round 21): BIT-IDENTICAL duplicate query rows — the only case the fast path cannot key — stay row-independent and recollect deterministically after supersession") {
+    // Round 21 added the window-free fast path (surrogate =
+    // xxhash64(0, qid, qvec) when that hash is injective over the
+    // batch). A batch holding bit-identical rows collides under EVERY
+    // seed, so it must fall into the row_number windowed keying; this
+    // pins that fallback's behavior: each duplicate row keeps its own
+    // independent top-k (the duplicate-qid union rule), and a
+    // superseded result still recomputes row-correct.
+    val s = freshStore(8)
+    val recs = TestFixtures.twoClusterRecs(seed = 61)
+    s.upsert(recs)
+    import spark.implicits._
+    val qb = recs(60).vector
+    val qa = recs(0).vector
+    // qid 7 appears TWICE with the SAME vector (bit-identical rows),
+    // plus a distinct row; shuffled lineage like the supersede spec
+    val qdfDup = Seq((7L, qb), (7L, qb), (2L, qa))
+      .toDF("qid", "qvec").repartition(5)
+    val whereB = Some(get_json_object(col("meta"), "$.c") === "b")
+    s.enableAnn(nList = 4)
+    spark.conf.set("graft.query.exact", "true")
+    spark.conf.set("graft.ann.filtered", "true")
+    spark.conf.set("graft.ann.filtered.max", "2")
+    spark.conf.set("graft.ann.filtered.bloom.fpp", "0.3")
+    try {
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), math.rint(r.getDouble(2) * 1e9)))
+        .toSeq.sorted
+      val frame = s.queryDF(qdfDup, "qid", "qvec", 5, where = whereB,
+        nProbe = 4)
+      val got = canon(frame)
+      assert(s.lastQueryStrategy.exists(_.endsWith("+bloom")),
+        s"fixture must exercise the bloom rung, routed ${s.lastQueryStrategy}")
+      // ground truth: distinct-qid twin through the exact-filtered
+      // path, with the duplicated row's result counted TWICE
+      spark.conf.set("graft.ann.filtered", "false")
+      val qdfSep = Seq((70L, qb), (71L, qb), (2L, qa))
+        .toDF("qid", "qvec")
+      val want = canon(s.queryDF(qdfSep, "qid", "qvec", 5, where = whereB))
+        .map { case (q, id, sc) => (if (q >= 70L) 7L else q, id, sc) }
+        .sorted
+      assert(got == want,
+        "bit-identical duplicate rows must keep independent top-k " +
+          "(windowed keying fallback)")
+      // supersede + recollect: the windowed keying must re-derive the
+      // same keys on an unpinned recompute too
+      s.queryDF(qdfDup, "qid", "qvec", 5).collect()
+      assert(canon(frame) == want,
+        "superseded windowed-keyed bloom frame recomputed wrong")
+    } finally {
+      spark.conf.unset("graft.query.exact")
+      spark.conf.unset("graft.ann.filtered")
+      spark.conf.unset("graft.ann.filtered.max")
+      spark.conf.unset("graft.ann.filtered.bloom.fpp")
+      s.disableAnn()
+    }
+  }
+
   test("queryDF flat compressed tiers (round 18): q8/pq/bit strategies serve the bulk engines and match the driver facade") {
     val s = freshStore(8)
     val rng = new scala.util.Random(47)
