@@ -220,8 +220,16 @@ object Bench {
       * burst that clears within the budget yields a clean-witnessed
       * retry instead of a suspect row.
       */
+    // tolerant parse (ADVICE r21): a malformed value (e.g. "120s") must
+    // not NumberFormatException-kill a multi-hour pass at startup
     val canaryWaitBudgetS: Double =
-      sys.env.get("SPARK_GRAFT_CANARY_WAIT_S").map(_.toDouble).getOrElse(120.0)
+      sys.env.get("SPARK_GRAFT_CANARY_WAIT_S").flatMap { s =>
+        val p = scala.util.Try(s.toDouble).toOption
+        if (p.isEmpty) System.err.println(
+          s"[bench] ignoring malformed SPARK_GRAFT_CANARY_WAIT_S='$s' " +
+            "(not a number); using default 120")
+        p
+      }.getOrElse(120.0)
     def awaitCleanCanary(): Double = {
       var ratio = gatedCanaryRatio()
       var slept = 0.0
@@ -799,7 +807,13 @@ object Bench {
       // stays sum-consistent)
       var buildRetries = 0
       while (suspects.contains("picovdb_ann_build") && buildRetries < 2) {
+        // the sub-metric rows re-record samples in this loop too, so
+        // they are marked retried alongside the parent (ADVICE r21:
+        // retry_canary listed witnesses for entries never in `retried`)
         retried += "picovdb_ann_build"
+        retried += "picovdb_ann_build_fit"
+        retried += "picovdb_ann_build_assign"
+        retried += "picovdb_ann_build_pack"
         Thread.sleep(1000)
         gateRetry("picovdb_ann_build", "picovdb_ann_build_fit",
           "picovdb_ann_build_assign", "picovdb_ann_build_pack")

@@ -497,8 +497,17 @@ object PqStore {
     })
     val kk = math.min(ksub, sampled.length)
     val cents = new Array[Float](m * kk * dsub)
-    var sub = 0
-    while (sub < m) {
+    // The m subspace fits are INDEPENDENT (each k-means sees only its
+    // own dsub-wide slice, seeds as seed + sub, and writes a disjoint
+    // cents range), so they run PARALLEL across subspaces (round 22:
+    // the sequential loop dominated the PQ build rows — at m=64 the
+    // per-fit work is too fine-grained for LocalKMeans' internal
+    // point-parallelism to fill the machine, its seeding rounds and
+    // mean accumulations are sequential by design). Every fit is
+    // bit-deterministic for its (slice, kk, seed + sub) regardless of
+    // scheduling — LocalKMeans' own determinism contract — so the
+    // trained codebook is BIT-IDENTICAL to the sequential loop's.
+    java.util.stream.IntStream.range(0, m).parallel().forEach { sub =>
       val slice: Array[Array[Double]] = sampled.map { row =>
         val d = new Array[Double](dsub)
         var t = 0
@@ -515,7 +524,6 @@ object PqStore {
         }
         j += 1
       }
-      sub += 1
     }
     new PqCodebook(dim, m, kk, cents)
   }

