@@ -514,7 +514,11 @@ object PqStore {
         while (t < dsub) { d(t) = row(sub * dsub + t).toDouble; t += 1 }
         d
       }
-      val fitted = LocalKMeans.fit(slice, kk, maxIter, seed + sub)
+      // sequential point loops inside the fit: this loop already
+      // saturates the machine across subspaces, and nested parallel
+      // streams only add fork-join overhead (see LocalKMeans.fit)
+      val fitted = LocalKMeans.fit(slice, kk, maxIter, seed + sub,
+        pointParallel = false)
       var j = 0
       while (j < fitted.length) {
         var t = 0

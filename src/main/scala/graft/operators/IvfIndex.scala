@@ -2533,12 +2533,31 @@ object IvfIndex {
   */
 object LocalKMeans {
 
-  def fit(sample: Array[Array[Double]], k: Int, maxIter: Int, seed: Long): Array[Array[Double]] = {
+  /** `pointParallel = false` runs the two per-point loops as plain
+    * sequential loops instead of parallel streams — for callers that
+    * already parallelize ACROSS independent fits (PqStore.trainOnRows'
+    * subspace loop, round 22): nested parallel streams from m
+    * concurrent fits flood the common fork-join pool with
+    * microsecond-wide tasks whose overhead exceeds their work.
+    * BIT-IDENTICAL output either way (the loops below only do
+    * disjoint per-point writes; every FP accumulation is sequential
+    * in index order in both modes) — determinism for a given
+    * (sample, k, seed) stays the method's contract, parallel or not.
+    */
+  def fit(sample: Array[Array[Double]], k: Int, maxIter: Int, seed: Long,
+          pointParallel: Boolean = true): Array[Array[Double]] = {
     require(sample.nonEmpty, "cannot fit k-means on an empty sample")
     val dim = sample(0).length
     val n = sample.length
     val kk = math.min(k, n)
     val rng = new java.util.Random(seed)
+    def forPoints(body: Int => Unit): Unit =
+      if (pointParallel)
+        java.util.stream.IntStream.range(0, n).parallel().forEach(i => body(i))
+      else {
+        var i = 0
+        while (i < n) { body(i); i += 1 }
+      }
 
     def distSq(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -2564,7 +2583,7 @@ object LocalKMeans {
     var c = 1
     while (c < kk) {
       val prev = centers(c - 1)
-      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+      forPoints { i =>
         val d = distSq(sample(i), prev)
         if (d < minD(i)) minD(i) = d
       }
@@ -2585,7 +2604,7 @@ object LocalKMeans {
     val movedFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
     while (iter < maxIter && moved) {
       movedFlag.set(false)
-      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+      forPoints { i =>
         var best = 0
         var bestD = Double.MaxValue
         var cc = 0
